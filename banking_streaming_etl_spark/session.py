@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the harness (local[N]) and for scale.
+
+The reference builds its session at
+`containers/spark-etl/streaming_etl.py:10-16` (Kryo serializer, Kafka/Redis
+jars, streaming schema inference, AQE commented out because it does not
+apply to streaming). Our engine serves both batch and streaming surfaces,
+so we enable AQE (batch-only effect), pin the session timezone to UTC so
+DuckDB-oracle comparisons are stable, and size shuffle partitions to the
+local core count instead of the 200 default.
+
+At cluster scale the same builder applies; only `master`, memory and
+`spark.sql.shuffle.partitions` change (partitions ≈ 2-3× total cores;
+AQE coalescing trims the excess at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "banking_streaming_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-planning — coalesce small shuffle partitions,
+        # convert to broadcast joins when runtime stats allow, split skew.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Oracle parity: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for the pandas-UDF slow path (similarity / multimodal ops).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Kryo: reference keeps it for its RDD sink path (streaming_etl.py:14).
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -15,7 +15,13 @@ def register_all() -> None:
         return
 
     from banking_streaming_etl_spark.registry import register
-    from banking_streaming_etl_spark.plans import approval
+    from banking_streaming_etl_spark.plans import (
+        approval,
+        dashboard,
+        relational,
+        tpch,
+        views,
+    )
 
     register(
         "approval_pipeline",
@@ -30,5 +36,77 @@ def register_all() -> None:
         approval.ORACLE_SCORES_SQL,
         "transacoes_scores side-output projection (streaming_etl.py:209-219)",
     )
+
+    # headline relational (A1, J1-J6 at scale)
+    register("q1_pricing_summary", tpch.q1_pricing_summary, tpch.Q1_SQL,
+             "TPC-H Q1 shape: scan-filter-agg (A1)")
+    register("order_enrichment", tpch.order_enrichment,
+             tpch.ORDER_ENRICHMENT_SQL, "star-join enrichment (J1-J3)")
+    register("revenue_by_nation", tpch.revenue_by_nation,
+             tpch.REVENUE_BY_NATION_SQL, "fact-fact join + agg (TPC-H Q5 shape)")
+
+    # the two Postgres views (A1-A3)
+    register("perf_stats_by_modality", views.perf_stats_by_modality,
+             views.PERF_STATS_SQL, "vw_performance_stats (A1+A2)")
+    register("perf_temporal_hourly", views.perf_temporal_hourly,
+             views.PERF_TEMPORAL_SQL, "vw_performance_temporal (A3)")
+
+    # dashboard analyses (A4-A14, W1-W3, O2, P6-P9, F15-F19)
+    register("approval_overview", dashboard.approval_overview,
+             dashboard.APPROVAL_OVERVIEW_SQL, "approval counts (A8/A10)")
+    register("value_histogram", dashboard.value_histogram,
+             dashboard.VALUE_HISTOGRAM_SQL, "p99 trim + histogram (P9+A13)")
+    register("density_grid", dashboard.density_grid,
+             dashboard.DENSITY_GRID_SQL, "2-D histogram (A14)")
+    register("hourly_score_approval", dashboard.hourly_score_approval,
+             dashboard.HOURLY_SCORE_APPROVAL_SQL, "hourly score + rate (A6)")
+    register("region_approval", dashboard.region_approval,
+             dashboard.REGION_APPROVAL_SQL, "approval rate by region (A7)")
+    register("denial_reasons", dashboard.denial_reasons,
+             dashboard.DENIAL_REASONS_SQL, "conditional counts (A10)")
+    register("denied_by_modality", dashboard.denied_by_modality,
+             dashboard.DENIED_BY_MODALITY_SQL, "denied per modality (A8)")
+    register("tx_per_hour", dashboard.tx_per_hour,
+             dashboard.TX_PER_HOUR_SQL, "tx per hour-of-day (A8)")
+    register("distance_bucket_pivot", dashboard.distance_bucket_pivot,
+             dashboard.DISTANCE_BUCKET_PIVOT_SQL, "bucket x approval (A9+F15)")
+    register("freq_per_payer_hour", dashboard.freq_per_payer_hour,
+             dashboard.FREQ_PER_PAYER_HOUR_SQL, "frequency window (W1+F16)")
+    register("zscore_per_payer", dashboard.zscore_per_payer,
+             dashboard.ZSCORE_PER_PAYER_SQL, "z-score window (W2+F17)")
+    register("top_k_recent", dashboard.top_k_recent,
+             dashboard.TOP_K_RECENT_SQL, "recent top-K (O2/W3)")
+    register("filter_membership_range", dashboard.filter_membership_range,
+             dashboard.FILTER_MEMBERSHIP_RANGE_SQL, "isin + between (P6)")
+    register("exceed_limit_flags", dashboard.exceed_limit_flags,
+             dashboard.EXCEED_LIMIT_FLAGS_SQL, "per-modality flags (F19)")
+
+    # relational coverage (set ops, semi/anti, rollup, windows, pivot)
+    register("customers_without_tx", relational.customers_without_tx,
+             relational.CUSTOMERS_WITHOUT_TX_SQL, "anti join")
+    register("customers_with_tx", relational.customers_with_tx,
+             relational.CUSTOMERS_WITH_TX_SQL, "semi join")
+    register("payer_set_ops", relational.payer_set_ops,
+             relational.PAYER_SET_OPS_SQL, "union/intersect/except")
+    register("distinct_payers_per_modality",
+             relational.distinct_payers_per_modality,
+             relational.DISTINCT_PAYERS_SQL, "count distinct per group")
+    register("rollup_modality_region", relational.rollup_modality_region,
+             relational.ROLLUP_SQL, "rollup subtotals")
+    register("pivot_returnflag_linestatus",
+             relational.pivot_returnflag_linestatus,
+             relational.PIVOT_SQL, "columnar pivot (A9)")
+    register("running_total_per_payer", relational.running_total_per_payer,
+             relational.RUNNING_TOTAL_SQL, "window frame prefix sum")
+    register("lag_lead_per_payer", relational.lag_lead_per_payer,
+             relational.LAG_LEAD_SQL, "lag/lead")
+    register("top3_tx_per_region", relational.top3_tx_per_region,
+             relational.TOP3_PER_REGION_SQL, "top-K per group")
+    register("value_quartiles", relational.value_quartiles,
+             relational.VALUE_QUARTILES_SQL, "ntile quartiles")
+    register("sessionize_events", relational.sessionize_events,
+             relational.SESSIONIZE_SQL, "sessionization (lag+cumsum)")
+    register("json_envelope_roundtrip", relational.json_envelope_roundtrip,
+             relational.JSON_ROUNDTRIP_SQL, "to_json/from_json roundtrip (F1/F22)")
 
     _REGISTERED = True

@@ -1,0 +1,449 @@
+"""The reference dashboard's 10 analyses as Spark queries.
+
+The reference loads `SELECT *` into pandas and computes these in-process
+(containers/dashboard/dashboard.py:164-631). Here each analysis is a
+declarative Spark query over the approval pipeline's output, so Catalyst
+prunes columns/pushes filters and the work distributes. Oracle SQL reuses
+the shared scored/flagged/approved CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import exact, scores
+from banking_streaming_etl_spark.plans.approval import (
+    with_approval_flags,
+    with_scores,
+)
+
+
+def _approved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched = datamodel.enriched_transactions(spark, sf_dir)
+    return with_approval_flags(with_scores(enriched))
+
+
+def _oracle(body: str) -> str:
+    return datamodel.with_ctes(body, extra_ctes=scores.SCORED_CTE)
+
+
+# --- 1. approval overview (dashboard.py:329, value_counts) -----------------
+
+
+def approval_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _approved(spark, sf_dir).groupBy("transacao_aprovada").agg(
+        F.count("*").alias("total"),
+        exact.exact_avg("valor_transacao", "valor_medio"),
+    )
+
+
+APPROVAL_OVERVIEW_SQL = _oracle(
+    f"""
+SELECT transacao_aprovada, COUNT(*) AS total,
+       {exact.sql_avg('valor_transacao', 'valor_medio')}
+FROM approved GROUP BY transacao_aprovada"""
+)
+
+
+# --- 2. value histogram with p99 trim (dashboard.py:373-395) ----------------
+
+HIST_BIN_WIDTH = 25.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 quantile trim + A13 histogram binning. The p99 scalar is computed
+    exactly (percentile_cont parity) and joined back as a 1-row broadcast —
+    no driver-side collect."""
+    t = _approved(spark, sf_dir)
+    p99 = t.agg(
+        F.round(F.percentile("valor_transacao", F.lit(0.99)), 6).alias("p99")
+    )
+    return (
+        t.crossJoin(F.broadcast(p99))
+        .filter(F.col("valor_transacao") <= F.col("p99"))
+        .groupBy(
+            F.floor(F.col("valor_transacao") / F.lit(HIST_BIN_WIDTH)).alias("bin")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+VALUE_HISTOGRAM_SQL = _oracle(
+    f"""
+SELECT CAST(FLOOR(valor_transacao / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM approved
+WHERE valor_transacao <= (
+    SELECT ROUND(QUANTILE_CONT(valor_transacao, 0.99), 6) FROM approved)
+GROUP BY 1"""
+)
+
+
+# --- 3. 2-D density grid (dashboard.py:472-493) -----------------------------
+
+
+def density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: counts over a (value, t5_score) grid, approved rows only."""
+    t = _approved(spark, sf_dir).filter(F.col("transacao_aprovada"))
+    return t.groupBy(
+        F.floor(F.col("valor_transacao") / F.lit(25.0)).alias("value_bin"),
+        F.floor(F.col("t5_score") / F.lit(5.0)).alias("score_bin"),
+    ).agg(F.count("*").alias("n"))
+
+
+DENSITY_GRID_SQL = _oracle(
+    """
+SELECT CAST(FLOOR(valor_transacao / 25.0) AS BIGINT) AS value_bin,
+       CAST(FLOOR(t5_score / 5.0) AS BIGINT) AS score_bin,
+       COUNT(*) AS n
+FROM approved
+WHERE transacao_aprovada
+GROUP BY 1, 2"""
+)
+
+
+# --- 4. hourly score vs approval rate (dashboard.py:498) --------------------
+
+
+def hourly_score_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per hour-of-day, mean abs time score + approval rate (bool->rate).
+    Uses the dashboard's UNSIGNED time score (dashboard.py:208), a deliberate
+    semantic difference from the pipeline's signed t7 (SURVEY.md §2.11)."""
+    t = _approved(spark, sf_dir).withColumn("hora", F.hour("data_horario"))
+    return t.groupBy("hora").agg(
+        exact.exact_avg(scores.time_score_abs(), "time_score_medio"),
+        exact.exact_avg(
+            F.col("transacao_aprovada").cast("double"), "taxa_aprovacao"
+        ),
+        F.count("*").alias("total"),
+    )
+
+
+HOURLY_SCORE_APPROVAL_SQL = _oracle(
+    f"""
+SELECT HOUR(data_horario) AS hora,
+       {exact.sql_avg(scores.TIME_ABS_SQL, 'time_score_medio')},
+       {exact.sql_avg('CAST(transacao_aprovada AS DOUBLE)', 'taxa_aprovacao')},
+       COUNT(*) AS total
+FROM approved GROUP BY HOUR(data_horario)"""
+)
+
+
+# --- 5. approval rate by region (dashboard.py:520-533) ----------------------
+
+
+def region_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _approved(spark, sf_dir).groupBy("id_regiao").agg(
+        exact.exact_avg(
+            F.col("transacao_aprovada").cast("double"), "taxa_aprovacao"
+        ),
+        F.count("*").alias("total"),
+    )
+
+
+REGION_APPROVAL_SQL = _oracle(
+    f"""
+SELECT id_regiao,
+       {exact.sql_avg('CAST(transacao_aprovada AS DOUBLE)', 'taxa_aprovacao')},
+       COUNT(*) AS total
+FROM approved GROUP BY id_regiao"""
+)
+
+
+# --- 6. denial reasons (dashboard.py:574-577, conditional sums) --------------
+
+
+def denial_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: one-row conditional counts — why transactions were denied."""
+    t = _approved(spark, sf_dir)
+    return t.agg(
+        F.sum(F.when(~F.col("score_aprovado"), 1).otherwise(0)).alias(
+            "negadas_score"
+        ),
+        F.sum(F.when(~F.col("saldo_aprovado"), 1).otherwise(0)).alias(
+            "negadas_saldo"
+        ),
+        F.sum(F.when(~F.col("limite_aprovado"), 1).otherwise(0)).alias(
+            "negadas_limite"
+        ),
+        F.sum(F.when(~F.col("transacao_aprovada"), 1).otherwise(0)).alias(
+            "negadas_total"
+        ),
+        F.count("*").alias("total"),
+    )
+
+
+DENIAL_REASONS_SQL = _oracle(
+    """
+SELECT
+    SUM(CASE WHEN NOT score_aprovado THEN 1 ELSE 0 END)      AS negadas_score,
+    SUM(CASE WHEN NOT saldo_aprovado THEN 1 ELSE 0 END)      AS negadas_saldo,
+    SUM(CASE WHEN NOT limite_aprovado THEN 1 ELSE 0 END)     AS negadas_limite,
+    SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)  AS negadas_total,
+    COUNT(*) AS total
+FROM approved"""
+)
+
+
+# --- 7. denied by modality (dashboard.py:592-597) ----------------------------
+
+
+def denied_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _approved(spark, sf_dir)
+        .filter(~F.col("transacao_aprovada"))
+        .groupBy("modalidade_pagamento")
+        .agg(F.count("*").alias("negadas"))
+    )
+
+
+DENIED_BY_MODALITY_SQL = _oracle(
+    """
+SELECT modalidade_pagamento, COUNT(*) AS negadas
+FROM approved WHERE NOT transacao_aprovada
+GROUP BY modalidade_pagamento"""
+)
+
+
+# --- 8. transactions per hour (dashboard.py:608) -----------------------------
+
+
+def tx_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _approved(spark, sf_dir)
+        .groupBy(F.hour("data_horario").alias("hora"))
+        .agg(F.count("*").alias("total"))
+    )
+
+
+TX_PER_HOUR_SQL = _oracle(
+    """
+SELECT HOUR(data_horario) AS hora, COUNT(*) AS total
+FROM approved GROUP BY HOUR(data_horario)"""
+)
+
+
+# --- 9. distance buckets x approval (dashboard.py:185-192, 613-618) ----------
+
+_BUCKET_EDGES = (10.0, 25.0, 45.0)  # perto / medio / longe / muito_longe
+
+
+def _distance_bucket_col() -> F.Column:
+    """F15: pd.cut -> chained when over t5_score (NULL -> 'desconhecida')."""
+    return (
+        F.when(F.col("t5_score").isNull(), "desconhecida")
+        .when(F.col("t5_score") < _BUCKET_EDGES[0], "perto")
+        .when(F.col("t5_score") < _BUCKET_EDGES[1], "media")
+        .when(F.col("t5_score") < _BUCKET_EDGES[2], "longe")
+        .otherwise("muito_longe")
+    )
+
+
+_DISTANCE_BUCKET_SQL = f"""CASE
+    WHEN t5_score IS NULL THEN 'desconhecida'
+    WHEN t5_score < {_BUCKET_EDGES[0]} THEN 'perto'
+    WHEN t5_score < {_BUCKET_EDGES[1]} THEN 'media'
+    WHEN t5_score < {_BUCKET_EDGES[2]} THEN 'longe'
+    ELSE 'muito_longe' END"""
+
+
+def distance_bucket_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: two-key group + pivot-to-columns (unstack(fill_value=0)) —
+    expressed as conditional counts so column names are stable."""
+    t = _approved(spark, sf_dir).withColumn(
+        "faixa_distancia", _distance_bucket_col()
+    )
+    return t.groupBy("faixa_distancia").agg(
+        F.sum(F.when(F.col("transacao_aprovada"), 1).otherwise(0)).alias(
+            "aprovadas"
+        ),
+        F.sum(F.when(~F.col("transacao_aprovada"), 1).otherwise(0)).alias(
+            "negadas"
+        ),
+    )
+
+
+DISTANCE_BUCKET_PIVOT_SQL = _oracle(
+    f"""
+SELECT {_DISTANCE_BUCKET_SQL} AS faixa_distancia,
+       SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)     AS aprovadas,
+       SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END) AS negadas
+FROM approved
+GROUP BY 1"""
+)
+
+
+# --- 10. per-payer frequency + z-score windows (dashboard.py:195-205) --------
+
+
+def freq_per_payer_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + F16: windowed frequency count broadcast back to rows, then the
+    np.select(frequency -> {0, 0.5, 1}) multi-branch score."""
+    t = _approved(spark, sf_dir)
+    w = W.partitionBy(
+        "id_usuario_pagador", F.date_trunc("hour", F.col("data_horario"))
+    )
+    t = t.withColumn("freq_hora", F.count("*").over(w))
+    return t.select(
+        "id_transacao",
+        "id_usuario_pagador",
+        "freq_hora",
+        F.when(F.col("freq_hora") >= 5, 1.0)
+        .when(F.col("freq_hora") >= 3, 0.5)
+        .otherwise(0.0)
+        .alias("freq_score"),
+    )
+
+
+FREQ_PER_PAYER_HOUR_SQL = _oracle(
+    """
+SELECT id_transacao, id_usuario_pagador, freq_hora,
+       CAST(CASE WHEN freq_hora >= 5 THEN 1.0
+                 WHEN freq_hora >= 3 THEN 0.5
+                 ELSE 0.0 END AS DOUBLE) AS freq_score
+FROM (
+    SELECT id_transacao, id_usuario_pagador,
+           COUNT(*) OVER (PARTITION BY id_usuario_pagador,
+                          DATE_TRUNC('hour', data_horario)) AS freq_hora
+    FROM approved
+)"""
+)
+
+
+def zscore_per_payer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 + F17: per-payer mean/std broadcast back, z-score per row.
+    Moments accumulate in DECIMAL over the window so Spark and DuckDB agree
+    bit-for-bit; payers with <2 transactions get NULL z (guarded division)."""
+    t = _approved(spark, sf_dir)
+    w = W.partitionBy("id_usuario_pagador")
+    v = F.col("valor_transacao")
+    vd = F.round(v, 6).cast(exact.DEC)
+    sq = F.round(F.round(v, 6) * F.round(v, 6), 6).cast(exact.DEC)
+    n = F.count(v).over(w).cast("double")
+    s = F.sum(vd).over(w).cast("double")
+    ssq = F.sum(sq).over(w).cast("double")
+    mean = s / n
+    std = F.sqrt((ssq - s * s / n) / (n - F.lit(1.0)))
+    z = F.when((n >= 2) & (std > 0), (v - mean) / std)
+    return t.select(
+        "id_transacao",
+        "id_usuario_pagador",
+        "valor_transacao",
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+ZSCORE_PER_PAYER_SQL = _oracle(
+    """
+SELECT id_transacao, id_usuario_pagador, valor_transacao,
+       ROUND(CASE WHEN n >= 2 AND std > 0
+                  THEN (valor_transacao - s / n) / std END, 6) AS z_score
+FROM (
+    SELECT *,
+        CAST(COUNT(valor_transacao) OVER w AS DOUBLE) AS n,
+        CAST(SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))) OVER w
+             AS DOUBLE) AS s,
+        SQRT((CAST(SUM(CAST(ROUND(ROUND(valor_transacao, 6)
+                                  * ROUND(valor_transacao, 6), 6)
+                            AS DECIMAL(28,6))) OVER w AS DOUBLE)
+              - CAST(SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)))
+                     OVER w AS DOUBLE)
+                * CAST(SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)))
+                       OVER w AS DOUBLE)
+                / CAST(COUNT(valor_transacao) OVER w AS DOUBLE))
+             / (CAST(COUNT(valor_transacao) OVER w AS DOUBLE) - 1.0)) AS std
+    FROM approved
+    WINDOW w AS (PARTITION BY id_usuario_pagador)
+)"""
+)
+
+
+# --- top-K recent + filters (O2, P6, F19) ------------------------------------
+
+
+def top_k_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/W3: the Redis 'N most recent transactions' view as a total-order
+    top-K — Spark plans TakeOrderedAndProject (no full sort at scale).
+    id tiebreak makes the result set deterministic."""
+    return (
+        _approved(spark, sf_dir)
+        .orderBy(F.desc("data_horario"), F.desc("id_transacao"))
+        .limit(100)
+        .select(
+            "id_transacao",
+            "data_horario",
+            "modalidade_pagamento",
+            "valor_transacao",
+            "transacao_aprovada",
+        )
+    )
+
+
+TOP_K_RECENT_SQL = _oracle(
+    """
+SELECT id_transacao, data_horario, modalidade_pagamento, valor_transacao,
+       transacao_aprovada
+FROM approved
+ORDER BY data_horario DESC, id_transacao DESC
+LIMIT 100"""
+)
+
+
+def filter_membership_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: membership + range predicates (dashboard sidebar filters)."""
+    t = _approved(spark, sf_dir)
+    return t.filter(
+        F.col("modalidade_pagamento").isin("click", "purchase")
+        & F.hour("data_horario").between(8, 18)
+    ).select(
+        "id_transacao",
+        "modalidade_pagamento",
+        "data_horario",
+        "valor_transacao",
+        "transacao_aprovada",
+    )
+
+
+FILTER_MEMBERSHIP_RANGE_SQL = _oracle(
+    """
+SELECT id_transacao, modalidade_pagamento, data_horario, valor_transacao,
+       transacao_aprovada
+FROM approved
+WHERE modalidade_pagamento IN ('click', 'purchase')
+  AND HOUR(data_horario) BETWEEN 8 AND 18"""
+)
+
+
+def exceed_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: per-modality exceed-limit bool columns + row-wise any()."""
+    t = _approved(spark, sf_dir)
+    flags = [
+        F.coalesce(F.col("valor_transacao") > F.col(f"limite_{m}"), F.lit(False)).alias(
+            f"excede_{m}"
+        )
+        for m in datamodel.MODALITIES
+    ]
+    t = t.select("id_transacao", *flags)
+    any_col = None
+    for m in datamodel.MODALITIES:
+        c = F.col(f"excede_{m}")
+        any_col = c if any_col is None else (any_col | c)
+    return t.withColumn("excede_alguma", any_col)
+
+
+EXCEED_LIMIT_FLAGS_SQL = _oracle(
+    "SELECT id_transacao, "
+    + ", ".join(
+        f"COALESCE(valor_transacao > limite_{m}, FALSE) AS excede_{m}"
+        for m in datamodel.MODALITIES
+    )
+    + ", ("
+    + " OR ".join(
+        f"COALESCE(valor_transacao > limite_{m}, FALSE)"
+        for m in datamodel.MODALITIES
+    )
+    + ") AS excede_alguma FROM approved"
+)

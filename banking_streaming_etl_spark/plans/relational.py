@@ -1,0 +1,369 @@
+"""Relational operator coverage beyond the reference's direct usage.
+
+SURVEY.md §2.8 notes the reference uses no set ops / semi-anti joins /
+frame-spec windows; a complete engine exposes them anyway (they are Spark
+built-ins — the work is deterministic fixtures + oracle SQL). Every query
+here is totally ordered where order affects values (window frames, top-K)
+so results are reproducible on any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import exact
+
+
+# --- semi / anti joins -------------------------------------------------------
+
+
+def customers_without_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers that never paid a transaction."""
+    c = datamodel.users(spark, sf_dir)
+    t = datamodel.transactions(spark, sf_dir)
+    return c.join(
+        t, c.id_usuario == t.id_usuario_pagador, "left_anti"
+    ).select("id_usuario", "id_regiao_u", "saldo")
+
+
+CUSTOMERS_WITHOUT_TX_SQL = datamodel.with_ctes(
+    """
+SELECT id_usuario, id_regiao_u, saldo
+FROM users u
+WHERE NOT EXISTS (
+    SELECT 1 FROM transactions t WHERE t.id_usuario_pagador = u.id_usuario)"""
+)
+
+
+def customers_with_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one payment."""
+    c = datamodel.users(spark, sf_dir)
+    t = datamodel.transactions(spark, sf_dir)
+    return c.join(
+        t, c.id_usuario == t.id_usuario_pagador, "left_semi"
+    ).select("id_usuario", "id_regiao_u", "saldo")
+
+
+CUSTOMERS_WITH_TX_SQL = datamodel.with_ctes(
+    """
+SELECT id_usuario, id_regiao_u, saldo
+FROM users u
+WHERE EXISTS (
+    SELECT 1 FROM transactions t WHERE t.id_usuario_pagador = u.id_usuario)"""
+)
+
+
+# --- set operations ----------------------------------------------------------
+
+
+def payer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over payer-id sets of two modalities,
+    tagged and unioned into one result frame."""
+    t = datamodel.transactions(spark, sf_dir)
+    clicks = t.filter(F.col("modalidade_pagamento") == "click").select(
+        "id_usuario_pagador"
+    )
+    buys = t.filter(F.col("modalidade_pagamento") == "purchase").select(
+        "id_usuario_pagador"
+    )
+    u = clicks.union(buys).distinct().withColumn("op", F.lit("union"))
+    i = clicks.intersect(buys).withColumn("op", F.lit("intersect"))
+    e = clicks.subtract(buys).withColumn("op", F.lit("except"))  # EXCEPT DISTINCT
+    return u.union(i).union(e)
+
+
+PAYER_SET_OPS_SQL = datamodel.with_ctes(
+    """
+SELECT id_usuario_pagador, 'union' AS op FROM (
+    SELECT id_usuario_pagador FROM transactions WHERE modalidade_pagamento = 'click'
+    UNION
+    SELECT id_usuario_pagador FROM transactions WHERE modalidade_pagamento = 'purchase')
+UNION ALL
+SELECT id_usuario_pagador, 'intersect' AS op FROM (
+    SELECT id_usuario_pagador FROM transactions WHERE modalidade_pagamento = 'click'
+    INTERSECT
+    SELECT id_usuario_pagador FROM transactions WHERE modalidade_pagamento = 'purchase')
+UNION ALL
+SELECT id_usuario_pagador, 'except' AS op FROM (
+    SELECT DISTINCT id_usuario_pagador FROM transactions WHERE modalidade_pagamento = 'click'
+    EXCEPT
+    SELECT DISTINCT id_usuario_pagador FROM transactions WHERE modalidade_pagamento = 'purchase')"""
+)
+
+
+# --- distinct aggregation ----------------------------------------------------
+
+
+def distinct_payers_per_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (exact; approx_count_distinct is exposed in
+    the API but not oracle-checkable bit-for-bit)."""
+    t = datamodel.transactions(spark, sf_dir)
+    return t.groupBy("modalidade_pagamento").agg(
+        F.countDistinct("id_usuario_pagador").alias("pagadores_distintos"),
+        F.count("*").alias("total"),
+    )
+
+
+DISTINCT_PAYERS_SQL = datamodel.with_ctes(
+    """
+SELECT modalidade_pagamento,
+       COUNT(DISTINCT id_usuario_pagador) AS pagadores_distintos,
+       COUNT(*) AS total
+FROM transactions GROUP BY modalidade_pagamento"""
+)
+
+
+# --- rollup ------------------------------------------------------------------
+
+
+def rollup_modality_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (modality, region): subtotals + grand total."""
+    t = datamodel.transactions(spark, sf_dir)
+    return t.rollup("modalidade_pagamento", "id_regiao").agg(
+        F.count("*").alias("total"),
+        exact.exact_sum("valor_transacao", "valor_total"),
+    )
+
+
+ROLLUP_SQL = datamodel.with_ctes(
+    f"""
+SELECT modalidade_pagamento, id_regiao, COUNT(*) AS total,
+       {exact.sql_sum('valor_transacao', 'valor_total')}
+FROM transactions
+GROUP BY ROLLUP (modalidade_pagamento, id_regiao)"""
+)
+
+
+# --- pivot (true columnar pivot, A9) ------------------------------------------
+
+
+def pivot_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot().count() with explicit pivot values (stable schema),
+    nulls filled with 0 like the dashboard's unstack(fill_value=0)."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed({"F": "status_f", "O": "status_o"})
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+       SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS status_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- window frames / ranking ---------------------------------------------------
+
+
+def running_total_per_payer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running SUM over rowsBetween(unboundedPreceding, currentRow) with a
+    total order (ts, id) — prefix sums accumulate in DECIMAL for parity."""
+    t = datamodel.transactions(spark, sf_dir)
+    w = (
+        W.partitionBy("id_usuario_pagador")
+        .orderBy("data_horario", "id_transacao")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.select(
+        "id_transacao",
+        "id_usuario_pagador",
+        "valor_transacao",
+        F.sum(F.round(F.col("valor_transacao"), 6).cast(exact.DEC))
+        .over(w)
+        .cast("double")
+        .alias("valor_acumulado"),
+    )
+
+
+RUNNING_TOTAL_SQL = datamodel.with_ctes(
+    """
+SELECT id_transacao, id_usuario_pagador, valor_transacao,
+       CAST(SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))) OVER (
+           PARTITION BY id_usuario_pagador
+           ORDER BY data_horario, id_transacao
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS valor_acumulado
+FROM transactions"""
+)
+
+
+def lag_lead_per_payer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD + time-since-previous per payer (total order incl. tiebreak)."""
+    t = datamodel.transactions(spark, sf_dir)
+    w = W.partitionBy("id_usuario_pagador").orderBy(
+        "data_horario", "id_transacao"
+    )
+    prev_ts = F.lag("data_horario").over(w)
+    return t.select(
+        "id_transacao",
+        "id_usuario_pagador",
+        F.lag("valor_transacao").over(w).alias("valor_anterior"),
+        F.lead("valor_transacao").over(w).alias("valor_seguinte"),
+        (
+            F.unix_micros(F.col("data_horario")) - F.unix_micros(prev_ts)
+        ).alias("micros_desde_anterior"),
+    )
+
+
+LAG_LEAD_SQL = datamodel.with_ctes(
+    """
+SELECT id_transacao, id_usuario_pagador,
+       LAG(valor_transacao) OVER w AS valor_anterior,
+       LEAD(valor_transacao) OVER w AS valor_seguinte,
+       EPOCH_US(data_horario) - EPOCH_US(LAG(data_horario) OVER w)
+           AS micros_desde_anterior
+FROM transactions
+WINDOW w AS (PARTITION BY id_usuario_pagador
+             ORDER BY data_horario, id_transacao)"""
+)
+
+
+def top3_tx_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: row_number over (region, valor desc) <= 3 — the
+    scalable 'top N per key' pattern (one shuffle, no global sort)."""
+    t = datamodel.transactions(spark, sf_dir)
+    w = W.partitionBy("id_regiao").orderBy(
+        F.desc("valor_transacao"), F.desc("id_transacao")
+    )
+    return (
+        t.withColumn("posicao", F.row_number().over(w))
+        .filter(F.col("posicao") <= 3)
+        .select("id_regiao", "posicao", "id_transacao", "valor_transacao")
+    )
+
+
+TOP3_PER_REGION_SQL = datamodel.with_ctes(
+    """
+SELECT id_regiao, posicao, id_transacao, valor_transacao
+FROM (
+    SELECT id_regiao, id_transacao, valor_transacao,
+           ROW_NUMBER() OVER (PARTITION BY id_regiao
+                              ORDER BY valor_transacao DESC,
+                                       id_transacao DESC) AS posicao
+    FROM transactions)
+WHERE posicao <= 3"""
+)
+
+
+def value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) over a total order -> per-quartile stats."""
+    t = datamodel.transactions(spark, sf_dir)
+    w = W.orderBy("valor_transacao", "id_transacao")
+    return (
+        t.withColumn("quartil", F.ntile(4).over(w))
+        .groupBy("quartil")
+        .agg(
+            F.count("*").alias("total"),
+            F.min("valor_transacao").alias("valor_min"),
+            F.max("valor_transacao").alias("valor_max"),
+        )
+    )
+
+
+VALUE_QUARTILES_SQL = datamodel.with_ctes(
+    """
+SELECT quartil, COUNT(*) AS total,
+       MIN(valor_transacao) AS valor_min,
+       MAX(valor_transacao) AS valor_max
+FROM (
+    SELECT valor_transacao,
+           NTILE(4) OVER (ORDER BY valor_transacao, id_transacao) AS quartil
+    FROM transactions)
+GROUP BY quartil"""
+)
+
+
+# --- sessionization (lag + gap cumsum) -----------------------------------------
+
+SESSION_GAP_MINUTES = 30
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when the gap to the previous event of the
+    same user exceeds 30 min; session id = running count of session starts.
+    The canonical lag+cumsum window composition (guide §OLAP patterns);
+    the streaming twin is session_window() in streaming/windows.py."""
+    t = datamodel.transactions(spark, sf_dir)
+    w = W.partitionBy("id_usuario_pagador").orderBy(
+        "data_horario", "id_transacao"
+    )
+    gap_us = F.unix_micros(F.col("data_horario")) - F.unix_micros(
+        F.lag("data_horario").over(w)
+    )
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+    ).otherwise(0)
+    cum = W.partitionBy("id_usuario_pagador").orderBy(
+        "data_horario", "id_transacao"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = t.withColumn("nova_sessao", is_new).withColumn(
+        "sessao", F.sum("nova_sessao").over(cum)
+    )
+    return sess.groupBy("id_usuario_pagador", "sessao").agg(
+        F.count("*").alias("eventos"),
+        F.min("data_horario").alias("inicio"),
+        F.max("data_horario").alias("fim"),
+    )
+
+
+SESSIONIZE_SQL = datamodel.with_ctes(
+    f"""
+SELECT id_usuario_pagador, sessao, COUNT(*) AS eventos,
+       MIN(data_horario) AS inicio, MAX(data_horario) AS fim
+FROM (
+    SELECT *, SUM(nova_sessao) OVER (
+        PARTITION BY id_usuario_pagador
+        ORDER BY data_horario, id_transacao
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sessao
+    FROM (
+        SELECT id_usuario_pagador, data_horario, id_transacao,
+            CASE WHEN LAG(data_horario) OVER (
+                    PARTITION BY id_usuario_pagador
+                    ORDER BY data_horario, id_transacao) IS NULL
+                 OR EPOCH_US(data_horario) - EPOCH_US(LAG(data_horario) OVER (
+                    PARTITION BY id_usuario_pagador
+                    ORDER BY data_horario, id_transacao))
+                    > {SESSION_GAP_MINUTES} * 60 * 1000000
+                 THEN 1 ELSE 0 END AS nova_sessao
+        FROM transactions))
+GROUP BY id_usuario_pagador, sessao"""
+)
+
+
+# --- JSON envelope roundtrip (F1/F22) ------------------------------------------
+
+
+def json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22 + F1: serialize the tx to a JSON envelope with to_json(struct(...))
+    then parse it back with from_json — the reference's Kafka wire format
+    (producer.py:162 / streaming_etl.py:56). Output is the parsed fields, so
+    the oracle checks semantics without hashing engine-specific JSON spacing."""
+    from pyspark.sql import types as T
+
+    t = datamodel.transactions(spark, sf_dir)
+    envelope = F.to_json(
+        F.struct("id_transacao", "modalidade_pagamento", "valor_transacao")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id_transacao", T.LongType()),
+            T.StructField("modalidade_pagamento", T.StringType()),
+            T.StructField("valor_transacao", T.DoubleType()),
+        ]
+    )
+    parsed = F.from_json(envelope, schema).alias("dados")
+    return t.select(parsed).select("dados.*")
+
+
+JSON_ROUNDTRIP_SQL = datamodel.with_ctes(
+    "SELECT id_transacao, modalidade_pagamento, valor_transacao FROM transactions"
+)

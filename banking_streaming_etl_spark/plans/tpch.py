@@ -1,0 +1,145 @@
+"""Headline relational queries over the driver's TPC-H-ish tables.
+
+These exercise the heavy relational operator families at scale: multi-agg
+hash aggregation (SURVEY.md A1), multi-way dimension joins (J1-J6), and a
+wide fact scan with predicate pushdown (P1-P7). Aggregates accumulate in
+DECIMAL (functions/exact.py) so results are order-independent and
+bit-identical with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import exact
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over the biggest table.
+
+    Plan: parquet scan with the shipdate predicate pushed down, partial
+    hash aggregate map-side, single shuffle on (returnflag, linestatus)
+    — 6 groups, so the final agg is trivially small at any scale.
+    """
+    li = datamodel.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    tax = F.col("l_tax").cast("decimal(8,2)")
+    one = F.lit(1).cast("decimal(8,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        exact.exact_avg("l_quantity", "avg_qty"),
+        exact.exact_avg("l_extendedprice", "avg_price"),
+        exact.exact_avg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+Q1_SQL = f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+        AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))
+        * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE)
+        AS sum_charge,
+    {exact.sql_avg('l_quantity', 'avg_qty')},
+    {exact.sql_avg('l_extendedprice', 'avg_price')},
+    {exact.sql_avg('l_discount', 'avg_disc')},
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join enrichment (J1-J3 shape on the batch fact): orders ⋈
+    customer ⋈ nation ⋈ region. nation/region broadcast at any scale;
+    customer broadcasts while it fits, else AQE shuffles on the key."""
+    o = datamodel.load_table(spark, sf_dir, "orders")
+    c = datamodel.load_table(spark, sf_dir, "customer")
+    n = datamodel.load_table(spark, sf_dir, "nation")
+    r = datamodel.load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+ORDER_ENRICHMENT_SQL = """
+SELECT
+    o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    c_name, c_mktsegment,
+    n_name AS nation_name,
+    r_name AS region_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+LEFT JOIN region   ON n_regionkey = r_regionkey
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact join (lineitem ⋈ orders) + dims + agg.
+    The one genuinely big shuffle in the suite — lineitem ⋈ orders on
+    o_orderkey (sort-merge at scale; AQE may pick shuffled-hash); dims
+    broadcast. Revenue accumulates in DECIMAL for oracle parity."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    o = datamodel.load_table(spark, sf_dir, "orders")
+    c = datamodel.load_table(spark, sf_dir, "customer")
+    n = datamodel.load_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    one = F.lit(1).cast("decimal(8,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(price * (one - disc)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT
+    n_name AS nation_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+        AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -1,0 +1,73 @@
+"""The reference's two Postgres analytic views as Spark queries.
+
+`vw_performance_stats` and `vw_performance_temporal`
+(containers/db-seed/historic_data_mock.py:87-112) aggregate the fact table
+per modality / per hour. The reference's measure is pipeline latency; the
+batch surface here uses the transaction value as the measure over the same
+shapes (the latency columns are processing-time artifacts of the streaming
+surface, exercised in streaming/ tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import exact
+
+
+def perf_stats_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vw_performance_stats shape (A1+A2): single-key hash aggregate with
+    count/avg/min/max + exact 0.95 percentile (PERCENTILE_CONT parity —
+    exact, not approx, to match DuckDB; historic_data_mock.py:95)."""
+    t = datamodel.transactions(spark, sf_dir)
+    return t.groupBy("modalidade_pagamento").agg(
+        F.count("*").alias("total_transacoes"),
+        exact.exact_avg("valor_transacao", "valor_medio"),
+        F.min("valor_transacao").alias("valor_min"),
+        F.max("valor_transacao").alias("valor_max"),
+        F.round(F.percentile("valor_transacao", F.lit(0.95)), 6).alias("p95_valor"),
+    )
+
+
+PERF_STATS_SQL = datamodel.with_ctes(
+    f"""
+SELECT
+    modalidade_pagamento,
+    COUNT(*) AS total_transacoes,
+    {exact.sql_avg('valor_transacao', 'valor_medio')},
+    MIN(valor_transacao) AS valor_min,
+    MAX(valor_transacao) AS valor_max,
+    ROUND(QUANTILE_CONT(valor_transacao, 0.95), 6) AS p95_valor
+FROM transactions
+GROUP BY modalidade_pagamento
+"""
+)
+
+
+def perf_temporal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vw_performance_temporal shape (A3): DATE_TRUNC('hour') buckets with
+    count + avg, ORDER BY hora DESC (historic_data_mock.py:102-112)."""
+    t = datamodel.transactions(spark, sf_dir)
+    return (
+        t.groupBy(F.date_trunc("hour", F.col("data_horario")).alias("hora"))
+        .agg(
+            F.count("*").alias("total_transacoes"),
+            exact.exact_avg("valor_transacao", "valor_medio"),
+        )
+        .orderBy(F.desc("hora"))
+    )
+
+
+PERF_TEMPORAL_SQL = datamodel.with_ctes(
+    f"""
+SELECT
+    DATE_TRUNC('hour', data_horario) AS hora,
+    COUNT(*) AS total_transacoes,
+    {exact.sql_avg('valor_transacao', 'valor_medio')}
+FROM transactions
+GROUP BY DATE_TRUNC('hour', data_horario)
+ORDER BY hora DESC
+"""
+)

@@ -1,0 +1,127 @@
+"""Streaming sources (SURVEY.md §2.1 S1/S4).
+
+The reference's production source is Kafka (streaming_etl.py:36-46); its
+deterministic test source is a directory file-stream with an explicit
+schema (src/teste2.py:21-24). Both arrive as a JSON wire format parsed by
+from_json against the 7-field transaction StructType
+(streaming_etl.py:23-31,56-59).
+
+This module provides:
+- `transaction_schema()` — the explicit wire StructType.
+- `write_replay_chunks()` — serialize the driver's events table into N
+  JSON-lines chunks (the producer's wire format, producer.py:106-114).
+- `read_transaction_stream()` — file-stream the chunks and parse exactly
+  like the reference: raw string -> from_json -> select("dados.*") plus a
+  processing-time ingest mark (tempo_entrada_kafka analogue).
+- `read_kafka_stream()` — the production path, same downstream contract;
+  gated on the Kafka connector jar being present.
+
+maxFilesPerTrigger plays the reference's maxOffsetsPerTrigger=1000 intake
+cap (T3): it bounds micro-batch size, which is what shaped the reference's
+published throughput ceiling (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from banking_streaming_etl_spark import datamodel
+
+
+def transaction_schema() -> T.StructType:
+    """The 7-field wire schema (streaming_etl.py:23-31)."""
+    return T.StructType(
+        [
+            T.StructField("id_transacao", T.LongType()),
+            T.StructField("id_usuario_pagador", T.LongType()),
+            T.StructField("id_usuario_recebedor", T.LongType()),
+            T.StructField("id_regiao", T.LongType()),
+            T.StructField("modalidade_pagamento", T.StringType()),
+            T.StructField("data_horario", T.TimestampType()),
+            T.StructField("valor_transacao", T.DoubleType()),
+        ]
+    )
+
+
+def write_replay_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> int:
+    """Serialize `transactions` to JSON-lines text chunks for replay.
+
+    Timestamps are ISO-8601 strings, like the producer ships them
+    (producer.py:99,162). Returns the row count written.
+    """
+    t = datamodel.transactions(spark, sf_dir)
+    envelope = t.select(
+        F.to_json(
+            F.struct(
+                "id_transacao",
+                "id_usuario_pagador",
+                "id_usuario_recebedor",
+                "id_regiao",
+                "modalidade_pagamento",
+                F.date_format(
+                    "data_horario", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                ).alias("data_horario"),
+                "valor_transacao",
+            )
+        ).alias("value")
+    )
+    envelope.repartition(n_chunks).write.mode("overwrite").text(out_dir)
+    return t.count()
+
+
+def read_transaction_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S4: directory file-stream -> from_json parse -> flatten (P1/P2/F1/F2),
+    plus the processing-time ingest mark (F11, streaming_etl.py:60)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(source_dir)
+    return (
+        raw.select(
+            F.from_json(
+                F.col("value").cast("string"), transaction_schema()
+            ).alias("dados"),
+            F.current_timestamp().alias("tempo_entrada_kafka"),
+        )
+        .select("dados.*", "tempo_entrada_kafka")
+    )
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "bank_transactions",
+    max_offsets_per_trigger: int = 1000,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1: the production Kafka source (streaming_etl.py:36-46) — subscribe,
+    earliest offsets, intake cap, tolerant of data loss. Same downstream
+    contract as the file replay. Requires the spark-sql-kafka connector jar
+    (pass spark.jars.packages at session build); raises AnalysisException
+    at start() when absent."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    return (
+        raw.select(
+            F.from_json(
+                F.col("value").cast("string"), transaction_schema()
+            ).alias("dados"),
+            F.col("timestamp").alias("tempo_entrada_kafka"),
+        )
+        .select("dados.*", "tempo_entrada_kafka")
+    )

@@ -1,0 +1,224 @@
+"""The streaming approval pipeline (the reference's flagship surface).
+
+Mirrors containers/spark-etl/streaming_etl.py end-to-end on Structured
+Streaming:
+
+  parse (sources/stream.py) -> watermark (T1) -> 3 stream-static broadcast
+  joins (J1-J3) -> score + approval expressions (F3-F10) -> wide projection
+  with processing-time latency columns (P4/F11/F12) -> foreachBatch
+  multi-sink (K1): history parquet + scores parquet + recent-transactions
+  KV view, with persist()/unpersist() around the reuse.
+
+Batch/stream unification: the transform body is the SAME code the batch
+flagship uses (plans/approval.with_scores / with_approval_flags) — written
+once, incrementalized by the engine. The hot path is 100% JVM expressions;
+the reference's documented failure (Python state in the stream, 60x
+latency, SURVEY.md §4.4) is designed out.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from banking_streaming_etl_spark.plans.approval import (
+    with_approval_flags,
+    with_scores,
+)
+
+WATERMARK_DELAY = "10 minutes"  # streaming_etl.py:61
+
+#: the wide output projection (streaming_etl.py:156-175): passthrough cols,
+#: score/flag cols, and the latency instrumentation columns. The reference
+#: computes `latencia_total_ms` with unix_timestamp (SECOND granularity
+#: despite the name — SURVEY.md §2.11 wrinkle 3); we keep the column name
+#: for parity but compute true milliseconds, documenting the deliberate fix.
+OUTPUT_COLUMNS = [
+    "id_transacao",
+    "id_usuario_pagador",
+    "id_usuario_recebedor",
+    "id_regiao",
+    "modalidade_pagamento",
+    "data_horario",
+    "valor_transacao",
+    "t5_score",
+    "t6_score",
+    "t7_score",
+    "score_medio",
+    "score_aprovado",
+    "saldo_aprovado",
+    "limite_aprovado",
+    "transacao_aprovada",
+    "tempo_entrada_kafka",
+    "tempo_inicio_processamento",
+    "tempo_saida_resultado",
+    "latencia_total_ms",
+    "tempo_processamento_ms",
+]
+
+
+def approval_stream(
+    tx_stream: DataFrame, users_df: DataFrame, regions_df: DataFrame
+) -> DataFrame:
+    """Declare the incremental plan over an unbounded transactions frame.
+
+    `users_df`/`regions_df` are static dimensions — cache() them like the
+    reference does (streaming_etl.py:77,85); joins against them are
+    stateless stream-static joins, broadcast by Catalyst (regions always;
+    users while it fits the threshold).
+    """
+    users_df = users_df.cache()
+    regions_df = regions_df.cache()
+
+    reg_t = regions_df.select(
+        F.col("id_regiao").alias("id_regiao_t"),
+        F.col("latitude").alias("latitude_t"),
+        F.col("longitude").alias("longitude_t"),
+    )
+    reg_u = regions_df.select(
+        F.col("id_regiao").alias("id_regiao_u_dim"),
+        F.col("latitude").alias("latitude_u"),
+        F.col("longitude").alias("longitude_u"),
+    )
+
+    enriched = (
+        tx_stream.withWatermark("data_horario", WATERMARK_DELAY)
+        .withColumn("tempo_inicio_processamento", F.current_timestamp())
+        .join(users_df, tx_stream.id_usuario_pagador == users_df.id_usuario, "left")
+        .join(F.broadcast(reg_t), F.col("id_regiao") == F.col("id_regiao_t"), "left")
+        .join(
+            F.broadcast(reg_u),
+            F.col("id_regiao_u") == F.col("id_regiao_u_dim"),
+            "left",
+        )
+        .drop("id_usuario", "id_regiao_t", "id_regiao_u_dim")
+    )
+
+    out = with_approval_flags(with_scores(enriched))
+    out = (
+        out.withColumn("tempo_saida_resultado", F.current_timestamp())
+        .withColumn(
+            "latencia_total_ms",
+            F.unix_millis(F.col("tempo_saida_resultado"))
+            - F.unix_millis(F.col("tempo_entrada_kafka")),
+        )
+        .withColumn(
+            "tempo_processamento_ms",
+            F.unix_millis(F.col("tempo_saida_resultado"))
+            - F.unix_millis(F.col("tempo_inicio_processamento")),
+        )
+    )
+    return out.select(*OUTPUT_COLUMNS)
+
+
+@dataclass
+class RecentTransactionsView:
+    """In-process stand-in for the reference's Redis top-K view (K3/K4):
+    hash-per-transaction + sorted set keyed by output time
+    (streaming_etl.py:223-254). Thread-safe; bounded to `capacity`."""
+
+    capacity: int = 1000
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+    _store: dict[int, dict] = field(default_factory=dict)
+
+    def update(self, rows: list[dict]) -> None:
+        with self._lock:
+            for r in rows:
+                self._store[r["id_transacao"]] = r
+            if len(self._store) > self.capacity:
+                keep = sorted(
+                    self._store.values(),
+                    key=lambda r: (r["tempo_saida_resultado"], r["id_transacao"]),
+                    reverse=True,
+                )[: self.capacity]
+                self._store = {r["id_transacao"]: r for r in keep}
+
+    def top_k(self, k: int) -> list[dict]:
+        with self._lock:
+            return sorted(
+                self._store.values(),
+                key=lambda r: (r["tempo_saida_resultado"], r["id_transacao"]),
+                reverse=True,
+            )[:k]
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+
+def start_multi_sink(
+    result_stream: DataFrame,
+    history_dir: str,
+    scores_dir: str,
+    checkpoint_dir: str,
+    recent_view: RecentTransactionsView | None = None,
+    recent_k: int = 100,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """K1: foreachBatch fan-out to history + scores + recent-KV, mirroring
+    streaming_etl.py:179-263.
+
+    - persist()/unpersist() around the multi-write (streaming_etl.py:180,256)
+    - history parquet append = the JDBC `transacoes` table (K2)
+    - 4-column scores projection = `transacoes_scores` (P5)
+    - per-batch top-K into the KV view = the Redis zset+hash (K3/K4); the
+      collect is bounded by recent_k — never the whole batch.
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(history_dir)
+            batch_df.select(
+                "id_transacao", "t5_score", "t6_score", "t7_score"
+            ).write.mode("append").parquet(scores_dir)
+            if recent_view is not None:
+                top = (
+                    batch_df.orderBy(
+                        F.desc("tempo_saida_resultado"), F.desc("id_transacao")
+                    )
+                    .limit(recent_k)
+                    .select(
+                        "id_transacao",
+                        "tempo_saida_resultado",
+                        "modalidade_pagamento",
+                        "valor_transacao",
+                        "transacao_aprovada",
+                    )
+                    .collect()
+                )
+                recent_view.update([r.asDict() for r in top])
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        result_stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def start_console_metrics(
+    result_stream: DataFrame,
+    interval: str = "30 seconds",
+    num_rows: int = 5,
+) -> StreamingQuery:
+    """K5: the reference's second concurrent query — console latency metrics
+    on a fixed processing-time trigger (streaming_etl.py:266-278)."""
+    return (
+        result_stream.select(
+            "id_transacao", "latencia_total_ms", "tempo_processamento_ms"
+        )
+        .writeStream.outputMode("append")
+        .format("console")
+        .option("numRows", num_rows)
+        .option("truncate", "false")
+        .trigger(processingTime=interval)
+        .start()
+    )

@@ -1,0 +1,114 @@
+"""Streaming windowed analytics + late-data policy + streaming dedup.
+
+The operators the reference designed but deferred (SURVEY.md §2.10 T6-T8):
+the report names the Structured Streaming windowing API as the production
+path for its historical analytics (PDF p. 13), and defines — but never
+enforces — a late-data business rule (PDF p. 8). All JVM-native stateful
+ops (watermarked windows, dropDuplicatesWithinWatermark): the state stays
+in the state store, partitioned by group key, no Python in the loop —
+exactly the fix for the reference's failed applyInPandasWithState
+experiment (§4.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def tumbling_modality_counts(
+    tx_stream: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """T6 tumbling: per (hour window, modality) count + value sum — the
+    streaming flavor of vw_performance_temporal (A3)."""
+    return (
+        tx_stream.withWatermark("data_horario", watermark)
+        .groupBy(
+            F.window("data_horario", window_size).alias("janela"),
+            "modalidade_pagamento",
+        )
+        .agg(
+            F.count("*").alias("total_transacoes"),
+            F.sum("valor_transacao").alias("valor_total"),
+        )
+        .select(
+            F.col("janela.start").alias("hora"),
+            "modalidade_pagamento",
+            "total_transacoes",
+            "valor_total",
+        )
+    )
+
+
+def sliding_value_sum(
+    tx_stream: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """T6 sliding: overlapping windows over the value stream."""
+    return (
+        tx_stream.withWatermark("data_horario", watermark)
+        .groupBy(F.window("data_horario", window_size, slide).alias("janela"))
+        .agg(
+            F.count("*").alias("total_transacoes"),
+            F.sum("valor_transacao").alias("valor_total"),
+        )
+        .select(
+            F.col("janela.start").alias("inicio"),
+            F.col("janela.end").alias("fim"),
+            "total_transacoes",
+            "valor_total",
+        )
+    )
+
+
+def session_window_per_payer(
+    tx_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """T6 session windows: per-payer activity sessions closed after `gap`
+    idle — the streaming twin of plans/relational.sessionize_events."""
+    return (
+        tx_stream.withWatermark("data_horario", watermark)
+        .groupBy(
+            F.session_window("data_horario", gap).alias("sessao"),
+            "id_usuario_pagador",
+        )
+        .agg(F.count("*").alias("eventos"))
+        .select(
+            "id_usuario_pagador",
+            F.col("sessao.start").alias("inicio"),
+            F.col("sessao.end").alias("fim"),
+            "eventos",
+        )
+    )
+
+
+def dedup_within_watermark(
+    tx_stream: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """T7 (revived safely): exactly-once-per-id within the lateness bound via
+    dropDuplicatesWithinWatermark — JVM state store keyed by id, state
+    expires with the watermark, so memory is bounded at any scale."""
+    return tx_stream.withWatermark(
+        "data_horario", watermark
+    ).dropDuplicatesWithinWatermark(["id_transacao"])
+
+
+def late_data_filter(
+    tx_stream: DataFrame, max_delay_seconds: int = 1
+) -> DataFrame:
+    """T8: the reference's defined-but-unenforced business rule — discard
+    events whose ingest lag exceeds the threshold (PDF p. 8: 'discard if
+    event->arrival gap > 1 s'). Stateless filter on the ingest mark."""
+    lag_ms = F.unix_millis(F.col("tempo_entrada_kafka")) - F.unix_millis(
+        F.col("data_horario")
+    )
+    return tx_stream.filter(lag_ms <= max_delay_seconds * 1000)

@@ -1,0 +1,164 @@
+"""Deterministic streaming tests via directory replay (the reference's own
+S4 test pattern, src/teste2.py:21-24): serialize `transactions` to JSON
+chunks, file-stream them through the pipeline, and compare against the
+batch twin — batch/stream unification makes equality exact.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.plans.approval import approval_pipeline
+from banking_streaming_etl_spark.sources import stream as stream_src
+from banking_streaming_etl_spark.streaming import pipeline as spipe
+from banking_streaming_etl_spark.streaming import windows as swin
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark):
+    d = tempfile.mkdtemp(prefix="replay_")
+    stream_src.write_replay_chunks(spark, SF, d, n_chunks=4)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+DETERMINISTIC_COLS = [
+    "id_transacao",
+    "id_usuario_pagador",
+    "id_usuario_recebedor",
+    "id_regiao",
+    "modalidade_pagamento",
+    "data_horario",
+    "valor_transacao",
+    "t5_score",
+    "t6_score",
+    "t7_score",
+    "score_medio",
+    "score_aprovado",
+    "saldo_aprovado",
+    "limite_aprovado",
+    "transacao_aprovada",
+]
+
+
+def test_stream_matches_batch(spark, replay_dir):
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    out = spipe.approval_stream(
+        tx, datamodel.users(spark, SF), datamodel.regions(spark, SF)
+    )
+    _run_to_memory(out, "stream_out")
+
+    got = spark.sql("SELECT * FROM stream_out")
+    want = approval_pipeline(spark, SF)
+
+    assert got.count() == want.count()
+    g = {tuple(r) for r in got.select(*DETERMINISTIC_COLS).collect()}
+    w = {tuple(r) for r in want.select(*DETERMINISTIC_COLS).collect()}
+    assert g == w
+
+    lat = got.agg(
+        F.min("latencia_total_ms"), F.min("tempo_processamento_ms")
+    ).collect()[0]
+    assert lat[0] is not None and lat[0] >= 0
+    assert lat[1] is not None and lat[1] >= 0
+
+
+def test_tumbling_window_matches_batch(spark, replay_dir):
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    agg = swin.tumbling_modality_counts(tx, "1 hour")
+    _run_to_memory(agg, "tumbling_out", mode="complete")
+
+    got = spark.sql(
+        "SELECT hora, modalidade_pagamento, total_transacoes FROM tumbling_out"
+    )
+    want = (
+        datamodel.transactions(spark, SF)
+        .groupBy(
+            F.date_trunc("hour", "data_horario").alias("hora"),
+            "modalidade_pagamento",
+        )
+        .agg(F.count("*").alias("total_transacoes"))
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_session_window_runs(spark, replay_dir):
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    sess = swin.session_window_per_payer(tx, gap="30 minutes")
+    _run_to_memory(sess, "session_out", mode="complete")
+    n = spark.sql("SELECT count(*) FROM session_out").collect()[0][0]
+    # sessions per payer <= events; > 1 session per payer overall
+    assert 0 < n <= 1000
+
+
+def test_dedup_within_watermark(spark, replay_dir, tmp_path):
+    # duplicate every row into a second copy of the chunks -> one batch
+    dup_dir = str(tmp_path / "dup")
+    spark.read.text(replay_dir).union(
+        spark.read.text(replay_dir)
+    ).write.mode("overwrite").text(dup_dir)
+
+    tx = stream_src.read_transaction_stream(spark, dup_dir)
+    deduped = swin.dedup_within_watermark(tx)
+    _run_to_memory(deduped, "dedup_out")
+    n = spark.sql("SELECT count(DISTINCT id_transacao) FROM dedup_out").collect()[0][0]
+    total = spark.sql("SELECT count(*) FROM dedup_out").collect()[0][0]
+    assert n == total == 1000
+
+
+def test_foreach_batch_multisink(spark, replay_dir, tmp_path):
+    tx = stream_src.read_transaction_stream(
+        spark, replay_dir, max_files_per_trigger=2
+    )
+    out = spipe.approval_stream(
+        tx, datamodel.users(spark, SF), datamodel.regions(spark, SF)
+    )
+    view = spipe.RecentTransactionsView(capacity=500)
+    q = spipe.start_multi_sink(
+        out,
+        history_dir=str(tmp_path / "hist"),
+        scores_dir=str(tmp_path / "scores"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        recent_view=view,
+        recent_k=50,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    hist = spark.read.parquet(str(tmp_path / "hist"))
+    scores = spark.read.parquet(str(tmp_path / "scores"))
+    assert hist.count() == 1000
+    assert scores.count() == 1000
+    assert scores.columns == ["id_transacao", "t5_score", "t6_score", "t7_score"]
+    assert len(view) > 0
+    top = view.top_k(10)
+    assert len(top) == 10
+    # zset semantics: descending by output time
+    times = [r["tempo_saida_resultado"] for r in top]
+    assert times == sorted(times, reverse=True)
+
+
+def test_late_data_filter(spark, replay_dir):
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    # replayed events are from 2024 -> ingest lag is huge -> all discarded
+    filtered = swin.late_data_filter(tx, max_delay_seconds=1)
+    _run_to_memory(filtered, "late_out")
+    assert spark.sql("SELECT count(*) FROM late_out").collect()[0][0] == 0

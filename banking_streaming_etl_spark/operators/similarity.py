@@ -1,0 +1,240 @@
+"""Vector similarity search over the `embeddings` table (array<float>).
+
+- `ann_cosine_topk`: brute-force cosine top-k for a deterministic query
+  sample — the correctness baseline. Dot products are explicit left-fold
+  `aggregate(zip_with(...))` in double, mirrored term-for-term in the
+  DuckDB oracle (list_reduce/list_transform) so floats match bit-for-bit.
+- `ann_lsh_topk`: the scale path — sign-random-projection LSH: 16
+  deterministic hyperplanes (seeded PRNG) -> 16-bit bucket -> candidates
+  share a bucket (multi-probe over 1-bit flips) -> exact cosine on
+  candidates only. Shuffle is on bucket ids, never all-pairs. Recall vs
+  the brute-force baseline is asserted in tests.
+- `near_dup_embeddings`: all-pairs cosine >= threshold; brute-force is
+  fine at bench scale (2k x 2k), LSH buckets are the 100 TB answer.
+
+Cosine ranking ties are broken by vec_id so top-k sets are deterministic.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from banking_streaming_etl_spark import datamodel
+
+TOP_K = 10
+QUERY_STRIDE = 25  # vec_id % 25 == 0 -> deterministic 4% query sample
+NEAR_DUP_COSINE = 0.95
+#: OR-construction: T independent tables of P planes each. Collision prob
+#: per table is (1 - theta/pi)^P; union over tables sets recall. This corpus
+#: is UNSTRUCTURED (max pairwise cosine ~0.48), the hardest case for LSH —
+#: P=4/T=8 lands ~60-80% top-1 recall while scanning a fraction of the data;
+#: clustered real-world embedding corpora support much larger P (sharper
+#: buckets) at the same recall.
+LSH_PLANES = 4
+LSH_TABLES = 8
+LSH_DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product — same association order as the oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+
+
+NORM_SQL = f"SQRT({_dot_sql('embedding', 'embedding')})"
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-K per sampled query vector."""
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("posicao", F.row_number().over(w))
+        .filter(F.col("posicao") <= TOP_K)
+        .select(
+            "query_id",
+            "posicao",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding, {NORM_SQL} AS norm FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_dot_sql('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cosine
+    FROM emb q, emb c
+    WHERE q.vec_id % {QUERY_STRIDE} = 0 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, posicao, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS posicao
+    FROM scored)
+WHERE posicao <= {TOP_K}
+"""
+
+
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= threshold (a < b): embedding-space near-dup."""
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+NEAR_DUP_EMBEDDINGS_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding, {NORM_SQL} AS norm FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm), 6)
+           AS cosine
+FROM emb a, emb b
+WHERE a.vec_id < b.vec_id
+  AND ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm), 6)
+      >= {NEAR_DUP_COSINE}
+"""
+
+
+# --- LSH scale path ------------------------------------------------------------
+
+
+def _hyperplanes(seed: int = 42) -> list[list[list[float]]]:
+    """T tables x P planes x D dims of deterministic gaussian components."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(LSH_DIM)] for _ in range(LSH_PLANES)]
+        for _ in range(LSH_TABLES)
+    ]
+
+
+def _bucket_structs(emb: Column) -> list[Column]:
+    """One (table, bucket) struct per LSH table — sign bits of P projections."""
+    out = []
+    for t, planes in enumerate(_hyperplanes()):
+        bucket = F.lit(0)
+        for p, plane in enumerate(planes):
+            proj = _dot(emb, F.array(*[F.lit(v) for v in plane]))
+            bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+        )
+    return out
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-K: candidates share a bucket in ANY of the
+    T tables; exact cosine re-rank on candidates only. At 100 TB the
+    (tbl, bucket) equi-join replaces the cross join — per-table candidate
+    fraction is 2^-P of the data."""
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.explode(F.array(*_bucket_structs(F.col("embedding")))).alias("b"),
+    ).select("vec_id", "embedding", "norm", "b.tbl", "b.bucket")
+
+    q = banded.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        "tbl",
+        "bucket",
+    )
+    c = banded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        "tbl",
+        "bucket",
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("norm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ce"),
+                F.col("norm").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("posicao", F.row_number().over(w))
+        .filter(F.col("posicao") <= TOP_K)
+        .select(
+            "query_id",
+            "posicao",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

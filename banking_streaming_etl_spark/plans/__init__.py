@@ -15,10 +15,12 @@ def register_all() -> None:
         return
 
     from banking_streaming_etl_spark.registry import register
+    from banking_streaming_etl_spark.operators import dedup, multimodal, similarity
     from banking_streaming_etl_spark.plans import (
         approval,
         dashboard,
         relational,
+        text,
         tpch,
         views,
     )
@@ -108,5 +110,43 @@ def register_all() -> None:
              relational.SESSIONIZE_SQL, "sessionization (lag+cumsum)")
     register("json_envelope_roundtrip", relational.json_envelope_roundtrip,
              relational.JSON_ROUNDTRIP_SQL, "to_json/from_json roundtrip (F1/F22)")
+
+    # scale extensions: dedup
+    register("dedup_exact_documents", dedup.dedup_exact,
+             dedup.DEDUP_EXACT_SQL, "exact dedup by content digest")
+    register("near_dup_jaccard", dedup.near_dup_jaccard,
+             dedup.NEAR_DUP_JACCARD_SQL, "exact 3-gram Jaccard pairs")
+    register("dedup_minhash_lsh", dedup.dedup_minhash_lsh,
+             dedup.NEAR_DUP_JACCARD_SQL,
+             "MinHash-LSH + verify; shares the exact-Jaccard oracle "
+             "(recall ~1 at J>=0.8, see operators/dedup.py)")
+    register("dedup_simhash", dedup.dedup_simhash, None,
+             "SimHash near-dup pairs (engine-specific hash: rows-only)")
+
+    # scale extensions: similarity search
+    register("ann_cosine_topk", similarity.ann_cosine_topk,
+             similarity.ANN_COSINE_TOPK_SQL, "brute-force cosine top-K")
+    register("near_dup_embeddings", similarity.near_dup_embeddings,
+             similarity.NEAR_DUP_EMBEDDINGS_SQL, "all-pairs cosine near-dup")
+    register("ann_lsh_topk", similarity.ann_lsh_topk, None,
+             "sign-projection LSH top-K (recall vs brute force in tests)")
+
+    # scale extensions: text analysis
+    register("token_counts", text.token_counts,
+             text.TOKEN_COUNTS_SQL, "per-doc token counts")
+    register("text_quality_scores", text.text_quality_scores,
+             text.TEXT_QUALITY_SQL, "quality metrics + keep flag")
+    register("lang_id_heuristic", text.lang_id_heuristic,
+             text.LANG_ID_SQL, "lexicon-argmax language ID")
+    register("doc_fingerprints", text.doc_fingerprints,
+             text.DOC_FINGERPRINTS_SQL, "md5 + normalized md5")
+    register("tfidf_terms", text.tfidf_terms,
+             text.TFIDF_SQL, "exact TF-IDF via joins")
+    register("top_tokens", text.top_tokens,
+             text.TOP_TOKENS_SQL, "corpus token frequency top-50")
+
+    # scale extensions: multimodal plumbing
+    register("media_features", multimodal.media_features, None,
+             "binary payload -> mapInPandas feature extraction (stub decode)")
 
     _REGISTERED = True

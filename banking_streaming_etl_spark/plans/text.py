@@ -1,0 +1,182 @@
+"""Text-analysis queries over the `documents` table (training-data ops).
+
+Language-ID (lexicon-hit argmax), quality scoring (length / punctuation /
+stopword ratios), token counting, exact TF-IDF via joins (no feature
+hashing — deterministic and oracle-checkable), content fingerprinting.
+All built-in expressions; see functions/textfns.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import textfns
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datamodel.load_table(spark, sf_dir, "documents").withColumn(
+        "toks", textfns.tokens()
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count + distinct-token count (type-token shape)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_tokens_distintos"),
+    )
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_tokens_distintos
+FROM documents
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics: char/token lengths, punctuation ratio, stopword
+    ratio, and a composite keep/drop flag (the filtering op a training
+    pipeline actually runs)."""
+    d = _docs(spark, sf_dir)
+    nt = F.size("toks").cast("double")
+    avg_tok = (F.length("text").cast("double") - (nt - 1)) / nt
+    sw = textfns.stopword_ratio(F.col("toks"))
+    pr = textfns.punct_ratio()
+    keep = (
+        (F.size("toks") >= 10)
+        & (sw >= 0.05)
+        & (pr <= 0.2)
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("toks").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("tamanho_medio_token"),
+        F.round(pr, 6).alias("razao_pontuacao"),
+        F.round(sw, 6).alias("razao_stopwords"),
+        keep.alias("manter"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       len(toks) AS n_tokens,
+       ROUND((CAST(LENGTH(text) AS DOUBLE) - (CAST(len(toks) AS DOUBLE) - 1))
+             / CAST(len(toks) AS DOUBLE), 6) AS tamanho_medio_token,
+       ROUND({textfns.PUNCT_RATIO_SQL}, 6) AS razao_pontuacao,
+       ROUND({textfns.stopword_ratio_sql('toks')}, 6) AS razao_stopwords,
+       (len(toks) >= 10 AND {textfns.stopword_ratio_sql('toks')} >= 0.05
+        AND {textfns.PUNCT_RATIO_SQL} <= 0.2) AS manter
+FROM d
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit argmax language ID with deterministic tie order."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_anotada"),
+        textfns.lang_id(F.col("toks")).alias("lang_prevista"),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang AS lang_anotada,
+       {textfns.lang_id_sql('toks')} AS lang_prevista
+FROM d
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 (exact dedup key) + normalized-text md5
+    (case/extra-space-insensitive near-exact key)."""
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " ")))
+    return d.select(
+        "doc_id",
+        textfns.md5_fingerprint().alias("fingerprint"),
+        F.md5(norm).alias("fingerprint_normalizado"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+           AS fingerprint_normalizado
+FROM documents
+"""
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF via joins (tf x ln((N+1)/(df+1)) + 1), tf >= 2 terms.
+    No feature hashing: deterministic, inspectable, oracle-checkable —
+    at scale this is two shuffles (doc-term counts, term df) + a broadcast
+    of the term-df side after the df filter."""
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode("toks").alias("termo"))
+    tf = terms.groupBy("doc_id", "termo").agg(F.count("*").alias("tf"))
+    df_ = terms.distinct().groupBy("termo").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") + 1.0) / (F.col("df").cast("double") + 1.0)
+    ) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(df_), "termo")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("tf") >= 2)
+        .select(
+            "doc_id",
+            "termo",
+            "tf",
+            "df",
+            F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS termo FROM documents
+),
+tf AS (SELECT doc_id, termo, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT termo, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, termo, tf, df,
+       ROUND(CAST(tf AS DOUBLE)
+             * (LN((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+                + 1.0), 6) AS tfidf
+FROM tf JOIN df USING (termo), n
+WHERE tf >= 2
+"""
+
+
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-50 (deterministic tiebreak)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode("toks").alias("termo"))
+        .groupBy("termo")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("termo"))
+        .limit(50)
+    )
+
+
+TOP_TOKENS_SQL = """
+SELECT termo, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS termo FROM documents)
+GROUP BY termo
+ORDER BY freq DESC, termo ASC
+LIMIT 50
+"""

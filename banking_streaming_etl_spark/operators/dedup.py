@@ -34,9 +34,12 @@ from banking_streaming_etl_spark.functions import textfns
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
-MINHASH_PERMS = 32
+#: 16 perms = 8 bands x 2 rows: P(miss | J) = (1-J^2)^8 -> 3e-4 at J=0.8,
+#: ~1e-14 at the corpus's planted J~0.95+. Half the codegen cost of 32
+#: perms for the same verified output.
+MINHASH_PERMS = 16
 LSH_BANDS = 8
-LSH_ROWS = 4  # MINHASH_PERMS / LSH_BANDS
+LSH_ROWS = 2  # MINHASH_PERMS / LSH_BANDS
 SIMHASH_BITS = 64
 #: 8 bands x 8 bits: pigeonhole guarantees every pair with hamming <= 7
 #: shares at least one clean band (planted near-dups in this corpus measure
@@ -145,9 +148,12 @@ WHERE ROUND(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6)
 # --- MinHash + LSH --------------------------------------------------------------
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """P per-doc minima of xxhash64(perm_id, shingle) — one groupBy, P aggs."""
-    sh = doc_shingles(spark, sf_dir)
+    if sh is None:
+        sh = doc_shingles(spark, sf_dir)
     aggs = [
         F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"mh_{p}")
         for p in range(MINHASH_PERMS)
@@ -167,9 +173,13 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
                 F.lit(band).alias("band"), F.xxhash64(*cols).alias("bh")
             )
         )
-    banded = signatures.select(
-        "doc_id", F.explode(F.array(*bands)).alias("b")
-    ).select("doc_id", "b.band", "b.bh")
+    # cache: the self-join would otherwise recompute the whole signature
+    # pipeline (shingle explode + P min-aggs) for each side.
+    banded = (
+        signatures.select("doc_id", F.explode(F.array(*bands)).alias("b"))
+        .select("doc_id", "b.band", "b.bh")
+        .cache()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -190,8 +200,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification of the
     candidate set (so precision is exact; recall ~1 at J>=0.8 — see module
     docstring for the shared-oracle argument)."""
-    candidates = lsh_candidate_pairs(minhash_signatures(spark, sf_dir))
     sh = doc_shingles(spark, sf_dir).cache()
+    candidates = lsh_candidate_pairs(minhash_signatures(spark, sf_dir, sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
 
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
@@ -260,9 +270,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(SIMHASH_BANDS)
     ]
-    banded = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
-    ).select("doc_id", "simhash", "b.band", "b.bh")
+    banded = (
+        sig.select("doc_id", "simhash", F.explode(F.array(*bands)).alias("b"))
+        .select("doc_id", "simhash", "b.band", "b.bh")
+        .cache()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -37,6 +37,46 @@ HEADLINE = [
 ]
 
 
+def bench_streaming_replay(spark, sf_dir: str) -> tuple[float, float]:
+    """Replay the whole events table through the streaming approval pipeline
+    (file-stream source -> watermark -> joins -> scores -> parquet sink via
+    foreachBatch) and return (elapsed_sec, rows_per_sec) — the number
+    BASELINE.md compares (~1000 tx/s micro-batched on the reference)."""
+    import shutil
+    import tempfile
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.sources import stream as stream_src
+    from banking_streaming_etl_spark.streaming import pipeline as spipe
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        n_rows = stream_src.write_replay_chunks(
+            spark, sf_dir, f"{work}/chunks", n_chunks=16
+        )
+        tx = stream_src.read_transaction_stream(
+            spark, f"{work}/chunks", max_files_per_trigger=4
+        )
+        out = spipe.approval_stream(
+            tx,
+            datamodel.users(spark, sf_dir),
+            datamodel.regions(spark, sf_dir),
+        )
+        t0 = time.perf_counter()
+        q = spipe.start_multi_sink(
+            out,
+            history_dir=f"{work}/hist",
+            scores_dir=f"{work}/scores",
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        q.processAllAvailable()
+        q.stop()
+        elapsed = time.perf_counter() - t0
+        return elapsed, n_rows / elapsed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -56,6 +96,13 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+
+    stream_sec, tx_per_s = bench_streaming_replay(spark, sf_dir)
+    timings["streaming_replay"] = round(stream_sec, 4)
+    print(
+        f"# streaming_replay: {stream_sec:.3f}s ({tx_per_s:,.0f} tx/s)",
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 4)
     print(

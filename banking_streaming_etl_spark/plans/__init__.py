@@ -18,6 +18,7 @@ def register_all() -> None:
     from banking_streaming_etl_spark.operators import dedup, multimodal, similarity
     from banking_streaming_etl_spark.plans import (
         approval,
+        batchdev,
         dashboard,
         relational,
         text,
@@ -144,6 +145,17 @@ def register_all() -> None:
              text.TFIDF_SQL, "exact TF-IDF via joins")
     register("top_tokens", text.top_tokens,
              text.TOP_TOKENS_SQL, "corpus token frequency top-50")
+
+    # batch dev-pipeline patterns + producer twin
+    register("score_recombination", batchdev.score_recombination,
+             batchdev.SCORE_RECOMBINATION_SQL,
+             "per-score frames joined back (J4/J5)")
+    register("coerced_casts", batchdev.coerced_casts,
+             batchdev.COERCED_CASTS_SQL, "cast-with-null-on-error (F20/F21)")
+    register("approx_aggregates", batchdev.approx_aggregates, None,
+             "HLL++/approx-percentile sketches (tolerance-tested)")
+    register("synthetic_transactions", batchdev.synthetic_transactions, None,
+             "producer twin: uuid + seeded draws (F23/F24)")
 
     # scale extensions: multimodal plumbing
     register("media_features", multimodal.media_features, None,

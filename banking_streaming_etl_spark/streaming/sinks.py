@@ -1,0 +1,84 @@
+"""Sinks (SURVEY.md §2.2) — batch and streaming, with idempotent replay.
+
+The reference's JDBC append inside foreachBatch is at-least-once: a batch
+retried after a sink failure writes its rows twice (acknowledged as
+deferred design work, PDF p. 8). `IdempotentParquetSink` closes that gap
+with the standard epoch-keyed pattern: each micro-batch lands in its own
+`batch_id=N` partition via dynamic-partition overwrite, so a replayed epoch
+OVERWRITES its own partition instead of appending a duplicate. Combined
+with checkpointed offsets this yields effectively-once output — the same
+pattern a JDBC sink would implement with `DELETE WHERE batch_id = N` +
+insert in one transaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+class IdempotentParquetSink:
+    """foreachBatch writer with epoch-keyed dynamic-partition overwrite."""
+
+    def __init__(self, out_dir: str, columns: list[str] | None = None):
+        self.out_dir = out_dir
+        self.columns = columns
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        df = batch_df.select(*self.columns) if self.columns else batch_df
+        (
+            df.withColumn("batch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.out_dir)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.out_dir)
+
+
+def start_idempotent_sink(
+    result_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    columns: list[str] | None = None,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    sink = IdempotentParquetSink(out_dir, columns)
+    writer = (
+        result_stream.writeStream.outputMode("append")
+        .foreachBatch(sink.write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K7: CSV batch sink (src/teste.py:175)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def start_csv_stream_sink(
+    stream_df: DataFrame, path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """K6: CSV streaming sink with checkpoint (src/teste2.py:31-36)."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .format("csv")
+        .option("header", "true")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """The scale-out history layout: partition by coarse keys (e.g. date)
+    so downstream scans prune partitions."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

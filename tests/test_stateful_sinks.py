@@ -1,0 +1,131 @@
+"""Stateful streaming ops (JVM-native) + idempotent sink + CSV roundtrips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.sources import batch as batch_src
+from banking_streaming_etl_spark.sources import stream as stream_src
+from banking_streaming_etl_spark.streaming import pipeline as spipe
+from banking_streaming_etl_spark.streaming import sinks, stateful
+
+SF = "/root/testdata/sf0.001"
+
+
+def _approval_stream(spark, replay_dir):
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    return spipe.approval_stream(
+        tx, datamodel.users(spark, SF), datamodel.regions(spark, SF)
+    )
+
+
+def _replay(spark, tmp_path, chunks=4):
+    d = str(tmp_path / "chunks")
+    stream_src.write_replay_chunks(spark, SF, d, n_chunks=chunks)
+    return d
+
+
+def test_last_tx_per_user_matches_batch(spark, tmp_path):
+    out = stateful.last_tx_per_user(
+        _approval_stream(spark, _replay(spark, tmp_path))
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("last_tx")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.id_usuario_pagador, r.id_transacao)
+        for r in spark.sql("SELECT * FROM last_tx").collect()
+    }
+    from banking_streaming_etl_spark.plans.approval import approval_pipeline
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id_usuario_pagador").orderBy(
+        F.desc("data_horario"), F.desc("id_transacao")
+    )
+    want = {
+        (r.id_usuario_pagador, r.id_transacao)
+        for r in approval_pipeline(spark, SF)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+
+
+def test_running_user_totals(spark, tmp_path):
+    out = stateful.running_user_totals(
+        _approval_stream(spark, _replay(spark, tmp_path))
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    total = spark.sql(
+        "SELECT sum(total_transacoes) AS n FROM user_totals"
+    ).first()
+    assert total.n == 1000
+
+
+def test_idempotent_sink_replay_no_duplicates(spark, tmp_path):
+    sink = sinks.IdempotentParquetSink(str(tmp_path / "out"))
+    batch = datamodel.transactions(spark, SF).limit(100)
+    sink.write_batch(batch, epoch_id=7)
+    n1 = sink.read(spark).count()
+    # replay the same epoch (simulating a post-failure retry) -> overwritten
+    sink.write_batch(batch, epoch_id=7)
+    n2 = sink.read(spark).count()
+    assert n1 == n2 == 100
+    # a NEW epoch appends
+    sink.write_batch(batch, epoch_id=8)
+    assert sink.read(spark).count() == 200
+
+
+def test_idempotent_streaming_end_to_end(spark, tmp_path):
+    out = _approval_stream(spark, _replay(spark, tmp_path))
+    q = sinks.start_idempotent_sink(
+        out,
+        out_dir=str(tmp_path / "hist"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        columns=["id_transacao", "transacao_aprovada"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    df = spark.read.parquet(str(tmp_path / "hist"))
+    assert df.count() == 1000
+    assert df.select("id_transacao").distinct().count() == 1000
+    assert "batch_id" in df.columns
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    t = datamodel.transactions(spark, SF).limit(50)
+    path = str(tmp_path / "csv_out")
+    sinks.write_csv(t, path)
+    back = batch_src.read_csv(spark, path, schema=t.schema)
+    assert back.count() == 50
+    assert {r.id_transacao for r in back.collect()} == {
+        r.id_transacao for r in t.collect()
+    }
+
+
+def test_csv_stream_sink(spark, tmp_path):
+    d = _replay(spark, tmp_path)
+    tx = stream_src.read_transaction_stream(spark, d).select(
+        "id_transacao", "modalidade_pagamento", "valor_transacao"
+    )
+    q = sinks.start_csv_stream_sink(
+        tx, str(tmp_path / "csv_stream"), str(tmp_path / "csv_ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.option("header", "true").csv(str(tmp_path / "csv_stream"))
+    assert back.count() == 1000

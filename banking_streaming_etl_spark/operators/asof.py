@@ -1,0 +1,114 @@
+"""As-of (point-in-time) join — an operator Spark has no native form for.
+
+Implemented as a composition of built-ins (the guide's recommended path
+before reaching for applyInPandas/merge_asof): tag-and-union both sides,
+sort within each key by (time, tag) with a window, carry the most recent
+right-side value forward with last(..., ignoreNulls=True), keep left rows.
+
+Cost at scale: ONE shuffle on the join key (the union sorts within window
+partitions) — same as the equi-join it replaces; no range blow-up. The
+DuckDB oracle uses its native ASOF JOIN, so the composition is verified
+against a first-class implementation.
+
+Fixture: deterministic daily balance snapshots per user (30 days x every
+customer), as-of joined to each transaction — "what was the payer's
+balance at transaction time".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from banking_streaming_etl_spark import datamodel
+
+EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01 UTC in microseconds
+N_SNAPSHOT_DAYS = 30
+
+
+def balance_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user balance snapshots (deterministic synthesis)."""
+    c = datamodel.load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id_usuario"),
+        F.col("c_acctbal").alias("saldo_base"),
+        F.explode(F.sequence(F.lit(0), F.lit(N_SNAPSHOT_DAYS - 1))).alias("dia"),
+    ).select(
+        "id_usuario",
+        F.timestamp_micros(
+            F.lit(EPOCH_2024_US) + F.col("dia").cast("long") * F.lit(86_400_000_000)
+        ).alias("ts_snapshot"),
+        (F.col("saldo_base") + F.col("dia") * F.lit(10.0)).alias("saldo_snapshot"),
+    )
+
+
+SNAPSHOTS_SQL = f"""
+snapshots AS (
+    SELECT c_custkey AS id_usuario,
+           make_timestamp({EPOCH_2024_US} + d.range * 86400000000)
+               AS ts_snapshot,
+           c_acctbal + d.range * 10.0 AS saldo_snapshot
+    FROM customer CROSS JOIN range({N_SNAPSHOT_DAYS}) d
+)
+"""
+
+
+def asof_balance_at_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each transaction joined to the payer's most recent balance snapshot
+    at or before the transaction's event time (NULL when none precedes)."""
+    tx = datamodel.transactions(spark, sf_dir).select(
+        "id_transacao",
+        F.col("id_usuario_pagador").alias("id_usuario"),
+        "data_horario",
+        "valor_transacao",
+    )
+    snaps = balance_snapshots(spark, sf_dir)
+
+    left = tx.select(
+        "id_usuario",
+        F.col("data_horario").alias("ts"),
+        F.lit(1).alias("tag"),
+        "id_transacao",
+        "valor_transacao",
+        F.lit(None).cast("double").alias("saldo_snapshot"),
+    )
+    right = snaps.select(
+        "id_usuario",
+        F.col("ts_snapshot").alias("ts"),
+        F.lit(0).alias("tag"),  # tag 0 sorts first at equal ts -> inclusive <=
+        F.lit(None).cast("long").alias("id_transacao"),
+        F.lit(None).cast("double").alias("valor_transacao"),
+        "saldo_snapshot",
+    )
+    w = (
+        W.partitionBy("id_usuario")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "saldo_na_transacao",
+        F.last("saldo_snapshot", ignorenulls=True).over(w),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "id_transacao",
+        "id_usuario",
+        F.col("ts").alias("data_horario"),
+        "valor_transacao",
+        "saldo_na_transacao",
+    )
+
+
+ASOF_BALANCE_SQL = datamodel.with_ctes(
+    """
+SELECT t.id_transacao,
+       t.id_usuario_pagador AS id_usuario,
+       t.data_horario,
+       t.valor_transacao,
+       s.saldo_snapshot AS saldo_na_transacao
+FROM transactions t
+ASOF LEFT JOIN snapshots s
+    ON t.id_usuario_pagador = s.id_usuario
+   AND s.ts_snapshot <= t.data_horario""",
+    extra_ctes=SNAPSHOTS_SQL,
+)

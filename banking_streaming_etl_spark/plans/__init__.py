@@ -15,7 +15,12 @@ def register_all() -> None:
         return
 
     from banking_streaming_etl_spark.registry import register
-    from banking_streaming_etl_spark.operators import dedup, multimodal, similarity
+    from banking_streaming_etl_spark.operators import (
+        asof,
+        dedup,
+        multimodal,
+        similarity,
+    )
     from banking_streaming_etl_spark.plans import (
         approval,
         batchdev,
@@ -145,6 +150,10 @@ def register_all() -> None:
              text.TFIDF_SQL, "exact TF-IDF via joins")
     register("top_tokens", text.top_tokens,
              text.TOP_TOKENS_SQL, "corpus token frequency top-50")
+
+    # as-of join (union+window composition; DuckDB native ASOF as oracle)
+    register("asof_balance_at_tx", asof.asof_balance_at_tx,
+             asof.ASOF_BALANCE_SQL, "point-in-time balance at tx time")
 
     # batch dev-pipeline patterns + producer twin
     register("score_recombination", batchdev.score_recombination,

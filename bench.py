@@ -25,15 +25,20 @@ from banking_streaming_etl_spark.session import get_spark
 HEADLINE = [
     "approval_pipeline",
     "q1_pricing_summary",
+    "revenue_by_nation",
     "perf_stats_by_modality",
     "perf_temporal_hourly",
     "order_enrichment",
     "zscore_per_payer",
+    "sessionize_events",
     "top_k_recent",
+    "asof_balance_at_tx",
     "dedup_exact_documents",
+    "near_dup_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_scores",
+    "tfidf_terms",
 ]
 
 

@@ -1,0 +1,48 @@
+"""SQL API surface: register the engine's tables and views for spark.sql.
+
+The reference exposes its analytics to users through SQL views in Postgres
+(vw_performance_stats / vw_performance_temporal, historic_data_mock.py:
+87-112) and raw-table SELECTs from the dashboard. This module recreates
+that surface natively: after `register_views(spark, sf_dir)`, users query
+everything with plain Spark SQL — same Catalyst plans as the DataFrame
+API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.plans import views as view_plans
+from banking_streaming_etl_spark.plans.approval import approval_pipeline
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register raw tables, canonical entities, the approval output, and
+    the two analytic views as temp views. Returns the registered names."""
+    names: list[str] = []
+    for t in datamodel.TABLES:
+        datamodel.load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        names.append(t)
+
+    datamodel.transactions(spark, sf_dir).createOrReplaceTempView("transacoes")
+    datamodel.users(spark, sf_dir).createOrReplaceTempView("usuarios")
+    datamodel.regions(spark, sf_dir).createOrReplaceTempView("regioes")
+    approval_pipeline(spark, sf_dir).createOrReplaceTempView(
+        "transacoes_aprovadas"
+    )
+    view_plans.perf_stats_by_modality(spark, sf_dir).createOrReplaceTempView(
+        "vw_performance_stats"
+    )
+    view_plans.perf_temporal_hourly(spark, sf_dir).createOrReplaceTempView(
+        "vw_performance_temporal"
+    )
+    names += [
+        "transacoes",
+        "usuarios",
+        "regioes",
+        "transacoes_aprovadas",
+        "vw_performance_stats",
+        "vw_performance_temporal",
+    ]
+    return names

@@ -78,6 +78,11 @@ def register_all() -> None:
              dashboard.TX_PER_HOUR_SQL, "tx per hour-of-day (A8)")
     register("distance_bucket_pivot", dashboard.distance_bucket_pivot,
              dashboard.DISTANCE_BUCKET_PIVOT_SQL, "bucket x approval (A9+F15)")
+    register("score_by_value_bucket", dashboard.score_by_value_bucket,
+             dashboard.SCORE_BY_VALUE_BUCKET_SQL,
+             "box-plot quartiles per value bucket (F15+A2)")
+    register("recent_metrics", dashboard.recent_metrics,
+             dashboard.RECENT_METRICS_SQL, "live-view scalar metrics (A11)")
     register("freq_per_payer_hour", dashboard.freq_per_payer_hour,
              dashboard.FREQ_PER_PAYER_HOUR_SQL, "frequency window (W1+F16)")
     register("zscore_per_payer", dashboard.zscore_per_payer,

@@ -361,6 +361,92 @@ FROM (
 )
 
 
+# --- score box-plot stats by value bucket (dashboard.py:447-466) -------------
+
+_VALUE_EDGES = (10.0, 50.0, 100.0, 200.0, 400.0)  # 6 labeled buckets
+
+
+def _value_bucket_col() -> F.Column:
+    b = F.when(F.col("valor_transacao") < _VALUE_EDGES[0], "0-10")
+    labels = ["10-50", "50-100", "100-200", "200-400"]
+    for edge, lab in zip(_VALUE_EDGES[1:], labels):
+        b = b.when(F.col("valor_transacao") < edge, lab)
+    return b.otherwise("400+")
+
+
+_VALUE_BUCKET_SQL = f"""CASE
+    WHEN valor_transacao < {_VALUE_EDGES[0]} THEN '0-10'
+    WHEN valor_transacao < {_VALUE_EDGES[1]} THEN '10-50'
+    WHEN valor_transacao < {_VALUE_EDGES[2]} THEN '50-100'
+    WHEN valor_transacao < {_VALUE_EDGES[3]} THEN '100-200'
+    WHEN valor_transacao < {_VALUE_EDGES[4]} THEN '200-400'
+    ELSE '400+' END"""
+
+
+def score_by_value_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot aggregates of the distance score per value bucket
+    (pd.cut + plotly box, dashboard.py:447-466): exact quartiles."""
+    t = _approved(spark, sf_dir).withColumn("faixa_valor", _value_bucket_col())
+    t = t.filter(F.col("t5_score").isNotNull())
+    return t.groupBy("faixa_valor").agg(
+        F.count("*").alias("total"),
+        F.min("t5_score").alias("minimo"),
+        F.round(F.percentile("t5_score", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("t5_score", F.lit(0.5)), 6).alias("mediana"),
+        F.round(F.percentile("t5_score", F.lit(0.75)), 6).alias("q3"),
+        F.max("t5_score").alias("maximo"),
+    )
+
+
+SCORE_BY_VALUE_BUCKET_SQL = _oracle(
+    f"""
+SELECT {_VALUE_BUCKET_SQL} AS faixa_valor,
+       COUNT(*) AS total,
+       MIN(t5_score) AS minimo,
+       ROUND(QUANTILE_CONT(t5_score, 0.25), 6) AS q1,
+       ROUND(QUANTILE_CONT(t5_score, 0.5), 6) AS mediana,
+       ROUND(QUANTILE_CONT(t5_score, 0.75), 6) AS q3,
+       MAX(t5_score) AS maximo
+FROM approved
+WHERE t5_score IS NOT NULL
+GROUP BY 1"""
+)
+
+
+# --- recent-view scalar metrics (A11, dashboard.py:273-277) -------------------
+
+
+def recent_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar metrics over the 100 most recent transactions (the Redis
+    live-view numbers): mean value, approval rate, distinct payers."""
+    t = _approved(spark, sf_dir)
+    w = W.orderBy(F.desc("data_horario"), F.desc("id_transacao"))
+    recent = t.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 100
+    )
+    return recent.agg(
+        F.count("*").alias("total"),
+        exact.exact_avg("valor_transacao", "valor_medio"),
+        exact.exact_avg(
+            F.col("transacao_aprovada").cast("double"), "taxa_aprovacao"
+        ),
+        F.countDistinct("id_usuario_pagador").alias("pagadores_distintos"),
+    )
+
+
+RECENT_METRICS_SQL = _oracle(
+    f"""
+SELECT COUNT(*) AS total,
+       {exact.sql_avg('valor_transacao', 'valor_medio')},
+       {exact.sql_avg('CAST(transacao_aprovada AS DOUBLE)', 'taxa_aprovacao')},
+       COUNT(DISTINCT id_usuario_pagador) AS pagadores_distintos
+FROM (
+    SELECT * FROM approved
+    ORDER BY data_horario DESC, id_transacao DESC
+    LIMIT 100)"""
+)
+
+
 # --- top-K recent + filters (O2, P6, F19) ------------------------------------
 
 

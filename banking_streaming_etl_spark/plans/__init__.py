@@ -106,6 +106,8 @@ def register_all() -> None:
              relational.DISTINCT_PAYERS_SQL, "count distinct per group")
     register("rollup_modality_region", relational.rollup_modality_region,
              relational.ROLLUP_SQL, "rollup subtotals")
+    register("cube_modality_region", relational.cube_modality_region,
+             relational.CUBE_SQL, "cube + grouping_id")
     register("pivot_returnflag_linestatus",
              relational.pivot_returnflag_linestatus,
              relational.PIVOT_SQL, "columnar pivot (A9)")

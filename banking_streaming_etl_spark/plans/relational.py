@@ -137,6 +137,26 @@ GROUP BY ROLLUP (modalidade_pagamento, id_regiao)"""
 )
 
 
+def cube_modality_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE: all grouping-set combinations + grouping_id to
+    disambiguate rollup NULLs from data NULLs."""
+    t = datamodel.transactions(spark, sf_dir)
+    return t.cube("modalidade_pagamento", "id_regiao").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("total"),
+    )
+
+
+CUBE_SQL = datamodel.with_ctes(
+    """
+SELECT modalidade_pagamento, id_regiao,
+       GROUPING(modalidade_pagamento, id_regiao) AS gid,
+       COUNT(*) AS total
+FROM transactions
+GROUP BY CUBE (modalidade_pagamento, id_regiao)"""
+)
+
+
 # --- pivot (true columnar pivot, A9) ------------------------------------------
 
 

@@ -1,0 +1,84 @@
+"""Stream-stream join vs batch twin; dead-letter split on corrupt input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.sources import stream as stream_src
+from banking_streaming_etl_spark.streaming import joins as sjoins
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    d = str(tmp_path / "chunks")
+    stream_src.write_replay_chunks(spark, SF, d, n_chunks=2)
+    tx = stream_src.read_transaction_stream(spark, d)
+
+    out = sjoins.payer_chain_join(tx)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chain_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.id_tx_origem, r.id_tx_destino)
+        for r in spark.sql("SELECT * FROM chain_out").collect()
+    }
+
+    # batch twin: plain self-join with the same time-range condition
+    t = datamodel.transactions(spark, SF)
+    a = t.select(
+        F.col("id_transacao").alias("id_tx_origem"),
+        F.col("id_usuario_recebedor").alias("u"),
+        F.col("data_horario").alias("ts_a"),
+    )
+    b = t.select(
+        F.col("id_transacao").alias("id_tx_destino"),
+        F.col("id_usuario_pagador").alias("u"),
+        F.col("data_horario").alias("ts_b"),
+    )
+    want = {
+        (r.id_tx_origem, r.id_tx_destino)
+        for r in a.join(b, "u")
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 hour"))
+        )
+        .collect()
+    }
+    assert len(want) > 0
+    # append-mode stream emits only watermark-closed results; every emitted
+    # pair must be correct, and coverage must be near-complete (the final
+    # watermark leaves at most the tail unflushed)
+    assert got <= want
+    assert len(got) >= int(len(want) * 0.9)
+
+
+def test_dead_letter_split(spark, tmp_path):
+    d = str(tmp_path / "chunks")
+    stream_src.write_replay_chunks(spark, SF, d, n_chunks=1)
+    # inject corrupt lines
+    with open(f"{d}/garbage.txt", "w") as f:
+        f.write("not json at all\n{broken:\n")
+
+    raw = spark.readStream.format("text").load(d)
+    valid, dead = sjoins.split_valid_invalid(
+        raw, stream_src.transaction_schema()
+    )
+    q1 = valid.writeStream.format("memory").queryName("dlq_valid").start()
+    q2 = dead.writeStream.format("memory").queryName("dlq_dead").start()
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    q1.stop()
+    q2.stop()
+
+    n_valid = spark.sql("SELECT count(*) FROM dlq_valid").first()[0]
+    dead_rows = spark.sql("SELECT * FROM dlq_dead").collect()
+    assert n_valid == 1000
+    assert {r.raw for r in dead_rows} == {"not json at all", "{broken:"}
+    assert all(r.erro == "PARSE_ERROR" for r in dead_rows)

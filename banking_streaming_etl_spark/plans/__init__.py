@@ -108,6 +108,8 @@ def register_all() -> None:
              relational.ROLLUP_SQL, "rollup subtotals")
     register("cube_modality_region", relational.cube_modality_region,
              relational.CUBE_SQL, "cube + grouping_id")
+    register("unpivot_user_limits", relational.unpivot_user_limits,
+             relational.UNPIVOT_SQL, "unpivot/melt wide->long")
     register("pivot_returnflag_linestatus",
              relational.pivot_returnflag_linestatus,
              relational.PIVOT_SQL, "columnar pivot (A9)")

@@ -137,6 +137,30 @@ GROUP BY ROLLUP (modalidade_pagamento, id_regiao)"""
 )
 
 
+def unpivot_user_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-modality limit columns back to long
+    (id, modalidade, limite) — the inverse of the pivot family."""
+    u = datamodel.users(spark, sf_dir)
+    return u.unpivot(
+        ids=["id_usuario"],
+        values=[f"limite_{m}" for m in datamodel.MODALITIES],
+        variableColumnName="modalidade",
+        valueColumnName="limite",
+    ).withColumn(
+        "modalidade", F.replace(F.col("modalidade"), F.lit("limite_"), F.lit(""))
+    )
+
+
+UNPIVOT_SQL = datamodel.with_ctes(
+    "SELECT id_usuario, modalidade, limite FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT id_usuario, '{m}' AS modalidade, limite_{m} AS limite FROM users"
+        for m in datamodel.MODALITIES
+    )
+    + "\n)"
+)
+
+
 def cube_modality_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE: all grouping-set combinations + grouping_id to
     disambiguate rollup NULLs from data NULLs."""

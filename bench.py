@@ -118,6 +118,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                # the BASELINE.md comparison number: the reference's published
+                # ceiling is ~1,000 tx/s micro-batched (maxOffsetsPerTrigger)
+                "streaming_tx_per_s": round(tx_per_s, 1),
             }
         )
     )

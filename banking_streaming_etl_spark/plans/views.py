@@ -60,6 +60,28 @@ def perf_temporal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def latency_stats_over_history(history: DataFrame) -> DataFrame:
+    """The reference's ACTUAL vw_performance_stats measure — latency of the
+    streaming pipeline per modality (historic_data_mock.py:87-100), computed
+    over a streamed history table (the parquet the multi-sink writes, which
+    plays the Postgres `transacoes` fact). Includes the view's null guard
+    (latencia_total_ms IS NOT NULL, P7)."""
+    return (
+        history.filter(F.col("latencia_total_ms").isNotNull())
+        .groupBy("modalidade_pagamento")
+        .agg(
+            F.count("*").alias("total_transacoes"),
+            F.avg("latencia_total_ms").alias("latencia_media_ms"),
+            F.min("latencia_total_ms").alias("latencia_min_ms"),
+            F.max("latencia_total_ms").alias("latencia_max_ms"),
+            F.percentile("latencia_total_ms", F.lit(0.95)).alias(
+                "p95_latencia_ms"
+            ),
+            F.avg("tempo_processamento_ms").alias("tempo_proc_medio_ms"),
+        )
+    )
+
+
 PERF_TEMPORAL_SQL = datamodel.with_ctes(
     f"""
 SELECT

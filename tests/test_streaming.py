@@ -156,6 +156,34 @@ def test_foreach_batch_multisink(spark, replay_dir, tmp_path):
     assert times == sorted(times, reverse=True)
 
 
+def test_latency_view_over_streamed_history(spark, replay_dir, tmp_path):
+    """Close the loop: stream -> history parquet -> the reference's actual
+    latency view over it (its Postgres views aggregate pipeline latency)."""
+    from banking_streaming_etl_spark.plans.views import latency_stats_over_history
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    out = spipe.approval_stream(
+        tx, datamodel.users(spark, SF), datamodel.regions(spark, SF)
+    )
+    q = spipe.start_multi_sink(
+        out,
+        history_dir=str(tmp_path / "hist"),
+        scores_dir=str(tmp_path / "scores"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    stats = latency_stats_over_history(
+        spark.read.parquet(str(tmp_path / "hist"))
+    ).collect()
+    assert {r.modalidade_pagamento for r in stats} == set(datamodel.MODALITIES)
+    for r in stats:
+        assert r.latencia_min_ms >= 0
+        assert r.latencia_min_ms <= r.latencia_media_ms <= r.latencia_max_ms
+        assert r.p95_latencia_ms <= r.latencia_max_ms
+
+
 def test_late_data_filter(spark, replay_dir):
     tx = stream_src.read_transaction_stream(spark, replay_dir)
     # replayed events are from 2024 -> ingest lag is huge -> all discarded

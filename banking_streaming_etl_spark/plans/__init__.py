@@ -52,6 +52,10 @@ def register_all() -> None:
              tpch.ORDER_ENRICHMENT_SQL, "star-join enrichment (J1-J3)")
     register("revenue_by_nation", tpch.revenue_by_nation,
              tpch.REVENUE_BY_NATION_SQL, "fact-fact join + agg (TPC-H Q5 shape)")
+    register("q3_shipping_priority", tpch.q3_shipping_priority,
+             tpch.Q3_SQL, "TPC-H Q3 shape: filter-join-agg-topK")
+    register("q6_revenue_forecast", tpch.q6_revenue_forecast,
+             tpch.Q6_SQL, "TPC-H Q6 shape: pure pushdown filter-agg")
 
     # the two Postgres views (A1-A3)
     register("perf_stats_by_modality", views.perf_stats_by_modality,
@@ -174,6 +178,14 @@ def register_all() -> None:
              "HLL++/approx-percentile sketches (tolerance-tested)")
     register("synthetic_transactions", batchdev.synthetic_transactions, None,
              "producer twin: uuid + seeded draws (F23/F24)")
+
+    # grouped-map UDF surface (slow path) + its JVM-window twin
+    from banking_streaming_etl_spark.operators import groupedmap
+
+    register("minmax_normalize_window", groupedmap.minmax_normalize_window,
+             groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
+    register("minmax_normalize_pandas", groupedmap.minmax_normalize_pandas,
+             None, "same via applyInPandas (equality-tested vs window twin)")
 
     # scale extensions: multimodal plumbing
     register("media_features", multimodal.media_features, None,

@@ -150,6 +150,126 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+# --- IVF scale path ------------------------------------------------------------
+
+IVF_CENTROID_STRIDE = 13  # vec_id % 13 == 1 -> ~8% of vectors act as centroids
+IVF_PROBES = 4
+
+
+def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer without iterative training: a deterministic
+    sample of the vectors serves as centroids (at 100 TB you'd run a few
+    Lloyd iterations — also expressible as joins+groupBy — but assignment
+    mechanics, the part that must scale, are identical). Returns
+    (centroids, assignments of every vector to its nearest centroid)."""
+    cent = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+        F.col("norm").alias("cnorm"),
+    )
+    sim = _dot(F.col("embedding"), F.col("centroid")) / (
+        F.col("norm") * F.col("cnorm")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "norm", "centroid_id")
+    )
+    return cent, assign
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed cosine top-K: queries search only the IVF_PROBES nearest
+    centroid cells instead of the whole corpus. The candidate join is an
+    equi-join on centroid_id — at scale, cells are co-partitioned and the
+    scan fraction is ~probes/n_centroids. Recall vs brute force is
+    asserted in tests (unstructured corpus = worst case, as with LSH)."""
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    cent, assign = ivf_assignments(emb)
+
+    qsim = _dot(F.col("embedding"), F.col("centroid")) / (
+        F.col("norm") * F.col("cnorm")
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    q_probes = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("csim", qsim)
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= IVF_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qn"),
+            "centroid_id",
+        )
+    )
+    c = assign.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        "centroid_id",
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        q_probes.join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("posicao", F.row_number().over(w))
+        .filter(F.col("posicao") <= TOP_K)
+        .select(
+            "query_id",
+            "posicao",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization of the embedding column: per-vector
+    scale = max(|x|)/127, elements round(x/scale). Pure array expressions
+    (transform/aggregate) — the storage-shrink op a 100 TB embedding
+    corpus runs before indexing. Output keeps the scale for dequant."""
+    emb = datamodel.load_table(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = absmax / F.lit(127.0)
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / scale).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("escala"),
+        quant.alias("embedding_int8"),
+    )
+
+
+QUANTIZE_SQL = """
+SELECT vec_id,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))),
+             (acc, x) -> GREATEST(acc, x)) / 127.0, 9) AS escala,
+       list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)
+           / (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))),
+              (acc, y) -> GREATEST(acc, y)) / 127.0)) AS INTEGER))
+           AS embedding_int8
+FROM embeddings
+"""
+
+
 # --- LSH scale path ------------------------------------------------------------
 
 

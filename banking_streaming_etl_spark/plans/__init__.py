@@ -149,6 +149,10 @@ def register_all() -> None:
              similarity.NEAR_DUP_EMBEDDINGS_SQL, "all-pairs cosine near-dup")
     register("ann_lsh_topk", similarity.ann_lsh_topk, None,
              "sign-projection LSH top-K (recall vs brute force in tests)")
+    register("ann_ivf_topk", similarity.ann_ivf_topk, None,
+             "IVF-probed top-K (recall vs brute force in tests)")
+    register("quantize_embeddings", similarity.quantize_embeddings,
+             similarity.QUANTIZE_SQL, "int8 symmetric quantization")
 
     # scale extensions: text analysis
     register("token_counts", text.token_counts,

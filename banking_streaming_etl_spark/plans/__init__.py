@@ -167,6 +167,8 @@ def register_all() -> None:
              text.TFIDF_SQL, "exact TF-IDF via joins")
     register("top_tokens", text.top_tokens,
              text.TOP_TOKENS_SQL, "corpus token frequency top-50")
+    register("winnowing_fingerprints", text.winnowing_fingerprints,
+             text.WINNOWING_SQL, "MOSS winnowing fingerprint sets")
 
     # as-of join (union+window composition; DuckDB native ASOF as oracle)
     register("asof_balance_at_tx", asof.asof_balance_at_tx,

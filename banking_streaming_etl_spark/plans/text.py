@@ -161,6 +161,75 @@ WHERE tf >= 2
 """
 
 
+WINNOW_K = 5  # char k-gram length
+WINNOW_W = 4  # winnowing window (guarantee: matches >= K+W-1 chars share a print)
+
+#: cross-engine rolling hash: first 12 hex chars of md5 -> bigint (fits in
+#: 48 bits, positive) — identical in Spark (conv) and DuckDB (0x-cast).
+_HASH_SPARK = "cast(conv(substring(md5(s), 1, 12), 16, 10) as bigint)"
+_HASH_DUCK = "CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)"
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every char
+    k-gram, keep the minimum hash of each sliding window of W consecutive
+    k-grams, emit the distinct selected hashes. Guarantees any shared
+    substring of length >= K+W-1 yields a shared fingerprint, while
+    storing ~2/(W+1) of the k-gram hashes. Pure array expressions — at
+    scale this is a narrow map over the document scan."""
+    d = datamodel.load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_K + WINNOW_W
+    )
+    kgrams = F.expr(
+        f"transform(sequence(1, length(text) - {WINNOW_K - 1}),"
+        f" i -> substring(text, i, {WINNOW_K}))"
+    )
+    hashes = F.expr(f"transform(kgrams, s -> {_HASH_SPARK})")
+    windows = F.expr(
+        f"transform(sequence(1, size(hashes) - {WINNOW_W - 1}),"
+        f" j -> array_min(slice(hashes, j, {WINNOW_W})))"
+    )
+    # Catalyst's projection collapsing/pushdown inlines the `hashes` alias
+    # into every window lambda, recomputing the full md5 array per window —
+    # O(n^2) hashes, measured 100s vs 0.8s at sf0.001. An exchange is NOT a
+    # barrier (projects push through it); an InMemoryRelation is. The cached
+    # frame is just (doc_id, hash array) — tiny relative to the corpus.
+    hashed = (
+        d.withColumn("kgrams", kgrams)
+        .withColumn("hashes", hashes)
+        .select("doc_id", "hashes")
+        .cache()
+    )
+    return (
+        hashed.withColumn("fps", F.array_distinct(windows))
+        .select("doc_id", F.explode("fps").alias("fingerprint"))
+    )
+
+
+WINNOWING_SQL = f"""
+WITH kg AS (
+    SELECT doc_id,
+           list_transform(range(1, length(text) - {WINNOW_K - 2}),
+                          i -> substr(text, CAST(i AS INT), {WINNOW_K})) AS kgrams
+    FROM documents
+    WHERE length(text) >= {WINNOW_K + WINNOW_W}
+),
+h AS (
+    SELECT doc_id,
+           list_transform(kgrams, s -> {_HASH_DUCK}) AS hashes
+    FROM kg
+),
+w AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, len(hashes) - {WINNOW_W - 2}),
+               j -> list_min(hashes[j:j + {WINNOW_W - 1}]))) AS fps
+    FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM w
+"""
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency top-50 (deterministic tiebreak)."""
     d = _docs(spark, sf_dir)

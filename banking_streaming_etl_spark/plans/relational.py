@@ -299,7 +299,12 @@ WHERE posicao <= 3"""
 
 
 def value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE(4) over a total order -> per-quartile stats."""
+    """NTILE(4) over a total order -> per-quartile stats.
+
+    Scale note: an unpartitioned window forces a single-partition sort.
+    Fine here (the output is 4 summary rows and quartile boundaries need a
+    global order anyway); for per-key quantiles at 100 TB use
+    percentile_approx per group instead — see perf_stats_by_modality."""
     t = datamodel.transactions(spark, sf_dir)
     w = W.orderBy("valor_transacao", "id_transacao")
     return (

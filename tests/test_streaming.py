@@ -156,6 +156,32 @@ def test_foreach_batch_multisink(spark, replay_dir, tmp_path):
     assert times == sorted(times, reverse=True)
 
 
+def test_rate_source_smoke(spark):
+    """S-family: the built-in rate source as a synthetic load generator
+    (standing in for the reference's producer under test conditions)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .select(
+            F.col("value").alias("id_transacao"),
+            (F.col("value") % 100).alias("id_usuario_pagador"),
+            F.col("timestamp").alias("data_horario"),
+        )
+    )
+    q = (
+        rate.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    import time as _t
+
+    _t.sleep(3)
+    q.stop()
+    assert spark.sql("SELECT count(*) FROM rate_out").first()[0] > 0
+
+
 def test_latency_view_over_streamed_history(spark, replay_dir, tmp_path):
     """Close the loop: stream -> history parquet -> the reference's actual
     latency view over it (its Postgres views aggregate pipeline latency)."""

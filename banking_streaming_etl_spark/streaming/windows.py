@@ -90,6 +90,36 @@ def session_window_per_payer(
     )
 
 
+def streaming_region_approval(approved_stream: DataFrame) -> DataFrame:
+    """The dashboard's region-approval analysis as a LIVE aggregate
+    (update/complete mode) — the report's stated production direction for
+    the historical analytics (PDF p. 13): rates update per micro-batch
+    instead of re-scanning history."""
+    return approved_stream.groupBy("id_regiao").agg(
+        F.avg(F.col("transacao_aprovada").cast("double")).alias(
+            "taxa_aprovacao"
+        ),
+        F.count("*").alias("total"),
+    )
+
+
+def streaming_denial_reasons(approved_stream: DataFrame) -> DataFrame:
+    """Live denial-reason counters (dashboard analysis 6 as a running
+    streaming aggregate)."""
+    return approved_stream.agg(
+        F.sum(F.when(~F.col("score_aprovado"), 1).otherwise(0)).alias(
+            "negadas_score"
+        ),
+        F.sum(F.when(~F.col("saldo_aprovado"), 1).otherwise(0)).alias(
+            "negadas_saldo"
+        ),
+        F.sum(F.when(~F.col("limite_aprovado"), 1).otherwise(0)).alias(
+            "negadas_limite"
+        ),
+        F.count("*").alias("total"),
+    )
+
+
 def dedup_within_watermark(
     tx_stream: DataFrame,
     watermark: str = DEFAULT_WATERMARK,

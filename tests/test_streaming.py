@@ -156,6 +156,55 @@ def test_foreach_batch_multisink(spark, replay_dir, tmp_path):
     assert times == sorted(times, reverse=True)
 
 
+def test_streaming_analytics_match_batch(spark, replay_dir):
+    """The live analytics (report's production direction) equal the batch
+    dashboard queries once the stream is drained."""
+    from banking_streaming_etl_spark.plans.dashboard import (
+        denial_reasons,
+        region_approval,
+    )
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    out = spipe.approval_stream(
+        tx, datamodel.users(spark, SF), datamodel.regions(spark, SF)
+    )
+    q1 = (
+        swin.streaming_region_approval(out)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("live_region")
+        .start()
+    )
+    q2 = (
+        swin.streaming_denial_reasons(out)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("live_denials")
+        .start()
+    )
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    q1.stop()
+    q2.stop()
+
+    live_region = {
+        (r.id_regiao, round(r.taxa_aprovacao, 9), r.total)
+        for r in spark.sql("SELECT * FROM live_region").collect()
+    }
+    batch_region = {
+        (r.id_regiao, round(r.taxa_aprovacao, 9), r.total)
+        for r in region_approval(spark, SF).collect()
+    }
+    assert live_region == batch_region
+
+    live_d = spark.sql("SELECT * FROM live_denials").first()
+    batch_d = denial_reasons(spark, SF).first()
+    assert (live_d.negadas_score, live_d.negadas_saldo, live_d.negadas_limite,
+            live_d.total) == (
+        batch_d.negadas_score, batch_d.negadas_saldo, batch_d.negadas_limite,
+        batch_d.total)
+
+
 def test_rate_source_smoke(spark):
     """S-family: the built-in rate source as a synthetic load generator
     (standing in for the reference's producer under test conditions)."""

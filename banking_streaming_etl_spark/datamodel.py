@@ -167,8 +167,12 @@ def regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def enriched_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three stream-static LEFT joins (SURVEY.md §2.4 J1-J3).
+def enrich(tx: DataFrame, u: DataFrame, reg: DataFrame) -> DataFrame:
+    """The three (stream-)static LEFT joins (SURVEY.md §2.4 J1-J3), shared
+    verbatim by the batch flagship and the streaming pipeline — `tx` may be
+    bounded or unbounded (Structured Streaming's unification means the one
+    definition serves both; the streaming twin adds only watermark and
+    processing-time columns around it).
 
     transactions ⋈ users (payer) ⋈ regions (tx side) ⋈ regions (payer side).
     The dimension tables are small at every scale (users grows with sf but
@@ -180,10 +184,6 @@ def enriched_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rename-before-join to disambiguate the twice-joined region dim, exactly
     as the reference does (streaming_etl.py:97-112).
     """
-    t = transactions(spark, sf_dir)
-    u = users(spark, sf_dir)
-    reg = regions(spark, sf_dir)
-
     reg_t = reg.select(
         F.col("id_regiao").alias("id_regiao_t"),
         F.col("latitude").alias("latitude_t"),
@@ -198,7 +198,7 @@ def enriched_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        t.join(u, t.id_usuario_pagador == u.id_usuario, "left")
+        tx.join(u, tx.id_usuario_pagador == u.id_usuario, "left")
         .join(F.broadcast(reg_t), F.col("id_regiao") == F.col("id_regiao_t"), "left")
         .join(
             F.broadcast(reg_u),
@@ -206,6 +206,15 @@ def enriched_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .drop("id_usuario", "id_regiao_t", "id_regiao_u_dim")
+    )
+
+
+def enriched_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch flavor of `enrich` over the canonical entities."""
+    return enrich(
+        transactions(spark, sf_dir),
+        users(spark, sf_dir),
+        regions(spark, sf_dir),
     )
 
 

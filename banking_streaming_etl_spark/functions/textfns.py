@@ -24,11 +24,18 @@ TOKENS_SQL = "string_split(text, ' ')"
 
 def word_shingles(tok_col: str = "toks", n: int = 3) -> Column:
     """n-word shingles via transform over an index sequence — identical
-    strings to the DuckDB twin."""
-    parts = lambda i: [F.element_at(F.col(tok_col), i + k) for k in range(n)]  # noqa: E731
-    return F.transform(
+    strings to the DuckDB twin. Documents with fewer than n tokens yield an
+    empty array (F.sequence(1, 0) would DESCEND and index out of range;
+    the DuckDB twin's range() is empty there, so the guard also keeps the
+    engines in lock-step)."""
+    shingles = F.transform(
         F.sequence(F.lit(1), F.size(F.col(tok_col)) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(F.col(tok_col), i + k) for k in range(n)]),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col(tok_col), i + k) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(F.col(tok_col)) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 

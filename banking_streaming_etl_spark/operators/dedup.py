@@ -8,20 +8,22 @@ Four families over the `documents` table, partition-parallel by design:
   (explode -> self-join on shingle -> count). Correct but O(pairs sharing
   a shingle); the quadratic blowup on ubiquitous shingles is the reason
   the LSH variant exists.
-- MinHash + LSH: the scale path. Signature = P=32 per-permutation minima
-  of xxhash64(perm, shingle) (seeded, deterministic); band into 8 bands x
-  4 rows; candidates = pairs agreeing on >= 1 band; verify candidates with
-  exact Jaccard. Shuffles are on (band, band_hash) buckets — bounded by
-  collision groups, never all-pairs.
+- MinHash + LSH: the scale path. Signature = MINHASH_PERMS per-permutation
+  minima of xxhash64(perm, shingle_hash) (seeded, deterministic); band into
+  LSH_BANDS bands x LSH_ROWS rows; candidates = pairs agreeing on >= 1
+  band; verify candidates with exact Jaccard. Shuffles are on (band,
+  band_hash) buckets — bounded by collision groups, never all-pairs.
 - SimHash: 64-bit signed-bit-sum signature over token hashes; candidates
-  via 4x16-bit band equality (pigeonhole guarantees hamming<=3 candidates
-  all surface); verify with bit_count(xor) <= k.
+  via SIMHASH_BANDS x SIMHASH_BAND_BITS band equality (pigeonhole
+  guarantees every pair with hamming <= SIMHASH_MAX_HAMMING surfaces);
+  verify with bit_count(xor).
 
 Everything is built-in expressions (xxhash64 / transform / aggregate /
 bit ops) — no Python in the hot path. MinHash-LSH shares the exact-Jaccard
-oracle: with the corpus's near-dup structure (planted pairs at J~0.99,
-background at ~0), miss probability per pair is (1-0.99^4)^8 ~ 5e-12, so
-verified-LSH output equals the exact operator's output.
+oracle: miss probability per pair is (1 - J^LSH_ROWS)^LSH_BANDS — at the
+corpus's planted-duplicate similarity (J ~0.95+) that is ~1e-14 with the
+current 8 bands x 2 rows, so verified-LSH output equals the exact
+operator's output (see the constants below for the exact parameters).
 """
 
 from __future__ import annotations
@@ -177,7 +179,8 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Band the signature (8 bands x 4 rows), hash each band, bucket-join."""
+    """Band the signature (LSH_BANDS x LSH_ROWS), hash each band,
+    bucket-join."""
     bands = []
     for band in range(LSH_BANDS):
         cols = [
@@ -272,8 +275,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 4x16-bit band blocking (pigeonhole covers
-    hamming <= 3), verified with bit_count(a XOR b) <= 3."""
+    """SimHash near-dup pairs: SIMHASH_BANDS x SIMHASH_BAND_BITS band
+    blocking (pigeonhole covers hamming <= SIMHASH_MAX_HAMMING), verified
+    with bit_count(a XOR b)."""
     sig = simhash_signatures(spark, sf_dir).cache()
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = [

@@ -249,24 +249,32 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.round(x.cast("double") / scale).cast("int"),
     )
+    # all-zero vector guard: scale 0 -> 0/0 = NaN, and ANSI casts of NaN
+    # throw; quantize zero vectors to zeros with scale 0.
+    zeros = F.transform(F.col("embedding"), lambda x: F.lit(0))
     return emb.select(
         "vec_id",
         F.round(scale, 9).alias("escala"),
-        quant.alias("embedding_int8"),
+        F.when(absmax > 0, quant).otherwise(zeros).alias("embedding_int8"),
     )
 
 
 QUANTIZE_SQL = """
+WITH scaled AS (
+    SELECT vec_id, embedding,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))),
+               (acc, x) -> GREATEST(acc, x)) / 127.0 AS raw_scale
+    FROM embeddings
+)
 SELECT vec_id,
-       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))),
-             (acc, x) -> GREATEST(acc, x)) / 127.0, 9) AS escala,
-       list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)
-           / (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))),
-              (acc, y) -> GREATEST(acc, y)) / 127.0)) AS INTEGER))
-           AS embedding_int8
-FROM embeddings
+       ROUND(raw_scale, 9) AS escala,
+       CASE WHEN raw_scale > 0
+            THEN list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) / raw_scale) AS INTEGER))
+            ELSE list_transform(embedding, x -> 0)
+       END AS embedding_int8
+FROM scaled
 """
 
 

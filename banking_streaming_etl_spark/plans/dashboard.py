@@ -418,11 +418,13 @@ GROUP BY 1"""
 
 def recent_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar metrics over the 100 most recent transactions (the Redis
-    live-view numbers): mean value, approval rate, distinct payers."""
+    live-view numbers): mean value, approval rate, distinct payers.
+    orderBy+limit plans as TakeOrderedAndProject — per-partition top-100
+    then a tiny merge, no single-partition global sort (an unpartitioned
+    row_number window would shuffle the whole fact table to one task)."""
     t = _approved(spark, sf_dir)
-    w = W.orderBy(F.desc("data_horario"), F.desc("id_transacao"))
-    recent = t.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= 100
+    recent = t.orderBy(F.desc("data_horario"), F.desc("id_transacao")).limit(
+        100
     )
     return recent.agg(
         F.count("*").alias("total"),

@@ -51,7 +51,8 @@ def write_replay_chunks(
     """Serialize `transactions` to JSON-lines text chunks for replay.
 
     Timestamps are ISO-8601 strings, like the producer ships them
-    (producer.py:99,162). Returns the row count written.
+    (producer.py:99,162). Returns the row count written (counted on the
+    cached envelope — no second derivation of the events table).
     """
     t = datamodel.transactions(spark, sf_dir)
     envelope = t.select(
@@ -69,8 +70,11 @@ def write_replay_chunks(
             )
         ).alias("value")
     )
+    envelope = envelope.cache()
+    n = envelope.count()
     envelope.repartition(n_chunks).write.mode("overwrite").text(out_dir)
-    return t.count()
+    envelope.unpersist()
+    return n
 
 
 def read_transaction_stream(

@@ -69,34 +69,19 @@ def approval_stream(
     `users_df`/`regions_df` are static dimensions — cache() them like the
     reference does (streaming_etl.py:77,85); joins against them are
     stateless stream-static joins, broadcast by Catalyst (regions always;
-    users while it fits the threshold).
+    users while it fits the threshold). The join graph itself is
+    `datamodel.enrich` — the SAME definition the batch flagship uses, so
+    stream and batch cannot drift.
     """
+    from banking_streaming_etl_spark.datamodel import enrich
+
     users_df = users_df.cache()
     regions_df = regions_df.cache()
 
-    reg_t = regions_df.select(
-        F.col("id_regiao").alias("id_regiao_t"),
-        F.col("latitude").alias("latitude_t"),
-        F.col("longitude").alias("longitude_t"),
-    )
-    reg_u = regions_df.select(
-        F.col("id_regiao").alias("id_regiao_u_dim"),
-        F.col("latitude").alias("latitude_u"),
-        F.col("longitude").alias("longitude_u"),
-    )
-
-    enriched = (
-        tx_stream.withWatermark("data_horario", WATERMARK_DELAY)
-        .withColumn("tempo_inicio_processamento", F.current_timestamp())
-        .join(users_df, tx_stream.id_usuario_pagador == users_df.id_usuario, "left")
-        .join(F.broadcast(reg_t), F.col("id_regiao") == F.col("id_regiao_t"), "left")
-        .join(
-            F.broadcast(reg_u),
-            F.col("id_regiao_u") == F.col("id_regiao_u_dim"),
-            "left",
-        )
-        .drop("id_usuario", "id_regiao_t", "id_regiao_u_dim")
-    )
+    marked = tx_stream.withWatermark(
+        "data_horario", WATERMARK_DELAY
+    ).withColumn("tempo_inicio_processamento", F.current_timestamp())
+    enriched = enrich(marked, users_df, regions_df)
 
     out = with_approval_flags(with_scores(enriched))
     out = (

@@ -116,6 +116,9 @@ def streaming_denial_reasons(approved_stream: DataFrame) -> DataFrame:
         F.sum(F.when(~F.col("limite_aprovado"), 1).otherwise(0)).alias(
             "negadas_limite"
         ),
+        F.sum(F.when(~F.col("transacao_aprovada"), 1).otherwise(0)).alias(
+            "negadas_total"
+        ),
         F.count("*").alias("total"),
     )
 

@@ -98,6 +98,30 @@ def test_media_features_deterministic(spark):
     assert rows[7].thumb == again[7].thumb
 
 
+def test_word_shingles_short_documents(spark):
+    """Regression: documents with fewer than n tokens yield EMPTY shingle
+    arrays (a naive sequence(1, size-2) descends and indexes out of range,
+    crashing the whole dedup family on one short doc)."""
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark.functions import textfns
+
+    df = spark.createDataFrame(
+        [("one",), ("only two",), ("now three tokens",), ("four tokens right here",)],
+        ["text"],
+    ).withColumn("toks", textfns.tokens())
+    rows = df.select(
+        "text", F.size(textfns.word_shingles("toks", 3)).alias("n")
+    ).collect()
+    got = {r.text: r.n for r in rows}
+    assert got == {
+        "one": 0,
+        "only two": 0,
+        "now three tokens": 1,
+        "four tokens right here": 2,
+    }
+
+
 def test_decode_real_is_stubbed():
     import pytest
 

@@ -200,9 +200,9 @@ def test_streaming_analytics_match_batch(spark, replay_dir):
     live_d = spark.sql("SELECT * FROM live_denials").first()
     batch_d = denial_reasons(spark, SF).first()
     assert (live_d.negadas_score, live_d.negadas_saldo, live_d.negadas_limite,
-            live_d.total) == (
+            live_d.negadas_total, live_d.total) == (
         batch_d.negadas_score, batch_d.negadas_saldo, batch_d.negadas_limite,
-        batch_d.total)
+        batch_d.negadas_total, batch_d.total)
 
 
 def test_rate_source_smoke(spark):

@@ -84,14 +84,18 @@ def bench_streaming_replay(spark, sf_dir: str) -> tuple[float, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # unconventional dir name; still emit the JSON line
     spark = get_spark(app_name="bench")
 
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
 
     # warmup: JVM, codegen, parquet footer caches
-    queries["approval_pipeline"].fn(spark, sf_dir).count()
+    if "approval_pipeline" in queries:
+        queries["approval_pipeline"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -117,7 +121,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
                 # the BASELINE.md comparison number: the reference's published
                 # ceiling is ~1,000 tx/s micro-batched (maxOffsetsPerTrigger)
                 "streaming_tx_per_s": round(tx_per_s, 1),

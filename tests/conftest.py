@@ -2,8 +2,9 @@ from __future__ import annotations
 
 import pytest
 
+#: tests run at the smallest sf for speed; the driver's gate (and the
+#: driver-mimic recipe in .claude/skills/verify) re-checks at sf0.01.
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")

@@ -57,12 +57,13 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     recall = len(top1_brute & top1_ivf) / len(top1_brute)
     # probing 4 of ~38 cells on an unstructured corpus
     assert recall >= 0.3, f"top-1 recall {recall}"
-    # every IVF result must be a genuine cosine (subset check at top-10)
-    all_brute = {(r.query_id, r.neighbor_id, r.cosine) for r in brute}
-    for r in ivf:
-        if (r.query_id, r.neighbor_id, r.cosine) in all_brute:
-            continue  # same pair, same cosine -> consistent scoring
-    assert len(ivf) > 0
+    # scoring consistency: any pair present in both rankings must carry
+    # the exact same cosine (IVF re-ranks with the same expression)
+    brute_cos = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    shared = [r for r in ivf if (r.query_id, r.neighbor_id) in brute_cos]
+    assert len(shared) > 0
+    for r in shared:
+        assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
 
 
 def test_quantize_embeddings_roundtrip(spark):
@@ -75,10 +76,12 @@ def test_quantize_embeddings_roundtrip(spark):
         assert all(-127 <= v <= 127 for v in r.embedding_int8)
         assert r.escala > 0
     # dequantized max error bounded by scale/2 per element
+    from banking_streaming_etl_spark import datamodel
+
     emb = {r.vec_id: r for r in rows}
     orig = {
         r.vec_id: r.embedding
-        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        for r in datamodel.load_table(spark, SF, "embeddings").collect()
     }
     r0 = emb[0]
     for got_q, want in zip(r0.embedding_int8, orig[0]):

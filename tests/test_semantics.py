@@ -17,16 +17,19 @@ def _scored(spark):
 
 
 def test_score_medio_is_product_not_sum(spark):
-    """Wrinkle 1: production multiplies (t6=0 neutralizes); old code summed."""
+    """Wrinkle 1: production multiplies (t6=0 neutralizes); old code summed.
+    Discriminating witness: a row where t6=0 but t5+t7 != 0 — the product
+    is 0 there while the sum variant is not."""
     df = _scored(spark)
     row = df.filter(
-        (F.col("t6_score") == 0.0) & F.col("t5_score").isNotNull()
+        (F.col("t6_score") == 0.0)
+        & F.col("t5_score").isNotNull()
+        & (F.col("t5_score") + F.col("t7_score") != 0.0)
     ).first()
-    assert row is not None
+    assert row is not None  # such rows exist in the fixture
     assert row.score_medio == 0.0  # product semantics: t6=0 zeroes the score
-    # and explicitly not the sum variant:
     sum_variant = (row.t5_score + row.t6_score + row.t7_score) / 3.0
-    assert abs(sum_variant) > 0 or row.t5_score == -row.t7_score
+    assert sum_variant != 0.0  # the sum variant would NOT be zero here
 
 
 def test_t7_is_signed_in_pipeline(spark):
@@ -64,15 +67,47 @@ def test_limit_check_strict_less_than(spark):
 
 def test_null_payer_approves_score_but_denies_saldo(spark):
     """NULL semantics: unmatched payer -> score approves (otherwise branch),
-    saldo check denies, limite check denies (coalesce false)."""
-    df = _scored(spark)
-    unmatched = df.filter(F.col("t5_score").isNull())
-    if unmatched.count() == 0:
-        return  # every payer matched at this sf
-    r = unmatched.first()
-    assert r.score_aprovado is True
-    assert r.saldo_aprovado is False
-    assert r.limite_aprovado is False
+    saldo check denies, limite check denies (coalesce false). The fixture
+    has no unmatched payers at any sf, so the NULL path is exercised with a
+    synthetic enriched row (all dim columns NULL) pushed through the same
+    flag expressions the pipeline uses."""
+    import pyspark.sql.types as T
+
+    from banking_streaming_etl_spark.plans.approval import (
+        with_approval_flags,
+        with_scores,
+    )
+
+    fields = [
+        T.StructField("id_transacao", T.LongType()),
+        T.StructField("id_usuario_pagador", T.LongType()),
+        T.StructField("modalidade_pagamento", T.StringType()),
+        T.StructField("data_horario", T.TimestampType()),
+        T.StructField("valor_transacao", T.DoubleType()),
+        T.StructField("saldo", T.DoubleType()),
+        T.StructField("latitude_t", T.DoubleType()),
+        T.StructField("longitude_t", T.DoubleType()),
+        T.StructField("latitude_u", T.DoubleType()),
+        T.StructField("longitude_u", T.DoubleType()),
+    ] + [
+        T.StructField(f"limite_{m}", T.DoubleType())
+        for m in datamodel.MODALITIES
+    ]
+    import datetime
+
+    row = (
+        1,
+        999_999,
+        "click",
+        datetime.datetime(2024, 1, 1, 9, 0, 0),
+        50.0,
+    ) + (None,) * (len(fields) - 5)
+    enriched = spark.createDataFrame([row], T.StructType(fields))
+    r = with_approval_flags(with_scores(enriched)).first()
+    assert r.t5_score is None and r.score_medio is None
+    assert r.score_aprovado is True  # otherwise() branch approves on NULL
+    assert r.saldo_aprovado is False  # NULL saldo > valor -> otherwise False
+    assert r.limite_aprovado is False  # coalesce(NULL, False)
     assert r.transacao_aprovada is False
 
 

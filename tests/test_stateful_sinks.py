@@ -13,6 +13,20 @@ from banking_streaming_etl_spark.streaming import sinks, stateful
 SF = "/root/testdata/sf0.001"
 
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def module_replay_dir(spark):
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="replay_sinks_")
+    stream_src.write_replay_chunks(spark, SF, d, n_chunks=4)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def _approval_stream(spark, replay_dir):
     tx = stream_src.read_transaction_stream(spark, replay_dir)
     return spipe.approval_stream(
@@ -20,15 +34,9 @@ def _approval_stream(spark, replay_dir):
     )
 
 
-def _replay(spark, tmp_path, chunks=4):
-    d = str(tmp_path / "chunks")
-    stream_src.write_replay_chunks(spark, SF, d, n_chunks=chunks)
-    return d
-
-
-def test_last_tx_per_user_matches_batch(spark, tmp_path):
+def test_last_tx_per_user_matches_batch(spark, module_replay_dir):
     out = stateful.last_tx_per_user(
-        _approval_stream(spark, _replay(spark, tmp_path))
+        _approval_stream(spark, module_replay_dir)
     )
     q = (
         out.writeStream.outputMode("complete")
@@ -58,9 +66,9 @@ def test_last_tx_per_user_matches_batch(spark, tmp_path):
     assert got == want
 
 
-def test_running_user_totals(spark, tmp_path):
+def test_running_user_totals(spark, module_replay_dir):
     out = stateful.running_user_totals(
-        _approval_stream(spark, _replay(spark, tmp_path))
+        _approval_stream(spark, module_replay_dir)
     )
     q = (
         out.writeStream.outputMode("complete")
@@ -90,8 +98,8 @@ def test_idempotent_sink_replay_no_duplicates(spark, tmp_path):
     assert sink.read(spark).count() == 200
 
 
-def test_idempotent_streaming_end_to_end(spark, tmp_path):
-    out = _approval_stream(spark, _replay(spark, tmp_path))
+def test_idempotent_streaming_end_to_end(spark, tmp_path, module_replay_dir):
+    out = _approval_stream(spark, module_replay_dir)
     q = sinks.start_idempotent_sink(
         out,
         out_dir=str(tmp_path / "hist"),
@@ -117,9 +125,8 @@ def test_csv_roundtrip(spark, tmp_path):
     }
 
 
-def test_csv_stream_sink(spark, tmp_path):
-    d = _replay(spark, tmp_path)
-    tx = stream_src.read_transaction_stream(spark, d).select(
+def test_csv_stream_sink(spark, tmp_path, module_replay_dir):
+    tx = stream_src.read_transaction_stream(spark, module_replay_dir).select(
         "id_transacao", "modalidade_pagamento", "valor_transacao"
     )
     q = sinks.start_csv_stream_sink(

@@ -10,11 +10,22 @@ from banking_streaming_etl_spark.streaming import joins as sjoins
 
 SF = "/root/testdata/sf0.001"
 
+import pytest
 
-def test_stream_stream_join_matches_batch(spark, tmp_path):
-    d = str(tmp_path / "chunks")
+
+@pytest.fixture(scope="module")
+def joins_replay_dir(spark):
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="replay_joins_")
     stream_src.write_replay_chunks(spark, SF, d, n_chunks=2)
-    tx = stream_src.read_transaction_stream(spark, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, joins_replay_dir):
+    tx = stream_src.read_transaction_stream(spark, joins_replay_dir)
 
     out = sjoins.payer_chain_join(tx)
     q = (
@@ -59,9 +70,12 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert len(got) >= int(len(want) * 0.9)
 
 
-def test_dead_letter_split(spark, tmp_path):
+def test_dead_letter_split(spark, tmp_path, joins_replay_dir):
+    # copy the shared chunks so the injected garbage doesn't leak to others
+    import shutil
+
     d = str(tmp_path / "chunks")
-    stream_src.write_replay_chunks(spark, SF, d, n_chunks=1)
+    shutil.copytree(joins_replay_dir, d)
     # inject corrupt lines
     with open(f"{d}/garbage.txt", "w") as f:
         f.write("not json at all\n{broken:\n")

@@ -1,0 +1,134 @@
+"""Slowly-changing-dimension (SCD2) merge and streaming CDC upserts.
+
+The reference treats its `usuarios` dimension as immutable per run
+(SURVEY.md §1.1: "slowly-changing in principle"); a production engine
+needs the change path. Without a transactional table format, MERGE INTO is
+emulated with the standard composition (guide §OLAP patterns: "anti-join +
+union + window"):
+
+- `scd2_apply`: apply a batch of dimension updates to an SCD2 history
+  table (valid_from / valid_to / is_current): close changed current rows,
+  append new versions, keep everything else. Two broadcast-or-shuffle
+  joins on the key; the history rewrite is partition-parallel.
+- `CdcUpsertSink`: streaming foreachBatch last-write-wins upsert keyed on
+  the record id — reduce each micro-batch to one row per key (max_by on
+  event time), anti-join the current snapshot, write the union. With the
+  epoch-keyed idempotence pattern of sinks.IdempotentParquetSink this is
+  the JDBC-upsert analogue the reference deferred (PDF p. 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def scd2_init(dim: DataFrame, valid_from) -> DataFrame:
+    """Bootstrap an SCD2 history from a current dimension snapshot."""
+    return dim.select(
+        "*",
+        F.lit(valid_from).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_ts,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Apply `updates` (one row per key, new attribute values) at
+    `effective_ts`. Rows whose compared attributes are unchanged are
+    ignored; changed keys get their current row closed and a new current
+    version appended."""
+    eff = F.lit(effective_ts).cast("timestamp")
+
+    cur = history.filter(F.col("is_current"))
+    closed = history.filter(~F.col("is_current"))
+
+    # changed = updates whose attributes differ from the current row
+    changed_cond = None
+    for c in compare_cols:
+        diff = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+        changed_cond = diff if changed_cond is None else (changed_cond | diff)
+    changed_keys = (
+        cur.alias("cur")
+        .join(updates.alias("upd"), F.col(f"cur.{key}") == F.col(f"upd.{key}"))
+        .filter(changed_cond)
+        .select(F.col(f"cur.{key}").alias(key))
+    )
+
+    # close current rows of changed keys
+    to_close = (
+        cur.join(changed_keys, key, "left_semi")
+        .withColumn("valid_to", eff)
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched_current = cur.join(changed_keys, key, "left_anti")
+
+    # new current versions (carry update attributes)
+    new_rows = (
+        updates.join(changed_keys, key, "left_semi")
+        .select(
+            "*",
+            eff.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    cols = history.columns
+    return (
+        closed.select(*cols)
+        .unionByName(to_close.select(*cols))
+        .unionByName(untouched_current.select(*cols))
+        .unionByName(new_rows.select(*cols))
+    )
+
+
+class CdcUpsertSink:
+    """Streaming last-write-wins upsert into a parquet snapshot.
+
+    Each micro-batch: reduce to one row per key (latest by `ts_col` with
+    id tiebreak), anti-join the existing snapshot, rewrite snapshot =
+    (existing minus upserted keys) ∪ batch winners. The rewrite is
+    atomic-enough for a demo (write tmp, swap dir would make it atomic on
+    a real lake this is MERGE INTO / a transactional commit)."""
+
+    def __init__(
+        self, snapshot_dir: str, key: str, ts_col: str, tiebreak: str | None = None
+    ):
+        self.snapshot_dir = snapshot_dir
+        self.key = key
+        self.ts_col = ts_col
+        self.tiebreak = tiebreak or ts_col
+
+    def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(self.key)
+            .agg(
+                F.max_by(
+                    F.struct("*"), F.struct(self.ts_col, self.tiebreak)
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        winners = self._latest_per_key(batch_df)
+        try:
+            existing = spark.read.parquet(self.snapshot_dir)
+            # event-time last-write-wins: re-reduce over the union so a
+            # late-arriving OLDER event never clobbers a newer snapshot row
+            merged = self._latest_per_key(existing.unionByName(winners))
+        except Exception:  # first batch: no snapshot yet
+            merged = winners
+        merged.cache().count()  # materialize before overwriting the input dir
+        merged.write.mode("overwrite").parquet(self.snapshot_dir)
+        merged.unpersist()
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.snapshot_dir)

@@ -1,0 +1,62 @@
+"""Plan-shape regression tests: the physical plans the scale design
+promises (SCALING.md) stay that way. A silent plan regression (lost
+pushdown, extra shuffle, broadcast->SMJ flip) is a perf bug even when
+results stay correct — these tests fail it early.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from banking_streaming_etl_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _query(spark, name):
+    return registry.all_queries()[name].fn(spark, SF)
+
+
+def test_flagship_is_shuffle_free(spark):
+    """approval_pipeline: broadcast joins only — zero hash-partition
+    exchanges (the stream twin shares this join graph)."""
+    plan = _physical_plan(_query(spark, "approval_pipeline"))
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q1_pushes_the_date_predicate(spark):
+    plan = _physical_plan(_query(spark, "q1_pricing_summary"))
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q6_pushes_all_predicates(spark):
+    plan = _physical_plan(_query(spark, "q6_revenue_forecast"))
+    # range + discount + quantity predicates all reach the scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_top_k_avoids_global_sort(spark):
+    """top_k_recent and recent_metrics: TakeOrderedAndProject, never a
+    single-partition global Sort."""
+    for name in ("top_k_recent", "recent_metrics"):
+        plan = _physical_plan(_query(spark, name))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_filter_pushes_through_join_graph(spark):
+    """The modality membership filter applied on a RENAMED column over the
+    3-join graph still reaches the events scan."""
+    plan = _physical_plan(_query(spark, "filter_membership_range"))
+    assert "In(event_type" in plan

@@ -1,0 +1,93 @@
+"""SCD2 merge emulation + streaming CDC upserts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.operators import scd
+from banking_streaming_etl_spark.sources import stream as stream_src
+
+SF = "/root/testdata/sf0.001"
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-02-01 00:00:00"
+
+
+def test_scd2_apply(spark):
+    users = datamodel.users(spark, SF).select(
+        "id_usuario", "id_regiao_u", "saldo"
+    )
+    history = scd.scd2_init(users, T0)
+
+    # every 10th user gets a new balance; everyone else unchanged
+    updates = users.withColumn(
+        "saldo",
+        F.when(F.col("id_usuario") % 10 == 0, F.col("saldo") + 500.0).otherwise(
+            F.col("saldo")
+        ),
+    )
+    out = scd.scd2_apply(
+        history, updates, "id_usuario", T1, compare_cols=["saldo"]
+    ).cache()
+
+    n_users = users.count()
+    n_changed = users.filter(F.col("id_usuario") % 10 == 0).count()
+    assert out.count() == n_users + n_changed
+    # one current row per user
+    cur = out.filter("is_current")
+    assert cur.count() == n_users
+    # changed users: current row carries the new balance, old row is closed
+    changed_cur = cur.filter(F.col("id_usuario") % 10 == 0).first()
+    assert str(changed_cur.valid_from).startswith("2024-02-01")
+    closed = out.filter(~F.col("is_current"))
+    assert closed.count() == n_changed
+    assert {str(r.valid_to)[:10] for r in closed.collect()} == {"2024-02-01"}
+    # unchanged users keep their original version
+    unchanged = cur.filter(F.col("id_usuario") % 10 != 0).first()
+    assert str(unchanged.valid_from).startswith("2024-01-01")
+    # applying the SAME updates again is a no-op (idempotent merge)
+    again = scd.scd2_apply(
+        out, updates, "id_usuario", T1, compare_cols=["saldo"]
+    )
+    assert again.count() == out.count()
+
+
+def test_cdc_upsert_stream_matches_batch_last_value(spark, tmp_path):
+    d = str(tmp_path / "chunks")
+    stream_src.write_replay_chunks(spark, SF, d, n_chunks=4)
+    tx = stream_src.read_transaction_stream(
+        spark, d, max_files_per_trigger=1
+    ).select("id_usuario_pagador", "data_horario", "id_transacao", "valor_transacao")
+
+    sink = scd.CdcUpsertSink(
+        str(tmp_path / "snapshot"),
+        key="id_usuario_pagador",
+        ts_col="data_horario",
+        tiebreak="id_transacao",
+    )
+    q = (
+        tx.writeStream.outputMode("append")
+        .foreachBatch(sink.write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    snap = {
+        (r.id_usuario_pagador, r.id_transacao)
+        for r in sink.read(spark).collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id_usuario_pagador").orderBy(
+        F.desc("data_horario"), F.desc("id_transacao")
+    )
+    want = {
+        (r.id_usuario_pagador, r.id_transacao)
+        for r in datamodel.transactions(spark, SF)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert snap == want

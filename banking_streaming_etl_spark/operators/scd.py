@@ -88,6 +88,52 @@ def scd2_apply(
     )
 
 
+SCD2_T0 = "2024-01-01 00:00:00"
+SCD2_T1 = "2024-02-01 00:00:00"
+
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked SCD2 fixture query: bootstrap history from the users
+    dim at T0, apply a deterministic update batch (every 10th user's
+    balance +500) at T1, return the merged history."""
+    from banking_streaming_etl_spark import datamodel
+
+    users = datamodel.users(spark, sf_dir).select(
+        "id_usuario", "id_regiao_u", "saldo"
+    )
+    history = scd2_init(users, SCD2_T0)
+    updates = users.withColumn(
+        "saldo",
+        F.when(
+            F.col("id_usuario") % 10 == 0, F.col("saldo") + 500.0
+        ).otherwise(F.col("saldo")),
+    )
+    return scd2_apply(
+        history, updates, "id_usuario", SCD2_T1, compare_cols=["saldo"]
+    )
+
+
+def _scd2_oracle() -> str:
+    from banking_streaming_etl_spark import datamodel
+
+    return datamodel.with_ctes(
+        f"""
+SELECT id_usuario, id_regiao_u, saldo,
+       TIMESTAMP '{SCD2_T0}' AS valid_from,
+       TIMESTAMP '{SCD2_T1}' AS valid_to,
+       FALSE AS is_current
+FROM users WHERE id_usuario % 10 = 0
+UNION ALL
+SELECT id_usuario, id_regiao_u, saldo,
+       TIMESTAMP '{SCD2_T0}', NULL, TRUE
+FROM users WHERE id_usuario % 10 <> 0
+UNION ALL
+SELECT id_usuario, id_regiao_u, saldo + 500.0,
+       TIMESTAMP '{SCD2_T1}', NULL, TRUE
+FROM users WHERE id_usuario % 10 = 0"""
+    )
+
+
 class CdcUpsertSink:
     """Streaming last-write-wins upsert into a parquet snapshot.
 

@@ -185,6 +185,12 @@ def register_all() -> None:
     register("synthetic_transactions", batchdev.synthetic_transactions, None,
              "producer twin: uuid + seeded draws (F23/F24)")
 
+    # SCD2 merge emulation (MERGE INTO without a transactional format)
+    from banking_streaming_etl_spark.operators import scd
+
+    register("scd2_user_history", scd.scd2_user_history,
+             scd._scd2_oracle(), "SCD2 history after one update batch")
+
     # grouped-map UDF surface (slow path) + its JVM-window twin
     from banking_streaming_etl_spark.operators import groupedmap
 

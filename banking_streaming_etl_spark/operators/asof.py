@@ -99,6 +99,142 @@ def asof_balance_at_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ALERT_WINDOW_HOURS = 6
+
+
+def fraud_alert_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-region alert intervals: each region r gets one
+    6-hour window per week starting at (r mod 7) days + (r mod 24) hours
+    into January 2024 — a small interval dimension for the range join."""
+    reg = datamodel.regions(spark, sf_dir).select("id_regiao")
+    week = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("semana")
+    start_us = (
+        F.lit(EPOCH_2024_US)
+        + F.col("semana").cast("long") * F.lit(7 * 86_400_000_000)
+        + (F.col("id_regiao") % 7).cast("long") * F.lit(86_400_000_000)
+        + (F.col("id_regiao") % 24).cast("long") * F.lit(3_600_000_000)
+    )
+    return reg.select("id_regiao", week).select(
+        "id_regiao",
+        F.timestamp_micros(start_us).alias("inicio"),
+        F.timestamp_micros(
+            start_us + F.lit(ALERT_WINDOW_HOURS * 3_600_000_000)
+        ).alias("fim"),
+    )
+
+
+ALERT_WINDOWS_CTE = f"""
+alert_windows AS (
+    SELECT id_regiao,
+           make_timestamp({EPOCH_2024_US}
+               + w.range * {7 * 86_400_000_000}
+               + (id_regiao % 7) * {86_400_000_000}
+               + (id_regiao % 24) * {3_600_000_000}) AS inicio,
+           make_timestamp({EPOCH_2024_US}
+               + w.range * {7 * 86_400_000_000}
+               + (id_regiao % 7) * {86_400_000_000}
+               + (id_regiao % 24) * {3_600_000_000}
+               + {ALERT_WINDOW_HOURS * 3_600_000_000}) AS fim
+    FROM regions CROSS JOIN range(4) w
+)
+"""
+
+
+def range_join_tx_in_alert_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — Spark has no native one; the naive
+    inequality join degenerates to a nested loop. Scalable form: bucketize
+    the time axis at the interval granularity, equi-join on (key, bucket),
+    then filter the exact bounds — shuffle on (region, hour-bucket), never
+    a cross product. Intervals spanning multiple buckets are exploded to
+    one row per covered bucket."""
+    tx = datamodel.transactions(spark, sf_dir)
+    win = fraud_alert_windows(spark, sf_dir)
+
+    bucket = F.floor(F.unix_micros(F.col("data_horario")) / F.lit(3_600_000_000))
+    tx_b = tx.select(
+        "id_transacao", "id_regiao", "data_horario", "valor_transacao"
+    ).withColumn("bucket", bucket)
+
+    win_b = win.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col("inicio")) / F.lit(3_600_000_000)),
+                F.floor(F.unix_micros(F.col("fim")) / F.lit(3_600_000_000)),
+            )
+        ),
+    )
+    return (
+        tx_b.join(F.broadcast(win_b), ["id_regiao", "bucket"])
+        .filter(
+            (F.col("data_horario") >= F.col("inicio"))
+            & (F.col("data_horario") < F.col("fim"))
+        )
+        .select(
+            "id_transacao", "id_regiao", "data_horario", "valor_transacao",
+            "inicio", "fim",
+        )
+    )
+
+
+RANGE_JOIN_SQL = datamodel.with_ctes(
+    """
+SELECT t.id_transacao, t.id_regiao, t.data_horario, t.valor_transacao,
+       w.inicio, w.fim
+FROM transactions t
+JOIN alert_windows w
+  ON t.id_regiao = w.id_regiao
+ AND t.data_horario >= w.inicio
+ AND t.data_horario < w.fim""",
+    extra_ctes=ALERT_WINDOWS_CTE,
+)
+
+
+def payer_chains_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream payer chain join: B's payer was A's
+    recipient within 1 hour — a time-bounded self-join on the fact."""
+    t = datamodel.transactions(spark, sf_dir)
+    a = t.select(
+        F.col("id_transacao").alias("id_tx_origem"),
+        F.col("id_usuario_recebedor").alias("id_usuario_meio"),
+        F.col("data_horario").alias("ts_origem"),
+    )
+    b = t.select(
+        F.col("id_transacao").alias("id_tx_destino"),
+        F.col("id_usuario_pagador").alias("id_usuario_meio"),
+        F.col("data_horario").alias("ts_destino"),
+    )
+    return (
+        a.join(b, "id_usuario_meio")
+        .filter(
+            (F.col("ts_destino") > F.col("ts_origem"))
+            & (
+                F.col("ts_destino")
+                <= F.col("ts_origem") + F.expr("INTERVAL 1 hour")
+            )
+        )
+        .select(
+            "id_tx_origem", "id_tx_destino", "id_usuario_meio",
+            "ts_origem", "ts_destino",
+        )
+    )
+
+
+PAYER_CHAINS_SQL = datamodel.with_ctes(
+    """
+SELECT a.id_transacao AS id_tx_origem,
+       b.id_transacao AS id_tx_destino,
+       a.id_usuario_recebedor AS id_usuario_meio,
+       a.data_horario AS ts_origem,
+       b.data_horario AS ts_destino
+FROM transactions a
+JOIN transactions b
+  ON a.id_usuario_recebedor = b.id_usuario_pagador
+ AND b.data_horario > a.data_horario
+ AND b.data_horario <= a.data_horario + INTERVAL 1 HOUR"""
+)
+
+
 ASOF_BALANCE_SQL = datamodel.with_ctes(
     """
 SELECT t.id_transacao,

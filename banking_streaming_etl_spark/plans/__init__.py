@@ -173,6 +173,13 @@ def register_all() -> None:
     # as-of join (union+window composition; DuckDB native ASOF as oracle)
     register("asof_balance_at_tx", asof.asof_balance_at_tx,
              asof.ASOF_BALANCE_SQL, "point-in-time balance at tx time")
+    register("range_join_tx_in_alert_window",
+             asof.range_join_tx_in_alert_window,
+             asof.RANGE_JOIN_SQL,
+             "interval join via time-bucketization (no nested loop)")
+    register("payer_chains_batch", asof.payer_chains_batch,
+             asof.PAYER_CHAINS_SQL,
+             "time-bounded self-join (stream-stream twin)")
 
     # batch dev-pipeline patterns + producer twin
     register("score_recombination", batchdev.score_recombination,

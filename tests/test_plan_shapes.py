@@ -9,9 +9,19 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from banking_streaming_etl_spark import registry
 
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plans(spark):
+    """Plans must come from the parquet scans, not InMemoryRelations other
+    tests cached (a cached subtree hides the scan's PushedFilters line)."""
+    spark.catalog.clearCache()
+    yield
 
 
 def _physical_plan(df) -> str:

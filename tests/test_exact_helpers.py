@@ -1,0 +1,53 @@
+"""The DECIMAL-accumulation determinism trick, tested directly: for
+datasets engineered to expose float-summation order dependence, the Spark
+helpers and their SQL twins must produce byte-identical doubles."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark.functions import exact
+
+
+def _datasets():
+    rng = random.Random(7)
+    yield "uniform_2dp", [round(rng.uniform(0, 1000), 2) for _ in range(5000)]
+    yield "mixed_magnitudes", [
+        round(rng.uniform(0, 1), 6) if i % 2 else round(rng.uniform(0, 9e6), 2)
+        for i in range(5000)
+    ]
+    yield "negatives", [round(rng.uniform(-5000, 5000), 4) for _ in range(5000)]
+
+
+@pytest.mark.parametrize("name,values", list(_datasets()))
+def test_exact_aggregates_match_duckdb(spark, tmp_path, name, values):
+    path = str(tmp_path / f"vals_{name}.parquet")
+    df = spark.createDataFrame([(v,) for v in values], ["x"]).repartition(8)
+    df.write.mode("overwrite").parquet(path)
+
+    got = (
+        spark.read.parquet(path)
+        .agg(
+            exact.exact_sum("x", "s"),
+            exact.exact_avg("x", "a"),
+            exact.exact_std("x", "d"),
+        )
+        .first()
+    )
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""SELECT {exact.sql_sum('x', 's')}, {exact.sql_avg('x', 'a')},
+                   {exact.sql_std('x', 'd')}
+            FROM read_parquet('{path}/*.parquet')"""
+    ).fetchone()
+    con.close()
+
+    # byte-identical doubles — no tolerance
+    assert got.s == want[0], (name, got.s, want[0])
+    assert got.a == want[1], (name, got.a, want[1])
+    assert got.d == want[2], (name, got.d, want[2])

@@ -115,6 +115,25 @@ GROUP BY md5(text)
 # --- exact n-gram Jaccard pairs ------------------------------------------------
 
 
+def _jaccard_verified_pairs(common: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Shared verification tail: (doc_a, doc_b, common count) x set sizes ->
+    rounded Jaccard, thresholded. Used by BOTH the exact operator and the
+    LSH verification so the 'verified-LSH equals exact' invariant cannot
+    drift between two copies of the ratio/round/filter logic."""
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard near-dup pairs (a < b, J >= threshold),
     joined on hashed shingles (see doc_shingle_hashes)."""
@@ -129,18 +148,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("c")
-    ).cast("double")
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verified_pairs(common, sizes)
 
 
 NEAR_DUP_JACCARD_SQL = f"""
@@ -230,18 +238,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("c")
-    ).cast("double")
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verified_pairs(common, sizes)
 
 
 # --- SimHash ---------------------------------------------------------------------

@@ -43,7 +43,8 @@ def scd2_apply(
     """Apply `updates` (one row per key, new attribute values) at
     `effective_ts`. Rows whose compared attributes are unchanged are
     ignored; changed keys get their current row closed and a new current
-    version appended."""
+    version appended; keys with no history row at all (new dimension
+    members) are inserted as new current versions."""
     eff = F.lit(effective_ts).cast("timestamp")
 
     cur = history.filter(F.col("is_current"))
@@ -69,9 +70,11 @@ def scd2_apply(
     )
     untouched_current = cur.join(changed_keys, key, "left_anti")
 
-    # new current versions (carry update attributes)
+    # new current versions: changed keys AND brand-new keys (no history row)
+    brand_new = updates.join(cur.select(key), key, "left_anti")
     new_rows = (
         updates.join(changed_keys, key, "left_semi")
+        .unionByName(brand_new)
         .select(
             "*",
             eff.alias("valid_from"),
@@ -140,8 +143,11 @@ class CdcUpsertSink:
     Each micro-batch: reduce to one row per key (latest by `ts_col` with
     id tiebreak), anti-join the existing snapshot, rewrite snapshot =
     (existing minus upserted keys) ∪ batch winners. The rewrite is
-    atomic-enough for a demo (write tmp, swap dir would make it atomic on
-    a real lake this is MERGE INTO / a transactional commit)."""
+    atomic-enough for a demo (write tmp, swap dir would make it atomic; on
+    a real lake this is MERGE INTO / a transactional commit).
+
+    Pass a unique `tiebreak` column for deterministic winners — the
+    default (ts_col itself) leaves ties on (key, ts) to partition order."""
 
     def __init__(
         self, snapshot_dir: str, key: str, ts_col: str, tiebreak: str | None = None
@@ -163,18 +169,31 @@ class CdcUpsertSink:
         )
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         spark = batch_df.sparkSession
         winners = self._latest_per_key(batch_df)
         try:
             existing = spark.read.parquet(self.snapshot_dir)
+        except AnalysisException as e:
+            # ONLY path-not-found means "first batch"; any other failure
+            # (corrupt footer, permissions, schema drift) must surface —
+            # falling through would overwrite the snapshot with this
+            # batch's keys only, silently destroying prior upserts.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            existing = None
+        if existing is not None:
             # event-time last-write-wins: re-reduce over the union so a
             # late-arriving OLDER event never clobbers a newer snapshot row
             merged = self._latest_per_key(existing.unionByName(winners))
-        except Exception:  # first batch: no snapshot yet
+        else:
             merged = winners
-        merged.cache().count()  # materialize before overwriting the input dir
+        # localCheckpoint truncates lineage: the overwrite below deletes the
+        # directory the plan reads from, and a cache-evicted partition would
+        # otherwise recompute from half-deleted input.
+        merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(self.snapshot_dir)
-        merged.unpersist()
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.snapshot_dir)

@@ -309,13 +309,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     T tables; exact cosine re-rank on candidates only. At 100 TB the
     (tbl, bucket) equi-join replaces the cross join — per-table candidate
     fraction is 2^-P of the data."""
-    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
-    banded = emb.select(
-        "vec_id",
-        "embedding",
-        "norm",
-        F.explode(F.array(*_bucket_structs(F.col("embedding")))).alias("b"),
-    ).select("vec_id", "embedding", "norm", "b.tbl", "b.bucket")
+    # cache both: the q/c self-join and the two re-rank joins would
+    # otherwise recompute the norm fold (4x) and the T x P x D literal
+    # projection pipeline (2x) — same lesson as dedup.lsh_candidate_pairs.
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings")).cache()
+    banded = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.explode(F.array(*_bucket_structs(F.col("embedding")))).alias("b"),
+        )
+        .select("vec_id", "embedding", "norm", "b.tbl", "b.bucket")
+        .cache()
+    )
 
     q = banded.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),

@@ -70,22 +70,32 @@ def payer_chain_join(
 
 
 def split_valid_invalid(
-    raw_lines: DataFrame, schema: T.StructType
+    raw_lines: DataFrame,
+    schema: T.StructType,
+    required_fields: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Parse raw JSON lines; return (valid flattened rows, dead letters).
 
     from_json is PERMISSIVE: malformed JSON yields an all-null struct, not
-    a NULL — so validity is a required-field contract check (the record key
-    must parse). Dead letters keep the raw line plus an ingest timestamp so
-    the quarantine sink preserves evidence for replay after a schema fix.
+    a NULL — so validity is a required-field contract check. Default
+    required fields are the record key AND the event-time column: a record
+    whose key parses but whose timestamp is garbage would otherwise pass as
+    'valid' and then silently vanish at the watermark — the exact silent
+    drop this path exists to prevent. Dead letters keep the raw line plus
+    an ingest timestamp so the quarantine sink preserves evidence for
+    replay after a schema fix.
     """
-    key_field = schema.fields[0].name
+    if required_fields is None:
+        required_fields = (schema.fields[0].name, "data_horario")
     parsed = raw_lines.select(
         F.col("value").cast("string").alias("raw"),
         F.from_json(F.col("value").cast("string"), schema).alias("dados"),
         F.current_timestamp().alias("tempo_entrada_kafka"),
     )
-    ok = F.col(f"dados.{key_field}").isNotNull()
+    ok = None
+    for f in required_fields:
+        c = F.col(f"dados.{f}").isNotNull()
+        ok = c if ok is None else (ok & c)
     valid = parsed.filter(ok).select("dados.*", "tempo_entrada_kafka")
     dead = parsed.filter(~ok).select(
         "raw",

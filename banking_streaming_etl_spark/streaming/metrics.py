@@ -33,8 +33,6 @@ def progress_dataframe(spark: SparkSession, query: StreamingQuery) -> DataFrame:
                 ),
             }
         )
-    if not rows:
-        rows = []
     schema = (
         "batch_id long, timestamp string, num_input_rows long, "
         "input_rows_per_second double, processed_rows_per_second double, "

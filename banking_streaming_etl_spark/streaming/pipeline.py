@@ -37,6 +37,17 @@ WATERMARK_DELAY = "10 minutes"  # streaming_etl.py:61
 #: computes `latencia_total_ms` with unix_timestamp (SECOND granularity
 #: despite the name — SURVEY.md §2.11 wrinkle 3); we keep the column name
 #: for parity but compute true milliseconds, documenting the deliberate fix.
+#:
+#: Timestamp semantics in micro-batch execution: every current_timestamp()
+#: INSIDE the streaming query is substituted with one per-batch timestamp
+#: (so in-query `tempo_saida - tempo_inicio` is always 0 — true of the
+#: reference's own tempo_processamento_ms too, streaming_etl.py:173-174).
+#: Real latency therefore gets stamped at the SINK: start_multi_sink
+#: re-evaluates tempo_saida_resultado and the *_ms columns inside
+#: foreachBatch, where current_timestamp() reflects sink-job wall clock.
+#: With a Kafka source tempo_entrada_kafka is per-row broker metadata and
+#: latencia_total_ms is genuinely per-row; with the file-replay source the
+#: ingest mark is itself the batch timestamp, so latency is batch-granular.
 OUTPUT_COLUMNS = [
     "id_transacao",
     "id_usuario_pagador",
@@ -154,6 +165,24 @@ def start_multi_sink(
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # re-stamp the output mark with SINK-side wall clock: inside the
+        # streaming query current_timestamp() collapsed to the batch
+        # timestamp (see OUTPUT_COLUMNS note), so the in-query *_ms columns
+        # are zero; here batch_df is a plain batch frame and
+        # current_timestamp() is the sink job's time.
+        batch_df = (
+            batch_df.withColumn("tempo_saida_resultado", F.current_timestamp())
+            .withColumn(
+                "latencia_total_ms",
+                F.unix_millis(F.col("tempo_saida_resultado"))
+                - F.unix_millis(F.col("tempo_entrada_kafka")),
+            )
+            .withColumn(
+                "tempo_processamento_ms",
+                F.unix_millis(F.col("tempo_saida_resultado"))
+                - F.unix_millis(F.col("tempo_inicio_processamento")),
+            )
+        )
         batch_df.persist()
         try:
             batch_df.write.mode("append").parquet(history_dir)

@@ -52,6 +52,26 @@ def test_scd2_apply(spark):
     assert again.count() == out.count()
 
 
+def test_scd2_inserts_new_keys(spark):
+    """A key with no history row (newly registered dimension member) must
+    be inserted as a new current version, not silently dropped."""
+    users = datamodel.users(spark, SF).select(
+        "id_usuario", "id_regiao_u", "saldo"
+    )
+    history = scd.scd2_init(users, T0)
+    newbie = spark.createDataFrame(
+        [(999_999, 3, 1234.5)], ["id_usuario", "id_regiao_u", "saldo"]
+    )
+    out = scd.scd2_apply(
+        history, users.unionByName(newbie), "id_usuario", T1,
+        compare_cols=["saldo"],
+    )
+    r = out.filter(F.col("id_usuario") == 999_999).collect()
+    assert len(r) == 1
+    assert r[0].is_current and str(r[0].valid_from).startswith("2024-02-01")
+    assert out.count() == users.count() + 1  # nothing else changed
+
+
 def test_cdc_upsert_stream_matches_batch_last_value(spark, tmp_path):
     d = str(tmp_path / "chunks")
     stream_src.write_replay_chunks(spark, SF, d, n_chunks=4)

@@ -76,9 +76,12 @@ def test_dead_letter_split(spark, tmp_path, joins_replay_dir):
 
     d = str(tmp_path / "chunks")
     shutil.copytree(joins_replay_dir, d)
-    # inject corrupt lines
+    # inject corrupt lines, including a PARTIALLY-malformed record whose
+    # key parses but whose event time is garbage (must be a dead letter —
+    # it would otherwise silently vanish at the watermark)
+    partial = '{"id_transacao": 77, "data_horario": "not-a-timestamp"}'
     with open(f"{d}/garbage.txt", "w") as f:
-        f.write("not json at all\n{broken:\n")
+        f.write(f"not json at all\n{{broken:\n{partial}\n")
 
     raw = spark.readStream.format("text").load(d)
     valid, dead = sjoins.split_valid_invalid(
@@ -94,5 +97,9 @@ def test_dead_letter_split(spark, tmp_path, joins_replay_dir):
     n_valid = spark.sql("SELECT count(*) FROM dlq_valid").first()[0]
     dead_rows = spark.sql("SELECT * FROM dlq_dead").collect()
     assert n_valid == 1000
-    assert {r.raw for r in dead_rows} == {"not json at all", "{broken:"}
+    assert {r.raw for r in dead_rows} == {
+        "not json at all",
+        "{broken:",
+        '{"id_transacao": 77, "data_horario": "not-a-timestamp"}',
+    }
     assert all(r.erro == "PARSE_ERROR" for r in dead_rows)

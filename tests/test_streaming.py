@@ -276,6 +276,9 @@ def test_latency_view_over_streamed_history(spark, replay_dir, tmp_path):
         assert r.latencia_min_ms >= 0
         assert r.latencia_min_ms <= r.latencia_media_ms <= r.latencia_max_ms
         assert r.p95_latencia_ms <= r.latencia_max_ms
+    # sink-side stamping produces REAL latency, not the all-zero artifact
+    # of in-query current_timestamp substitution
+    assert max(r.latencia_max_ms for r in stats) > 0
 
 
 def test_late_data_filter(spark, replay_dir):

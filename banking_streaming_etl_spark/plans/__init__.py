@@ -198,6 +198,15 @@ def register_all() -> None:
     register("scd2_user_history", scd.scd2_user_history,
              scd._scd2_oracle(), "SCD2 history after one update batch")
 
+    # dataset splitting / sampling
+    from banking_streaming_etl_spark.operators import sampling
+
+    register("train_test_split_docs", sampling.train_test_split_docs,
+             sampling.TRAIN_TEST_SPLIT_SQL,
+             "deterministic hash-based 80/20 split")
+    register("stratified_sample_tx", sampling.stratified_sample, None,
+             "per-stratum sampleBy (tolerance-tested)")
+
     # grouped-map UDF surface (slow path) + its JVM-window twin
     from banking_streaming_etl_spark.operators import groupedmap
 

@@ -125,6 +125,38 @@ def test_word_shingles_short_documents(spark):
     }
 
 
+def test_stratified_sample_fractions(spark):
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.operators import sampling
+
+    t = datamodel.transactions(spark, SF)
+    totals = {
+        r.modalidade_pagamento: r["count"]
+        for r in t.groupBy("modalidade_pagamento").count().collect()
+    }
+    sampled = {
+        r.modalidade_pagamento: r["count"]
+        for r in sampling.stratified_sample(spark, SF)
+        .groupBy("modalidade_pagamento")
+        .count()
+        .collect()
+    }
+    assert sampled["purchase"] == totals["purchase"]  # fraction 1.0 is exact
+    for m in ("click", "error", "signup", "view"):
+        frac = sampled.get(m, 0) / totals[m]
+        assert 0.05 <= frac <= 0.4, (m, frac)  # ~0.2 with Bernoulli variance
+
+
+def test_train_test_split_deterministic_and_balanced(spark):
+    from banking_streaming_etl_spark.operators import sampling
+
+    a = {(r.doc_id, r.split) for r in sampling.train_test_split_docs(spark, SF).collect()}
+    b = {(r.doc_id, r.split) for r in sampling.train_test_split_docs(spark, SF).collect()}
+    assert a == b  # pure function of the key
+    n_train = sum(1 for _, s in a if s == "train")
+    assert 0.7 <= n_train / len(a) <= 0.9  # ~80%
+
+
 def test_decode_real_is_stubbed():
     import pytest
 

@@ -51,6 +51,26 @@ def exact_std(col: Column | str, alias: str) -> Column:
     return F.sqrt((sq - s * s / n) / (n - F.lit(1.0))).alias(alias)
 
 
+def exact_corr(x: Column | str, y: Column | str, alias: str) -> Column:
+    """Order-independent Pearson correlation via exact decimal moments:
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)), final math in
+    double on both engines. NULL when either variance is zero."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(_d(cx)).cast("double")
+    sy = F.sum(_d(cy)).cast("double")
+    sxx = F.sum(_d(F.round(cx, 6) * F.round(cx, 6))).cast("double")
+    syy = F.sum(_d(F.round(cy, 6) * F.round(cy, 6))).cast("double")
+    sxy = F.sum(_d(F.round(cx, 6) * F.round(cy, 6))).cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return F.when(
+        (varx > 0) & (vary > 0),
+        (n * sxy - sx * sy) / F.sqrt(varx * vary),
+    ).alias(alias)
+
+
 # --- SQL twins --------------------------------------------------------------
 
 
@@ -62,6 +82,26 @@ def sql_avg(expr: str, alias: str) -> str:
     return (
         f"CAST(SUM(CAST(ROUND({expr}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
+    )
+
+
+def sql_corr(x: str, y: str, alias: str) -> str:
+    def s(e: str) -> str:
+        return f"CAST(SUM(CAST(ROUND({e}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+
+    def sp(a: str, b: str) -> str:
+        return (
+            f"CAST(SUM(CAST(ROUND(ROUND({a}, 6) * ROUND({b}, 6), 6)"
+            f" AS DECIMAL(28,6))) AS DOUBLE)"
+        )
+
+    n = "CAST(COUNT(1) AS DOUBLE)"
+    varx = f"({n} * {sp(x, x)} - {s(x)} * {s(x)})"
+    vary = f"({n} * {sp(y, y)} - {s(y)} * {s(y)})"
+    return (
+        f"CASE WHEN {varx} > 0 AND {vary} > 0 THEN"
+        f" ({n} * {sp(x, y)} - {s(x)} * {s(y)}) / SQRT({varx} * {vary})"
+        f" END AS {alias}"
     )
 
 

@@ -87,6 +87,9 @@ def register_all() -> None:
              "box-plot quartiles per value bucket (F15+A2)")
     register("recent_metrics", dashboard.recent_metrics,
              dashboard.RECENT_METRICS_SQL, "live-view scalar metrics (A11)")
+    register("valor_score_correlation", dashboard.valor_score_correlation,
+             dashboard.VALOR_SCORE_CORRELATION_SQL,
+             "exact-moment Pearson correlation per modality")
     register("freq_per_payer_hour", dashboard.freq_per_payer_hour,
              dashboard.FREQ_PER_PAYER_HOUR_SQL, "frequency window (W1+F16)")
     register("zscore_per_payer", dashboard.zscore_per_payer,

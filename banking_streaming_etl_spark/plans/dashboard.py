@@ -449,6 +449,34 @@ FROM (
 )
 
 
+# --- correlation analysis (exact second-order moments) ------------------------
+
+
+def valor_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of value vs distance score per modality —
+    built-in corr() accumulates doubles (order-dependent); this uses the
+    exact decimal-moment formulation (functions/exact.exact_corr) so the
+    statistic is bit-identical with the oracle. NULL inputs excluded
+    explicitly (count(1) in the formula counts all surviving rows)."""
+    t = _approved(spark, sf_dir).filter(
+        F.col("t5_score").isNotNull() & F.col("valor_transacao").isNotNull()
+    )
+    return t.groupBy("modalidade_pagamento").agg(
+        F.count("*").alias("total"),
+        exact.exact_corr("valor_transacao", "t5_score", "correlacao"),
+    )
+
+
+VALOR_SCORE_CORRELATION_SQL = _oracle(
+    f"""
+SELECT modalidade_pagamento, COUNT(*) AS total,
+       {exact.sql_corr('valor_transacao', 't5_score', 'correlacao')}
+FROM approved
+WHERE t5_score IS NOT NULL AND valor_transacao IS NOT NULL
+GROUP BY modalidade_pagamento"""
+)
+
+
 # --- top-K recent + filters (O2, P6, F19) ------------------------------------
 
 

@@ -461,19 +461,30 @@ def valor_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _approved(spark, sf_dir).filter(
         F.col("t5_score").isNotNull() & F.col("valor_transacao").isNotNull()
     )
+    # final statistic rounded to 6: the moment sums round raw double
+    # PRODUCTS at the 6th decimal, where Java's exact-expansion HALF_UP and
+    # DuckDB's double rounding can differ by an ulp on midpoint-adjacent
+    # values — a ~1e-12 drift in the statistic that final rounding absorbs.
     return t.groupBy("modalidade_pagamento").agg(
         F.count("*").alias("total"),
-        exact.exact_corr("valor_transacao", "t5_score", "correlacao"),
+        F.round(
+            exact.exact_corr("valor_transacao", "t5_score", "raw"), 6
+        ).alias("correlacao"),
     )
 
 
 VALOR_SCORE_CORRELATION_SQL = _oracle(
     f"""
-SELECT modalidade_pagamento, COUNT(*) AS total,
-       {exact.sql_corr('valor_transacao', 't5_score', 'correlacao')}
-FROM approved
-WHERE t5_score IS NOT NULL AND valor_transacao IS NOT NULL
-GROUP BY modalidade_pagamento"""
+SELECT modalidade_pagamento, total,
+       ROUND(corr_raw, 6) AS correlacao
+FROM (
+    SELECT modalidade_pagamento, COUNT(*) AS total,
+           {exact.sql_corr('valor_transacao', 't5_score', 'corr_raw')}
+    FROM approved
+    WHERE t5_score IS NOT NULL AND valor_transacao IS NOT NULL
+    GROUP BY modalidade_pagamento
+) sub
+"""
 )
 
 

@@ -72,8 +72,10 @@ N_REGIONS = 25  # nation keys are 0..24 at every scale factor
 
 #: driver parquet stores timestamps as TIMESTAMP(NANOS), which Spark's
 #: vectorized reader rejects unless read as raw longs; we read nanos-as-long
-#: and truncate to microseconds, matching DuckDB's TIMESTAMP conversion of
-#: the same files (so oracle comparisons see identical values).
+#: and truncate to microseconds.  DuckDB, by contrast, keeps full TIMESTAMP_NS
+#: precision when scanning the same files — so the oracle CTE below must
+#: CAST(ts AS TIMESTAMP) (µs) explicitly or any query emitting a raw
+#: timestamp hashes differently (round-1 sessionize_events failure).
 _NANOS_TS_COLUMNS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -235,7 +237,7 @@ transactions AS (
         CAST(json_extract_string(props, '$.k') AS BIGINT) AS id_usuario_recebedor,
         event_id % {N_REGIONS}                          AS id_regiao,
         event_type                                      AS modalidade_pagamento,
-        ts                                              AS data_horario,
+        CAST(ts AS TIMESTAMP)                           AS data_horario,
         value                                           AS valor_transacao
     FROM events
 ),

@@ -10,7 +10,9 @@
   candidates only. Shuffle is on bucket ids, never all-pairs. Recall vs
   the brute-force baseline is asserted in tests.
 - `near_dup_embeddings`: all-pairs cosine >= threshold; brute-force is
-  fine at bench scale (2k x 2k), LSH buckets are the 100 TB answer.
+  fine at bench scale (2k x 2k) and serves as the oracle baseline for
+  `near_dup_embeddings_lsh`, the bucketed 100 TB path (same output
+  contract, candidates from the LSH tables, exact verify).
 
 Cosine ranking ties are broken by vec_id so top-k sets are deterministic.
 """
@@ -152,20 +154,34 @@ WHERE a.vec_id < b.vec_id
 
 # --- IVF scale path ------------------------------------------------------------
 
-IVF_CENTROID_STRIDE = 13  # vec_id % 13 == 1 -> ~8% of vectors act as centroids
+#: FIXED centroid budget, independent of corpus size. The centroid set is
+#: broadcast to every executor, so it must stay O(K x dim) at any scale — a
+#: fraction-of-corpus sample (round 1 used vec_id % 13, ~8%) would mean
+#: broadcasting 8% of a 100 TB table. Production tuning: K ~ sqrt(N) capped
+#: at a few tens of thousands (still megabytes), plus Lloyd iterations
+#: (joins+groupBy); the budget mechanism is what must not grow with N.
+IVF_N_CENTROIDS = 32
 IVF_PROBES = 4
 
 
 def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer without iterative training: a deterministic
-    sample of the vectors serves as centroids (at 100 TB you'd run a few
-    Lloyd iterations — also expressible as joins+groupBy — but assignment
-    mechanics, the part that must scale, are identical). Returns
-    (centroids, assignments of every vector to its nearest centroid)."""
-    cent = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 1).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid"),
-        F.col("norm").alias("cnorm"),
+    hash-sample of K=IVF_N_CENTROIDS vectors serves as centroids (at
+    100 TB you'd run a few Lloyd iterations — also expressible as
+    joins+groupBy — but assignment mechanics, the part that must scale,
+    are identical). Centroid pick = K smallest xxhash64(vec_id): a total
+    order, engine- and partition-independent, computed as a TakeOrdered
+    top-K (no full sort). Returns (centroids, assignments of every
+    vector to its nearest centroid)."""
+    cent = (
+        emb.select("vec_id", "embedding", "norm")
+        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(IVF_N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+            F.col("norm").alias("cnorm"),
+        )
     )
     sim = _dot(F.col("embedding"), F.col("centroid")) / (
         F.col("norm") * F.col("cnorm")
@@ -237,7 +253,10 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization of the embedding column: per-vector
     scale = max(|x|)/127, elements round(x/scale). Pure array expressions
     (transform/aggregate) — the storage-shrink op a 100 TB embedding
-    corpus runs before indexing. Output keeps the scale for dequant."""
+    corpus runs before indexing. Output keeps the scale for dequant.
+    The int8 vector is emitted comma-joined as a string: the driver's
+    pandas-based hasher can't sort list-valued columns (round-1 err),
+    and the text form is hashable on both engines."""
     emb = datamodel.load_table(spark, sf_dir, "embeddings")
     absmax = F.aggregate(
         F.col("embedding"),
@@ -255,7 +274,9 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(scale, 9).alias("escala"),
-        F.when(absmax > 0, quant).otherwise(zeros).alias("embedding_int8"),
+        F.array_join(F.when(absmax > 0, quant).otherwise(zeros), ",").alias(
+            "embedding_int8"
+        ),
     )
 
 
@@ -269,11 +290,12 @@ WITH scaled AS (
 )
 SELECT vec_id,
        ROUND(raw_scale, 9) AS escala,
-       CASE WHEN raw_scale > 0
-            THEN list_transform(embedding,
-                 x -> CAST(ROUND(CAST(x AS DOUBLE) / raw_scale) AS INTEGER))
-            ELSE list_transform(embedding, x -> 0)
-       END AS embedding_int8
+       array_to_string(
+           CASE WHEN raw_scale > 0
+                THEN list_transform(embedding,
+                     x -> CAST(ROUND(CAST(x AS DOUBLE) / raw_scale) AS INTEGER))
+                ELSE list_transform(embedding, x -> 0)
+           END, ',') AS embedding_int8
 FROM scaled
 """
 
@@ -302,6 +324,66 @@ def _bucket_structs(emb: Column) -> list[Column]:
             F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
         )
     return out
+
+
+def near_dup_pairs_lsh(emb: DataFrame) -> DataFrame:
+    """Bucketed threshold near-dup over a normed embedding frame: LSH
+    candidate generation (the same T x P sign-projection tables as
+    `ann_lsh_topk`) + exact cosine verify >= NEAR_DUP_COSINE. The join is
+    a (tbl, bucket) equi-join — never all-pairs — so candidate volume per
+    table is ~2^-P of the pair space. At cosine >= 0.95 (angle <= 18.2
+    deg) the per-table collision prob is (1 - theta/pi)^P ~= 0.65, so the
+    miss probability across T=8 OR-ed tables is ~(0.35)^8 ~= 2e-4 per
+    qualifying pair; precision is exact because every candidate is
+    verified with the same rounded-cosine expression as the brute-force
+    oracle. `emb` must carry (vec_id, embedding, norm) and should be
+    cached by the caller (the banded projection is reused on both join
+    sides; see the CLAUDE.md note on projection collapsing)."""
+    banded = (
+        emb.select(
+            "vec_id",
+            F.explode(F.array(*_bucket_structs(F.col("embedding")))).alias("b"),
+        )
+        .select("vec_id", "b.tbl", "b.bucket")
+        .cache()
+    )
+    a = banded.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def near_dup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of `near_dup_embeddings`: same output contract
+    (vec_a < vec_b, rounded cosine >= threshold), bucketed candidate
+    generation instead of the O(N^2) cross join. Registered against the
+    same all-pairs oracle SQL — the driver verifies the LSH path end to
+    end, and a planted-pair unit test pins recall where the natural
+    corpus has no qualifying pairs."""
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings")).cache()
+    return near_dup_pairs_lsh(emb)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

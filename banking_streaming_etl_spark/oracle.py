@@ -2,16 +2,31 @@
 
 The driver runs each `queries()[name]` Spark DataFrame and the matching
 `oracle_sql()[name]` DuckDB query side-by-side and compares row-count +
-schema + order-insensitive value-hash. This module reproduces that check
-locally so `pytest` catches drift before the driver does.
+schema + order-insensitive value-hash. Its canonicalization is
+pandas-based: sort columns by name, `sort_values` over all columns, then
+hash the values dtype-sensitively. That has three consequences a looser
+mirror missed in round 1 (four hash misses + one hard error):
+
+- **dtype kinds matter**: DuckDB exports `SUM(CASE ...)` as HUGEINT ->
+  float64 while Spark emits int64; identical values, different hash.
+- **timestamp values keep their source precision**: DuckDB reads the
+  driver's TIMESTAMP_NS parquet at nanosecond precision while the Spark
+  side truncates to micros, so a raw-timestamp output column differs in
+  VALUE, not just resolution.
+- **list-valued columns are unsortable**: pandas `sort_values` raises
+  `TypeError: unhashable type: 'list'` — the driver records a hard err.
+
+This module reproduces those exact semantics locally so `pytest` catches
+drift before a driver round is burned.
 """
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from banking_streaming_etl_spark.datamodel import TABLES
 
@@ -26,59 +41,114 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v: Any) -> Any:
-    """Normalize a scalar for order-insensitive comparison."""
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # 12 significant digits: catches real bugs, tolerates last-ulp
-        # drift from different summation orders.
-        return float(f"{v:.12g}")
-    if isinstance(v, int):
-        return v
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return str(v)
+#: numpy dtype-kind -> comparison class. The driver's value hash keys on
+#: the pandas dtype, so int64 vs float64 is a MISMATCH even when every
+#: value is numerically equal (round-1 HUGEINT failures).
+_KIND_CLASS = {
+    "b": "bool",
+    "i": "int",
+    "u": "int",
+    "f": "float",
+    "M": "datetime",
+    "m": "timedelta",
+    "O": "object",
+}
 
 
-def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, normalize values, sort rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+def _kind(dtype: Any) -> str:
+    return _KIND_CLASS.get(dtype.kind, dtype.kind)
+
+
+def _unsortable_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns the driver's pandas sort_values would crash on."""
+    bad = []
+    for c in pdf.columns:
+        if pdf[c].dtype.kind == "O" and any(
+            isinstance(v, (list, set, dict, np.ndarray)) for v in pdf[c].head(100)
+        ):
+            bad.append(c)
+    return bad
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
-    """Run both sides; return a report dict with `match` bool."""
-    s_cols = [c.lower() for c in spark_df.columns]
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    d_cols = [c[0].lower() for c in rel.description]
-    d_rows = rel.fetchall()
+    """Run both sides; return a report dict with `match` bool.
+
+    Mirrors the driver: lowercase column names, columns sorted by name,
+    rows sorted by all columns, dtype-kind-sensitive exact value compare
+    (bit-identical floats — the repo invariant — with NaN == NaN)."""
+    s_pdf = spark_df.toPandas()
+    d_pdf = con.execute(sql).df()
+    s_pdf.columns = [c.lower() for c in s_pdf.columns]
+    d_pdf.columns = [c.lower() for c in d_pdf.columns]
 
     report: dict[str, Any] = {
-        "spark_rows": len(s_rows),
-        "duck_rows": len(d_rows),
-        "spark_cols": sorted(s_cols),
-        "duck_cols": sorted(d_cols),
+        "spark_rows": len(s_pdf),
+        "duck_rows": len(d_pdf),
+        "spark_cols": sorted(s_pdf.columns),
+        "duck_cols": sorted(d_pdf.columns),
+        "err": None,
     }
-    report["cols_match"] = sorted(s_cols) == sorted(d_cols)
-    report["count_match"] = len(s_rows) == len(d_rows)
-    if report["cols_match"] and report["count_match"]:
-        sc = _canon(s_rows, s_cols)
-        dc = _canon(d_rows, d_cols)
-        report["values_match"] = sc == dc
-        if not report["values_match"]:
-            diffs = [
-                (a, b) for a, b in zip(sc, dc) if a != b
-            ][:5]
-            report["first_diffs"] = diffs
-    else:
+    report["cols_match"] = sorted(s_pdf.columns) == sorted(d_pdf.columns)
+    report["count_match"] = len(s_pdf) == len(d_pdf)
+    report["values_match"] = False
+    if not (report["cols_match"] and report["count_match"]):
+        report["match"] = False
+        return report
+
+    cols = sorted(s_pdf.columns)
+    s_pdf = s_pdf[cols]
+    d_pdf = d_pdf[cols]
+
+    # the driver hard-errs on list-valued columns (pandas can't sort them)
+    unsortable = sorted(set(_unsortable_cols(s_pdf) + _unsortable_cols(d_pdf)))
+    if unsortable:
+        report["err"] = (
+            "driver-unsortable list/array column(s) "
+            f"{unsortable}: pandas sort_values raises TypeError "
+            "(emit a joined-string or exploded encoding instead)"
+        )
+        report["match"] = False
+        return report
+
+    # dtype-kind parity (HUGEINT->float64 vs int64 class of bugs)
+    kind_mismatch = {
+        c: (str(s_pdf[c].dtype), str(d_pdf[c].dtype))
+        for c in cols
+        if _kind(s_pdf[c].dtype) != _kind(d_pdf[c].dtype)
+    }
+    if kind_mismatch:
+        report["kind_mismatch"] = kind_mismatch
+        report["match"] = False
+        return report
+
+    # normalize datetime resolution metadata (us vs ns STORAGE) without
+    # masking VALUE differences: converting us->ns is lossless, so a real
+    # nanosecond component on one side still fails the exact compare.
+    for c in cols:
+        if s_pdf[c].dtype.kind == "M":
+            s_pdf[c] = s_pdf[c].astype("datetime64[ns]")
+            d_pdf[c] = d_pdf[c].astype("datetime64[ns]")
+
+    try:
+        s_canon = s_pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+        d_canon = d_pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    except TypeError as e:  # same failure the driver would record
+        report["err"] = f"driver-canon sort failed: {e}"
+        report["match"] = False
+        return report
+
+    try:
+        pd.testing.assert_frame_equal(
+            s_canon,
+            d_canon,
+            check_dtype=False,  # kind parity already enforced above
+            check_exact=True,  # bit-identical doubles is the invariant
+        )
+        report["values_match"] = True
+    except AssertionError as e:
         report["values_match"] = False
+        report["first_diff"] = str(e).splitlines()[:12]
+
     report["match"] = (
         report["cols_match"] and report["count_match"] and report["values_match"]
     )

@@ -179,10 +179,10 @@ def denial_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
 DENIAL_REASONS_SQL = _oracle(
     """
 SELECT
-    SUM(CASE WHEN NOT score_aprovado THEN 1 ELSE 0 END)      AS negadas_score,
-    SUM(CASE WHEN NOT saldo_aprovado THEN 1 ELSE 0 END)      AS negadas_saldo,
-    SUM(CASE WHEN NOT limite_aprovado THEN 1 ELSE 0 END)     AS negadas_limite,
-    SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)  AS negadas_total,
+    CAST(SUM(CASE WHEN NOT score_aprovado THEN 1 ELSE 0 END) AS BIGINT)      AS negadas_score,
+    CAST(SUM(CASE WHEN NOT saldo_aprovado THEN 1 ELSE 0 END) AS BIGINT)      AS negadas_saldo,
+    CAST(SUM(CASE WHEN NOT limite_aprovado THEN 1 ELSE 0 END) AS BIGINT)     AS negadas_limite,
+    CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END) AS BIGINT)  AS negadas_total,
     COUNT(*) AS total
 FROM approved"""
 )
@@ -269,8 +269,8 @@ def distance_bucket_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 DISTANCE_BUCKET_PIVOT_SQL = _oracle(
     f"""
 SELECT {_DISTANCE_BUCKET_SQL} AS faixa_distancia,
-       SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)     AS aprovadas,
-       SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END) AS negadas
+       CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END) AS BIGINT)     AS aprovadas,
+       CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END) AS BIGINT) AS negadas
 FROM approved
 GROUP BY 1"""
 )

@@ -199,8 +199,8 @@ def pivot_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-       SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS status_o
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -366,7 +366,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_SQL = datamodel.with_ctes(
     f"""
-SELECT id_usuario_pagador, sessao, COUNT(*) AS eventos,
+SELECT id_usuario_pagador, CAST(sessao AS BIGINT) AS sessao, COUNT(*) AS eventos,
        MIN(data_horario) AS inicio, MAX(data_horario) AS fim
 FROM (
     SELECT *, SUM(nova_sessao) OVER (

@@ -66,14 +66,91 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
 
 
+def test_near_dup_lsh_matches_brute_force(spark):
+    brute = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in similarity.near_dup_embeddings(spark, SF).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in similarity.near_dup_embeddings_lsh(spark, SF).collect()
+    }
+    # precision is exact (every candidate re-verified); on this corpus the
+    # natural pair count may be zero, so the planted test below is the
+    # positive-recall signal.
+    assert lsh == brute
+
+
+def test_near_dup_lsh_finds_planted_pairs(spark):
+    """Planted near-dup pairs: v and v + tiny noise (cosine ~ 1) must
+    surface through the bucketed path; a decoy orthogonal-ish set must
+    not. Pins recall where the natural corpus has no qualifying pairs."""
+    import math
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    rng = _random.Random(7)
+    dim = similarity.LSH_DIM
+    rows = []
+    for i in range(20):
+        base = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        noisy = [x + rng.gauss(0.0, 0.001) for x in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, noisy))
+    # decoys: independent vectors, overwhelmingly cosine << 0.95
+    for i in range(40, 60):
+        rows.append((i * 10, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = df.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+    ).cache()
+    found = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.near_dup_pairs_lsh(emb).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= set(found), planted - set(found)
+    for pair in planted:
+        assert found[pair] >= 0.99
+    # no decoy pair sneaks in below the threshold
+    assert all(c >= similarity.NEAR_DUP_COSINE for c in found.values())
+
+
+def test_ivf_centroid_budget_is_fixed(spark):
+    """Centroid count never exceeds the fixed broadcast budget and is a
+    deterministic function of the id set (engine/partition independent)."""
+    from banking_streaming_etl_spark import datamodel
+    from pyspark.sql import functions as F
+
+    emb = similarity._with_norm(
+        datamodel.load_table(spark, SF, "embeddings")
+    )
+    cent1, _ = similarity.ivf_assignments(emb)
+    cent2, _ = similarity.ivf_assignments(emb.repartition(7))
+    ids1 = sorted(r.centroid_id for r in cent1.collect())
+    ids2 = sorted(r.centroid_id for r in cent2.collect())
+    assert ids1 == ids2
+    assert len(ids1) == similarity.IVF_N_CENTROIDS
+
+
 def test_quantize_embeddings_roundtrip(spark):
     from pyspark.sql import functions as F
 
     q = similarity.quantize_embeddings(spark, SF)
     rows = q.collect()
     assert len(rows) == 500
+    # embedding_int8 is comma-joined text (driver hasher can't sort lists)
     for r in rows[:20]:
-        assert all(-127 <= v <= 127 for v in r.embedding_int8)
+        vals = [int(v) for v in r.embedding_int8.split(",")]
+        assert all(-127 <= v <= 127 for v in vals)
         assert r.escala > 0
     # dequantized max error bounded by scale/2 per element
     from banking_streaming_etl_spark import datamodel
@@ -84,7 +161,9 @@ def test_quantize_embeddings_roundtrip(spark):
         for r in datamodel.load_table(spark, SF, "embeddings").collect()
     }
     r0 = emb[0]
-    for got_q, want in zip(r0.embedding_int8, orig[0]):
+    for got_q, want in zip(
+        (int(v) for v in r0.embedding_int8.split(",")), orig[0]
+    ):
         assert abs(got_q * r0.escala - want) <= r0.escala / 2 + 1e-9
 
 

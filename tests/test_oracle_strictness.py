@@ -1,0 +1,130 @@
+"""Regression tests for the driver-strict oracle mirror.
+
+Round 1 burned a driver round on four hash misses + one hard error that
+the (then looser) local gate could not see. Each test below reproduces
+one failure class against `oracle.compare` and asserts the mirror now
+flags it — plus the positive twin proving the fixed encoding passes.
+
+Failure classes (VERDICT round 1, "What's wrong"):
+1. DuckDB `SUM(CASE ...)` exports HUGEINT -> float64 vs Spark int64
+   (denial_reasons, distance_bucket_pivot, pivot_returnflag_linestatus).
+2. Window `SUM(<int>)` exports HUGEINT -> float64 too — the actual
+   sessionize_events culprit: its `sessao` cumulative-sum output column.
+   (The round-1 verdict blamed TIMESTAMP_NS nanoseconds, but this
+   DuckDB build truncates TIMESTAMP_NS to micros in both DESCRIBE and
+   the pandas export, so raw timestamps compare clean; the shared-CTE
+   `CAST(ts AS TIMESTAMP)` is kept anyway as future-proofing against a
+   ns-preserving DuckDB on the driver.)
+3. List-valued output columns crash the driver's pandas sort
+   (quantize_embeddings).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from banking_streaming_etl_spark.oracle import compare
+
+
+@pytest.fixture(scope="module")
+def mem_duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def test_hugeint_sum_case_is_flagged(spark, mem_duck):
+    """Class 1: identical values, int64 vs HUGEINT->float64 must MISMATCH."""
+    sdf = spark.createDataFrame([(5,)], "n long")
+    report = compare(
+        sdf, mem_duck, "SELECT SUM(CASE WHEN TRUE THEN 1 ELSE 0 END) AS n FROM range(5)"
+    )
+    assert not report["match"], report
+    assert "kind_mismatch" in report, report
+
+    fixed = compare(
+        sdf,
+        mem_duck,
+        "SELECT CAST(SUM(CASE WHEN TRUE THEN 1 ELSE 0 END) AS BIGINT) AS n "
+        "FROM range(5)",
+    )
+    assert fixed["match"], fixed
+
+
+def test_hugeint_window_sum_is_flagged(spark, mem_duck):
+    """Class 2: integer window SUM (sessionize's `sessao`) -> float64."""
+    sdf = spark.createDataFrame([(1,)], "s long")
+    bad = "SELECT SUM(x) OVER () AS s FROM (SELECT 1 AS x)"
+    report = compare(sdf, mem_duck, bad)
+    assert not report["match"], report
+    assert "kind_mismatch" in report, report
+
+    fixed = compare(
+        sdf, mem_duck, f"SELECT CAST(s AS BIGINT) AS s FROM ({bad})"
+    )
+    assert fixed["match"], fixed
+
+
+def test_timestamp_resolution_metadata_tolerated(spark, mem_duck):
+    """Same instant at us (Spark) vs whatever resolution DuckDB exports
+    must PASS — only value differences may fail."""
+    sdf = spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00.000123' AS ts")
+    fixed = compare(
+        sdf,
+        mem_duck,
+        "SELECT CAST(TIMESTAMP_NS '2024-01-01 00:00:00.000123456' AS TIMESTAMP) AS ts",
+    )
+    assert fixed["match"], fixed
+
+
+def test_list_column_is_flagged_as_driver_unsortable(spark, mem_duck):
+    """Class 3: list-valued columns crash the driver's canonical sort."""
+    sdf = spark.createDataFrame([(1, [1, 2, 3])], "id long, a array<int>")
+    report = compare(sdf, mem_duck, "SELECT 1 AS id, [1, 2, 3] AS a")
+    assert not report["match"], report
+    assert report["err"] and "unsortable" in report["err"], report
+
+    # the fixed encoding: comma-joined text on both sides
+    sdf2 = spark.createDataFrame([(1, "1,2,3")], "id long, a string")
+    fixed = compare(
+        sdf2, mem_duck, "SELECT 1 AS id, array_to_string([1, 2, 3], ',') AS a"
+    )
+    assert fixed["match"], fixed
+
+
+def test_driver_window_holds_all_oracle_backed_priority_queries():
+    """The verify driver checks only the FIRST 50 registered queries; every
+    one of those slots must carry an oracle (no rows-only query may waste
+    a slot), and the family-critical queries must sit inside the window."""
+    from banking_streaming_etl_spark import registry
+
+    names = list(registry.all_queries())
+    window = names[:50]
+    q = registry.all_queries()
+    wasted = [n for n in window if q[n].oracle is None]
+    assert wasted == [], f"rows-only queries inside the driver window: {wasted}"
+
+    must_be_checked = {
+        "approval_pipeline",
+        "q1_pricing_summary",
+        "sessionize_events",
+        "denial_reasons",
+        "distance_bucket_pivot",
+        "pivot_returnflag_linestatus",
+        "quantize_embeddings",
+        "dedup_minhash_lsh",
+        "near_dup_embeddings_lsh",
+        "asof_balance_at_tx",
+        "range_join_tx_in_alert_window",
+        "payer_chains_batch",
+        "scd2_user_history",
+        "tfidf_terms",
+        "winnowing_fingerprints",
+        "train_test_split_docs",
+        "coerced_casts",
+        "score_recombination",
+        "minmax_normalize_window",
+    }
+    missing = must_be_checked - set(window)
+    assert missing == set(), f"family-critical queries outside the window: {missing}"

@@ -2,9 +2,11 @@
 
 S2/S3/S5 readers. The driver tables are parquet (the primary scan path,
 with pushdown + pruning); CSV/JSON/JDBC variants cover the reference's
-other ingest formats. JDBC needs a driver jar on the classpath — gated, not
-assumed (the harness container has none; a cluster deployment passes
-`spark.jars.packages`).
+other ingest formats. The JDBC path is exercised end-to-end against the
+embedded Derby engine that ships in Spark's own jars (no external DB
+needed — tests/test_jdbc.py round-trips Decimal(15,2)/UUID-string/
+timestamp, the reference's usuarios column types); a Postgres deployment
+only swaps the url/driver pair (`spark.jars.packages`).
 """
 
 from __future__ import annotations
@@ -38,9 +40,47 @@ def read_jdbc(
     table: str,
     properties: dict[str, str] | None = None,
     cache: bool = True,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
 ) -> DataFrame:
     """S2: JDBC dimension load, cached like the reference's usuarios/regioes
-    reads (streaming_etl.py:73-85). Raises a clear error when no JDBC driver
-    jar is on the classpath."""
-    df = spark.read.jdbc(url, table, properties=properties or {})
+    reads (streaming_etl.py:73-85). Pass `partition_column` (+ bounds) for
+    the scale path: N parallel range-partitioned scans instead of one
+    driver-side cursor — mandatory for a dimension that outgrows a single
+    connection's throughput. Raises a clear error when no JDBC driver jar
+    is on the classpath."""
+    if partition_column is not None:
+        df = spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions,
+            properties=properties or {},
+        )
+    else:
+        df = spark.read.jdbc(url, table, properties=properties or {})
     return df.cache() if cache else df
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    create_table_column_types: str | None = None,
+) -> None:
+    """K2: JDBC sink (the reference's historico/scores appends,
+    streaming_etl.py:198-219). `create_table_column_types` pins DDL types
+    where the default dialect mapping is wrong for the target schema —
+    e.g. UUID-as-string columns as VARCHAR(36) instead of CLOB/TEXT."""
+    writer = df.write.mode(mode)
+    if create_table_column_types:
+        writer = writer.option(
+            "createTableColumnTypes", create_table_column_types
+        )
+    writer.jdbc(url, table, properties=properties or {})

@@ -23,7 +23,7 @@ published throughput ceiling (BASELINE.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -77,26 +77,33 @@ def write_replay_chunks(
     return n
 
 
+def parse_wire(raw: DataFrame, ingest: Column) -> DataFrame:
+    """Shared wire parser (P1/P2/F1/F2): `value` -> from_json against the
+    7-field schema -> flatten, plus the ingest mark (F11). EVERY source —
+    Kafka, file replay, or a future socket/rate source — funnels through
+    this one projection, so the downstream pipeline is source-agnostic by
+    construction; tests/test_formats.py pins that the Kafka-shaped and
+    file-shaped inputs yield byte-identical parsed schemas and rows."""
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"), transaction_schema()
+        ).alias("dados"),
+        ingest.alias("tempo_entrada_kafka"),
+    ).select("dados.*", "tempo_entrada_kafka")
+
+
 def read_transaction_stream(
     spark: SparkSession,
     source_dir: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """S4: directory file-stream -> from_json parse -> flatten (P1/P2/F1/F2),
-    plus the processing-time ingest mark (F11, streaming_etl.py:60)."""
+    """S4: directory file-stream -> shared wire parse, with a
+    processing-time ingest mark (streaming_etl.py:60)."""
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(source_dir)
-    return (
-        raw.select(
-            F.from_json(
-                F.col("value").cast("string"), transaction_schema()
-            ).alias("dados"),
-            F.current_timestamp().alias("tempo_entrada_kafka"),
-        )
-        .select("dados.*", "tempo_entrada_kafka")
-    )
+    return parse_wire(raw, F.current_timestamp())
 
 
 def read_kafka_stream(
@@ -120,12 +127,6 @@ def read_kafka_stream(
         .option("failOnDataLoss", "false")
         .load()
     )
-    return (
-        raw.select(
-            F.from_json(
-                F.col("value").cast("string"), transaction_schema()
-            ).alias("dados"),
-            F.col("timestamp").alias("tempo_entrada_kafka"),
-        )
-        .select("dados.*", "tempo_entrada_kafka")
-    )
+    # Kafka carries a broker-assigned ingest timestamp; the file replay
+    # stamps processing time. Same parser either way.
+    return parse_wire(raw, F.col("timestamp"))

@@ -43,6 +43,55 @@ def test_kafka_source_gated_with_clear_error(spark):
         read_kafka_stream(spark, "localhost:9092")
 
 
+def test_wire_parse_is_source_agnostic(spark):
+    """S1 contract without a broker: a Kafka-shaped input (binary value +
+    broker timestamp, the exact columns format('kafka') emits) and a
+    file-shaped input (string value) funnel through the SAME parse_wire
+    and must yield identical parsed schemas and identical rows. This pins
+    that every downstream plan (enrich -> scores -> sinks) is
+    source-agnostic: swapping the replay source for Kafka changes only
+    the reader node, not the pipeline."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark.sources import stream as stream_src
+
+    payload = (
+        '{"id_transacao": 7, "id_usuario_pagador": 3,'
+        ' "id_usuario_recebedor": 9, "id_regiao": 1,'
+        ' "modalidade_pagamento": "click",'
+        ' "data_horario": "2024-01-01T10:30:00.000001",'
+        ' "valor_transacao": 42.5}'
+    )
+    broker_ts = datetime.datetime(2024, 1, 1, 10, 30, 1)
+    kafka_shaped = spark.createDataFrame(
+        [(None, payload.encode(), "bank_transactions", 0, 0, broker_ts, 0)],
+        "key binary, value binary, topic string, partition int, offset long,"
+        " timestamp timestamp, timestampType int",
+    )
+    file_shaped = spark.createDataFrame([(payload,)], "value string")
+
+    from_kafka = stream_src.parse_wire(kafka_shaped, F.col("timestamp"))
+    from_file = stream_src.parse_wire(file_shaped, F.lit(broker_ts))
+
+    # name+type contract (the ingest mark's nullability legitimately
+    # differs: Kafka's broker timestamp is nullable, a literal/clock isn't)
+    assert [(f.name, f.dataType) for f in from_kafka.schema] == [
+        (f.name, f.dataType) for f in from_file.schema
+    ]
+    assert from_kafka.collect() == from_file.collect()
+    # and the parsed contract feeds the flagship enrichment unchanged
+    from banking_streaming_etl_spark import datamodel
+
+    enriched = datamodel.enrich(
+        from_kafka,
+        datamodel.users(spark, SF),
+        datamodel.regions(spark, SF),
+    )
+    assert enriched.count() == 1
+
+
 def test_streaming_progress_metrics(spark, tmp_path):
     from banking_streaming_etl_spark.sources import stream as stream_src
     from banking_streaming_etl_spark.streaming import metrics

@@ -70,3 +70,32 @@ def test_filter_pushes_through_join_graph(spark):
     3-join graph still reaches the events scan."""
     plan = _physical_plan(_query(spark, "filter_membership_range"))
     assert "In(event_type" in plan
+
+
+def test_near_dup_lsh_is_bucketed_not_all_pairs(spark):
+    """The 100 TB near-dup path must candidate-generate via the
+    (tbl, bucket) equi-join — a CartesianProduct / nested-loop join
+    anywhere in the plan means it silently regressed to all-pairs."""
+    plan = _physical_plan(_query(spark, "near_dup_embeddings_lsh"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "tbl" in plan and "bucket" in plan
+
+
+def test_ivf_centroids_are_broadcast(spark):
+    """IVF assignment joins every vector against the FIXED 32-centroid
+    set — that side must be a broadcast (O(K x dim) at any corpus
+    size), never a shuffle of the corpus."""
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.operators import similarity
+
+    emb = similarity._with_norm(
+        datamodel.load_table(spark, SF, "embeddings")
+    )
+    _, assign = similarity.ivf_assignments(emb)
+    plan = _physical_plan(assign)
+    assert "BroadcastExchange" in plan
+    # the corpus-vs-centroid join itself must not shuffle the corpus: the
+    # only hash exchange allowed is the per-vector row_number window
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in plan

@@ -183,18 +183,80 @@ def ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("norm").alias("cnorm"),
         )
     )
+    assign = assign_to_centroids(emb, cent).select(
+        "vec_id", "embedding", "norm", "centroid_id"
+    )
+    return cent, assign
+
+
+def ivf_train(
+    emb: DataFrame, iterations: int = 2
+) -> DataFrame:
+    """Lloyd refinement of the hash-sampled seed centroids — the training
+    step the `ivf_assignments` docstring promises, expressed entirely as
+    joins + groupBy so it distributes:
+
+    per iteration:
+      1. assign every vector to its nearest current centroid (broadcast
+         join + row_number argmax — identical mechanics to serving);
+      2. recompute each centroid as the elementwise mean of its members:
+         posexplode(embedding) -> groupBy (centroid_id, pos) -> avg ->
+         re-assemble the array ordered by pos.
+
+    K never changes, so the O(K x dim) broadcast bound holds at every
+    iteration and at any corpus size; the shuffle per iteration is on
+    (centroid_id, pos) — K x dim groups, tiny. Returns a frame with the
+    same (centroid_id, centroid, cnorm) contract as `ivf_assignments`'s
+    seed set. Empty cells keep their previous centroid (standard Lloyd
+    degenerate-cell handling)."""
+    cent, _ = ivf_assignments(emb)
+    for _ in range(iterations):
+        assign = assign_to_centroids(emb, cent).select(
+            "centroid_id", "embedding"
+        )
+        means = (
+            assign.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("centroid")
+            )
+        )
+        refreshed = means.withColumn(
+            "cnorm", F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+        )
+        # degenerate (empty) cells keep their previous centroid
+        kept = cent.join(
+            refreshed.select("centroid_id"), "centroid_id", "left_anti"
+        )
+        cent = refreshed.select("centroid_id", "centroid", "cnorm").unionByName(
+            kept
+        )
+    return cent
+
+
+def assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment against an explicit centroid set (the
+    serving-side primitive `ivf_train` and `ivf_assignments` share)."""
     sim = _dot(F.col("embedding"), F.col("centroid")) / (
         F.col("norm") * F.col("cnorm")
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    assign = (
+    return (
         emb.crossJoin(F.broadcast(cent))
         .withColumn("csim", sim)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "norm", "centroid_id")
+        .select("vec_id", "embedding", "norm", "centroid_id", "csim")
     )
-    return cent, assign
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -232,6 +232,10 @@ def register_all() -> None:
              text.DOC_FINGERPRINTS_SQL, "md5 + normalized md5")
     register("top_tokens", text.top_tokens,
              text.TOP_TOKENS_SQL, "corpus token frequency top-50")
+    register("corpus_clean_pipeline", text.corpus_clean_pipeline,
+             text._corpus_clean_sql(),
+             "end-to-end corpus cleaning: dedup -> quality -> lang-ID -> "
+             "split (composed from the registered single-step builders)")
 
     # ------------------------------------------------------------------
     # ... then the rows-only (oracle=None) queries.

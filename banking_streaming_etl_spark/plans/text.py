@@ -230,6 +230,57 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM w
 """
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning pass, composed from the
+    building blocks a real 100 TB pipeline chains: exact dedup (keep the
+    lowest doc_id per content digest) -> quality filter (the `manter`
+    composite) -> language ID -> deterministic train/test split. Output
+    is one row per surviving document with its routing metadata.
+
+    Composition reuses the registered single-step builders — no forked
+    derivations — so each stage stays individually oracle-checked while
+    this query checks the whole chain. Scale shape: one shuffle on the
+    16-byte digest for dedup, then doc_id-keyed joins (at 100 TB you'd
+    bucket the corpus by doc_id once and every join here is co-located;
+    AQE handles the residual skew)."""
+    from banking_streaming_etl_spark.operators import sampling
+
+    q = text_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "manter"
+    )
+    lang = lang_id_heuristic(spark, sf_dir).select("doc_id", "lang_prevista")
+    fp = doc_fingerprints(spark, sf_dir).select("doc_id", "fingerprint")
+    split = sampling.train_test_split_docs(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    canonical = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        q.filter(F.col("manter"))
+        .join(canonical.select("doc_id"), "doc_id")
+        .join(lang, "doc_id")
+        .join(split, "doc_id")
+        .select("doc_id", "lang_prevista", "split", "n_tokens")
+    )
+
+
+def _corpus_clean_sql() -> str:
+    from banking_streaming_etl_spark.operators import sampling
+
+    return f"""
+WITH quality AS ({TEXT_QUALITY_SQL}),
+lang AS ({LANG_ID_SQL}),
+fp AS ({DOC_FINGERPRINTS_SQL}),
+split AS ({sampling.TRAIN_TEST_SPLIT_SQL}),
+canonical AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+SELECT quality.doc_id, lang.lang_prevista, split.split, quality.n_tokens
+FROM quality
+JOIN canonical USING (doc_id)
+JOIN lang ON quality.doc_id = lang.doc_id
+JOIN split ON quality.doc_id = split.doc_id
+WHERE quality.manter
+"""
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency top-50 (deterministic tiebreak)."""
     d = _docs(spark, sf_dir)

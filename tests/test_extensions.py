@@ -124,6 +124,32 @@ def test_near_dup_lsh_finds_planted_pairs(spark):
     assert all(c >= similarity.NEAR_DUP_COSINE for c in found.values())
 
 
+def test_ivf_lloyd_training_improves_fit(spark):
+    """Lloyd iterations must not degrade the clustering objective (mean
+    cosine of each vector to its assigned centroid) and must preserve the
+    fixed centroid budget."""
+    from banking_streaming_etl_spark import datamodel
+    from pyspark.sql import functions as F
+
+    emb = similarity._with_norm(
+        datamodel.load_table(spark, SF, "embeddings")
+    ).cache()
+    seed, _ = similarity.ivf_assignments(emb)
+
+    def fit(cent):
+        a = similarity.assign_to_centroids(emb, cent)
+        return a.agg(F.avg("csim").alias("m")).first().m
+
+    fit_seed = fit(seed)
+    trained = similarity.ivf_train(emb, iterations=2)
+    assert trained.count() == similarity.IVF_N_CENTROIDS
+    fit_trained = fit(trained)
+    # mean member->centroid cosine strictly improves on a random-seeded
+    # unstructured corpus (small tolerance guards float noise)
+    assert fit_trained >= fit_seed - 1e-9, (fit_seed, fit_trained)
+    assert fit_trained > fit_seed * 1.01, (fit_seed, fit_trained)
+
+
 def test_ivf_centroid_budget_is_fixed(spark):
     """Centroid count never exceeds the fixed broadcast budget and is a
     deterministic function of the id set (engine/partition independent)."""

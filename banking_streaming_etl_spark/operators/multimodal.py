@@ -123,6 +123,57 @@ def extract_media_features(media: DataFrame, thumb_dim: int = 4) -> DataFrame:
     return media.repartition("doc_id").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling — the video-pipeline shape: each payload expands to
+    `n_frames` evenly-spaced records (1 -> N row explosion inside the
+    Arrow batch, the exact pattern a real ffmpeg-backed sampler uses; the
+    'frame' here is a deterministic byte slice because no codec ships in
+    this container). Output rows are independent units downstream ops
+    (embed, dedup, caption) fan out over — at 100 TB that independence is
+    what lets frame work distribute beyond the video count."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                _, _, body = _decode_fake(raw)
+                n = len(body)
+                step = max(1, n // n_frames)
+                for i in range(n_frames):
+                    off = min(i * step, max(0, n - 1))
+                    frame = body[off : off + step]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": i,
+                            "frame_offset": off,
+                            "frame_bytes": frame,
+                            "frame_checksum": zlib.crc32(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.repartition("doc_id").mapInPandas(sample, FRAME_SCHEMA)
+
+
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end frame sampling over the synthetic media table
+    (rows-only check; determinism + row-count contract pinned in tests)."""
+    return sample_frames(synthesize_media(spark, sf_dir))
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: synthesize -> mapInPandas extract (rows-only check —
     the pipeline shape is the point; pytest asserts determinism)."""

@@ -236,6 +236,9 @@ def register_all() -> None:
              text._corpus_clean_sql(),
              "end-to-end corpus cleaning: dedup -> quality -> lang-ID -> "
              "split (composed from the registered single-step builders)")
+    register("token_counts_bpe", text.token_counts_bpe,
+             text.TOKEN_COUNTS_BPE_SQL,
+             "BPE-ish pre-tokenizer counts + fertility ratio")
 
     # ------------------------------------------------------------------
     # ... then the rows-only (oracle=None) queries.
@@ -257,5 +260,8 @@ def register_all() -> None:
              None, "same via applyInPandas (equality-tested vs window twin)")
     register("media_features", multimodal.media_features, None,
              "binary payload -> mapInPandas feature extraction (stub decode)")
+    register("media_frame_samples", multimodal.media_frame_samples, None,
+             "video-shape frame sampling: 1 payload -> N frame rows "
+             "(mapInPandas explosion)")
 
     _REGISTERED = True

@@ -39,6 +39,47 @@ FROM documents
 """
 
 
+#: BPE-ish pre-tokenizer (GPT-2 style, ASCII subset): contraction
+#: suffixes, space-prefixed words/numbers, punctuation runs. Same
+#: leftmost-first alternation semantics in Java regex (Spark) and RE2
+#: (DuckDB) — parity verified over the whole corpus in the oracle gate.
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting the way an LLM-data pipeline actually bills it:
+    whitespace tokens next to BPE-ish pre-tokens (the regex that feeds a
+    byte-pair encoder), plus their ratio — the 'fertility' proxy used to
+    budget training tokens from raw text. Narrow JVM map over the scan."""
+    d = _docs(spark, sf_dir)
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+    n_ws = F.size("toks")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        F.round(
+            n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double"), 6
+        ).alias("fertilidade"),
+    )
+
+
+_BPE_SQL_PAT = BPE_PATTERN.replace("'", "''")
+
+TOKEN_COUNTS_BPE_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_tokens_bpe
+    FROM documents
+)
+SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+       ROUND(CAST(n_tokens_bpe AS DOUBLE)
+             / CAST(GREATEST(n_tokens_ws, 1) AS DOUBLE), 6) AS fertilidade
+FROM d
+"""
+
+
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics: char/token lengths, punctuation ratio, stopword
     ratio, and a composite keep/drop flag (the filtering op a training

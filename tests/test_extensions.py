@@ -193,6 +193,26 @@ def test_quantize_embeddings_roundtrip(spark):
         assert abs(got_q * r0.escala - want) <= r0.escala / 2 + 1e-9
 
 
+def test_frame_sampling_contract(spark):
+    """Every payload expands to exactly n_frames independent rows,
+    deterministically, with in-bounds offsets."""
+    frames = multimodal.media_frame_samples(spark, SF)
+    rows = frames.collect()
+    assert len(rows) == 500 * 4
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) == 4 for v in by_doc.values())
+    r0 = sorted(by_doc[0], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in r0] == [0, 1, 2, 3]
+    assert all(r.frame_offset >= 0 and len(r.frame_bytes) > 0 for r in r0)
+    again = {
+        (r.doc_id, r.frame_idx): r.frame_checksum
+        for r in multimodal.media_frame_samples(spark, SF).collect()
+    }
+    assert all(again[(r.doc_id, r.frame_idx)] == r.frame_checksum for r in rows)
+
+
 def test_media_features_deterministic(spark):
     feats = multimodal.media_features(spark, SF)
     rows = {r.doc_id: r for r in feats.collect()}

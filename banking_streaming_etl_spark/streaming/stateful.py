@@ -12,15 +12,19 @@ key, with watermark-driven eviction — the per-user state path at any scale:
 - `dedup_within_watermark` lives in streaming/windows.py (same family).
 
 For ad-hoc per-group logic Spark offers transformWithStateInPandas /
-applyInPandasWithState; they remain the slow path and nothing in this
-engine's surface needs them — every stateful requirement maps to JVM-native
-aggregations.
+applyInPandasWithState; they remain the slow path and every stateful
+requirement in this engine's surface maps to JVM-native aggregations.
+`last_tx_per_user_pandas_state` exists as the API-parity twin (U3): the
+reference's failed experiment re-done correctly — Arrow-batched group
+iteration with scalar state, not per-row serde — differential-tested
+against the JVM operator so the two paths can never drift.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def last_tx_per_user(approved_stream: DataFrame) -> DataFrame:
@@ -49,6 +53,90 @@ def last_approved_tx_per_user(approved_stream: DataFrame) -> DataFrame:
     """The exact feature the reference removed: last APPROVED tx per user."""
     return last_tx_per_user(
         approved_stream.filter(F.col("transacao_aprovada"))
+    )
+
+
+#: output contract shared by both last-tx implementations.
+_LAST_TX_SCHEMA = T.StructType(
+    [
+        T.StructField("id_usuario_pagador", T.LongType()),
+        T.StructField("data_horario", T.TimestampType()),
+        T.StructField("id_transacao", T.LongType()),
+        T.StructField("valor_transacao", T.DoubleType()),
+        T.StructField("transacao_aprovada", T.BooleanType()),
+    ]
+)
+
+
+def last_tx_per_user_pandas_state(approved_stream: DataFrame) -> DataFrame:
+    """U3 twin of `last_tx_per_user` via applyInPandasWithState.
+
+    Same semantics (argmax over (event time, id) per user, update mode),
+    custom-state implementation: per micro-batch each group's rows arrive
+    as Arrow record batches; state is one scalar tuple per user (event
+    time stored as epoch-micros — primitives round-trip the state store
+    cheaply). This is how the reference SHOULD have built its removed
+    "last approved tx" feature (SURVEY.md §4.4: its per-row pandas state
+    hit >60 s micro-batches); still, prefer the JVM `last_tx_per_user`
+    unless the per-group logic genuinely can't be an aggregation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("id_transacao", T.LongType()),
+            T.StructField("valor_transacao", T.DoubleType()),
+            T.StructField("transacao_aprovada", T.BooleanType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            for ts, txid, val, ap in zip(
+                pdf["data_horario"],
+                pdf["id_transacao"],
+                pdf["valor_transacao"],
+                pdf["transacao_aprovada"],
+            ):
+                cand = (
+                    int(pd.Timestamp(ts).value // 1000),
+                    int(txid),
+                    float(val),
+                    bool(ap),
+                )
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            [
+                {
+                    "id_usuario_pagador": key[0],
+                    "data_horario": pd.Timestamp(best[0] * 1000),
+                    "id_transacao": best[1],
+                    "valor_transacao": best[2],
+                    "transacao_aprovada": best[3],
+                }
+            ]
+        )
+
+    return (
+        approved_stream.select(
+            "id_usuario_pagador",
+            "data_horario",
+            "id_transacao",
+            "valor_transacao",
+            "transacao_aprovada",
+        )
+        .groupBy("id_usuario_pagador")
+        .applyInPandasWithState(
+            fn,
+            _LAST_TX_SCHEMA,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -66,6 +66,51 @@ def test_last_tx_per_user_matches_batch(spark, module_replay_dir):
     assert got == want
 
 
+def test_pandas_state_twin_matches_jvm_last_tx(spark, module_replay_dir):
+    """U3 differential: the applyInPandasWithState implementation must
+    land on the same final per-user winner as the JVM max_by operator.
+    In update mode the memory sink accumulates one row per (user, batch)
+    update; the final state per user = argmax over its emitted rows."""
+    out = stateful.last_tx_per_user_pandas_state(
+        _approval_stream(spark, module_replay_dir)
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("last_tx_pandas")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id_usuario_pagador").orderBy(
+        F.desc("data_horario"), F.desc("id_transacao")
+    )
+    got = {
+        (r.id_usuario_pagador, r.id_transacao, r.valor_transacao)
+        for r in spark.sql("SELECT * FROM last_tx_pandas")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    # the JVM twin's final snapshot (complete mode)
+    q2 = (
+        stateful.last_tx_per_user(_approval_stream(spark, module_replay_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("last_tx_jvm_ref")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    want = {
+        (r.id_usuario_pagador, r.id_transacao, r.valor_transacao)
+        for r in spark.sql("SELECT * FROM last_tx_jvm_ref").collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_running_user_totals(spark, module_replay_dir):
     out = stateful.running_user_totals(
         _approval_stream(spark, module_replay_dir)

@@ -243,9 +243,14 @@ def ivf_train(
     return cent
 
 
-def assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment against an explicit centroid set (the
-    serving-side primitive `ivf_train` and `ivf_assignments` share)."""
+def assign_to_centroids(
+    emb: DataFrame, cent: DataFrame, probes: int = 1
+) -> DataFrame:
+    """Nearest-centroid assignment against an explicit centroid set — the
+    ONE broadcast-join + row_number argmax that training
+    (`ivf_train`), index build (`ivf_assignments`), and query probing
+    (`ann_ivf_topk`, probes>1) all share, so tie-break order and the
+    similarity expression cannot diverge between paths."""
     sim = _dot(F.col("embedding"), F.col("centroid")) / (
         F.col("norm") * F.col("cnorm")
     )
@@ -254,7 +259,7 @@ def assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
         emb.crossJoin(F.broadcast(cent))
         .withColumn("csim", sim)
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .filter(F.col("rk") <= probes)
         .select("vec_id", "embedding", "norm", "centroid_id", "csim")
     )
 
@@ -268,22 +273,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
     cent, assign = ivf_assignments(emb)
 
-    qsim = _dot(F.col("embedding"), F.col("centroid")) / (
-        F.col("norm") * F.col("cnorm")
-    )
-    wq = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-    q_probes = (
-        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("csim", qsim)
-        .withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= IVF_PROBES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("norm").alias("qn"),
-            "centroid_id",
-        )
+    q_probes = assign_to_centroids(
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+        cent,
+        probes=IVF_PROBES,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        "centroid_id",
     )
     c = assign.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -124,16 +124,22 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     # normalize datetime resolution metadata (us vs ns STORAGE) without
     # masking VALUE differences: converting us->ns is lossless, so a real
     # nanosecond component on one side still fails the exact compare.
-    for c in cols:
-        if s_pdf[c].dtype.kind == "M":
-            s_pdf[c] = s_pdf[c].astype("datetime64[ns]")
-            d_pdf[c] = d_pdf[c].astype("datetime64[ns]")
-
+    # tz-aware columns are first brought to UTC-naive (a tz-aware vs naive
+    # astype raises; both engines run UTC sessions so the instant is what
+    # matters) — any failure is reported, never raised.
     try:
+        for c in cols:
+            if s_pdf[c].dtype.kind == "M":
+                for pdf in (s_pdf, d_pdf):
+                    if getattr(pdf[c].dtype, "tz", None) is not None:
+                        pdf[c] = pdf[c].dt.tz_convert("UTC").dt.tz_localize(
+                            None
+                        )
+                    pdf[c] = pdf[c].astype("datetime64[ns]")
         s_canon = s_pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
         d_canon = d_pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
-    except TypeError as e:  # same failure the driver would record
-        report["err"] = f"driver-canon sort failed: {e}"
+    except TypeError as e:  # same failure class the driver would record
+        report["err"] = f"driver-canon normalization/sort failed: {e}"
         report["match"] = False
         return report
 

@@ -150,6 +150,13 @@ def register_all() -> None:
     # scale extensions: similarity search
     register("ann_cosine_topk", similarity.ann_cosine_topk,
              similarity.ANN_COSINE_TOPK_SQL, "brute-force cosine top-K")
+    # deliberate: the approximate-recall LSH path holds the window slot
+    # (not its exact twin) because the driver-green CORRECTNESS row for
+    # the bucketed plan is the point; safe because the embeddings corpus
+    # has ZERO qualifying pairs at every sf (max pairwise cosine ~0.48,
+    # verified at sf0.001/sf0.01), so the ~2e-4 per-pair miss probability
+    # is never exercised by the oracle — recall is pinned by the
+    # planted-pair test instead (test_near_dup_lsh_finds_planted_pairs).
     register("near_dup_embeddings_lsh", similarity.near_dup_embeddings_lsh,
              similarity.NEAR_DUP_EMBEDDINGS_SQL,
              "bucketed LSH near-dup + exact verify; shares the all-pairs "

@@ -93,6 +93,20 @@ def test_list_column_is_flagged_as_driver_unsortable(spark, mem_duck):
     assert fixed["match"], fixed
 
 
+def test_tz_aware_timestamp_reported_not_raised(spark, mem_duck):
+    """A tz-aware column on either side must produce a report (match on
+    equal instants, structured err otherwise) — never a raw traceback."""
+    sdf = spark.sql("SELECT TIMESTAMP '2024-01-01 10:00:00' AS ts")
+    report = compare(
+        sdf,
+        mem_duck,
+        "SELECT TIMESTAMPTZ '2024-01-01 10:00:00+00' AS ts",
+    )
+    assert isinstance(report, dict) and "match" in report
+    # both engines run UTC sessions, so the equal instant matches
+    assert report["match"], report
+
+
 def test_driver_window_holds_all_oracle_backed_priority_queries():
     """The verify driver checks only the FIRST 50 registered queries; every
     one of those slots must carry an oracle (no rows-only query may waste

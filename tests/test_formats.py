@@ -30,6 +30,18 @@ def test_json_roundtrip_with_schema(spark, tmp_path):
     assert _ids(back) == _ids(t)
 
 
+def test_avro_format_gated_with_clear_error(spark, tmp_path):
+    """format('avro') needs the external spark-avro module (not bundled);
+    the failure mode is the actionable built-in-but-external error, not a
+    silent fallback. Parquet/ORC/JSON/CSV cover the bundled formats."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    t = datamodel.transactions(spark, SF).limit(5)
+    with pytest.raises(AnalysisException, match="[Aa]vro"):
+        t.write.mode("overwrite").format("avro").save(str(tmp_path / "a"))
+
+
 def test_kafka_source_gated_with_clear_error(spark):
     """The Kafka source requires the connector jar (absent in this
     container); the failure mode is a clear find-data-source error at

@@ -228,6 +228,11 @@ def register_all() -> None:
              relational.CUSTOMERS_WITH_TX_SQL, "semi join")
     register("cube_modality_region", relational.cube_modality_region,
              relational.CUBE_SQL, "cube + grouping_id")
+    register("grouping_sets_modality_hour",
+             relational.grouping_sets_modality_hour,
+             relational.GROUPING_SETS_SQL,
+             "explicit GROUPING SETS (the general form rollup/cube "
+             "specialize) in one Expand pass")
     register("lag_lead_per_payer", relational.lag_lead_per_payer,
              relational.LAG_LEAD_SQL, "lag/lead")
     register("value_quartiles", relational.value_quartiles,

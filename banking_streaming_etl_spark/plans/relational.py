@@ -137,6 +137,37 @@ GROUP BY ROLLUP (modalidade_pagamento, id_regiao)"""
 )
 
 
+def grouping_sets_modality_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    per-modality totals and per-hour totals in ONE pass over the fact
+    (Expand doubles the rows into both grouping shapes, then a single
+    partial-agg + shuffle) — how a dashboard fan-out avoids N separate
+    scans of a 100 TB fact."""
+    t = datamodel.transactions(spark, sf_dir).withColumn(
+        "hora", F.hour("data_horario")
+    )
+    return t.groupingSets(
+        [["modalidade_pagamento"], ["hora"]],
+        "modalidade_pagamento",
+        "hora",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("total"),
+        exact.exact_sum("valor_transacao", "valor_total"),
+    )
+
+
+GROUPING_SETS_SQL = datamodel.with_ctes(
+    f"""
+SELECT modalidade_pagamento, hora,
+       CASE WHEN modalidade_pagamento IS NULL THEN 2 ELSE 1 END AS gid,
+       COUNT(*) AS total,
+       {exact.sql_sum('valor_transacao', 'valor_total')}
+FROM (SELECT *, EXTRACT(hour FROM data_horario) AS hora FROM transactions)
+GROUP BY GROUPING SETS ((modalidade_pagamento), (hora))"""
+)
+
+
 def unpivot_user_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): the wide per-modality limit columns back to long
     (id, modalidade, limite) — the inverse of the pivot family."""

@@ -82,6 +82,29 @@ def test_near_dup_lsh_is_bucketed_not_all_pairs(spark):
     assert "tbl" in plan and "bucket" in plan
 
 
+#: queries whose physical plan is ALLOWED a CartesianProduct: the two
+#: explicit brute-force baselines (documented O(N^2) oracle anchors).
+#: Broadcast-scalar cross joins (p99 thresholds, n_docs, IVF centroids)
+#: compile to BroadcastNestedLoopJoin, not CartesianProduct, so they
+#: don't need whitelisting.
+_CARTESIAN_WHITELIST = {"ann_cosine_topk", "near_dup_embeddings"}
+
+
+def test_no_unexpected_cartesian_products(spark):
+    """Repo-wide scale invariant: no registered query may plan a
+    non-broadcast cartesian join unless it is an explicitly documented
+    brute-force baseline. Catches any future operator that silently
+    regresses to all-pairs."""
+    offenders = {}
+    for name, q in registry.all_queries().items():
+        if name in _CARTESIAN_WHITELIST:
+            continue
+        plan = _physical_plan(q.fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert offenders == {}, f"cartesian joins outside the whitelist: {offenders}"
+
+
 def test_ivf_centroids_are_broadcast(spark):
     """IVF assignment joins every vector against the FIXED 32-centroid
     set — that side must be a broadcast (O(K x dim) at any corpus

@@ -71,6 +71,29 @@ def exact_corr(x: Column | str, y: Column | str, alias: str) -> Column:
     ).alias(alias)
 
 
+def exact_regr(
+    x: Column | str, y: Column | str, slope_alias: str, icept_alias: str
+) -> tuple[Column, Column]:
+    """Order-independent simple linear regression (y on x) via the same
+    exact decimal moments as `exact_corr`: slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2), intercept = (Sy - slope*Sx) / n. NULL when x has no
+    variance. Returns (slope, intercept) columns."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(_d(cx)).cast("double")
+    sy = F.sum(_d(cy)).cast("double")
+    sxx = F.sum(_d(F.round(cx, 6) * F.round(cx, 6))).cast("double")
+    sxy = F.sum(_d(F.round(cx, 6) * F.round(cy, 6))).cast("double")
+    varx = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / varx
+    icept = (sy - slope * sx) / n
+    return (
+        F.when(varx > 0, slope).alias(slope_alias),
+        F.when(varx > 0, icept).alias(icept_alias),
+    )
+
+
 # --- SQL twins --------------------------------------------------------------
 
 
@@ -102,6 +125,29 @@ def sql_corr(x: str, y: str, alias: str) -> str:
         f"CASE WHEN {varx} > 0 AND {vary} > 0 THEN"
         f" ({n} * {sp(x, y)} - {s(x)} * {s(y)}) / SQRT({varx} * {vary})"
         f" END AS {alias}"
+    )
+
+
+def sql_regr(x: str, y: str, slope_alias: str, icept_alias: str) -> str:
+    """SQL twin of `exact_regr`: two aliased projections, term-for-term
+    identical to the Spark expressions."""
+
+    def s(e: str) -> str:
+        return f"CAST(SUM(CAST(ROUND({e}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+
+    def sp(a: str, b: str) -> str:
+        return (
+            f"CAST(SUM(CAST(ROUND(ROUND({a}, 6) * ROUND({b}, 6), 6)"
+            f" AS DECIMAL(28,6))) AS DOUBLE)"
+        )
+
+    n = "CAST(COUNT(1) AS DOUBLE)"
+    varx = f"({n} * {sp(x, x)} - {s(x)} * {s(x)})"
+    slope = f"(({n} * {sp(x, y)} - {s(x)} * {s(y)}) / {varx})"
+    return (
+        f"CASE WHEN {varx} > 0 THEN {slope} END AS {slope_alias},\n"
+        f"       CASE WHEN {varx} > 0 THEN"
+        f" ({s(y)} - {slope} * {s(x)}) / {n} END AS {icept_alias}"
     )
 
 

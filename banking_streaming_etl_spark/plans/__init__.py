@@ -233,6 +233,12 @@ def register_all() -> None:
              relational.GROUPING_SETS_SQL,
              "explicit GROUPING SETS (the general form rollup/cube "
              "specialize) in one Expand pass")
+    register("valor_score_regression", dashboard.valor_score_regression,
+             dashboard.VALOR_SCORE_REGRESSION_SQL,
+             "exact-moment linear regression per modality")
+    register("perf_temporal_gapfill", views.perf_temporal_gapfill,
+             views.PERF_TEMPORAL_GAPFILL_SQL,
+             "gap-filled hourly series (time_bucket_gapfill pattern)")
     register("lag_lead_per_payer", relational.lag_lead_per_payer,
              relational.LAG_LEAD_SQL, "lag/lead")
     register("value_quartiles", relational.value_quartiles,

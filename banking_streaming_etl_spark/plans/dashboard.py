@@ -488,6 +488,45 @@ FROM (
 )
 
 
+def valor_score_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple linear regression (t5_score on valor) per modality — the
+    trend-line companion to the Pearson correlation, built on the same
+    exact decimal moments (functions/exact.exact_regr) so slope and
+    intercept are bit-identical with the oracle after final rounding."""
+    t = _approved(spark, sf_dir).filter(
+        F.col("t5_score").isNotNull() & F.col("valor_transacao").isNotNull()
+    )
+    slope, icept = exact.exact_regr(
+        "valor_transacao", "t5_score", "raw_slope", "raw_icept"
+    )
+    return (
+        t.groupBy("modalidade_pagamento")
+        .agg(F.count("*").alias("total"), slope, icept)
+        .select(
+            "modalidade_pagamento",
+            "total",
+            F.round("raw_slope", 6).alias("inclinacao"),
+            F.round("raw_icept", 6).alias("intercepto"),
+        )
+    )
+
+
+VALOR_SCORE_REGRESSION_SQL = _oracle(
+    f"""
+SELECT modalidade_pagamento, total,
+       ROUND(raw_slope, 6) AS inclinacao,
+       ROUND(raw_icept, 6) AS intercepto
+FROM (
+    SELECT modalidade_pagamento, COUNT(*) AS total,
+           {exact.sql_regr('valor_transacao', 't5_score', 'raw_slope', 'raw_icept')}
+    FROM approved
+    WHERE t5_score IS NOT NULL AND valor_transacao IS NOT NULL
+    GROUP BY modalidade_pagamento
+) sub
+"""
+)
+
+
 # --- top-K recent + filters (O2, P6, F19) ------------------------------------
 
 

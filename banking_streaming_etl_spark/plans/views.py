@@ -60,6 +60,58 @@ def perf_temporal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perf_temporal_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series (the TimescaleDB time_bucket_gapfill
+    pattern): a generated hour spine from min to max bucket, LEFT-joined
+    with the hourly aggregate, empty buckets zero-filled — what a
+    dashboard needs to draw a continuous line. The spine comes from one
+    scalar min/max aggregate broadcast into sequence(); at any scale
+    it's hours-between-endpoints rows, never data-sized."""
+    t = datamodel.transactions(spark, sf_dir)
+    bounds = t.agg(
+        F.date_trunc("hour", F.min("data_horario")).alias("h0"),
+        F.date_trunc("hour", F.max("data_horario")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("hora")
+    )
+    counts = t.groupBy(
+        F.date_trunc("hour", F.col("data_horario")).alias("hora")
+    ).agg(
+        F.count("*").alias("total_transacoes"),
+        exact.exact_sum("valor_transacao", "valor_total"),
+    )
+    return spine.join(counts, "hora", "left").select(
+        "hora",
+        F.coalesce("total_transacoes", F.lit(0)).alias("total_transacoes"),
+        F.coalesce("valor_total", F.lit(0.0)).alias("valor_total"),
+    )
+
+
+PERF_TEMPORAL_GAPFILL_SQL = datamodel.with_ctes(
+    f"""
+SELECT hora,
+       COALESCE(total_transacoes, 0) AS total_transacoes,
+       COALESCE(valor_total, 0.0) AS valor_total
+FROM (
+    SELECT unnest(generate_series(
+               DATE_TRUNC('hour', (SELECT MIN(data_horario) FROM transactions)),
+               DATE_TRUNC('hour', (SELECT MAX(data_horario) FROM transactions)),
+               INTERVAL 1 HOUR)) AS hora
+) spine
+LEFT JOIN (
+    SELECT DATE_TRUNC('hour', data_horario) AS hora,
+           COUNT(*) AS total_transacoes,
+           {exact.sql_sum('valor_transacao', 'valor_total')}
+    FROM transactions
+    GROUP BY 1
+) c USING (hora)
+"""
+)
+
+
 def latency_stats_over_history(history: DataFrame) -> DataFrame:
     """The reference's ACTUAL vw_performance_stats measure — latency of the
     streaming pipeline per modality (historic_data_mock.py:87-100), computed

@@ -314,3 +314,123 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- near-dup clusters (connected components) ----------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node's label converges to the smallest id in its
+    component. Per iteration: label(n) := min(label(n), min(label of
+    neighbors)) — one join on the symmetric edge closure + one groupBy,
+    i.e. two key-partitioned shuffles over edge-sized data; iterations
+    bounded by component diameter (near-dup clusters are shallow — the
+    corpus converges in 2); at very large diameters you'd switch to the
+    large-star/small-star doubling variant, which is the same two
+    relational steps with edge rewriting.
+
+    Each round TRUNCATES LINEAGE with an eager localCheckpoint: cache()
+    alone is not enough in an iterative loop — the analyzed logical plan
+    doubles every round (labels appears twice in its own successor) and
+    the analyzer blows the driver heap around 8-10 iterations. Same
+    driver-coordinated loop shape as `ivf_train`; on a cluster where
+    executor loss mid-loop matters, swap localCheckpoint for a
+    reliable checkpoint() dir. Returns (node, component) with
+    component = min node id."""
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("u", F.col("label").alias("old")), "u"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("node"), F.col("label").alias("component")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that completes the dedup pipeline: verified near-dup
+    PAIRS -> connected components -> one row per clustered doc with its
+    canonical (min-id) representative — what you join back against the
+    corpus to drop all but one doc per cluster. Pairs come from the
+    MinHash-LSH scale path; the oracle walks the same (exact-Jaccard)
+    edges with a recursive CTE, exercising the verified-LSH == exact
+    invariant end-to-end."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("doc_id_canonico"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {SHINGLES_CTE.strip().rstrip()},
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+    FROM doc_shingles a
+    JOIN doc_shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN shingle_sizes sa ON doc_a = sa.doc_id
+    JOIN shingle_sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6)
+          >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, label) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(label) AS doc_id_canonico
+FROM reach
+GROUP BY u
+"""

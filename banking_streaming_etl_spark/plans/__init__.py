@@ -239,6 +239,10 @@ def register_all() -> None:
     register("perf_temporal_gapfill", views.perf_temporal_gapfill,
              views.PERF_TEMPORAL_GAPFILL_SQL,
              "gap-filled hourly series (time_bucket_gapfill pattern)")
+    register("dedup_clusters", dedup.dedup_clusters,
+             dedup.DEDUP_CLUSTERS_SQL,
+             "near-dup pairs -> connected components -> canonical doc per "
+             "cluster (recursive-CTE oracle)")
     register("lag_lead_per_payer", relational.lag_lead_per_payer,
              relational.LAG_LEAD_SQL, "lag/lead")
     register("value_quartiles", relational.value_quartiles,

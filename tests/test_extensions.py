@@ -66,6 +66,42 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
 
 
+def test_connected_components_matches_union_find(spark):
+    """Differential: Spark min-label propagation vs a plain Python
+    union-find on a graph that needs several propagation rounds (a long
+    chain), plus a triangle, a pair, and a star."""
+    edges = (
+        [(i, i + 1) for i in range(10, 19)]  # chain 10..18 -> component 10
+        + [(1, 2), (2, 3), (3, 1)]  # triangle
+        + [(100, 200)]  # pair
+        + [(50, 51), (50, 52), (50, 53)]  # star
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for u, v in edges:
+        union(u, v)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
 def test_near_dup_lsh_matches_brute_force(spark):
     brute = {
         (r.vec_a, r.vec_b, r.cosine)

@@ -237,8 +237,14 @@ def ivf_train(
         kept = cent.join(
             refreshed.select("centroid_id"), "centroid_id", "left_anti"
         )
-        cent = refreshed.select("centroid_id", "centroid", "cnorm").unionByName(
-            kept
+        # eager lineage truncation: cent appears twice in its own
+        # successor (assignment + degenerate-cell anti-join), so the
+        # analyzed plan doubles per round without it — see
+        # dedup.connected_components for the failure mode.
+        cent = (
+            refreshed.select("centroid_id", "centroid", "cnorm")
+            .unionByName(kept)
+            .localCheckpoint(eager=True)
         )
     return cent
 

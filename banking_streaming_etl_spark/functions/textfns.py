@@ -148,3 +148,49 @@ def md5_fingerprint(text: str = "text") -> Column:
 
 
 MD5_SQL = "md5(text)"
+
+
+# --- PII scrubbing -------------------------------------------------------------
+
+#: ASCII-only patterns chosen for exact Java-regex/RE2 parity (verified in
+#: tests and by the DuckDB oracle): emails, dashed/spaced phone numbers,
+#: dotted-quad IPs. Order matters — emails first so user@10.0.0.1-style
+#: text is redacted as an email, not an IP.
+PII_PATTERNS = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<PHONE>", r"\+?[0-9]{2,3}[- ][0-9]{4,5}[- ][0-9]{4}"),
+    ("<IP>", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def scrub_pii(text: str = "text") -> Column:
+    """Redact emails/phones/IPs with typed placeholder tokens — the
+    pre-training scrub pass. Chained JVM regexp_replace, narrow map."""
+    out = F.col(text)
+    for token, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def scrub_pii_sql(expr: str) -> str:
+    out = expr
+    for token, pat in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+def pii_counts(text: str = "text") -> list[Column]:
+    """Per-kind redaction counts (the audit columns a scrub job logs)."""
+    return [
+        F.regexp_count(F.col(text), F.lit(pat)).alias(
+            f"n_{token.strip('<>').lower()}"
+        )
+        for token, pat in PII_PATTERNS
+    ]
+
+
+def pii_counts_sql(expr: str) -> str:
+    return ",\n       ".join(
+        f"len(regexp_extract_all({expr}, '{pat}')) AS n_{token.strip('<>').lower()}"
+        for token, pat in PII_PATTERNS
+    )

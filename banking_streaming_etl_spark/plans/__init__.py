@@ -243,6 +243,9 @@ def register_all() -> None:
              dedup.DEDUP_CLUSTERS_SQL,
              "near-dup pairs -> connected components -> canonical doc per "
              "cluster (recursive-CTE oracle)")
+    register("scrub_pii_docs", text.scrub_pii_docs,
+             text.SCRUB_PII_SQL,
+             "PII redaction (emails/phones/IPs) + audit counts")
     register("lag_lead_per_payer", relational.lag_lead_per_payer,
              relational.LAG_LEAD_SQL, "lag/lead")
     register("value_quartiles", relational.value_quartiles,

@@ -271,6 +271,30 @@ SELECT doc_id, unnest(fps) AS fingerprint FROM w
 """
 
 
+def scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (emails/phones/IPs -> typed placeholder tokens)
+    with per-kind audit counts. The scrubbed text is emitted as an md5
+    so the oracle hashes a fixed-width value instead of whole documents;
+    the planted-string unit test checks the actual redacted text. This
+    corpus contains no PII, so the oracle primarily pins that the
+    Java-regex and RE2 replace semantics agree on every document
+    (identity on clean text is the common case a scrub job hits)."""
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        *textfns.pii_counts(),
+        F.md5(textfns.scrub_pii()).alias("texto_limpo_md5"),
+    )
+
+
+SCRUB_PII_SQL = f"""
+SELECT doc_id,
+       {textfns.pii_counts_sql('text')},
+       md5({textfns.scrub_pii_sql('text')}) AS texto_limpo_md5
+FROM documents
+"""
+
+
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus cleaning pass, composed from the
     building blocks a real 100 TB pipeline chains: exact dedup (keep the

@@ -66,6 +66,36 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
 
 
+def test_scrub_pii_planted_strings(spark):
+    """Planted PII is redacted with the right typed token and counted;
+    clean text passes through byte-identical."""
+    from banking_streaming_etl_spark.functions import textfns
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "write to a.b+c@ex-ample.co.uk or admin@x.io today"),
+        (2, "call +55 1234-5678 or 011 98765-4321 now"),
+        (3, "host 10.0.0.1 talks to 192.168.255.255."),
+        (4, "no pii here at all 123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *textfns.pii_counts(),
+            textfns.scrub_pii().alias("t"),
+        ).collect()
+    }
+    assert got[1].t == "write to <EMAIL> or <EMAIL> today"
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ip) == (2, 0, 0)
+    assert got[2].t == "call <PHONE> or <PHONE> now"
+    assert got[2].n_phone == 2
+    assert got[3].t == "host <IP> talks to <IP>."
+    assert got[3].n_ip == 2
+    assert got[4].t == rows[3][1] and got[4].n_email == 0
+
+
 def test_connected_components_matches_union_find(spark):
     """Differential: Spark min-label propagation vs a plain Python
     union-find on a graph that needs several propagation rounds (a long

@@ -246,6 +246,9 @@ def register_all() -> None:
     register("scrub_pii_docs", text.scrub_pii_docs,
              text.SCRUB_PII_SQL,
              "PII redaction (emails/phones/IPs) + audit counts")
+    register("unigram_logprob_scores", text.unigram_logprob_scores,
+             text.UNIGRAM_LOGPROB_SQL,
+             "unigram LM mean log-prob per doc (perplexity-proxy filter)")
     register("lag_lead_per_payer", relational.lag_lead_per_payer,
              relational.LAG_LEAD_SQL, "lag/lead")
     register("value_quartiles", relational.value_quartiles,

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
-from banking_streaming_etl_spark.functions import textfns
+from banking_streaming_etl_spark.functions import exact, textfns
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,6 +199,45 @@ SELECT doc_id, termo, tf, df,
                 + 1.0), 6) AS tfidf
 FROM tf JOIN df USING (termo), n
 WHERE tf >= 2
+"""
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-doc mean ln P(token) under the
+    corpus's own unigram distribution — the perplexity-proxy quality
+    filter (docs full of rare tokens score low; boilerplate scores high).
+    Scale shape: one shuffle to build the term-frequency table, then a
+    broadcast join of that (vocabulary-sized) table back onto the
+    exploded terms and a per-doc aggregate; the corpus total is one
+    scalar broadcast. Mean accumulates exact decimal moments over the
+    6-rounded log, same determinism recipe as every other statistic."""
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode("toks").alias("termo"))
+    freq = terms.groupBy("termo").agg(F.count("*").alias("c"))
+    total = terms.agg(F.count("*").alias("t"))
+    logp = F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+    return (
+        terms.join(F.broadcast(freq), "termo")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            exact.exact_avg(F.round(logp, 6), "logprob_medio"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH terms AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS termo FROM documents
+),
+freq AS (SELECT termo, COUNT(*) AS c FROM terms GROUP BY termo),
+tot AS (SELECT COUNT(*) AS t FROM terms)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       {exact.sql_avg("ROUND(LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6)",
+                      "logprob_medio")}
+FROM terms JOIN freq USING (termo), tot
+GROUP BY doc_id
 """
 
 

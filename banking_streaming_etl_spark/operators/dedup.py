@@ -434,3 +434,67 @@ SELECT u AS doc_id, MIN(label) AS doc_id_canonico
 FROM reach
 GROUP BY u
 """
+
+
+# --- fuzzy (edit-distance) dedup -------------------------------------------
+
+#: max edit distance for a fuzzy-duplicate pair (also the length-gap
+#: pre-filter bound: |len(a) - len(b)| <= d is necessary for lev <= d).
+FUZZY_LEV_MAX = 3
+
+
+def fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-duplicate pairs over `part.p_name` by edit distance.
+
+    The entity-resolution flavor of dedup (typo'd product/entity names)
+    the digest/shingle families can't catch: levenshtein(a, b) <=
+    FUZZY_LEV_MAX, candidates blocked on the first name token so the
+    self-join is an equi-join on the block key — never all-pairs. The
+    length-difference pre-filter (a necessary condition for the edit
+    bound) prunes candidates before the O(len^2) distance kernel runs.
+    At 100 TB-scale entity tables the block key would be a phonetic or
+    q-gram key; the plan shape (block equi-join + cheap necessary-
+    condition filter + exact verify) is the standard one."""
+    p = datamodel.load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("nome")
+    )
+    return fuzzy_name_pairs(p)
+
+
+def fuzzy_name_pairs(named: DataFrame) -> DataFrame:
+    """Blocked edit-distance pairs over an (id, nome) frame."""
+    p = named.withColumn("blk", F.split("nome", " ").getItem(0))
+    a = p.select(
+        F.col("id").alias("id_a"), F.col("nome").alias("nome_a"), "blk"
+    )
+    b = p.select(
+        F.col("id").alias("id_b"), F.col("nome").alias("nome_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.length("nome_a") - F.length("nome_b"))
+                <= FUZZY_LEV_MAX
+            )
+        )
+        .withColumn("distancia", F.levenshtein("nome_a", "nome_b"))
+        .filter(F.col("distancia") <= FUZZY_LEV_MAX)
+        .select("id_a", "id_b", "distancia")
+    )
+
+
+FUZZY_DEDUP_SQL = f"""
+WITH p AS (
+    SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS distancia
+FROM p a
+JOIN p b
+  ON a.blk = b.blk
+ AND a.p_partkey < b.p_partkey
+ AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= {FUZZY_LEV_MAX}
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_LEV_MAX}
+"""

@@ -37,6 +37,7 @@ def register_all() -> None:
     from banking_streaming_etl_spark.operators import (
         asof,
         dedup,
+        embeddings,
         groupedmap,
         multimodal,
         sampling,
@@ -267,6 +268,25 @@ def register_all() -> None:
     register("token_counts_bpe", text.token_counts_bpe,
              text.TOKEN_COUNTS_BPE_SQL,
              "BPE-ish pre-tokenizer counts + fertility ratio")
+    register("repetition_stats", text.repetition_stats,
+             text.REPETITION_STATS_SQL,
+             "Gopher-style duplicate/top n-gram fractions (n=2,3)")
+    register("chunk_documents", text.chunk_documents,
+             text.CHUNK_DOCUMENTS_SQL,
+             "sliding-window token chunking (32-token chunks, stride 24)")
+    register("label_centroids", embeddings.label_centroids,
+             embeddings.LABEL_CENTROIDS_SQL,
+             "per-label mean embedding (decimal-exact pooling)")
+    register("nearest_centroid_confusion",
+             embeddings.nearest_centroid_confusion,
+             embeddings.NEAREST_CENTROID_SQL,
+             "nearest-centroid assignment confusion table")
+    register("fuzzy_dedup_levenshtein", dedup.fuzzy_dedup_levenshtein,
+             dedup.FUZZY_DEDUP_SQL,
+             "blocked edit-distance fuzzy-duplicate pairs over part names")
+    register("value_rank_metrics", relational.value_rank_metrics,
+             relational.VALUE_RANK_METRICS_SQL,
+             "ntile/percent_rank/cume_dist rank windows per modality")
 
     # ------------------------------------------------------------------
     # ... then the rows-only (oracle=None) queries.

@@ -362,6 +362,37 @@ GROUP BY quartil"""
 )
 
 
+def value_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows per modality: NTILE(10) decile, PERCENT_RANK,
+    CUME_DIST over a total order (valor, id tiebreak). Partitioned window
+    — one shuffle on the partition key, per-key sort; both rank ratios
+    are exact-integer divisions so cross-engine doubles are identical."""
+    t = datamodel.transactions(spark, sf_dir)
+    w = W.partitionBy("modalidade_pagamento").orderBy(
+        "valor_transacao", "id_transacao"
+    )
+    return t.select(
+        "id_transacao",
+        "modalidade_pagamento",
+        "valor_transacao",
+        F.ntile(10).over(w).alias("decil"),
+        F.round(F.percent_rank().over(w), 6).alias("rank_percentual"),
+        F.round(F.cume_dist().over(w), 6).alias("dist_acumulada"),
+    )
+
+
+VALUE_RANK_METRICS_SQL = datamodel.with_ctes(
+    """
+SELECT id_transacao, modalidade_pagamento, valor_transacao,
+       NTILE(10) OVER w AS decil,
+       ROUND(PERCENT_RANK() OVER w, 6) AS rank_percentual,
+       ROUND(CUME_DIST() OVER w, 6) AS dist_acumulada
+FROM transactions
+WINDOW w AS (PARTITION BY modalidade_pagamento
+             ORDER BY valor_transacao, id_transacao)"""
+)
+
+
 # --- sessionization (lag + gap cumsum) -----------------------------------------
 
 SESSION_GAP_MINUTES = 30

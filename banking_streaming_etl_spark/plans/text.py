@@ -385,6 +385,142 @@ WHERE quality.manter
 """
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: per-document fraction of
+    duplicated n-gram occurrences and fraction claimed by the single most
+    frequent n-gram, for n in {2, 3} (Rae et al. 2021, §A1.1 — the
+    filters that catch boilerplate/spam a unigram score misses).
+
+    Scale shape: explode n-grams (narrow ~n x fan-out of the token
+    stream), one shuffle keyed (doc_id, gram) for the per-gram counts,
+    then a doc-keyed re-aggregation — same two-level plan as TF-IDF.
+    All-integer counts divided in double at the end, so cross-engine
+    bit-identity is free."""
+    d = _docs(spark, sf_dir).filter(F.size("toks") >= 3)
+    out = None
+    for n in (2, 3):
+        parts = ", ' ', ".join(f"element_at(toks, i + {j})" for j in range(n))
+        grams = F.expr(
+            f"transform(sequence(1, size(toks) - {n - 1}),"
+            f" i -> concat({parts}))"
+        )
+        g = d.select("doc_id", F.explode(grams).alias("g"))
+        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        total = F.col(f"n_{n}grams").cast("double")
+        s = (
+            c.groupBy("doc_id")
+            .agg(
+                F.sum("c").alias(f"n_{n}grams"),
+                F.count("*").alias("_d"),
+                F.max("c").alias("_t"),
+            )
+            .select(
+                "doc_id",
+                f"n_{n}grams",
+                F.round(
+                    (F.col(f"n_{n}grams") - F.col("_d")).cast("double") / total, 6
+                ).alias(f"frac_dup_{n}gram"),
+                F.round(F.col("_t").cast("double") / total, 6).alias(
+                    f"frac_top_{n}gram"
+                ),
+            )
+        )
+        out = s if out is None else out.join(s, "doc_id")
+    return out
+
+
+def _rep_block(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+g{n} AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {n - 2}),
+                                 i -> {parts})) AS g
+    FROM d
+),
+c{n} AS (SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY 1, 2),
+s{n} AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_{n}grams,
+           COUNT(*) AS d_{n},
+           MAX(c) AS t_{n}
+    FROM c{n} GROUP BY 1
+)"""
+
+
+REPETITION_STATS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),{_rep_block(2)},{_rep_block(3)}
+SELECT doc_id,
+       n_2grams,
+       ROUND(CAST(n_2grams - d_2 AS DOUBLE) / CAST(n_2grams AS DOUBLE), 6)
+           AS frac_dup_2gram,
+       ROUND(CAST(t_2 AS DOUBLE) / CAST(n_2grams AS DOUBLE), 6)
+           AS frac_top_2gram,
+       n_3grams,
+       ROUND(CAST(n_3grams - d_3 AS DOUBLE) / CAST(n_3grams AS DOUBLE), 6)
+           AS frac_dup_3gram,
+       ROUND(CAST(t_3 AS DOUBLE) / CAST(n_3grams AS DOUBLE), 6)
+           AS frac_top_3gram
+FROM s2 JOIN s3 USING (doc_id)
+"""
+
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the op every training pipeline
+    runs between cleaning and tokenization: fixed CHUNK_SIZE-token
+    windows every CHUNK_STRIDE tokens (trailing short chunk kept), each
+    emitted as (doc_id, chunk_id, token count, md5 of the re-joined
+    text). Pure array expressions: a narrow map + explode over the scan,
+    no shuffle at any scale. The md5 stands in for the chunk text so the
+    oracle hashes fixed-width values; chunk boundaries are pinned
+    exactly by tests/test_text_ops.py."""
+    d = _docs(spark, sf_dir)
+    n_chunks = (
+        f"1 + (greatest(size(toks) - {CHUNK_SIZE}, 0)"
+        f" + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}"
+    )
+    chunk = f"slice(toks, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})"
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("chunk_id"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.expr(f"size({chunk})").alias("n_tokens_chunk"),
+            F.expr(f"md5(array_join({chunk}, ' '))").alias("chunk_md5"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           1 + (GREATEST(len(string_split(text, ' ')) - {CHUNK_SIZE}, 0)
+                + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} AS n_chunks
+    FROM documents
+),
+k AS (
+    SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM d
+)
+SELECT doc_id, chunk_id,
+       len(toks[chunk_id * {CHUNK_STRIDE} + 1
+                : chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS n_tokens_chunk,
+       md5(array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1
+                : chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')) AS chunk_md5
+FROM k
+"""
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency top-50 (deterministic tiebreak)."""
     d = _docs(spark, sf_dir)

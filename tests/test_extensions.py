@@ -353,3 +353,85 @@ def test_decode_real_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"FAKE")
+
+
+def test_fuzzy_dedup_planted_pairs(spark):
+    """Planted typo pairs must surface through the first-token block;
+    pairs in different blocks are (documented) blocking misses; pairs
+    beyond the edit bound stay out."""
+    rows = [
+        (1, "banana chocolate lace"),
+        (2, "banana chocolates lace"),      # lev 1, same block -> pair
+        (3, "banana chocolate lace"),       # exact dup of 1 -> dist 0
+        (4, "goldenrod spring powder"),
+        (5, "goldenrod spring powder puff veryverylong"),  # len gap > 3
+        (6, "plum chocolate lace"),         # other block: miss by design
+    ]
+    df = spark.createDataFrame(rows, "id long, nome string")
+    found = {
+        (r.id_a, r.id_b): r.distancia
+        for r in dedup.fuzzy_name_pairs(df).collect()
+    }
+    assert found[(1, 2)] == 1
+    assert found[(1, 3)] == 0
+    assert found[(2, 3)] == 1
+    assert (4, 5) not in found
+    assert all(a != 6 and b != 6 for (a, b) in found)
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk grid: ids contiguous from 0, every non-final chunk exactly
+    CHUNK_SIZE tokens, final chunk covers the tail — reconstructing
+    n_tokens = stride * (n_chunks - 1) + len(last chunk)."""
+    from banking_streaming_etl_spark.plans import text
+
+    chunks = text.chunk_documents(spark, SF).toPandas()
+    toks = text.token_counts(spark, SF).toPandas().set_index("doc_id")
+    for doc_id, g in chunks.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        n = int(toks.loc[doc_id, "n_tokens"])
+        expect_chunks = (
+            1 + -(-(n - text.CHUNK_SIZE) // text.CHUNK_STRIDE)
+            if n > text.CHUNK_SIZE
+            else 1
+        )
+        assert len(g) == expect_chunks
+        assert list(g["chunk_id"]) == list(range(len(g)))
+        assert (g["n_tokens_chunk"].iloc[:-1] == text.CHUNK_SIZE).all()
+        last = int(g["n_tokens_chunk"].iloc[-1])
+        assert text.CHUNK_STRIDE * (len(g) - 1) + last == n or len(g) == 1 and last == n
+
+
+def test_repetition_stats_match_python_recount(spark):
+    """Re-derive the n-gram fractions in plain Python for a sample of
+    documents and compare exactly (same rounding)."""
+    from collections import Counter
+
+    import duckdb
+
+    from banking_streaming_etl_spark.plans import text
+
+    got = (
+        text.repetition_stats(spark, SF)
+        .filter("doc_id < 20")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE doc_id < 20"
+        ).fetchall()
+    )
+    for doc_id, t in texts.items():
+        toks = t.split(" ")
+        if len(toks) < 3:
+            continue
+        for n in (2, 3):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            total, dist, top = len(grams), len(c), max(c.values())
+            row = got.loc[doc_id]
+            assert row[f"n_{n}grams"] == total
+            assert row[f"frac_dup_{n}gram"] == round((total - dist) / total, 6)
+            assert row[f"frac_top_{n}gram"] == round(top / total, 6)

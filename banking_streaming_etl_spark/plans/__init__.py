@@ -47,6 +47,7 @@ def register_all() -> None:
     from banking_streaming_etl_spark.plans import (
         approval,
         batchdev,
+        curation,
         dashboard,
         relational,
         text,
@@ -287,6 +288,15 @@ def register_all() -> None:
     register("value_rank_metrics", relational.value_rank_metrics,
              relational.VALUE_RANK_METRICS_SQL,
              "ntile/percent_rank/cume_dist rank windows per modality")
+    register("pack_sequences", curation.pack_sequences,
+             curation.PACK_SEQUENCES_SQL,
+             "concat-and-split sequence packing (512-token packs per source)")
+    register("decontaminate_train_docs", curation.decontaminate_train_docs,
+             curation.DECONTAMINATE_SQL,
+             "train/test 8-gram overlap decontamination")
+    register("source_mix_report", curation.source_mix_report,
+             curation.SOURCE_MIX_SQL,
+             "per-source volume/quality/dup-rate data-mix report")
 
     # ------------------------------------------------------------------
     # ... then the rows-only (oracle=None) queries.

@@ -1,0 +1,210 @@
+"""Corpus-curation queries: sequence packing, benchmark decontamination,
+and the per-source data-mix report.
+
+These are the pipeline stages that sit AROUND the per-document operators
+(dedup, quality, chunking): deciding what a training batch is made of.
+No reference equivalent (the reference has no corpus surface); they extend
+the training-data family alongside plans/text.py and operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import textfns
+from banking_streaming_etl_spark.operators import sampling
+from banking_streaming_etl_spark.plans import text
+
+#: tokens per packed training sequence
+PACK_BUDGET = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid end-to-end
+    per source shard in doc_id order and the running token offset is
+    divided into PACK_BUDGET-token packs — the assignment step of
+    training-batch packing (a doc whose offset crosses a boundary
+    straddles packs; the emitted start offset is what a writer needs to
+    place it).
+
+    Scale shape: one partitioned window (shuffle on source, per-shard
+    sort) — packing is per-shard by construction, so no global sort
+    exists at any corpus size. The prefix sum accumulates integers, so
+    cross-engine parity is exact."""
+    d = datamodel.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            .cast("bigint")
+            .alias("offset_inicio"),
+        )
+        .withColumn("pack_id", F.expr(f"offset_inicio div {PACK_BUDGET}"))
+    )
+
+
+_OFFSET_SQL = """COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"""
+
+PACK_SEQUENCES_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST({_OFFSET_SQL} AS BIGINT) AS offset_inicio,
+       CAST({_OFFSET_SQL} AS BIGINT) // {PACK_BUDGET} AS pack_id
+FROM d
+"""
+
+
+#: decontamination n-gram length. Deliberately larger than the dedup
+#: family's SHINGLE_N=3: on this small-vocabulary corpus 3-grams flag
+#: essentially every document (vacuous), while 8-grams — the length the
+#: published decontamination recipes use — isolate genuine cross-split
+#: content overlap (the planted near-dups that straddle the split).
+DECON_SHINGLE_N = 8
+
+
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train-split documents sharing any
+    word DECON_SHINGLE_N-gram with the held-out test split, with the
+    shared-shingle count and contamination ratio per flagged doc.
+
+    The overlap join runs on 8-byte xxhash64 shingle keys (fixed-width
+    shuffle, same rationale as dedup.doc_shingle_hashes); the oracle
+    joins the raw shingle strings, so a hash collision would fail the
+    gate rather than hide. Scale shape: the test-side distinct shingle
+    set shuffles once and the contaminated-count agg is keyed by doc_id
+    — no step is ever all-pairs."""
+    split = sampling.train_test_split_docs(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    docs = datamodel.load_table(spark, sf_dir, "documents").withColumn(
+        "toks", textfns.tokens()
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                textfns.word_shingles("toks", DECON_SHINGLE_N)
+            ).alias("s"),
+        )
+        .distinct()
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .join(split, "doc_id")
+    )
+    test_sh = sh.filter(F.col("split") == "test").select("h").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        sh.filter(F.col("split") == "train")
+        .join(test_sh, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles_contaminados"))
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles_contaminados",
+            "n_shingles",
+            F.round(
+                F.col("n_shingles_contaminados").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("taxa_contaminacao"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id,
+           unnest({textfns.word_shingles_sql("string_split(text, ' ')",
+                                             DECON_SHINGLE_N)}) AS s
+    FROM documents
+),
+split AS ({sampling.TRAIN_TEST_SPLIT_SQL}),
+test_sh AS (
+    SELECT DISTINCT s
+    FROM sh JOIN split USING (doc_id)
+    WHERE split = 'test'
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cont AS (
+    SELECT sh.doc_id, COUNT(*) AS n_shingles_contaminados
+    FROM sh
+    JOIN split USING (doc_id)
+    JOIN test_sh USING (s)
+    WHERE split = 'train'
+    GROUP BY 1
+)
+SELECT doc_id, n_shingles_contaminados, n AS n_shingles,
+       ROUND(CAST(n_shingles_contaminados AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           AS taxa_contaminacao
+FROM cont JOIN sizes USING (doc_id)
+"""
+
+
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mix report: doc/token volume, quality keep rate,
+    and exact-duplicate rate — the table a data-mixing decision reads.
+    Composed from the registered quality and fingerprint builders (shared
+    derivations, never forked); one groupBy on the low-cardinality
+    source key after doc_id-keyed joins."""
+    d = datamodel.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    q = text.text_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "manter"
+    )
+    fp = text.doc_fingerprints(spark, sf_dir).select("doc_id", "fingerprint")
+    j = d.join(q, "doc_id").join(fp, "doc_id")
+    n_docs = F.count("*")
+    kept = F.sum(F.when(F.col("manter"), 1).otherwise(0))
+    uniq = F.countDistinct("fingerprint")
+    return j.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        kept.alias("n_docs_mantidos"),
+        uniq.alias("n_conteudos_unicos"),
+        F.round(kept.cast("double") / n_docs.cast("double"), 6).alias(
+            "taxa_mantidos"
+        ),
+        F.round(
+            F.lit(1.0) - uniq.cast("double") / n_docs.cast("double"), 6
+        ).alias("taxa_duplicados"),
+    )
+
+
+SOURCE_MIX_SQL = f"""
+WITH quality AS ({text.TEXT_QUALITY_SQL}),
+fp AS ({text.DOC_FINGERPRINTS_SQL})
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(quality.n_tokens) AS BIGINT) AS n_tokens_total,
+       CAST(SUM(CASE WHEN quality.manter THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_mantidos,
+       COUNT(DISTINCT fp.fingerprint) AS n_conteudos_unicos,
+       ROUND(CAST(SUM(CASE WHEN quality.manter THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS taxa_mantidos,
+       ROUND(1.0 - CAST(COUNT(DISTINCT fp.fingerprint) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS taxa_duplicados
+FROM documents
+JOIN quality ON documents.doc_id = quality.doc_id
+JOIN fp ON documents.doc_id = fp.doc_id
+GROUP BY source
+"""

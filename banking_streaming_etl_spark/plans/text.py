@@ -480,7 +480,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     text). Pure array expressions: a narrow map + explode over the scan,
     no shuffle at any scale. The md5 stands in for the chunk text so the
     oracle hashes fixed-width values; chunk boundaries are pinned
-    exactly by tests/test_text_ops.py."""
+    exactly by tests/test_extensions.py."""
     d = _docs(spark, sf_dir)
     n_chunks = (
         f"1 + (greatest(size(toks) - {CHUNK_SIZE}, 0)"

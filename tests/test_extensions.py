@@ -435,3 +435,56 @@ def test_repetition_stats_match_python_recount(spark):
             assert row[f"n_{n}grams"] == total
             assert row[f"frac_dup_{n}gram"] == round((total - dist) / total, 6)
             assert row[f"frac_top_{n}gram"] == round(top / total, 6)
+
+
+def test_pack_sequences_invariants(spark):
+    """Per source shard: offsets are the prefix sums of token counts in
+    doc_id order and pack_id is the offset divided by the budget."""
+    from banking_streaming_etl_spark.plans import curation
+
+    df = curation.pack_sequences(spark, SF).toPandas()
+    for _, g in df.groupby("source"):
+        g = g.sort_values("doc_id")
+        run = 0
+        for _, row in g.iterrows():
+            assert row["offset_inicio"] == run
+            assert row["pack_id"] == run // curation.PACK_BUDGET
+            run += row["n_tokens"]
+
+
+def test_decontaminate_flags_cross_split_near_dups(spark):
+    """Every flagged train doc must genuinely share an 8-gram with some
+    test doc (re-derived in Python), and the corpus's planted cross-split
+    near-dups must surface."""
+    from banking_streaming_etl_spark.plans import curation
+    from banking_streaming_etl_spark.operators import sampling
+
+    import duckdb
+
+    flagged = curation.decontaminate_train_docs(spark, SF).toPandas()
+    assert len(flagged) > 0  # planted near-dups straddle the split
+    split = {
+        r.doc_id: r.split
+        for r in sampling.train_test_split_docs(spark, SF).collect()
+    }
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    n = curation.DECON_SHINGLE_N
+
+    def grams(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    test_grams = set()
+    for d, t in texts.items():
+        if split[d] == "test":
+            test_grams |= grams(t)
+    for _, row in flagged.iterrows():
+        assert split[row["doc_id"]] == "train"
+        shared = grams(texts[row["doc_id"]]) & test_grams
+        assert len(shared) == row["n_shingles_contaminados"]

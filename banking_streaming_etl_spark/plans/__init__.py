@@ -297,6 +297,9 @@ def register_all() -> None:
     register("source_mix_report", curation.source_mix_report,
              curation.SOURCE_MIX_SQL,
              "per-source volume/quality/dup-rate data-mix report")
+    register("bigram_logprob_scores", text.bigram_logprob_scores,
+             text.BIGRAM_LOGPROB_SQL,
+             "bigram conditional-LM mean log-prob per doc")
 
     # ------------------------------------------------------------------
     # ... then the rows-only (oracle=None) queries.

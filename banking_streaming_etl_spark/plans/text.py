@@ -241,6 +241,64 @@ GROUP BY doc_id
 """
 
 
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: per-doc mean ln P(w_i | w_{i-1})
+    under the corpus's own MLE bigram model — the conditional upgrade of
+    `unigram_logprob_scores` (repetitive boilerplate scores even higher,
+    incoherent token salads even lower; the spread between the two is
+    itself a quality signal). Conditionals are normalized over the bigram
+    table (c(w1,w2)/c(w1 as bigram head)), so every probability is
+    well-defined without smoothing.
+
+    Scale shape: one shuffle to build each frequency table (bigram,
+    head), then shuffle joins keyed by the gram strings and a per-doc
+    aggregate — at 100 TB the bigram table outgrows broadcast, and the
+    equi-join plan here is exactly what survives that."""
+    d = _docs(spark, sf_dir)
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ',"
+                " element_at(toks, i + 1)))"
+            )
+        ).alias("g"),
+    ).withColumn("w1", F.split("g", " ").getItem(0))
+    freq2 = bi.groupBy("g").agg(F.count("*").alias("c2"))
+    freq1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    logp = F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+    return (
+        bi.join(freq2, "g")
+        .join(freq1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigramas"),
+            exact.exact_avg(F.round(logp, 6), "logprob_medio"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH bi AS (
+    SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+),
+freq2 AS (SELECT g, COUNT(*) AS c2 FROM bi GROUP BY g),
+freq1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1)
+SELECT doc_id, COUNT(*) AS n_bigramas,
+       {exact.sql_avg("ROUND(LN(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)",
+                      "logprob_medio")}
+FROM bi JOIN freq2 USING (g) JOIN freq1 USING (w1)
+GROUP BY doc_id
+"""
+
+
 WINNOW_K = 5  # char k-gram length
 WINNOW_W = 4  # winnowing window (guarantee: matches >= K+W-1 chars share a print)
 

@@ -122,3 +122,38 @@ def test_ivf_centroids_are_broadcast(spark):
     # only hash exchange allowed is the per-vector row_number window
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_is_narrow(spark):
+    """Chunking is a map + explode over the scan — no exchange of any
+    kind may appear at any corpus size."""
+    plan = _physical_plan(_query(spark, "chunk_documents"))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Packing shuffles once on the source shard key; the prefix-sum
+    window must not add a second exchange or a global sort."""
+    import re
+
+    plan = _physical_plan(_query(spark, "pack_sequences"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_fuzzy_dedup_joins_on_block_key(spark):
+    """The fuzzy self-join must be an equi-join on the block key (never
+    a cartesian/broadcast-nested-loop all-pairs)."""
+    plan = _physical_plan(_query(spark, "fuzzy_dedup_levenshtein"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "blk" in plan
+
+
+def test_nearest_centroid_broadcasts_the_centroids(spark):
+    """The labels x dims centroid table and per-label norms are broadcast;
+    the vector side must never shuffle to meet them."""
+    plan = _physical_plan(_query(spark, "nearest_centroid_confusion"))
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -300,6 +300,11 @@ def register_all() -> None:
     register("bigram_logprob_scores", text.bigram_logprob_scores,
              text.BIGRAM_LOGPROB_SQL,
              "bigram conditional-LM mean log-prob per doc")
+    register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
+             "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
+    register("payer_totals_salted", relational.payer_totals_salted,
+             relational.PAYER_TOTALS_SALTED_SQL,
+             "two-stage salted aggregation vs plain GROUP BY oracle")
 
     # ------------------------------------------------------------------
     # ... then the rows-only (oracle=None) queries.

@@ -478,3 +478,44 @@ def json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_ROUNDTRIP_SQL = datamodel.with_ctes(
     "SELECT id_transacao, modalidade_pagamento, valor_transacao FROM transactions"
 )
+
+
+N_SALTS = 16
+
+
+def payer_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof per-payer totals via two-stage salted aggregation
+    (operators/skew.py pattern, wired with DECIMAL accumulation so the
+    salt split is provably semantics-preserving — the oracle is the
+    PLAIN single-stage GROUP BY and the hashes must still match).
+
+    Salt = xxhash64(tx id) % N_SALTS: deterministic per row, independent
+    of partition layout (never rand()). Stage 1 shuffles on (payer,
+    salt) so a hyperactive payer spreads over N_SALTS reducers; stage 2
+    re-aggregates N_SALTS-x fewer rows on payer alone. Exact decimal
+    partials make the two-stage sum bit-identical to the one-stage."""
+    t = datamodel.transactions(spark, sf_dir)
+    salted = t.withColumn(
+        "_salt", F.pmod(F.xxhash64("id_transacao"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("id_usuario_pagador", "_salt").agg(
+        F.count("*").alias("_c"),
+        F.sum(
+            F.round(F.col("valor_transacao"), 6).cast(exact.DEC)
+        ).alias("_s"),
+    )
+    return partial.groupBy("id_usuario_pagador").agg(
+        F.sum("_c").alias("total_transacoes"),
+        F.sum("_s").cast("double").alias("valor_total"),
+    )
+
+
+PAYER_TOTALS_SALTED_SQL = datamodel.with_ctes(
+    """
+SELECT id_usuario_pagador,
+       COUNT(*) AS total_transacoes,
+       CAST(SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS valor_total
+FROM transactions
+GROUP BY id_usuario_pagador"""
+)

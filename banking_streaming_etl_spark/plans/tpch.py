@@ -217,3 +217,43 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+LATE_SHIP_DAYS = 60
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — count orders per priority that
+    have at least one late-shipped line (shipdate > orderdate + 60 days;
+    adapted to this dataset's slimmed lineitem, which carries no
+    commit/receipt dates). Catalyst plans the EXISTS as a LEFT SEMI join
+    on l_orderkey with the inequality as a join residual: one shuffle on
+    the order key, no de-dup pass needed, 5 output groups."""
+    o = datamodel.load_table(spark, sf_dir, "orders")
+    li = datamodel.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+)
+GROUP BY o_orderpriority
+"""

@@ -24,13 +24,20 @@ def payer_chain_join(
     tx_stream: DataFrame,
     watermark: str = "10 minutes",
     max_gap: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: transaction B whose payer was the
-    recipient of an earlier transaction A, within `max_gap` of A.
+    """Stream-stream join: transaction B whose payer was the recipient of
+    an earlier transaction A, within `max_gap` of A.
 
     Both sides watermarked; the event-time range condition lets the engine
     expire buffered state — without it a stream-stream join's state grows
     unboundedly.
+
+    `how="left_outer"` emits unmatched origin transactions with NULL
+    destination columns ("money that arrived and never moved on") — the
+    null-extension fires only once the watermark proves no match can
+    still arrive, which is why outer stream-stream joins REQUIRE both the
+    watermark and the time bound (Spark rejects the plan otherwise).
     """
     a = (
         tx_stream.withWatermark("data_horario", watermark)
@@ -58,7 +65,7 @@ def payer_chain_join(
             <= F.col("ts_origem") + F.expr(f"INTERVAL {max_gap}")
         )
     )
-    return a.join(b, cond, "inner").select(
+    return a.join(b, cond, how).select(
         "id_tx_origem",
         "id_tx_destino",
         F.col("usuario_meio").alias("id_usuario_meio"),

@@ -103,3 +103,59 @@ def test_dead_letter_split(spark, tmp_path, joins_replay_dir):
         '{"id_transacao": 77, "data_horario": "not-a-timestamp"}',
     }
     assert all(r.erro == "PARSE_ERROR" for r in dead_rows)
+
+
+def test_stream_stream_left_outer_join(spark, joins_replay_dir):
+    """Left-outer flavor: matched pairs behave exactly like the inner
+    join; origins with no chained destination emit once, null-extended,
+    after the watermark proves no match can still arrive."""
+    tx = stream_src.read_transaction_stream(spark, joins_replay_dir)
+
+    out = sjoins.payer_chain_join(tx, how="left_outer")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chain_outer")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM chain_outer").collect()
+    got_matched = {
+        (r.id_tx_origem, r.id_tx_destino)
+        for r in rows
+        if r.id_tx_destino is not None
+    }
+    got_null = {r.id_tx_origem for r in rows if r.id_tx_destino is None}
+
+    # batch truth
+    t = datamodel.transactions(spark, SF)
+    a = t.select(
+        F.col("id_transacao").alias("id_tx_origem"),
+        F.col("id_usuario_recebedor").alias("u"),
+        F.col("data_horario").alias("ts_a"),
+    )
+    b = t.select(
+        F.col("id_transacao").alias("id_tx_destino"),
+        F.col("id_usuario_pagador").alias("u"),
+        F.col("data_horario").alias("ts_b"),
+    )
+    pairs = (
+        a.join(b, "u")
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 hour"))
+        )
+        .select("id_tx_origem", "id_tx_destino")
+    )
+    want_pairs = {(r.id_tx_origem, r.id_tx_destino) for r in pairs.collect()}
+    matched_origins = {p[0] for p in want_pairs}
+    all_origins = {r.id_tx_origem for r in a.collect()}
+    want_null = all_origins - matched_origins
+
+    assert got_matched <= want_pairs
+    # every null-extension is genuinely unmatched in the batch truth
+    assert got_null <= want_null
+    assert len(got_null) > 0  # outer rows actually fire
+    # an origin never emits both null-extended and matched
+    assert not (got_null & {p[0] for p in got_matched})

@@ -82,3 +82,38 @@ def write_partitioned_parquet(
     """The scale-out history layout: partition by coarse keys (e.g. date)
     so downstream scans prune partitions."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    sort_cols: list[str],
+    target_file_rows: int = 1_000_000,
+) -> int:
+    """Small-file compaction + clustering rewrite — the maintenance job a
+    streaming ingest needs: micro-batches leave one small file per epoch
+    per partition, and scan cost at 100 TB is dominated by file count and
+    row-group locality.
+
+    Rewrites `src_path` range-partitioned and sorted by `sort_cols`
+    (repartitionByRange -> sortWithinPartitions, so rows cluster by the
+    query-predicate columns and min/max row-group stats become selective
+    — poor-man's Z-order for a single sort family), capping rows per
+    output file so file sizes stay bounded no matter the partition count.
+    Returns the number of files written. Deterministic apart from file
+    layout; content equality is what the test pins."""
+    import glob
+    import math
+
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_parts = max(1, math.ceil(n / target_file_rows))
+    (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_file_rows)
+        .parquet(dst_path)
+    )
+    return len(glob.glob(f"{dst_path}/part-*.parquet"))

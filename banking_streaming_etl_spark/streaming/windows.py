@@ -21,12 +21,21 @@ DEFAULT_WATERMARK = "10 minutes"
 def tumbling_modality_counts(
     tx_stream: DataFrame,
     window_size: str = "1 hour",
-    watermark: str = DEFAULT_WATERMARK,
+    watermark: str | None = DEFAULT_WATERMARK,
 ) -> DataFrame:
     """T6 tumbling: per (hour window, modality) count + value sum — the
-    streaming flavor of vw_performance_temporal (A3)."""
+    streaming flavor of vw_performance_temporal (A3).
+
+    Pass watermark=None when the upstream already set one (chained
+    stateful operators, e.g. dedup -> window): Spark 4 forbids redefining
+    the watermark mid-plan."""
+    marked = (
+        tx_stream
+        if watermark is None
+        else tx_stream.withWatermark("data_horario", watermark)
+    )
     return (
-        tx_stream.withWatermark("data_horario", watermark)
+        marked
         .groupBy(
             F.window("data_horario", window_size).alias("janela"),
             "modalidade_pagamento",

@@ -181,3 +181,44 @@ def test_csv_stream_sink(spark, tmp_path, module_replay_dir):
     q.stop()
     back = spark.read.option("header", "true").csv(str(tmp_path / "csv_stream"))
     assert back.count() == 1000
+
+
+def test_compact_parquet_preserves_content_and_bounds_files(spark, tmp_path):
+    """Compaction: many tiny epoch files -> few bounded, range-clustered
+    files with identical content and selective row-group stats."""
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.streaming import sinks
+
+    src = str(tmp_path / "fragmented")
+    t = datamodel.transactions(spark, "/root/testdata/sf0.001")
+    # simulate streaming fragmentation: 40 files for 1k rows
+    t.repartition(40).write.mode("overwrite").parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+
+    dst = str(tmp_path / "compacted")
+    n_files = sinks.compact_parquet(
+        spark, src, dst, sort_cols=["data_horario"], target_file_rows=600
+    )
+    assert n_files == 2  # 1000 rows / 600 cap -> 2 range partitions
+
+    a = spark.read.parquet(src).orderBy("id_transacao").collect()
+    b = spark.read.parquet(dst).orderBy("id_transacao").collect()
+    assert a == b
+
+    # clustering: the two files' data_horario ranges must not overlap
+    # (range partitioning guarantees disjoint key ranges per file)
+    ranges = []
+    for f in sorted(glob.glob(f"{dst}/part-*.parquet")):
+        row = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("data_horario").alias("lo"),
+                F.max("data_horario").alias("hi"),
+            )
+            .collect()[0]
+        )
+        ranges.append((row.lo, row.hi))
+    ranges.sort()
+    assert ranges[0][1] <= ranges[1][0]

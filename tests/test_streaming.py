@@ -287,3 +287,42 @@ def test_late_data_filter(spark, replay_dir):
     filtered = swin.late_data_filter(tx, max_delay_seconds=1)
     _run_to_memory(filtered, "late_out")
     assert spark.sql("SELECT count(*) FROM late_out").collect()[0][0] == 0
+
+
+def test_chained_stateful_dedup_then_window(spark, replay_dir, tmp_path):
+    """Two stateful operators in ONE streaming query (Spark 4 chained
+    state): dropDuplicatesWithinWatermark feeding a tumbling windowed
+    aggregate. Replaying every chunk twice, the deduped windowed counts
+    must equal the batch single-copy truth — the layout a real pipeline
+    wants (dedup at ingest, aggregate downstream, one checkpoint)."""
+    import shutil
+
+    d = str(tmp_path / "dup_chunks")
+    shutil.copytree(replay_dir, d)
+    for f in sorted(__import__("glob").glob(f"{replay_dir}/*.json")):
+        shutil.copy(f, f"{d}/dup_{f.rsplit('/', 1)[1]}")
+
+    tx = stream_src.read_transaction_stream(spark, d)
+    chained = swin.tumbling_modality_counts(
+        swin.dedup_within_watermark(tx), "1 hour", watermark=None
+    )
+    _run_to_memory(chained, "chained_out", mode="complete")
+
+    got = {
+        (r.hora, r.modalidade_pagamento, r.total_transacoes)
+        for r in spark.sql(
+            "SELECT hora, modalidade_pagamento, total_transacoes"
+            " FROM chained_out"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in datamodel.transactions(spark, SF)
+        .groupBy(
+            F.date_trunc("hour", "data_horario").alias("hora"),
+            "modalidade_pagamento",
+        )
+        .agg(F.count("*").alias("total_transacoes"))
+        .collect()
+    }
+    assert got == want

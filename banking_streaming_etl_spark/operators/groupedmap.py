@@ -79,3 +79,28 @@ def minmax_normalize_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi > lo, (F.col("valor_transacao") - lo) / (hi - lo)
     ).otherwise(F.lit(0.0))
     return t.withColumn("valor_normalizado", norm)
+
+
+def register_chunk_tokens_udtf(spark: SparkSession) -> None:
+    """Python UDTF surface (Spark 4, Arrow-batched): one input row ->
+    many output rows, usable in SQL as a LATERAL table function. The
+    engine's chunking PRODUCTION path is pure array expressions
+    (plans/text.py chunk_documents — exchange-free, JVM-side); this UDTF
+    exists to pin the escape hatch for row-expanding logic that genuinely
+    needs Python, and the differential test holds it bit-identical to
+    the built-in path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: bigint, chunk_text: string", useArrow=True)
+    class ChunkTokens:
+        def eval(self, text: str, size: int, stride: int):
+            toks = text.split(" ")
+            n = len(toks)
+            if n > size:
+                n_chunks = 1 + -(-(n - size) // stride)
+            else:
+                n_chunks = 1
+            for k in range(n_chunks):
+                yield k, " ".join(toks[k * stride : k * stride + size])
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)

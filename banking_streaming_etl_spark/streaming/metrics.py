@@ -53,3 +53,33 @@ def throughput_summary(progress: DataFrame) -> DataFrame:
         F.max("batch_duration_ms").alias("max_batch_ms"),
         F.avg("processed_rows_per_second").alias("avg_rows_per_s"),
     )
+
+
+def quality_observation(df: DataFrame, name: str = "qualidade"):
+    """Attach free data-quality counters to a batch plan via
+    `df.observe` — computed inline during the action that materializes
+    the frame, with NO extra pass over the data (the production way to
+    count nulls/volume on a 100 TB job; a separate `.count()` audit scan
+    would double the read).
+
+    Returns (observed_df, Observation). After any action on observed_df,
+    `observation.get` yields {total, valor_nulos, valor_total,
+    pagadores_nulos}. The streaming twin is the same `observe` call
+    surfaced through StreamingQueryProgress['observedMetrics'] — see
+    progress_dataframe."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.col("valor_transacao").isNull().cast("long")
+        ).alias("valor_nulos"),
+        F.sum(
+            F.col("id_usuario_pagador").isNull().cast("long")
+        ).alias("pagadores_nulos"),
+        F.sum(F.round(F.col("valor_transacao"), 6)).alias("valor_total"),
+    )
+    return observed, obs

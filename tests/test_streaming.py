@@ -326,3 +326,22 @@ def test_chained_stateful_dedup_then_window(spark, replay_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_quality_observation_counts_inline(spark):
+    """df.observe: audit counters materialize with the action, no second
+    scan, and match an explicit aggregation."""
+    from banking_streaming_etl_spark.streaming import metrics as smetrics
+
+    t = datamodel.transactions(spark, SF)
+    observed, obs = smetrics.quality_observation(t)
+    n_rows = observed.count()  # the action that also fills the observation
+    got = obs.get
+    assert got["total"] == n_rows
+    want = t.agg(
+        F.sum(F.col("valor_transacao").isNull().cast("long")),
+        F.sum(F.col("id_usuario_pagador").isNull().cast("long")),
+    ).collect()[0]
+    assert got["valor_nulos"] == want[0]
+    assert got["pagadores_nulos"] == want[1]
+    assert got["valor_total"] > 0

@@ -222,3 +222,51 @@ def test_compact_parquet_preserves_content_and_bounds_files(spark, tmp_path):
         ranges.append((row.lo, row.hi))
     ranges.sort()
     assert ranges[0][1] <= ranges[1][0]
+
+
+def test_restart_from_checkpoint_is_exactly_once(
+    spark, tmp_path, module_replay_dir
+):
+    """Kill the query mid-stream and restart it on the SAME checkpoint:
+    the restarted query must resume from the committed offset (not
+    re-read from scratch), and the epoch-keyed sink must land every
+    record exactly once — the crash-recovery contract checkpointing
+    exists to provide."""
+    import time
+
+    # a finer-grained replay (8 chunks, 1 file per trigger) so the kill
+    # reliably lands mid-stream
+    replay = str(tmp_path / "chunks8")
+    stream_src.write_replay_chunks(spark, SF, replay, n_chunks=8)
+
+    def start():
+        tx = stream_src.read_transaction_stream(
+            spark, replay, max_files_per_trigger=1
+        )
+        out = spipe.approval_stream(
+            tx, datamodel.users(spark, SF), datamodel.regions(spark, SF)
+        )
+        return sinks.start_idempotent_sink(
+            out,
+            out_dir=str(tmp_path / "hist"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            columns=["id_transacao", "transacao_aprovada"],
+        )
+
+    q1 = start()
+    # let at least one micro-batch commit, then kill mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(p["batchId"] >= 0 for p in q1.recentProgress):
+            break
+        time.sleep(0.2)
+    q1.stop()
+    partial = spark.read.parquet(str(tmp_path / "hist")).count()
+    assert partial < 1000  # genuinely mid-stream
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    df = spark.read.parquet(str(tmp_path / "hist"))
+    assert df.count() == 1000
+    assert df.select("id_transacao").distinct().count() == 1000

@@ -84,3 +84,58 @@ def write_jdbc(
             "createTableColumnTypes", create_table_column_types
         )
     writer.jdbc(url, table, properties=properties or {})
+
+
+def execute_jdbc(spark: SparkSession, url: str, sql: str,
+                 driver: str | None = None) -> None:
+    """Run one DDL/DML statement over a raw JDBC connection (the Spark
+    JDBC source only reads/writes tables; MERGE and friends need a
+    statement). Uses the JVM's DriverManager — same classpath as the
+    datasource, no extra Python driver."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
+def upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    properties: dict[str, str] | None = None,
+    staging_table: str | None = None,
+) -> None:
+    """Exactly-once-style JDBC upsert: stage the batch (overwrite), then
+    one transactional MERGE into the target keyed on `key_cols`. A
+    post-failure retry re-stages the same rows and re-runs the same
+    MERGE — idempotent, unlike the bare append the reference uses for
+    its historico sink (streaming_etl.py:198-219). Wire into foreachBatch
+    (partial(upsert_jdbc, ...)) for the streaming exactly-once JDBC sink.
+
+    Identifier quoting mirrors the Spark JDBC writer exactly: table
+    names unquoted (DB case folding applies), column names quoted
+    (the writer quotes them at CREATE, preserving case)."""
+    staging = staging_table or f"{table}_stage"
+    write_jdbc(df, url, staging, mode="overwrite", properties=properties)
+    q = lambda c: f'"{c}"'  # noqa: E731
+    cols = df.columns
+    non_keys = [c for c in cols if c not in key_cols]
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    set_ = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
+    ins_cols = ", ".join(q(c) for c in cols)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    merge = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {set_} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+    execute_jdbc(
+        df.sparkSession, url, merge, (properties or {}).get("driver")
+    )

@@ -107,3 +107,37 @@ def test_jdbc_append_mode_accumulates(spark, derby_url):
         spark, derby_url, "historico", properties=_props(), cache=False
     )
     assert back.count() == 20
+
+
+def test_jdbc_upsert_merge_is_idempotent(spark, derby_url):
+    """K2 exactly-once flavor: stage + MERGE upsert — new keys insert,
+    existing keys update, and replaying the same batch (post-failure
+    retry) changes nothing."""
+    from pyspark.sql import functions as F
+
+    users = _sample_users(spark)
+    batch.write_jdbc(
+        users, derby_url, "upsert_t", mode="overwrite", properties=_props()
+    )
+
+    # second batch: 50 updated balances (keys 50..99) + 50 new keys
+    delta = spark.range(50, 150).select(
+        F.col("id").alias("id_usuario"),
+        F.expr("uuid()").alias("id_externo"),
+        F.lit(999.99).cast("decimal(15,2)").alias("saldo"),
+        F.timestamp_micros(F.lit(1704067200000000)).alias("criado_em"),
+    )
+    for _ in range(2):  # second pass = simulated retry, must be a no-op
+        batch.upsert_jdbc(
+            delta, derby_url, "upsert_t", ["id_usuario"], properties=_props()
+        )
+        back = batch.read_jdbc(
+            spark, derby_url, "upsert_t", properties=_props(), cache=False
+        )
+        assert back.count() == 150
+        updated = back.filter("id_usuario >= 50").select("saldo").distinct()
+        assert [r.saldo for r in updated.collect()] == [
+            __import__("decimal").Decimal("999.99")
+        ]
+        untouched = back.filter("id_usuario < 50")
+        assert untouched.filter("saldo = 999.99").count() == 0

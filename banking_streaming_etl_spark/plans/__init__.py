@@ -302,6 +302,8 @@ def register_all() -> None:
              "bigram conditional-LM mean log-prob per doc")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
+    register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,
+             "TPC-H Q14 shape: fact-dim join + conditional-ratio agg")
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")

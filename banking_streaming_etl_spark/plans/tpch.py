@@ -257,3 +257,66 @@ WHERE EXISTS (
 )
 GROUP BY o_orderpriority
 """
+
+
+Q14_MONTH = ("1995-09-01", "1995-10-01")
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact ⋈ dimension with a global conditional-ratio
+    aggregate — promo revenue share for one shipping month. The month
+    predicate pushes to the lineitem scan; the part join shuffles on
+    partkey at scale (AQE may broadcast at small sf); both CASE branches
+    accumulate in the same DECIMAL so the final double division is
+    bit-identical cross-engine."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_MONTH[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_MONTH[1]).cast("timestamp"))
+    )
+    p = datamodel.load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type"
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    one = F.lit(1).cast("decimal(8,2)")
+    rev = price * (one - disc)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(21,4)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (
+                F.lit(100.0)
+                * F.col("promo_revenue")
+                / F.col("total_revenue")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+Q14_SQL = f"""
+WITH agg AS (
+    SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))
+                 ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE) AS promo_revenue,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))))
+             AS DOUBLE) AS total_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{Q14_MONTH[0]} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q14_MONTH[1]} 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM agg
+"""

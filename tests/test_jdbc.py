@@ -141,3 +141,57 @@ def test_jdbc_upsert_merge_is_idempotent(spark, derby_url):
         ]
         untouched = back.filter("id_usuario < 50")
         assert untouched.filter("saldo = 999.99").count() == 0
+
+
+def test_streaming_jdbc_upsert_sink(spark, derby_url, tmp_path):
+    """The streaming exactly-once JDBC sink: foreachBatch + staged MERGE.
+    Replaying the same stream into the same table (fresh checkpoint, same
+    keys) must leave the row set unchanged — duplicate delivery collapses
+    in the MERGE instead of double-appending."""
+    from functools import partial
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.sources import stream as stream_src
+
+    replay = str(tmp_path / "chunks")
+    stream_src.write_replay_chunks(
+        spark, "/root/testdata/sf0.001", replay, n_chunks=2
+    )
+
+    def run(ckpt):
+        tx = stream_src.read_transaction_stream(spark, replay).select(
+            "id_transacao", "valor_transacao"
+        )
+        q = (
+            tx.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda b, e: batch.upsert_jdbc(
+                    b, derby_url, "tx_upsert", ["id_transacao"],
+                    properties=_props(),
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # seed the target table so MERGE has something to merge into
+    batch.write_jdbc(
+        datamodel.transactions(spark, "/root/testdata/sf0.001")
+        .select("id_transacao", "valor_transacao")
+        .limit(1),
+        derby_url,
+        "tx_upsert",
+        mode="overwrite",
+        properties=_props(),
+    )
+    run("ckpt1")
+    n1 = batch.read_jdbc(
+        spark, derby_url, "tx_upsert", properties=_props(), cache=False
+    ).count()
+    run("ckpt2")  # full duplicate delivery
+    n2 = batch.read_jdbc(
+        spark, derby_url, "tx_upsert", properties=_props(), cache=False
+    ).count()
+    assert n1 == n2 == 1000

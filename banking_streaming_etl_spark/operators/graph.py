@@ -1,0 +1,147 @@
+"""Graph analytics over the payment graph (payer -> recipient edges).
+
+PageRank as an iterative DataFrame computation — the canonical "does
+your engine do iteration at scale" workload. Each Lloyd-style round is
+joins + groupBy (shuffle keyed by node id); the analyzed plan is
+truncated per round with an eager localCheckpoint, without which the
+lineage doubles per iteration and the driver dies around round 8-10
+(same hazard as operators/dedup.connected_components — on a cluster use
+a reliable checkpoint() dir instead).
+
+Determinism recipe (the reason this is oracle-checkable at all): each
+node's incoming contributions are rounded to 9 decimals and summed in
+DECIMAL (order-independent); every remaining step is a scalar double
+expression written term-for-term identically in the SQL twin, which
+unrolls the iterations as a generated CTE chain (recursive CTEs cannot
+aggregate in the recursive term).
+
+The companion connected-components operator lives in operators/dedup.py
+(dedup clustering); no reference equivalent for either — the reference
+has no graph surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+
+PAGERANK_ITERS = 6
+DAMPING = 0.85  # exactly representable choices keep both engines aligned
+DEC9 = "decimal(28,9)"
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    t = datamodel.transactions(spark, sf_dir).filter(
+        F.col("id_usuario_recebedor").isNotNull()
+    )
+    edges = t.select(
+        F.col("id_usuario_pagador").alias("src"),
+        F.col("id_usuario_recebedor").alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .union(edges.select(F.col("dst").alias("u")))
+        .distinct()
+    )
+    return edges, nodes
+
+
+def payer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (simplified: dangling mass not redistributed, as in the
+    classic formulation rank = (1-d)/N + d * sum(rank_in/outdeg)), run
+    for PAGERANK_ITERS rounds over the distinct payer->recipient edges.
+    Output is (id_usuario, rank) rounded to 6."""
+    edges, nodes = _graph(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n = nodes.agg(F.count("*").alias("n"))
+
+    ranks = (
+        nodes.crossJoin(F.broadcast(n))
+        .select("u", F.round(F.lit(1.0) / F.col("n").cast("double"), 9).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("u", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("u"),
+                F.round(
+                    F.col("rank") / F.col("deg").cast("double"), 9
+                ).cast(DEC9).alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "u", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "u",
+                F.round(
+                    F.lit(1.0 - DAMPING) / F.col("n").cast("double")
+                    + F.lit(DAMPING)
+                    * F.coalesce(
+                        F.col("s"), F.lit(0).cast(DEC9)
+                    ).cast("double"),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("u").alias("id_usuario"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _pagerank_sql() -> str:
+    base = (
+        f"ROUND({1.0 - DAMPING} / CAST(n.n AS DOUBLE) + {DAMPING} * "
+        "CAST(COALESCE(s.s, CAST(0 AS DECIMAL(28,9))) AS DOUBLE), 9)"
+    )
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+pr{i} AS (
+    SELECT nodes.u, {base} AS rank
+    FROM nodes
+    LEFT JOIN (
+        SELECT e.dst AS u,
+               SUM(CAST(ROUND(p.rank / CAST(d.deg AS DOUBLE), 9)
+                        AS DECIMAL(28,9))) AS s
+        FROM edges e
+        JOIN pr{i - 1} p ON e.src = p.u
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+    ) s ON nodes.u = s.u
+    CROSS JOIN n
+)""")
+    ctes = (
+        """
+edges AS (
+    SELECT DISTINCT id_usuario_pagador AS src, id_usuario_recebedor AS dst
+    FROM transactions
+    WHERE id_usuario_recebedor IS NOT NULL
+),
+nodes AS (
+    SELECT DISTINCT u FROM (
+        SELECT src AS u FROM edges UNION ALL SELECT dst AS u FROM edges)
+),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (
+    SELECT u, ROUND(1.0 / CAST(n.n AS DOUBLE), 9) AS rank
+    FROM nodes CROSS JOIN n
+),"""
+        + ",".join(iters)
+    )
+    return datamodel.with_ctes(
+        f"SELECT u AS id_usuario, ROUND(rank, 6) AS rank"
+        f" FROM pr{PAGERANK_ITERS}",
+        extra_ctes=ctes,
+    )
+
+
+PAGERANK_SQL = _pagerank_sql()

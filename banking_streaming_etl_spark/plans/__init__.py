@@ -38,6 +38,7 @@ def register_all() -> None:
         asof,
         dedup,
         embeddings,
+        graph,
         groupedmap,
         multimodal,
         sampling,
@@ -304,6 +305,9 @@ def register_all() -> None:
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,
              "TPC-H Q14 shape: fact-dim join + conditional-ratio agg")
+    register("payer_pagerank", graph.payer_pagerank, graph.PAGERANK_SQL,
+             "6-round PageRank over payer->recipient edges "
+             "(iteration-unrolled SQL oracle)")
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")

@@ -488,3 +488,30 @@ def test_decontaminate_flags_cross_split_near_dups(spark):
         assert split[row["doc_id"]] == "train"
         shared = grams(texts[row["doc_id"]]) & test_grams
         assert len(shared) == row["n_shingles_contaminados"]
+
+
+def test_pagerank_sanity(spark):
+    """Rank mass and ordering sanity: every rank >= the teleport floor,
+    hubs (recipients with many distinct payers) outrank leaves, and the
+    result is deterministic across runs."""
+    from banking_streaming_etl_spark.operators import graph
+    from banking_streaming_etl_spark import datamodel
+    from pyspark.sql import functions as F
+
+    pr = graph.payer_pagerank(spark, SF)
+    rows = {r.id_usuario: r.rank for r in pr.collect()}
+    edges, nodes = graph._graph(spark, SF)
+    n = nodes.count()
+    floor = (1 - graph.DAMPING) / n
+    assert all(r >= round(floor, 4) for r in rows.values())
+
+    indeg = {
+        r.dst: r.c
+        for r in edges.groupBy("dst").agg(F.count("*").alias("c")).collect()
+    }
+    top = max(rows, key=rows.get)
+    # the top-ranked node is among the most-linked-to recipients
+    assert indeg.get(top, 0) >= sorted(indeg.values())[-5]
+
+    again = {r.id_usuario: r.rank for r in graph.payer_pagerank(spark, SF).collect()}
+    assert rows == again

@@ -308,6 +308,9 @@ def register_all() -> None:
     register("payer_pagerank", graph.payer_pagerank, graph.PAGERANK_SQL,
              "6-round PageRank over payer->recipient edges "
              "(iteration-unrolled SQL oracle)")
+    register("temperature_mix_weights", curation.temperature_mix_weights,
+             curation.TEMPERATURE_MIX_SQL,
+             "sqrt-temperature data-mixing weights per source")
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")
@@ -332,6 +335,8 @@ def register_all() -> None:
              None, "same via applyInPandas (equality-tested vs window twin)")
     register("media_features", multimodal.media_features, None,
              "binary payload -> mapInPandas feature extraction (stub decode)")
+    register("media_audio_windows", multimodal.media_audio_windows, None,
+             "audio energy windows (RMS/peak/ZC via mapInPandas)")
     register("media_frame_samples", multimodal.media_frame_samples, None,
              "video-shape frame sampling: 1 payload -> N frame rows "
              "(mapInPandas explosion)")

@@ -208,3 +208,60 @@ JOIN quality ON documents.doc_id = quality.doc_id
 JOIN fp ON documents.doc_id = fp.doc_id
 GROUP BY source
 """
+
+
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixing weights: each source's sampling
+    weight is proportional to tokens^alpha with alpha = 0.5 — the
+    standard flattening between natural (alpha=1) and uniform (alpha=0)
+    mixing that keeps big sources from drowning small ones. alpha=0.5 is
+    deliberately sqrt: IEEE sqrt is correctly rounded, so both engines
+    produce the identical double where a general pow() could differ in
+    the last ulp. `fator_epocas` is the relative oversampling factor the
+    weight implies for each source (w_s * total_tokens / tokens_s).
+
+    Scale shape: one groupBy on the low-cardinality source key, a scalar
+    broadcast for the normalizer (decimal-summed, order-independent)."""
+    d = datamodel.load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    c = d.groupBy("source").agg(F.sum("n_tok").alias("n_tokens_total"))
+    sq = F.round(F.sqrt(F.col("n_tokens_total").cast("double")), 6)
+    t = c.agg(
+        F.sum(sq.cast("decimal(28,6)")).cast("double").alias("tw"),
+        F.sum("n_tokens_total").alias("tt"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens_total",
+        F.round(sq / F.col("tw"), 6).alias("peso"),
+        F.round(
+            sq
+            / F.col("tw")
+            * F.col("tt").cast("double")
+            / F.col("n_tokens_total").cast("double"),
+            6,
+        ).alias("fator_epocas"),
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH c AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_total
+    FROM documents
+    GROUP BY source
+),
+t AS (
+    SELECT CAST(SUM(CAST(ROUND(SQRT(CAST(n_tokens_total AS DOUBLE)), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS tw,
+           CAST(SUM(n_tokens_total) AS BIGINT) AS tt
+    FROM c
+)
+SELECT source, n_tokens_total,
+       ROUND(ROUND(SQRT(CAST(n_tokens_total AS DOUBLE)), 6) / tw, 6) AS peso,
+       ROUND(ROUND(SQRT(CAST(n_tokens_total AS DOUBLE)), 6) / tw
+             * CAST(tt AS DOUBLE) / CAST(n_tokens_total AS DOUBLE), 6)
+           AS fator_epocas
+FROM c, t
+"""

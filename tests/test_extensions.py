@@ -515,3 +515,23 @@ def test_pagerank_sanity(spark):
 
     again = {r.id_usuario: r.rank for r in graph.payer_pagerank(spark, SF).collect()}
     assert rows == again
+
+
+def test_audio_windows_contract(spark):
+    """Audio windowing: deterministic, windows tile each payload at the
+    configured stride, and features are finite."""
+    import math
+
+    got = multimodal.media_audio_windows(spark, SF).toPandas()
+    again = multimodal.media_audio_windows(spark, SF).toPandas()
+    key = ["doc_id", "window_idx"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    for _, g in got.groupby("doc_id"):
+        g = g.sort_values("window_idx")
+        assert list(g["window_idx"]) == list(range(len(g)))
+        assert list(g["sample_offset"]) == [128 * i for i in range(len(g))]
+        assert (g["rms"] >= 0).all() and g["rms"].map(math.isfinite).all()
+        assert (g["peak"] <= 128).all()

@@ -311,6 +311,10 @@ def register_all() -> None:
     register("temperature_mix_weights", curation.temperature_mix_weights,
              curation.TEMPERATURE_MIX_SQL,
              "sqrt-temperature data-mixing weights per source")
+    register("training_manifest", curation.training_manifest,
+             curation._training_manifest_sql(),
+             "capstone: clean -> chunk -> pack manifest, oracle-checked "
+             "end-to-end")
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")

@@ -265,3 +265,59 @@ SELECT source, n_tokens_total,
            AS fator_epocas
 FROM c, t
 """
+
+
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition a training-data pipeline actually ships:
+    cleaned corpus (dedup -> quality -> lang-ID -> split, via the
+    registered corpus_clean_pipeline) -> sliding-window chunks -> packed
+    sequence assignments per split. One row per surviving chunk with its
+    pack routing — the manifest a downstream tokenizer/writer consumes.
+
+    Every stage reuses the registered single-step builder (no forked
+    derivations), so this query is simultaneously an integration check
+    over the whole chain and itself oracle-checked end-to-end. Scale
+    shape: doc_id-keyed joins + one partitioned prefix-sum window per
+    split (same argument as pack_sequences)."""
+    survivors = text.corpus_clean_pipeline(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    chunks = text.chunk_documents(spark, sf_dir)
+    j = chunks.join(survivors, "doc_id")
+    w = (
+        W.partitionBy("split")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        j.select(
+            "doc_id",
+            "chunk_id",
+            "split",
+            "n_tokens_chunk",
+            "chunk_md5",
+            F.coalesce(F.sum("n_tokens_chunk").over(w), F.lit(0))
+            .cast("bigint")
+            .alias("offset_inicio"),
+        )
+        .withColumn("pack_id", F.expr(f"offset_inicio div {PACK_BUDGET}"))
+    )
+
+
+def _training_manifest_sql() -> str:
+    off = """COALESCE(SUM(n_tokens_chunk) OVER (
+               PARTITION BY split ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"""
+    return f"""
+WITH clean AS ({text._corpus_clean_sql()}),
+chunks AS ({text.CHUNK_DOCUMENTS_SQL}),
+j AS (
+    SELECT chunks.doc_id, chunks.chunk_id, clean.split,
+           chunks.n_tokens_chunk, chunks.chunk_md5
+    FROM chunks JOIN clean ON chunks.doc_id = clean.doc_id
+)
+SELECT doc_id, chunk_id, split, n_tokens_chunk, chunk_md5,
+       CAST({off} AS BIGINT) AS offset_inicio,
+       CAST({off} AS BIGINT) // {PACK_BUDGET} AS pack_id
+FROM j
+"""

@@ -157,3 +157,24 @@ def test_nearest_centroid_broadcasts_the_centroids(spark):
     the vector side must never shuffle to meet them."""
     plan = _physical_plan(_query(spark, "nearest_centroid_confusion"))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_dynamic_partition_pruning_on_partitioned_history(spark, tmp_path):
+    """A selective dim filter joined against a partition-keyed fact must
+    inject a dynamic-pruning subquery into the fact scan's partition
+    filters — at 100 TB this is the difference between scanning one
+    region's partitions and scanning the table."""
+    from banking_streaming_etl_spark import datamodel
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "hist_by_region")
+    t = datamodel.transactions(spark, SF)
+    t.write.mode("overwrite").partitionBy("id_regiao").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = datamodel.regions(spark, SF).filter(
+        F.col("macro_regiao") == "AMERICA"
+    )
+    j = fact.join(dim, "id_regiao").groupBy("macro_regiao").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() > 0

@@ -376,6 +376,7 @@ def value_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modalidade_pagamento",
         "valor_transacao",
         F.ntile(10).over(w).alias("decil"),
+        F.dense_rank().over(w).alias("posicao_densa"),
         F.round(F.percent_rank().over(w), 6).alias("rank_percentual"),
         F.round(F.cume_dist().over(w), 6).alias("dist_acumulada"),
     )
@@ -385,6 +386,7 @@ VALUE_RANK_METRICS_SQL = datamodel.with_ctes(
     """
 SELECT id_transacao, modalidade_pagamento, valor_transacao,
        NTILE(10) OVER w AS decil,
+       DENSE_RANK() OVER w AS posicao_densa,
        ROUND(PERCENT_RANK() OVER w, 6) AS rank_percentual,
        ROUND(CUME_DIST() OVER w, 6) AS dist_acumulada
 FROM transactions

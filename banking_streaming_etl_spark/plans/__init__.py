@@ -143,8 +143,9 @@ def register_all() -> None:
     # scale extensions: dedup
     register("dedup_exact_documents", dedup.dedup_exact,
              dedup.DEDUP_EXACT_SQL, "exact dedup by content digest")
-    register("near_dup_jaccard", dedup.near_dup_jaccard,
-             dedup.NEAR_DUP_JACCARD_SQL, "exact 3-gram Jaccard pairs")
+    register("payer_pagerank", graph.payer_pagerank, graph.PAGERANK_SQL,
+             "6-round PageRank over payer->recipient edges "
+             "(iteration-unrolled SQL oracle)")
     register("dedup_minhash_lsh", dedup.dedup_minhash_lsh,
              dedup.NEAR_DUP_JACCARD_SQL,
              "MinHash-LSH + verify; shares the exact-Jaccard oracle "
@@ -305,9 +306,10 @@ def register_all() -> None:
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,
              "TPC-H Q14 shape: fact-dim join + conditional-ratio agg")
-    register("payer_pagerank", graph.payer_pagerank, graph.PAGERANK_SQL,
-             "6-round PageRank over payer->recipient edges "
-             "(iteration-unrolled SQL oracle)")
+    register("near_dup_jaccard", dedup.near_dup_jaccard,
+             dedup.NEAR_DUP_JACCARD_SQL,
+             "exact 3-gram Jaccard pairs (brute-force twin of the "
+             "in-window MinHash-LSH slot, which shares its oracle)")
     register("temperature_mix_weights", curation.temperature_mix_weights,
              curation.TEMPERATURE_MIX_SQL,
              "sqrt-temperature data-mixing weights per source")

@@ -139,6 +139,7 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "coerced_casts",
         "score_recombination",
         "minmax_normalize_window",
+        "payer_pagerank",
     }
     missing = must_be_checked - set(window)
     assert missing == set(), f"family-critical queries outside the window: {missing}"

@@ -314,10 +314,15 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-grams, emit the distinct selected hashes. Guarantees any shared
     substring of length >= K+W-1 yields a shared fingerprint, while
     storing ~2/(W+1) of the k-gram hashes. Pure array expressions — at
-    scale this is a narrow map over the document scan."""
-    d = datamodel.load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= WINNOW_K + WINNOW_W
-    )
+    scale this is a narrow map over the document scan. The guarantee
+    itself is property-tested on arbitrary planted substrings
+    (tests/test_property_text.py)."""
+    return winnow_frame(datamodel.load_table(spark, sf_dir, "documents"))
+
+
+def winnow_frame(docs: DataFrame) -> DataFrame:
+    """Winnowing over any (doc_id, text) frame."""
+    d = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W)
     kgrams = F.expr(
         f"transform(sequence(1, length(text) - {WINNOW_K - 1}),"
         f" i -> substring(text, i, {WINNOW_K}))"

@@ -1,0 +1,58 @@
+"""Property-based tests (hypothesis) for the text-fingerprint family:
+the winnowing guarantee on arbitrary planted substrings, and exact
+equality against a plain-Python reference implementation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from banking_streaming_etl_spark.plans import text
+
+
+def _py_winnow(s: str) -> set[int]:
+    """Reference implementation of the MOSS scheme, mirroring the Spark
+    expressions: 48-bit md5 k-gram hashes, window-of-W minima, distinct."""
+    k, w = text.WINNOW_K, text.WINNOW_W
+    if len(s) < k + w:
+        return set()
+    hashes = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:12], 16)
+        for i in range(len(s) - k + 1)
+    ]
+    return {min(hashes[j : j + w]) for j in range(len(hashes) - w + 1)}
+
+
+@pytest.fixture(scope="module")
+def spark_m(spark):
+    return spark
+
+
+alpha = st.text(alphabet="abcdefgh ", min_size=12, max_size=60)
+shared = st.text(alphabet="abcdefgh ", min_size=text.WINNOW_K + text.WINNOW_W - 1,
+                 max_size=24)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=alpha, b=alpha, sub=shared, data=st.data())
+def test_winnowing_matches_reference_and_guarantee(spark_m, a, b, sub, data):
+    """For arbitrary texts with a planted shared substring of length
+    >= K+W-1: (1) the Spark expressions equal the Python reference
+    exactly per document; (2) the two documents share a fingerprint."""
+    ia = data.draw(st.integers(0, len(a)))
+    ib = data.draw(st.integers(0, len(b)))
+    doc_a = a[:ia] + sub + a[ia:]
+    doc_b = b[:ib] + sub + b[ib:]
+    df = spark_m.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    got: dict[int, set[int]] = {0: set(), 1: set()}
+    for r in text.winnow_frame(df).collect():
+        got[r.doc_id].add(r.fingerprint)
+    assert got[0] == _py_winnow(doc_a)
+    assert got[1] == _py_winnow(doc_b)
+    assert got[0] & got[1], "planted shared substring produced no shared print"

@@ -51,3 +51,34 @@ def test_exact_aggregates_match_duckdb(spark, tmp_path, name, values):
     assert got.s == want[0], (name, got.s, want[0])
     assert got.a == want[1], (name, got.a, want[1])
     assert got.d == want[2], (name, got.d, want[2])
+
+
+def test_exact_sum_permutation_and_partition_invariant(spark):
+    """Property (hypothesis): exact_sum is invariant to row order and
+    partitioning, and equals the true decimal sum — the exact guarantee
+    the oracle gate's determinism rests on. Plain float sums fail this
+    on adversarial magnitude mixes; the decimal path must not."""
+    from decimal import Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from banking_streaming_etl_spark.functions import exact
+
+    cents = st.integers(min_value=-10**12, max_value=10**12)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(vals=st.lists(cents, min_size=1, max_size=40))
+    def run(vals):
+        floats = [v / 100.0 for v in vals]
+        want = float(sum(Decimal(v) for v in vals) / 100)
+        outs = set()
+        for order, parts in ((floats, 1), (list(reversed(floats)), 7)):
+            df = spark.createDataFrame(
+                [(x,) for x in order], "v double"
+            ).repartition(parts)
+            outs.add(df.agg(exact.exact_sum("v", "s")).collect()[0].s)
+        assert outs == {want}, (outs, want)
+
+    run()

@@ -302,6 +302,9 @@ def register_all() -> None:
     register("bigram_logprob_scores", text.bigram_logprob_scores,
              text.BIGRAM_LOGPROB_SQL,
              "bigram conditional-LM mean log-prob per doc")
+    register("lexical_diversity_scores", text.lexical_diversity_scores,
+             text.LEXICAL_DIVERSITY_SQL,
+             "per-doc token entropy + KL divergence vs corpus unigram")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,

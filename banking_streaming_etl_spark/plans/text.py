@@ -603,3 +603,60 @@ GROUP BY termo
 ORDER BY freq DESC, termo ASC
 LIMIT 50
 """
+
+
+def lexical_diversity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional quality scores: per-doc token entropy (lexical
+    diversity — near-zero for 'aaaa...' spam) and KL divergence of the
+    doc's unigram distribution from the corpus distribution (domain
+    outlier score — high when a doc's vocabulary is unlike the corpus).
+    Same two-level explode/agg plan as TF-IDF; every summed term is
+    rounded to 6 and accumulated in DECIMAL so both engines agree
+    bit-for-bit. p = tf/n per doc, q = corpus freq/total; every token in
+    a doc exists in the corpus, so q > 0 always."""
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode("toks").alias("termo"))
+    tf = terms.groupBy("doc_id", "termo").agg(F.count("*").alias("tf"))
+    n = terms.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = terms.groupBy("termo").agg(F.count("*").alias("c"))
+    tot = terms.agg(F.count("*").alias("t"))
+    j = (
+        tf.join(n, "doc_id")
+        .join(F.broadcast(freq), "termo")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("tf").cast("double") / F.col("n").cast("double")
+    q = F.col("c").cast("double") / F.col("t").cast("double")
+    ent_term = F.round(p * F.log(p), 6).cast(exact.DEC)
+    kl_term = F.round(p * F.log(p / q), 6).cast(exact.DEC)
+    return j.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        (-F.sum(ent_term).cast("double")).alias("entropia"),
+        F.sum(kl_term).cast("double").alias("kl_corpus"),
+    )
+
+
+LEXICAL_DIVERSITY_SQL = """
+WITH terms AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS termo FROM documents
+),
+tf AS (SELECT doc_id, termo, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+n AS (SELECT doc_id, COUNT(*) AS n FROM terms GROUP BY 1),
+freq AS (SELECT termo, COUNT(*) AS c FROM terms GROUP BY 1),
+tot AS (SELECT COUNT(*) AS t FROM terms),
+j AS (
+    SELECT tf.doc_id,
+           CAST(tf AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS q,
+           n
+    FROM tf JOIN n USING (doc_id) JOIN freq USING (termo), tot
+)
+SELECT doc_id,
+       MAX(n) AS n_tokens,
+       -CAST(SUM(CAST(ROUND(p * LN(p), 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS entropia,
+       CAST(SUM(CAST(ROUND(p * LN(p / q), 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS kl_corpus
+FROM j
+GROUP BY doc_id
+"""

@@ -149,3 +149,77 @@ def running_user_totals(approved_stream: DataFrame) -> DataFrame:
             "taxa_aprovacao"
         ),
     )
+
+
+def last_tx_per_user_tws(approved_stream: DataFrame) -> DataFrame:
+    """Third implementation of the same contract, on Spark 4's
+    transformWithStateInPandas — the successor API to
+    applyInPandasWithState (typed state handles, timers, multiple state
+    variables per processor). Same argmax-per-user semantics, value
+    state = one scalar tuple per user; differential-tested against the
+    JVM operator like the applyInPandasWithState twin, so all three
+    paths are pinned to each other.
+
+    Environment gate: the transformWithState Python runner needs a
+    working google.protobuf and the RocksDB state-store provider; this
+    container ships neither, so the test pins the loud failure mode
+    (query start raises) and runs the differential where the deps
+    exist."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("id_transacao", T.LongType()),
+            T.StructField("valor_transacao", T.DoubleType()),
+            T.StructField("transacao_aprovada", T.BooleanType()),
+        ]
+    )
+
+    class LastTxProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("ultima", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = tuple(self._last.get()) if self._last.exists() else None
+            for pdf in rows:
+                for ts, txid, val, ap in zip(
+                    pdf["data_horario"],
+                    pdf["id_transacao"],
+                    pdf["valor_transacao"],
+                    pdf["transacao_aprovada"],
+                ):
+                    cand = (
+                        int(pd.Timestamp(ts).value // 1000),
+                        int(txid),
+                        float(val),
+                        bool(ap),
+                    )
+                    if best is None or cand[:2] > best[:2]:
+                        best = cand
+            self._last.update(best)
+            yield pd.DataFrame(
+                [
+                    {
+                        "id_usuario_pagador": key[0],
+                        "data_horario": pd.Timestamp(best[0] * 1000),
+                        "id_transacao": best[1],
+                        "valor_transacao": best[2],
+                        "transacao_aprovada": best[3],
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return approved_stream.groupBy("id_usuario_pagador").transformWithStateInPandas(
+        statefulProcessor=LastTxProcessor(),
+        outputStructType=_LAST_TX_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -270,3 +270,76 @@ def test_restart_from_checkpoint_is_exactly_once(
     df = spark.read.parquet(str(tmp_path / "hist"))
     assert df.count() == 1000
     assert df.select("id_transacao").distinct().count() == 1000
+
+
+def test_transform_with_state_twin_matches_jvm_last_tx(
+    spark, module_replay_dir
+):
+    """transformWithStateInPandas twin. Its Python runner requires a
+    working google.protobuf (absent in this container) and the RocksDB
+    state-store provider; when the dependency is missing the query must
+    fail loudly at start (gate pinned), and where it IS available the
+    differential against the JVM operator below is the contract."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        out = stateful.last_tx_per_user_tws(
+            _approval_stream(spark, module_replay_dir)
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            with pytest.raises(StreamingQueryException):
+                q = (
+                    out.writeStream.outputMode("update")
+                    .format("memory")
+                    .queryName("last_tx_tws_gate")
+                    .start()
+                )
+                q.processAllAvailable()
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        return
+
+    out = stateful.last_tx_per_user_tws(
+        _approval_stream(spark, module_replay_dir)
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("last_tx_tws")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id_usuario_pagador").orderBy(
+        F.desc("data_horario"), F.desc("id_transacao")
+    )
+    got = {
+        (r.id_usuario_pagador, r.id_transacao, r.valor_transacao)
+        for r in spark.sql("SELECT * FROM last_tx_tws")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    q2 = (
+        stateful.last_tx_per_user(_approval_stream(spark, module_replay_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("last_tx_jvm_ref2")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    want = {
+        (r.id_usuario_pagador, r.id_transacao, r.valor_transacao)
+        for r in spark.sql("SELECT * FROM last_tx_jvm_ref2").collect()
+    }
+    assert got == want and len(got) > 0

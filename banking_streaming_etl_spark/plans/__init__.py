@@ -53,6 +53,7 @@ def register_all() -> None:
         relational,
         text,
         tpch,
+        tpch2,
         views,
     )
 
@@ -323,6 +324,27 @@ def register_all() -> None:
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")
+
+    # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
+    register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,
+             "TPC-H Q5 proper: two-dim equality constraint join")
+    register("q7_volume_shipping", tpch2.q7_volume_shipping, tpch2.Q7_SQL,
+             "TPC-H Q7 shape: nation dim joined twice under two roles")
+    register("q10_returned_items", tpch2.q10_returned_items, tpch2.Q10_SQL,
+             "TPC-H Q10 shape: returned-item top-20 customer report")
+    register("q13_customer_distribution", tpch2.q13_customer_distribution,
+             tpch2.Q13_SQL,
+             "TPC-H Q13 shape: outer join w/ residual + double aggregation")
+    register("q15_top_supplier", tpch2.q15_top_supplier, tpch2.Q15_SQL,
+             "TPC-H Q15 shape: aggregate-equals-MAX-of-aggregate")
+    register("q17_small_quantity", tpch2.q17_small_quantity, tpch2.Q17_SQL,
+             "TPC-H Q17 shape: correlated per-part average threshold")
+    register("q18_large_volume", tpch2.q18_large_volume, tpch2.Q18_SQL,
+             "TPC-H Q18 shape: HAVING-qualified orders joined back")
+    register("q19_disjunctive", tpch2.q19_disjunctive, tpch2.Q19_SQL,
+             "TPC-H Q19 shape: OR-of-ANDs disjunctive join predicate")
+    register("q22_idle_customers", tpch2.q22_idle_customers, tpch2.Q22_SQL,
+             "TPC-H Q22 shape: scalar-subquery threshold + anti join")
 
     # ------------------------------------------------------------------
     # ... then the rows-only (oracle=None) queries.

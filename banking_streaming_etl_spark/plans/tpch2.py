@@ -1,0 +1,512 @@
+"""Extended TPC-H query shapes over the driver's slimmed tables.
+
+Round-1 tpch.py covers Q1/Q3/Q4/Q6/Q14; this module widens the relational
+plan-shape surface with the remaining classic patterns expressible on the
+slimmed schema (no partsupp / comment / shipmode columns — filters are
+adapted, shapes preserved):
+
+- Q5  : multi-way join with a two-dim equality constraint (local supplier)
+- Q7  : fact joined to the same dim twice (supplier nation x customer nation)
+- Q10 : returned-item top-20 customer report (join + agg + total-order topK)
+- Q13 : LEFT OUTER join with a join-residual filter + double aggregation
+- Q15 : aggregate-equals-MAX-of-aggregate (top supplier view)
+- Q17 : correlated per-key average threshold (join against per-part agg)
+- Q18 : IN (GROUP BY ... HAVING) large-volume orders
+- Q19 : OR-of-ANDs disjunctive join predicate (pushdown stress)
+- Q22 : scalar-subquery threshold + NOT EXISTS anti join (idle customers)
+
+All money aggregates accumulate in DECIMAL (functions/exact.py) and the
+scalar float math is term-for-term identical with the DuckDB twin, so
+every query here is bit-identical cross-engine and oracle-checkable.
+
+Reference parity: the reference's relational surface is the SQL its
+dashboard/pipeline issue (see SURVEY.md §2 J/A families; e.g.
+containers/spark-etl/streaming_etl.py:90-175 for its join+agg patterns);
+these queries prove the same operator families compose at TPC-H shape
+complexity on an idiomatic Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import exact
+
+_DEC_PRICE = "decimal(12,2)"
+_DEC_RATE = "decimal(8,2)"
+
+
+def _rev() -> F.Column:
+    """extendedprice * (1 - discount), accumulated exactly in DECIMAL."""
+    price = F.col("l_extendedprice").cast(_DEC_PRICE)
+    disc = F.col("l_discount").cast(_DEC_RATE)
+    one = F.lit(1).cast(_DEC_RATE)
+    return price * (one - disc)
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))"
+)
+
+
+# --- Q5: local-supplier revenue ---------------------------------------------
+
+Q5_RANGE = ("1996-01-01", "1997-01-01")
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper: lineitem ⋈ orders ⋈ customer ⋈ supplier with the
+    customer-and-supplier-share-a-nation equality, dims broadcast, region
+    filter pruning nations before the fact join. The two-key constraint
+    (l_suppkey = s_suppkey AND c_nationkey = s_nationkey) rides the same
+    shuffle as the supplier join — no extra exchange."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    o = datamodel.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_RANGE[0]).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_RANGE[1]).cast("timestamp"))
+    )
+    c = datamodel.load_table(spark, sf_dir, "customer")
+    s = datamodel.load_table(spark, sf_dir, "supplier")
+    n = datamodel.load_table(spark, sf_dir, "nation")
+    r = datamodel.load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name AS nation_name,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '{Q5_RANGE[0]} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q5_RANGE[1]} 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- Q7: volume shipping between nation pairs --------------------------------
+
+Q7_YEARS = ("1996-01-01", "1998-01-01")
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dim joined TWICE under different roles
+    (supplier nation vs customer nation) — Catalyst must alias the
+    relation, both sides broadcast. Grouped by the (supp, cust, year)
+    triple; unlike stock Q7 no nation-pair filter (the slimmed supplier
+    table is tiny, a pair filter would zero out small sf)."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_YEARS[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_YEARS[1]).cast("timestamp"))
+    )
+    o = datamodel.load_table(spark, sf_dir, "orders")
+    c = datamodel.load_table(spark, sf_dir, "customer")
+    s = datamodel.load_table(spark, sf_dir, "supplier")
+    n1 = (
+        datamodel.load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        datamodel.load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{Q7_YEARS[0]} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q7_YEARS[1]} 00:00:00'
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+"""
+
+
+# --- Q10: returned-item report ------------------------------------------------
+
+Q10_QUARTER = ("1996-01-01", "1996-07-01")
+Q10_K = 20
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned merchandise in a half-year — fact-fact
+    join + customer/nation dims, revenue per customer, top-20 by lost
+    revenue. The limit compiles to TakeOrderedAndProject with the custkey
+    tiebreak making the cut deterministic."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = datamodel.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_QUARTER[0]).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_QUARTER[1]).cast("timestamp"))
+    )
+    c = datamodel.load_table(spark, sf_dir, "customer")
+    n = datamodel.load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_K)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation_name,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_QUARTER[0]} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q10_QUARTER[1]} 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_K}
+"""
+
+
+# --- Q13: customer order-count distribution ----------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a residual predicate ON the
+    join (priority filter must NOT drop order-less customers, so it cannot
+    be a WHERE), then a double aggregation — count orders per customer,
+    then count customers per order-count. Zero-order customers land in the
+    c_count=0 bucket, which a plain inner join would silently lose."""
+    c = datamodel.load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = datamodel.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+# --- Q15: top supplier ---------------------------------------------------------
+
+Q15_QUARTER = ("1996-01-01", "1996-04-01")
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view per supplier, then keep the rows whose
+    aggregate EQUALS the max of that same aggregate. The max is a 1-row
+    broadcast joined back (no second scan of lineitem); equality on a
+    double is safe here because both sides come from the identical
+    DECIMAL-accumulated value."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_QUARTER[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_QUARTER[1]).cast("timestamp"))
+    )
+    s = datamodel.load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(
+            F.broadcast(mx),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_QUARTER[0]} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q15_QUARTER[1]} 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# --- Q17: small-quantity-order revenue ----------------------------------------
+
+Q17_BRAND = "Brand#13"
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average — lines whose quantity
+    is under 20% of their part's average quantity. The correlated scalar
+    subquery becomes a join against a per-partkey aggregate (computed over
+    the FULL lineitem, as in stock Q17); the brand filter prunes the part
+    side before the join. Threshold math (0.2 * sum/count) is term-for-term
+    identical with the oracle so the float comparison is bit-exact."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    p = datamodel.load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(F.round(F.col("l_quantity"), 6).cast(exact.DEC))
+        .cast("double")
+        .alias("sq"),
+        F.count("l_quantity").cast("double").alias("cnt"),
+    )
+    avg_qty = F.lit(0.2) * (F.col("sq") / F.col("cnt"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < avg_qty)
+        .agg(
+            (
+                F.sum(
+                    F.col("l_extendedprice").cast(_DEC_PRICE)
+                ).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH per_part AS (
+    SELECT l_partkey AS pa_partkey,
+           CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+           CAST(COUNT(l_quantity) AS DOUBLE) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pa_partkey
+WHERE p_brand = '{Q17_BRAND}'
+  AND l_quantity < 0.2 * (sq / cnt)
+"""
+
+
+# --- Q18: large-volume customers ----------------------------------------------
+
+Q18_MIN_QTY = 250
+Q18_K = 100
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a HAVING
+    threshold, joined back to orders+customer. The quantity sum is compared
+    in DECIMAL (exact), so the qualifying set is engine-independent; the
+    top-100 is ordered by (o_totalprice DESC, o_orderkey) — a total order."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    o = datamodel.load_table(spark, sf_dir, "orders")
+    c = datamodel.load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC_PRICE)).alias("qty_dec")
+        )
+        .filter(F.col("qty_dec") > F.lit(Q18_MIN_QTY).cast(_DEC_PRICE))
+    )
+    return (
+        big.join(o, F.col("big_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(Q18_K)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty_dec AS DOUBLE) AS total_qty
+FROM (
+    SELECT l_orderkey AS big_orderkey,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2)))
+             > CAST({Q18_MIN_QTY} AS DECIMAL(12,2))
+) big
+JOIN orders   ON big_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT {Q18_K}
+"""
+
+
+# --- Q19: disjunctive predicate revenue ---------------------------------------
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate mixing part attributes and
+    lineitem attributes — the optimizer's predicate-pushdown stress test
+    (the common `l_partkey = p_partkey` stays the equi-join key; the
+    disjunction is a join residual, never a cartesian)."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    p = datamodel.load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    cond = (
+        ((brand == "Brand#13") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#23") & size.between(1, 35) & qty.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+         AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- Q22: idle high-balance customers -----------------------------------------
+
+Q22_RECENT = "1999-01-01"
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers whose balance beats the positive-balance
+    average (scalar subquery → 1-row broadcast) and who placed no order
+    since {Q22_RECENT} (NOT EXISTS → left-anti join), rolled up per nation.
+    The average is DECIMAL-accumulated so the threshold comparison is
+    bit-exact cross-engine."""
+    c = datamodel.load_table(spark, sf_dir, "customer")
+    n = datamodel.load_table(spark, sf_dir, "nation")
+    o_recent = datamodel.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_RECENT).cast("timestamp")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(exact.exact_avg("c_acctbal", "avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_recent, c.c_custkey == o_recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            exact.exact_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT n_name AS nation_name,
+       COUNT(*) AS n_custs,
+       {exact.sql_sum('c_acctbal', 'total_acctbal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+        SELECT {exact.sql_avg('c_acctbal', 'avg_bal').replace(' AS avg_bal', '')}
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '{Q22_RECENT} 00:00:00'
+      )
+GROUP BY n_name
+"""

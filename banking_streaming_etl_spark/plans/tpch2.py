@@ -270,10 +270,14 @@ Q15_QUARTER = ("1996-01-01", "1996-04-01")
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view per supplier, then keep the rows whose
-    aggregate EQUALS the max of that same aggregate. The max is a 1-row
-    broadcast joined back (no second scan of lineitem); equality on a
-    double is safe here because both sides come from the identical
-    DECIMAL-accumulated value."""
+    aggregate EQUALS the max of that same aggregate. The max rides an
+    unpartitioned window over the ALREADY-AGGREGATED per-supplier frame
+    (cardinality = suppliers, tiny next to lineitem), so the fact table is
+    scanned exactly once — a two-reference subquery would scan it twice.
+    Equality on a double is safe here because both sides come from the
+    identical DECIMAL-accumulated value."""
+    from pyspark.sql.window import Window
+
     li = datamodel.load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q15_QUARTER[0]).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q15_QUARTER[1]).cast("timestamp"))
@@ -282,12 +286,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         F.sum(_rev()).cast("double").alias("total_revenue")
     )
-    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    w = Window.partitionBy()
     return (
-        rev.join(
-            F.broadcast(mx),
-            F.col("total_revenue") == F.col("max_revenue"),
-        )
+        rev.withColumn("max_revenue", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -159,6 +159,43 @@ def test_nearest_centroid_broadcasts_the_centroids(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """Q19's OR-of-ANDs must decompose: the quantity-range union pushes to
+    the lineitem scan, the brand/size union to the part scan, and the join
+    stays a broadcast equi-join on partkey with the residual on top."""
+    plan = _physical_plan(_query(spark, "q19_disjunctive"))
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan
+    assert "EqualTo(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_keeps_outer_join_and_pushes_residual(spark):
+    """Q13: the priority filter is a join residual, so it must reach the
+    orders scan as a pushed filter while the join itself stays LeftOuter
+    (a WHERE would have collapsed it to Inner and dropped 0-order
+    customers)."""
+    plan = _physical_plan(_query(spark, "q13_customer_distribution"))
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority" in plan
+
+
+def test_q15_scans_lineitem_once(spark):
+    """Q15's max-of-aggregate must come from a window over the per-supplier
+    frame — a second scan of the fact table means the subquery was
+    evaluated twice."""
+    plan = _physical_plan(_query(spark, "q15_top_supplier"))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q7_broadcasts_nation_twice(spark):
+    """Q7 joins the nation dim under two roles; both must broadcast (plus
+    supplier), never shuffle the fact to meet a dim."""
+    plan = _physical_plan(_query(spark, "q7_volume_shipping"))
+    assert plan.count("nation.parquet") == 2
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_dynamic_partition_pruning_on_partitioned_history(spark, tmp_path):
     """A selective dim filter joined against a partition-keyed fact must
     inject a dynamic-pruning subquery into the fact scan's partition

@@ -345,6 +345,21 @@ def register_all() -> None:
              "TPC-H Q19 shape: OR-of-ANDs disjunctive join predicate")
     register("q22_idle_customers", tpch2.q22_idle_customers, tpch2.Q22_SQL,
              "TPC-H Q22 shape: scalar-subquery threshold + anti join")
+    register("q8_market_share", tpch2.q8_market_share, tpch2.Q8_SQL,
+             "TPC-H Q8 shape: 6-way join + conditional-ratio per year")
+    register("q9_product_profit", tpch2.q9_product_profit, tpch2.Q9_SQL,
+             "TPC-H Q9 shape: LIKE-filtered profit by nation-year")
+    register("q11_concentrated_balances", tpch2.q11_concentrated_balances,
+             tpch2.Q11_SQL,
+             "TPC-H Q11 shape: HAVING vs scalar-subquery fraction")
+    register("q12_late_line_priority", tpch2.q12_late_line_priority,
+             tpch2.Q12_SQL,
+             "TPC-H Q12 shape: inequality join + conditional counts")
+    register("q16_supplier_counts", tpch2.q16_supplier_counts, tpch2.Q16_SQL,
+             "TPC-H Q16 shape: NOT IN exclusion + count distinct per group")
+    register("q21_suppliers_kept_waiting", tpch2.q21_suppliers_kept_waiting,
+             tpch2.Q21_SQL,
+             "TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation")
 
     # ------------------------------------------------------------------
     # ... then the rows-only (oracle=None) queries.

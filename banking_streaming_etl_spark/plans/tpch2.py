@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
 from banking_streaming_etl_spark.functions import exact
+from banking_streaming_etl_spark.plans.tpch import LATE_SHIP_DAYS
 
 _DEC_PRICE = "decimal(12,2)"
 _DEC_RATE = "decimal(8,2)"
@@ -511,4 +512,363 @@ WHERE c_acctbal > (
           AND o_orderdate >= TIMESTAMP '{Q22_RECENT} 00:00:00'
       )
 GROUP BY n_name
+"""
+
+
+# --- Q8: market share ----------------------------------------------------------
+
+Q8_NATION = "NATION_13"
+Q8_RANGE = ("1996-01-01", "1998-01-01")
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue per year —
+    a 6-way join (fact + orders + customer + part + supplier + nation x2
+    roles + region) feeding a conditional-ratio aggregate. Both CASE
+    branches accumulate in the same DECIMAL so the final double division
+    is bit-identical cross-engine."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    o = datamodel.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q8_RANGE[0]).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q8_RANGE[1]).cast("timestamp"))
+    )
+    c = datamodel.load_table(spark, sf_dir, "customer")
+    s = datamodel.load_table(spark, sf_dir, "supplier")
+    p = datamodel.load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    n_cust = datamodel.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    n_supp = datamodel.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = datamodel.load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    rev = _rev()
+    national = F.when(
+        F.col("supp_nation") == Q8_NATION, rev
+    ).otherwise(F.lit(0).cast("decimal(21,4)"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(national).cast("double").alias("national_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "national_revenue",
+            "total_revenue",
+            (F.col("national_revenue") / F.col("total_revenue")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+Q8_SQL = f"""
+WITH agg AS (
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}' THEN {_REV_SQL}
+                    ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
+               AS national_revenue,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN part      ON l_partkey = p_partkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '{Q8_RANGE[0]} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{Q8_RANGE[1]} 00:00:00'
+    GROUP BY EXTRACT(YEAR FROM o_orderdate)
+)
+SELECT o_year, national_revenue, total_revenue,
+       national_revenue / total_revenue AS mkt_share
+FROM agg
+"""
+
+
+# --- Q9: product-type profit ---------------------------------------------------
+
+Q9_NAME_PAT = "%widget%"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year with a LIKE
+    filter on part name. The slimmed schema has no partsupp, so profit is
+    revenue minus retail cost (p_retailprice * quantity) — same join
+    graph and agg shape, all terms DECIMAL-exact."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    o = datamodel.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = datamodel.load_table(spark, sf_dir, "supplier")
+    p = datamodel.load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q9_NAME_PAT)
+    )
+    n = datamodel.load_table(spark, sf_dir, "nation")
+    cost = F.col("p_retailprice").cast(_DEC_PRICE) * F.col(
+        "l_quantity"
+    ).cast(_DEC_PRICE)
+    amount = _rev() - cost
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation_name,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV_SQL}
+                - CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '{Q9_NAME_PAT}'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+# --- Q11: concentrated supplier balances --------------------------------------
+
+Q11_FRACTION = 0.05
+
+
+def q11_concentrated_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: GROUP BY ... HAVING sum > fraction * (scalar
+    subquery over the same table). The global total is a 1-row broadcast
+    joined back; both sums accumulate in DECIMAL so the HAVING threshold
+    compares identical doubles. (partsupp-free adaptation: supplier
+    account balances per nation.)"""
+    s = datamodel.load_table(spark, sf_dir, "supplier")
+    n = datamodel.load_table(spark, sf_dir, "nation")
+    total = s.agg(exact.exact_sum("s_acctbal", "grand_total"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            exact.exact_sum("s_acctbal", "value"),
+            F.count("*").alias("n_suppliers"),
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(Q11_FRACTION) * F.col("grand_total"))
+        .select("nation_name", "value", "n_suppliers")
+    )
+
+
+Q11_SQL = f"""
+SELECT n_name AS nation_name,
+       {exact.sql_sum('s_acctbal', 'value')},
+       COUNT(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING CAST(SUM(CAST(ROUND(s_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         > {Q11_FRACTION} * (
+             SELECT CAST(SUM(CAST(ROUND(s_acctbal, 6) AS DECIMAL(28,6)))
+                         AS DOUBLE)
+             FROM supplier
+           )
+"""
+
+
+# --- Q12: late-line priority counts -------------------------------------------
+
+Q12_LATE_DAYS = 60
+
+
+def q12_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join with an inequality residual
+    (shipped > orderdate + 60 days stands in for the missing
+    receipt/commit dates) feeding per-group conditional counts of urgent
+    vs non-urgent order priorities."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    o = datamodel.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY l_returnflag
+"""
+
+
+# --- Q16: supplier-count by part attribute ------------------------------------
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_SIZES = (1, 5, 10, 15, 20, 25)
+Q16_MIN_ACCTBAL = 2000.0
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute with a
+    NOT IN exclusion subquery (low-balance suppliers stand in for the
+    missing complaint-comment filter). The NOT IN becomes a left-anti
+    join against a broadcast-sized exclusion set; supplier-part pairs
+    come from lineitem (no partsupp in the slimmed schema)."""
+    li = datamodel.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    p = datamodel.load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    excluded = (
+        datamodel.load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < Q16_MIN_ACCTBAL)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_MIN_ACCTBAL}
+      )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- Q21: suppliers who kept orders waiting -----------------------------------
+
+Q21_K = 100
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS double correlation — count,
+    per supplier, finalized multi-supplier orders where ONLY that
+    supplier's line shipped late. EXISTS(another supplier's line on the
+    order) compiles to a left-semi join, NOT EXISTS(another supplier's
+    LATE line) to a left-anti join, both on the order key with the
+    supplier-inequality residual."""
+    o = datamodel.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    s = datamodel.load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_SHIP_DAYS} DAYS"
+    )
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey"))
+            & (
+                F.col("l3_shipdate")
+                > F.col("o_orderdate")
+                + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+            ),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_K)
+    )
+
+
+Q21_SQL = f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+      )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {Q21_K}
 """

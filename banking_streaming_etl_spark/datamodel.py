@@ -70,13 +70,14 @@ SCORE_THRESHOLD = 6.0
 N_REGIONS = 25  # nation keys are 0..24 at every scale factor
 
 
-#: driver parquet stores timestamps as TIMESTAMP(NANOS), which Spark's
-#: vectorized reader rejects unless read as raw longs; we read nanos-as-long
-#: and truncate to microseconds.  DuckDB, by contrast, keeps full TIMESTAMP_NS
-#: precision when scanning the same files — so the oracle CTE below must
-#: CAST(ts AS TIMESTAMP) (µs) explicitly or any query emitting a raw
-#: timestamp hashes differently (round-1 sessionize_events failure).
-_NANOS_TS_COLUMNS = {
+#: driver parquet timestamp encoding has varied across rounds:
+#: TIMESTAMP(NANOS) (Spark's vectorized reader rejects it unless read as raw
+#: longs) and plain timestamp[us] with no timezone (Spark reads
+#: TIMESTAMP_NTZ).  Both are normalized here to session-UTC TIMESTAMP so
+#: downstream hour()/date_trunc()/unix_micros() work identically, and so the
+#: oracle CTEs' CAST(ts AS TIMESTAMP) stays a value-preserving no-op in
+#: DuckDB (which reads the same files as naive microsecond timestamps).
+_TS_COLUMNS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -89,9 +90,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # when the caller (e.g. the verify driver) built its own session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+    dtypes = dict(df.dtypes)
+    for c in _TS_COLUMNS.get(name, ()):
+        if dtypes.get(c) == "bigint":  # TIMESTAMP(NANOS) read as raw longs
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # naive micros; session tz is UTC so this cast is value-preserving
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

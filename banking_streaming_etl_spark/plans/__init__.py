@@ -360,6 +360,11 @@ def register_all() -> None:
     register("q21_suppliers_kept_waiting", tpch2.q21_suppliers_kept_waiting,
              tpch2.Q21_SQL,
              "TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation")
+    register("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL,
+             "TPC-H Q2 shape: correlated min-equality + 4-way dim join")
+    register("q20_promotion_suppliers", tpch2.q20_promotion_suppliers,
+             tpch2.Q20_SQL,
+             "TPC-H Q20 shape: nested IN chain over derived supply aggs")
 
     # ------------------------------------------------------------------
     # ... then the rows-only (oracle=None) queries.

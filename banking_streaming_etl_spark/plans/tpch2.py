@@ -872,3 +872,203 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT {Q21_K}
 """
+
+
+# --- Q2: minimum-cost supplier ------------------------------------------------
+
+Q2_REGION = "EUROPE"
+Q2_MAX_SIZE = 15
+Q2_TYPE = "PROMO"
+Q2_K = 100
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery (supply cost equals the
+    regional MIN for that part) over a 4-way dim join, top-100 by a total
+    order.  The slimmed schema has no partsupp, so the supply relation is
+    derived: per (part, supplier) the minimum observed unit price in
+    lineitem (MIN of an IEEE division — order-independent, so it is
+    bit-identical cross-engine).  The correlated MIN compiles to a window
+    over the part key riding the part-join shuffle — one exchange, no
+    self-join re-scan of the supply relation.
+
+    Reference parity: joins-against-aggregate is the reference dashboard's
+    J7/J8 family (SURVEY.md §2.4); this is the same shape at TPC-H
+    complexity with the correlated-equality wrinkle.
+    """
+    from pyspark.sql.window import Window
+
+    li = datamodel.load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "supply_cost"
+        )
+    )
+    s = datamodel.load_table(spark, sf_dir, "supplier")
+    n = datamodel.load_table(spark, sf_dir, "nation")
+    r = datamodel.load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    p = datamodel.load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= Q2_MAX_SIZE) & (F.col("p_type") == Q2_TYPE)
+    )
+    eu = (
+        supply.join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.join(F.broadcast(p), eu.l_partkey == p.p_partkey)
+        .withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            "p_partkey",
+            "p_name",
+            "supply_cost",
+            "s_suppkey",
+        )
+        .orderBy(
+            F.desc("s_acctbal"),
+            F.asc("nation_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+            F.asc("s_suppkey"),
+        )
+        .limit(Q2_K)
+    )
+
+
+Q2_SQL = f"""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT supply.*, s_name, s_acctbal, s_suppkey, n_name
+  FROM supply
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+)
+SELECT s_acctbal, s_name, n_name AS nation_name, p_partkey, p_name,
+       supply_cost, s_suppkey
+FROM eu
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= {Q2_MAX_SIZE}
+  AND p_type = '{Q2_TYPE}'
+  AND supply_cost = (
+        SELECT MIN(e2.supply_cost) FROM eu e2
+        WHERE e2.l_partkey = eu.l_partkey
+      )
+ORDER BY s_acctbal DESC, nation_name ASC, s_name ASC, p_partkey ASC,
+         s_suppkey ASC
+LIMIT {Q2_K}
+"""
+
+
+# --- Q20: potential part promotion --------------------------------------------
+
+Q20_NAME_LIKE = "%bolt"
+Q20_YEAR = ("1997-01-01", "1998-01-01")
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain — suppliers (in a region)
+    who, for some promo-named part, shipped more of it inside the promo
+    year than half their all-time volume of that part.  partsupp's
+    availqty threshold is re-derived from lineitem: the correlated
+    `> 0.5 * SUM(l_quantity)` becomes a join of two per-(part,supplier)
+    aggregates.  Quantities accumulate in DECIMAL and the half-threshold
+    is the integer-doubling form (2*q_year > q_all) so the comparison is
+    exact — no float 0.5 multiply to drift cross-engine.
+
+    The part-name filter is pushed below both aggregates (semi join on the
+    broadcast promo-part set before any shuffle), so the heavy groupBy
+    only sees promo-part lines.
+    """
+    qty = F.col("l_quantity").cast(_DEC_PRICE)
+    p = (
+        datamodel.load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(Q20_NAME_LIKE))
+        .select("p_partkey")
+    )
+    li = datamodel.load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    q_all = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).alias("qty_all")
+    )
+    q_year = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q20_YEAR[0]).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_YEAR[1]).cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("y_partkey"),
+            F.col("l_suppkey").alias("y_suppkey"),
+        )
+        .agg(F.sum(qty).alias("qty_year"))
+    )
+    hot = (
+        q_all.join(
+            q_year,
+            (F.col("l_partkey") == F.col("y_partkey"))
+            & (F.col("l_suppkey") == F.col("y_suppkey")),
+        )
+        .filter(F.lit(2).cast(_DEC_PRICE) * F.col("qty_year") > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = datamodel.load_table(spark, sf_dir, "supplier")
+    n = datamodel.load_table(spark, sf_dir, "nation")
+    r = datamodel.load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    return (
+        s.join(hot, s.s_suppkey == hot.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", F.col("n_name").alias("nation_name"), "s_acctbal")
+        .orderBy(F.asc("s_name"))
+    )
+
+
+Q20_SQL = f"""
+WITH promo_lines AS (
+  SELECT l_partkey, l_suppkey, l_quantity, l_shipdate
+  FROM lineitem
+  WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_LIKE}'
+        )
+), q_all AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_all
+  FROM promo_lines GROUP BY l_partkey, l_suppkey
+), q_year AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_year
+  FROM promo_lines
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR[0]} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q20_YEAR[1]} 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, n_name AS nation_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q2_REGION}'
+  AND s_suppkey IN (
+        SELECT q_all.l_suppkey
+        FROM q_all JOIN q_year
+          ON q_all.l_partkey = q_year.l_partkey
+         AND q_all.l_suppkey = q_year.l_suppkey
+        WHERE CAST(2 AS DECIMAL(12,2)) * qty_year > qty_all
+      )
+ORDER BY s_name ASC
+"""

@@ -215,3 +215,25 @@ def test_dynamic_partition_pruning_on_partitioned_history(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.count() > 0
+
+
+def test_q2_single_supply_shuffle_and_broadcast_dims(spark):
+    """Q2's correlated regional MIN must ride the supply aggregation's
+    partitioning as a window — lineitem scanned once, every dim broadcast,
+    a TakeOrderedAndProject top-100 (never a global sort), and no second
+    aggregate of the supply relation."""
+    plan = _physical_plan(_query(spark, "q2_min_cost_supplier"))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_pushes_promo_filter_below_both_aggregates(spark):
+    """Q20's part-name filter must land below BOTH per-(part,supplier)
+    aggregates: pushed into each part scan (StringEndsWith) and applied
+    as a broadcast semi join before any groupBy shuffle, so the heavy
+    aggregates only see promo-part lines."""
+    plan = _physical_plan(_query(spark, "q20_promotion_suppliers"))
+    assert plan.count("StringEndsWith(p_name,bolt)") == 2
+    assert plan.count("BroadcastHashJoin LeftSemi") >= 3

@@ -66,9 +66,9 @@ GROUP BY label, pos
 """
 
 
-def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign each vector to its nearest label centroid by cosine and
-    emit the (true label, predicted label, count) confusion table.
+def centroid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each vector's nearest label centroid by cosine: (vec_id, label,
+    label_c).
 
     Since ||v|| is constant per vector, ranking by dot(v, c)/||c|| is
     ranking by cosine — one division fewer to keep term-identical across
@@ -104,13 +104,24 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "label_c")
+    )
+
+
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (true label, predicted label, count) confusion table over the
+    nearest-centroid assignment."""
+    return (
+        centroid_assignments(spark, sf_dir)
         .groupBy("label", F.col("label_c").alias("label_previsto"))
         .agg(F.count("*").alias("n_vecs"))
     )
 
 
-NEAREST_CENTROID_SQL = f"""
-WITH cen AS ({LABEL_CENTROIDS_SQL}),
+#: shared CTE chain ending in `assign(vec_id, label, label_c)` — the
+#: nearest-centroid assignment both the confusion table and semantic dedup
+#: build on (must stay in lock-step with `centroid_assignments`).
+ASSIGN_SQL_CTES = f"""cen AS ({LABEL_CENTROIDS_SQL}),
 ex AS (
     SELECT vec_id, label,
            unnest(range(0, len(embedding))) AS pos,
@@ -142,9 +153,123 @@ scored AS (
                ORDER BY dots.dot / norms.norm_c DESC, dots.label_c ASC
            ) AS rn
     FROM dots JOIN norms USING (label_c)
-)
+),
+assign AS (
+    SELECT vec_id, label, label_c FROM scored WHERE rn = 1
+)"""
+
+
+NEAREST_CENTROID_SQL = f"""
+WITH {ASSIGN_SQL_CTES}
 SELECT label, label_c AS label_previsto, COUNT(*) AS n_vecs
-FROM scored
-WHERE rn = 1
+FROM assign
 GROUP BY 1, 2
 """
+
+
+#: SemDeDup prune threshold — intentionally below the 0.95 near-dup bar:
+#: semantic dedup removes *redundant* (merely similar) training points,
+#: not just copies. 0.40 is just under this corpus's max pairwise cosine,
+#: so the greedy prune keeps a deterministic nonempty drop set.
+SEM_DEDUP_COSINE = 0.40
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster vectors by nearest centroid, then within each cluster greedily
+    drop any vector that has a lower-id clustermate with cosine >= tau
+    (keep-earliest policy — deterministic, single pass, no iteration).
+
+    Scale shape: the pairwise cosine is confined WITHIN clusters — the
+    join is an equi-join on the cluster key, never corpus-level all-pairs.
+    Work is sum(cluster_size^2); production keeps cluster sizes bounded by
+    raising the centroid count (K ~ sqrt(N), the IVF budget rule in
+    operators/similarity.py) — the label centroids here play that role at
+    test scale. The centroid table stays O(K x dim) broadcast.
+
+    No reference equivalent; this is the embedding-space stage of the
+    training-data curation family (COVERAGE.md "Scale extensions").
+    """
+    from banking_streaming_etl_spark.operators.similarity import (
+        _dot,
+        _with_norm,
+    )
+
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    m = (
+        centroid_assignments(spark, sf_dir)
+        .select("vec_id", F.col("label_c").alias("cluster"))
+        .join(emb.select("vec_id", "embedding", "norm"), "vec_id")
+    )
+    a = m.select(
+        F.col("cluster").alias("cluster_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = m.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("cluster_a") == F.col("cluster_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine") >= SEM_DEDUP_COSINE)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        m.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("mantido"),
+        )
+    )
+
+
+def _norm_sql() -> str:
+    from banking_streaming_etl_spark.operators.similarity import NORM_SQL
+
+    return NORM_SQL
+
+
+def _semantic_dedup_sql() -> str:
+    from banking_streaming_etl_spark.operators.similarity import (
+        NORM_SQL,
+        _dot_sql,
+    )
+
+    return f"""
+WITH {ASSIGN_SQL_CTES},
+emb AS (
+    SELECT vec_id, embedding, {NORM_SQL} AS norm FROM embeddings
+),
+m AS (
+    SELECT assign.vec_id, assign.label_c AS cluster, emb.embedding, emb.norm
+    FROM assign JOIN emb USING (vec_id)
+),
+drops AS (
+    SELECT DISTINCT b.vec_id
+    FROM m a JOIN m b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND({_dot_sql('a.embedding', 'b.embedding')}
+                / (a.norm * b.norm), 6) >= {SEM_DEDUP_COSINE}
+)
+SELECT m.vec_id, m.cluster,
+       drops.vec_id IS NULL AS mantido
+FROM m LEFT JOIN drops ON m.vec_id = drops.vec_id
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()

@@ -285,6 +285,9 @@ def register_all() -> None:
              embeddings.nearest_centroid_confusion,
              embeddings.NEAREST_CENTROID_SQL,
              "nearest-centroid assignment confusion table")
+    register("semantic_dedup", embeddings.semantic_dedup,
+             embeddings.SEMANTIC_DEDUP_SQL,
+             "SemDeDup: within-cluster greedy cosine prune, keep-earliest")
     register("fuzzy_dedup_levenshtein", dedup.fuzzy_dedup_levenshtein,
              dedup.FUZZY_DEDUP_SQL,
              "blocked edit-distance fuzzy-duplicate pairs over part names")
@@ -306,6 +309,9 @@ def register_all() -> None:
     register("lexical_diversity_scores", text.lexical_diversity_scores,
              text.LEXICAL_DIVERSITY_SQL,
              "per-doc token entropy + KL divergence vs corpus unigram")
+    register("quality_classifier_scores", text.quality_classifier_scores,
+             text.QUALITY_CLASSIFIER_SQL,
+             "hashed-feature linear classifier (NB log-odds, fastText-style)")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,

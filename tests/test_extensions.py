@@ -535,3 +535,21 @@ def test_audio_windows_contract(spark):
         assert list(g["sample_offset"]) == [128 * i for i in range(len(g))]
         assert (g["rms"] >= 0).all() and g["rms"].map(math.isfinite).all()
         assert (g["peak"] <= 128).all()
+
+
+def test_semantic_dedup_keeps_cluster_minimum_and_drops_someone(spark):
+    """Greedy keep-earliest guarantees the lowest vec_id of every cluster
+    survives; the tau=0.40 threshold sits below this corpus's max pairwise
+    cosine so the prune is exercised (nonzero drops)."""
+    from banking_streaming_etl_spark.operators import embeddings
+
+    out = embeddings.semantic_dedup(spark, SF).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cluster, rows in by_cluster.items():
+        lowest = min(rows, key=lambda r: r.vec_id)
+        assert lowest.mantido, f"cluster {cluster} dropped its lowest id"
+    dropped = [r for r in out if not r.mantido]
+    assert dropped, "tau should drop at least one vector on this corpus"
+    assert len(dropped) < len(out)

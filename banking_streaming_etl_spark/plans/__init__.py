@@ -48,6 +48,7 @@ def register_all() -> None:
     from banking_streaming_etl_spark.plans import (
         approval,
         batchdev,
+        behavior,
         curation,
         dashboard,
         relational,
@@ -312,6 +313,14 @@ def register_all() -> None:
     register("quality_classifier_scores", text.quality_classifier_scores,
              text.QUALITY_CLASSIFIER_SQL,
              "hashed-feature linear classifier (NB log-odds, fastText-style)")
+    register("funnel_conversion", behavior.funnel_conversion,
+             behavior.FUNNEL_SQL,
+             "view->click->purchase funnel via first-touch MIN(ts) compares")
+    register("cohort_retention", behavior.cohort_retention,
+             behavior.COHORT_SQL,
+             "first-activity-day cohorts with 1/3/7-day retention rates")
+    register("bm25_topk", text.bm25_topk, text.BM25_SQL,
+             "BM25 retrieval top-K for a fixed query term set")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,

@@ -660,3 +660,292 @@ SELECT doc_id,
 FROM j
 GROUP BY doc_id
 """
+
+
+#: feature-hash width for the linear classifier — fixed and
+#: vocabulary-independent, the property that makes the model table's size
+#: (and its broadcast) constant at any corpus scale.
+CLF_BUCKETS = 4096
+
+#: cross-engine feature hash: first 12 hex chars of md5(token) -> bigint
+#: mod CLF_BUCKETS (same recipe as sampling.train_test_split_docs).
+_FEAT_HASH = (
+    f"pmod(cast(conv(substring(md5(termo), 1, 12), 16, 10) as bigint), "
+    f"{CLF_BUCKETS})"
+)
+_FEAT_HASH_DUCK = (
+    f"CAST(('0x' || substr(md5(termo), 1, 12)) AS BIGINT) % {CLF_BUCKETS}"
+)
+
+#: deployment-style keep fraction: rank by classifier score, keep the top
+#: 40% (the CCNet/fastText quality-filter pattern — the decision is a
+#: percentile cut, not a fixed logit threshold).
+CLF_KEEP_FRACTION = 0.40
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text classifier over hashed bag-of-words features —
+    fastText-style inference, with the weights trained in closed form on
+    the corpus itself (Naive Bayes log-odds for `lang = 'en'` with +1
+    smoothing over the hashed-feature space). The full train-then-score
+    loop of a model-based quality filter, expressed as joins+aggregates:
+
+    1. hash every token into a FIXED feature space (md5 -> mod 4096) —
+       vocabulary-independent, so the model table is O(buckets) at any
+       corpus size;
+    2. per-feature log-odds weight from class-conditional counts
+       (one shuffle over the exploded terms);
+    3. per-doc score = length-normalized (prior + sum of per-token
+       weights) — broadcast model join, exact decimal accumulation of
+       6-rounded doubles;
+    4. the filter decision the way these models are deployed (CCNet /
+       fastText quality filtering): rank by score and KEEP the top
+       fraction — the cut is an exact percentile scalar broadcast back,
+       never a global sort or a driver collect.
+
+    Scale shape: identical to tfidf_terms — explode, one fixed-width
+    (bucket-count) aggregate, broadcast model back onto the term stream,
+    per-doc agg, scalar-broadcast threshold. No reference equivalent;
+    this is the model-inference stage of the training-data curation
+    family.
+    """
+    d = _docs(spark, sf_dir)
+    terms = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode("toks").alias("termo"),
+    ).withColumn("feat", F.expr(_FEAT_HASH))
+    counts = terms.groupBy("feat").agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("c_en"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("c_other"),
+    )
+    totals = terms.agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("n_other"),
+    )
+    w = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "peso",
+            F.round(
+                F.log(
+                    (F.col("c_en") + F.lit(1)).cast("double")
+                    / (F.col("n_en") + F.lit(CLF_BUCKETS)).cast("double")
+                )
+                - F.log(
+                    (F.col("c_other") + F.lit(1)).cast("double")
+                    / (F.col("n_other") + F.lit(CLF_BUCKETS)).cast("double")
+                ),
+                6,
+            ),
+        )
+        .select("feat", "peso")
+    )
+    docs_prior = d.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("prior")
+    )
+    scored = (
+        terms.join(F.broadcast(w), "feat")
+        .groupBy("doc_id", "is_en")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            exact.exact_sum(F.col("peso"), "soma_pesos"),
+        )
+        .crossJoin(F.broadcast(docs_prior))
+        .select(
+            "doc_id",
+            "is_en",
+            F.round(
+                (F.col("prior") + F.col("soma_pesos"))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    cut = scored.agg(
+        F.round(
+            F.percentile("score", F.lit(1.0 - CLF_KEEP_FRACTION)), 6
+        ).alias("corte")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "is_en",
+            "score",
+            (F.col("score") >= F.col("corte")).alias("selecionado"),
+        )
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH terms AS (
+    SELECT doc_id, lang = 'en' AS is_en,
+           {_FEAT_HASH_DUCK} AS feat
+    FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS termo
+        FROM documents
+    )
+),
+counts AS (
+    SELECT feat,
+           SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS c_en,
+           SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS c_other
+    FROM terms GROUP BY feat
+),
+totals AS (
+    SELECT SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_en,
+           SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS n_other
+    FROM terms
+),
+w AS (
+    SELECT feat,
+           ROUND(LN(CAST(c_en + 1 AS DOUBLE)
+                    / CAST(n_en + {CLF_BUCKETS} AS DOUBLE))
+                 - LN(CAST(c_other + 1 AS DOUBLE)
+                      / CAST(n_other + {CLF_BUCKETS} AS DOUBLE)), 6) AS peso
+    FROM counts, totals
+),
+prior AS (
+    SELECT ROUND(LN(
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE)
+           ), 6) AS prior
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, is_en,
+           ROUND((prior + soma_pesos) / CAST(n_tokens AS DOUBLE), 6) AS score
+    FROM (
+        SELECT doc_id, is_en, COUNT(*) AS n_tokens,
+               {exact.sql_sum("peso", "soma_pesos")}
+        FROM terms JOIN w USING (feat)
+        GROUP BY doc_id, is_en
+    ), prior
+),
+cut AS (
+    SELECT ROUND(QUANTILE_CONT(score, {1.0 - CLF_KEEP_FRACTION}), 6) AS corte
+    FROM scored
+)
+SELECT doc_id, is_en, score, score >= corte AS selecionado
+FROM scored, cut
+"""
+
+
+#: fixed retrieval query for the BM25 ranking op (frequent corpus tokens,
+#: so every sf has matches).
+BM25_QUERY = ("scan", "window", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck Jones): rank documents for a fixed
+    query term set, return the top-K with per-doc scores.
+
+        score(d) = sum over query terms t of
+            idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len_d/avg_len))
+        idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+    Retrieval is the read side of the chunk/pack pipeline (RAG over the
+    curated corpus). Scale shape: the posting list for the query terms is
+    a FILTERED doc-term aggregate (only query terms survive the first
+    shuffle — predicate pushed below the groupBy), document lengths ride
+    the token_counts aggregate, df/N/avg_len are tiny broadcasts, and the
+    final top-K is a TakeOrderedAndProject. Every float term is 6-rounded
+    and ordered identically in both dialects; ties break on doc_id.
+    """
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode("toks").alias("termo"))
+    qterms = terms.filter(F.col("termo").isin(*BM25_QUERY))
+    tf = qterms.groupBy("doc_id", "termo").agg(F.count("*").alias("tf"))
+    df_ = qterms.select("doc_id", "termo").distinct().groupBy("termo").agg(
+        F.count("*").alias("df")
+    )
+    lens = terms.groupBy("doc_id").agg(F.count("*").alias("len_d"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("len_d").cast("double")).alias("avg_len"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B)
+        * F.col("len_d").cast("double")
+        / F.col("avg_len")
+    )
+    contrib = F.round(idf * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm), 6)
+    scored = (
+        tf.join(F.broadcast(df_), "termo")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("termos_casados"),
+            exact.exact_sum(F.col("contrib"), "score_bm25"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("score_bm25"), F.asc("doc_id")
+        )
+        .limit(BM25_TOP_K)
+        .select("doc_id", "termos_casados", "score_bm25")
+    )
+
+
+def _bm25_sql() -> str:
+    qlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH terms AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS termo FROM documents
+),
+qterms AS (SELECT * FROM terms WHERE termo IN ({qlist})),
+tf AS (SELECT doc_id, termo, COUNT(*) AS tf FROM qterms GROUP BY 1, 2),
+df AS (
+    SELECT termo, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, termo FROM qterms) GROUP BY termo
+),
+lens AS (SELECT doc_id, COUNT(*) AS len_d FROM terms GROUP BY doc_id),
+stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(CAST(len_d AS DOUBLE)) AS avg_len
+    FROM lens
+),
+scored AS (
+    SELECT doc_id, COUNT(*) AS termos_casados,
+           {exact.sql_sum(
+               f"ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)"
+               f" + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+               f" * CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}"
+               f" / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}"
+               f" + {BM25_B} * CAST(len_d AS DOUBLE) / avg_len)), 6)",
+               "score_bm25")}
+    FROM tf JOIN df USING (termo) JOIN lens USING (doc_id), stats
+    GROUP BY doc_id
+)
+SELECT doc_id, termos_casados, score_bm25
+FROM scored
+ORDER BY score_bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+BM25_SQL = _bm25_sql()

@@ -56,3 +56,19 @@ def test_winnowing_matches_reference_and_guarantee(spark_m, a, b, sub, data):
     assert got[0] == _py_winnow(doc_a)
     assert got[1] == _py_winnow(doc_b)
     assert got[0] & got[1], "planted shared substring produced no shared print"
+
+
+def test_quality_classifier_enriches_the_target_class(spark):
+    """The hashed-feature NB log-odds scorer must carry real signal: the
+    kept top-40% is measurably enriched in the class the weights were
+    trained for, and the percentile cut keeps ~the configured fraction."""
+    from banking_streaming_etl_spark.plans import text
+
+    rows = text.quality_classifier_scores(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    sel = [r for r in rows if r.selecionado]
+    base = sum(1 for r in rows if r.is_en) / len(rows)
+    prec = sum(1 for r in sel if r.is_en) / len(sel)
+    assert abs(len(sel) / len(rows) - text.CLF_KEEP_FRACTION) < 0.05
+    assert prec > base + 0.05, (prec, base)

@@ -1,0 +1,186 @@
+"""Behavioral analytics over the transaction stream: funnels + cohorts.
+
+The reference dashboard slices transactions by hour/modality/region
+(SURVEY.md §2.5 A-family); a product team running the same pipeline asks
+the next two questions — "how many users progress through the modality
+funnel?" and "do new users come back?". Both are pure aggregate shapes
+(no per-user sequences materialized), so they scale like any other
+hash aggregate: one shuffle keyed by user, one tiny re-aggregate.
+
+- `funnel_conversion`: per-user first-touch timestamps of the funnel
+  stages (view -> click -> purchase), counted per region. The
+  "ordered progression" is expressed as MIN(ts) comparisons — no
+  collect_list, no sequence scan, order-insensitive and exact.
+- `cohort_retention`: users grouped by first-activity day (cohort);
+  retention = distinct users active again N days after their cohort
+  day. The classic triangle table, as two hash aggregates and a
+  self-join on the user key that rides the first aggregate's shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+
+#: funnel stage order (modalities play the event-type role; the driver's
+#: vocabulary is view/click/purchase/signup/error).
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+#: retention horizons (days after the cohort day).
+RETENTION_DAYS = (1, 3, 7)
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region funnel: users who viewed; of those, users whose first
+    click came after their first view; of those, users whose first
+    purchase came after that click. Ordered progression via MIN(ts)
+    per stage — one shuffle on (user), then a tiny region aggregate."""
+    t = datamodel.transactions(spark, sf_dir)
+    per_user = (
+        t.filter(F.col("modalidade_pagamento").isin(*FUNNEL_STAGES))
+        .groupBy("id_usuario_pagador")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("modalidade_pagamento") == s, F.col("data_horario")
+                    )
+                ).alias(f"t_{s}")
+                for s in FUNNEL_STAGES
+            ],
+            (F.col("id_usuario_pagador") % datamodel.N_REGIONS).alias(
+                "id_regiao"
+            ),
+        )
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    purchased = clicked & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return per_user.groupBy("id_regiao").agg(
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("usuarios_view"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("usuarios_click"),
+        F.sum(F.when(purchased, 1).otherwise(0)).alias("usuarios_purchase"),
+    )
+
+
+FUNNEL_SQL = datamodel.with_ctes(
+    f"""
+SELECT id_regiao,
+       CAST(SUM(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT) AS usuarios_view,
+       CAST(SUM(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS usuarios_click,
+       CAST(SUM(CASE WHEN purchased THEN 1 ELSE 0 END) AS BIGINT) AS usuarios_purchase
+FROM (
+    SELECT id_usuario_pagador % {datamodel.N_REGIONS} AS id_regiao,
+           t_view IS NOT NULL AS viewed,
+           t_view IS NOT NULL AND t_click IS NOT NULL
+               AND t_click > t_view AS clicked,
+           t_view IS NOT NULL AND t_click IS NOT NULL
+               AND t_click > t_view AND t_purchase IS NOT NULL
+               AND t_purchase > t_click AS purchased
+    FROM (
+        SELECT id_usuario_pagador,
+               MIN(CASE WHEN modalidade_pagamento = 'view'
+                        THEN data_horario END) AS t_view,
+               MIN(CASE WHEN modalidade_pagamento = 'click'
+                        THEN data_horario END) AS t_click,
+               MIN(CASE WHEN modalidade_pagamento = 'purchase'
+                        THEN data_horario END) AS t_purchase
+        FROM transactions
+        WHERE modalidade_pagamento IN {FUNNEL_STAGES}
+        GROUP BY id_usuario_pagador
+    )
+)
+GROUP BY id_regiao
+"""
+)
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort = first-activity day per user; retention(N) = distinct
+    cohort users with any activity on cohort_day + N. Two aggregates:
+    per-user first day (one shuffle), then (cohort_day, horizon) counts
+    off a semi-style join of activity days back to cohorts on the user
+    key — the join reuses the user-keyed partitioning."""
+    t = datamodel.transactions(spark, sf_dir).select(
+        "id_usuario_pagador", F.to_date("data_horario").alias("dia")
+    )
+    days = t.distinct()
+    cohorts = days.groupBy("id_usuario_pagador").agg(
+        F.min("dia").alias("dia_cohort")
+    )
+    base = cohorts.groupBy("dia_cohort").agg(
+        F.count("*").alias("usuarios_cohort")
+    )
+    joined = days.join(cohorts, "id_usuario_pagador")
+    rows = None
+    for n in RETENTION_DAYS:
+        r = (
+            joined.filter(F.col("dia") == F.date_add(F.col("dia_cohort"), n))
+            .groupBy("dia_cohort")
+            .agg(F.count("*").alias("usuarios_retidos"))
+            .withColumn("dias_depois", F.lit(n))
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return (
+        rows.join(base, "dia_cohort")
+        .select(
+            F.col("dia_cohort").cast("timestamp").alias("dia_cohort"),
+            "dias_depois",
+            "usuarios_retidos",
+            "usuarios_cohort",
+            F.round(
+                F.col("usuarios_retidos").cast("double")
+                / F.col("usuarios_cohort").cast("double"),
+                6,
+            ).alias("taxa_retencao"),
+        )
+    )
+
+
+COHORT_SQL = datamodel.with_ctes(
+    f"""
+SELECT CAST(dia_cohort AS TIMESTAMP) AS dia_cohort, dias_depois,
+       usuarios_retidos, usuarios_cohort,
+       ROUND(CAST(usuarios_retidos AS DOUBLE)
+             / CAST(usuarios_cohort AS DOUBLE), 6) AS taxa_retencao
+FROM (
+    SELECT c.dia_cohort, h.n AS dias_depois,
+           CAST(COUNT(*) AS BIGINT) AS usuarios_retidos
+    FROM (
+        SELECT DISTINCT id_usuario_pagador, CAST(data_horario AS DATE) AS dia
+        FROM transactions
+    ) d
+    JOIN (
+        SELECT id_usuario_pagador, MIN(dia) AS dia_cohort
+        FROM (
+            SELECT DISTINCT id_usuario_pagador,
+                   CAST(data_horario AS DATE) AS dia
+            FROM transactions
+        )
+        GROUP BY id_usuario_pagador
+    ) c USING (id_usuario_pagador)
+    JOIN (SELECT unnest({list(RETENTION_DAYS)}) AS n) h
+      ON d.dia = c.dia_cohort + CAST(h.n AS INTEGER)
+    GROUP BY c.dia_cohort, h.n
+)
+JOIN (
+    SELECT dia_cohort, CAST(COUNT(*) AS BIGINT) AS usuarios_cohort
+    FROM (
+        SELECT id_usuario_pagador, MIN(dia) AS dia_cohort
+        FROM (
+            SELECT DISTINCT id_usuario_pagador,
+                   CAST(data_horario AS DATE) AS dia
+            FROM transactions
+        )
+        GROUP BY id_usuario_pagador
+    )
+    GROUP BY dia_cohort
+) USING (dia_cohort)
+"""
+)

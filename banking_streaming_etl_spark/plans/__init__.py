@@ -321,6 +321,12 @@ def register_all() -> None:
              "first-activity-day cohorts with 1/3/7-day retention rates")
     register("bm25_topk", text.bm25_topk, text.BM25_SQL,
              "BM25 retrieval top-K for a fixed query term set")
+    register("mad_outliers_per_modality", dashboard.mad_outliers_per_modality,
+             dashboard.MAD_OUTLIERS_SQL,
+             "robust median/MAD outlier profile (modified z-score > 3.5)")
+    register("ewma_value_per_payer", behavior.ewma_value_per_payer,
+             behavior.EWMA_SQL,
+             "truncated-EWMA smoothing feature, one window shuffle")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,

@@ -184,3 +184,69 @@ JOIN (
 ) USING (dia_cohort)
 """
 )
+
+
+# --- truncated EWMA smoothing per payer --------------------------------------
+
+#: decay factor and window depth of the truncated EWMA. A true (unbounded)
+#: EWMA is a sequential recurrence; truncating at K lags makes it a fixed
+#: linear combination of the last K values — expressible as a window of
+#: lag() terms, numerically stable, and identical term-for-term in both
+#: dialects. At alpha=0.5, the dropped tail mass is (1-alpha)^K < 0.4%.
+EWMA_ALPHA = 0.5
+EWMA_LAGS = 8
+
+
+def ewma_value_per_payer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payer truncated-EWMA of the transaction value — the smoothing
+    feature a fraud model reads next to the raw amount. One window
+    partition per payer ordered by (ts, id); the K lag() terms share a
+    single Window sort, so the whole feature is one shuffle."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id_usuario_pagador").orderBy(
+        "data_horario", "id_transacao"
+    )
+    weights = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** i for i in range(EWMA_LAGS)]
+    t = datamodel.transactions(spark, sf_dir)
+    num = None
+    den = None
+    for i, wt in enumerate(weights):
+        x = F.lag("valor_transacao", i).over(w)
+        term = F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        contrib = F.coalesce(x * F.lit(wt), F.lit(0.0))
+        num = contrib if num is None else num + contrib
+        den = term if den is None else den + term
+    return t.select(
+        "id_transacao",
+        "id_usuario_pagador",
+        "valor_transacao",
+        F.round(num / den, 6).alias("valor_ewma"),
+    )
+
+
+def _ewma_sql() -> str:
+    weights = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** i for i in range(EWMA_LAGS)]
+    over = (
+        "OVER (PARTITION BY id_usuario_pagador "
+        "ORDER BY data_horario, id_transacao)"
+    )
+    num = " + ".join(
+        f"COALESCE(LAG(valor_transacao, {i}) {over} * {wt!r}, 0.0)"
+        for i, wt in enumerate(weights)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(valor_transacao, {i}) {over} IS NOT NULL"
+        f" THEN {wt!r} ELSE 0.0 END)"
+        for i, wt in enumerate(weights)
+    )
+    return datamodel.with_ctes(
+        f"""
+SELECT id_transacao, id_usuario_pagador, valor_transacao,
+       ROUND(({num}) / ({den}), 6) AS valor_ewma
+FROM transactions
+"""
+    )
+
+
+EWMA_SQL = _ewma_sql()

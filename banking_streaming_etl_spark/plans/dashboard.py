@@ -613,3 +613,92 @@ EXCEED_LIMIT_FLAGS_SQL = _oracle(
     )
     + ") AS excede_alguma FROM approved"
 )
+
+
+# --- robust anomaly detection: median/MAD outliers per modality --------------
+
+#: modified-z-score cutoff (Iglewicz-Hoaglin) and the MAD normal-consistency
+#: constant.
+MAD_CUTOFF = 3.5
+MAD_K = 1.4826
+
+
+def mad_outliers_per_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-modality outlier profile: median, MAD, and the count of
+    transactions whose modified z-score |x - med| / (1.4826 * MAD)
+    exceeds 3.5. Mean/std outlier rules (zscore_per_payer) move with the
+    outliers themselves; median/MAD don't — this is the anomaly filter a
+    monitoring pipeline runs on skewed money amounts.
+
+    Scale shape: two modality-keyed percentile aggregates (median, then
+    MAD over the residuals) and a broadcast of the 5-row stats table back
+    onto the stream — same profile as the p99 trim, two shuffles total.
+    """
+    t = datamodel.transactions(spark, sf_dir)
+    med = t.groupBy("modalidade_pagamento").agg(
+        F.round(F.percentile("valor_transacao", F.lit(0.5)), 6).alias(
+            "mediana"
+        )
+    )
+    dev = t.join(F.broadcast(med), "modalidade_pagamento").withColumn(
+        "desvio_abs", F.abs(F.col("valor_transacao") - F.col("mediana"))
+    )
+    mad = dev.groupBy("modalidade_pagamento").agg(
+        F.round(F.percentile("desvio_abs", F.lit(0.5)), 6).alias("mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "modalidade_pagamento")
+        .withColumn(
+            "z_mod",
+            F.col("desvio_abs") / (F.lit(MAD_K) * F.col("mad")),
+        )
+    )
+    return flagged.groupBy("modalidade_pagamento").agg(
+        F.count("*").alias("n_tx"),
+        F.min("mediana").alias("mediana"),
+        F.min("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("z_mod") > MAD_CUTOFF, 1).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+MAD_OUTLIERS_SQL = datamodel.with_ctes(
+    f"""
+SELECT modalidade_pagamento,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       MIN(mediana) AS mediana,
+       MIN(mad) AS mad,
+       CAST(SUM(CASE WHEN desvio_abs / ({MAD_K} * mad) > {MAD_CUTOFF}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM (
+    SELECT d.modalidade_pagamento, d.mediana, d.desvio_abs, m.mad
+    FROM (
+        SELECT t.modalidade_pagamento, s.mediana,
+               ABS(t.valor_transacao - s.mediana) AS desvio_abs
+        FROM transactions t
+        JOIN (
+            SELECT modalidade_pagamento,
+                   ROUND(QUANTILE_CONT(valor_transacao, 0.5), 6) AS mediana
+            FROM transactions GROUP BY modalidade_pagamento
+        ) s USING (modalidade_pagamento)
+    ) d
+    JOIN (
+        SELECT modalidade_pagamento,
+               ROUND(QUANTILE_CONT(desvio_abs, 0.5), 6) AS mad
+        FROM (
+            SELECT t.modalidade_pagamento,
+                   ABS(t.valor_transacao - s.mediana) AS desvio_abs
+            FROM transactions t
+            JOIN (
+                SELECT modalidade_pagamento,
+                       ROUND(QUANTILE_CONT(valor_transacao, 0.5), 6) AS mediana
+                FROM transactions GROUP BY modalidade_pagamento
+            ) s USING (modalidade_pagamento)
+        )
+        GROUP BY modalidade_pagamento
+    ) m USING (modalidade_pagamento)
+)
+GROUP BY modalidade_pagamento
+"""
+)

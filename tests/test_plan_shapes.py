@@ -237,3 +237,13 @@ def test_q20_pushes_promo_filter_below_both_aggregates(spark):
     plan = _physical_plan(_query(spark, "q20_promotion_suppliers"))
     assert plan.count("StringEndsWith(p_name,bolt)") == 2
     assert plan.count("BroadcastHashJoin LeftSemi") >= 3
+
+
+def test_ewma_shares_one_window_sort(spark):
+    """All K truncated-EWMA lag terms must ride ONE window (one exchange,
+    one sort) — K separate Window nodes would mean K sorts of the fact."""
+    import re
+
+    plan = _physical_plan(_query(spark, "ewma_value_per_payer"))
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

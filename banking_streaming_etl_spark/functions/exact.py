@@ -159,3 +159,77 @@ def sql_std(expr: str, alias: str) -> str:
     )
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     return f"SQRT(({sq} - {s} * {s} / {n}) / ({n} - 1.0)) AS {alias}"
+
+
+def exact_regr2(
+    x1: Column | str,
+    x2: Column | str,
+    y: Column | str,
+    b1_alias: str,
+    b2_alias: str,
+    icept_alias: str,
+) -> tuple[Column, Column, Column]:
+    """Order-independent TWO-feature linear regression (y on x1, x2) by
+    the normal equations over exact decimal moments — closed-form Cramer
+    solve of the centered 2x2 system, every term double math identical
+    across engines. NULL when the features are (near-)collinear
+    (determinant <= 0)."""
+    c1 = F.col(x1) if isinstance(x1, str) else x1
+    c2 = F.col(x2) if isinstance(x2, str) else x2
+    cy = F.col(y) if isinstance(y, str) else y
+    n = F.count(F.lit(1)).cast("double")
+
+    def s(c: Column) -> Column:
+        return F.sum(_d(c)).cast("double")
+
+    def sp(a: Column, b: Column) -> Column:
+        return F.sum(_d(F.round(a, 6) * F.round(b, 6))).cast("double")
+
+    s1, s2, sy = s(c1), s(c2), s(cy)
+    c11 = sp(c1, c1) - s1 * s1 / n
+    c12 = sp(c1, c2) - s1 * s2 / n
+    c22 = sp(c2, c2) - s2 * s2 / n
+    c1y = sp(c1, cy) - s1 * sy / n
+    c2y = sp(c2, cy) - s2 * sy / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    icept = (sy - b1 * s1 - b2 * s2) / n
+    ok = det > 0
+    return (
+        F.when(ok, b1).alias(b1_alias),
+        F.when(ok, b2).alias(b2_alias),
+        F.when(ok, icept).alias(icept_alias),
+    )
+
+
+def sql_regr2(
+    x1: str, x2: str, y: str, b1_alias: str, b2_alias: str, icept_alias: str
+) -> str:
+    """DuckDB twin of exact_regr2 — MUST stay term-for-term identical."""
+
+    def s(e: str) -> str:
+        return f"CAST(SUM(CAST(ROUND({e}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+
+    def sp(a: str, b: str) -> str:
+        return (
+            f"CAST(SUM(CAST(ROUND(ROUND({a}, 6) * ROUND({b}, 6), 6)"
+            f" AS DECIMAL(28,6))) AS DOUBLE)"
+        )
+
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    s1, s2, sy = s(x1), s(x2), s(y)
+    c11 = f"({sp(x1, x1)} - {s1} * {s1} / {n})"
+    c12 = f"({sp(x1, x2)} - {s1} * {s2} / {n})"
+    c22 = f"({sp(x2, x2)} - {s2} * {s2} / {n})"
+    c1y = f"({sp(x1, y)} - {s1} * {sy} / {n})"
+    c2y = f"({sp(x2, y)} - {s2} * {sy} / {n})"
+    det = f"({c11} * {c22} - {c12} * {c12})"
+    b1 = f"(({c1y} * {c22} - {c2y} * {c12}) / {det})"
+    b2 = f"(({c2y} * {c11} - {c1y} * {c12}) / {det})"
+    icept = f"(({sy} - {b1} * {s1} - {b2} * {s2}) / {n})"
+    return (
+        f"CASE WHEN {det} > 0 THEN {b1} END AS {b1_alias}, "
+        f"CASE WHEN {det} > 0 THEN {b2} END AS {b2_alias}, "
+        f"CASE WHEN {det} > 0 THEN {icept} END AS {icept_alias}"
+    )

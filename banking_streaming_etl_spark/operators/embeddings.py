@@ -273,3 +273,92 @@ FROM m LEFT JOIN drops ON m.vec_id = drops.vec_id
 
 
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
+# --- Johnson-Lindenstrauss random projection ---------------------------------
+
+#: target dimensionality of the sketch. JL: K = O(ln N / eps^2) preserves
+#: pairwise distances within (1 +- eps) — K is a budget independent of the
+#: source dimension, so the projection matrix (D x K doubles) is a literal
+#: baked into the plan at ANY corpus size.
+JL_DIM = 16
+JL_SEED = 7
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic D x K +-1 matrix (Achlioptas-style sign projection)
+    from a seeded LCG — same literals inlined in the Spark plan and the
+    oracle SQL, so both engines compute identical doubles."""
+    state = JL_SEED
+    rows = []
+    for _ in range(64):
+        row = []
+        for _ in range(JL_DIM):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (
+                1 << 64
+            )
+            row.append(1 if (state >> 32) & 1 else -1)
+        rows.append(row)
+    return rows
+
+
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sketch of the embedding table: 64 dims -> JL_DIM via a fixed
+    +-1 sign matrix, scaled 1/sqrt(K). Output exploded to (vec_id, pos,
+    valor) rows (array columns don't canonicalize in the driver compare).
+
+    Scale shape: a narrow map — each output coordinate is a left-fold dot
+    product against a literal column vector, whole-stage-codegen'd; no
+    shuffle, no broadcast, no state. This is the cheap front-end that cuts
+    vector bytes 4x ahead of ANN indexing (pairs with int8 quantization:
+    project first, quantize after).
+    """
+    from banking_streaming_etl_spark.operators.similarity import _dot
+
+    e = datamodel.load_table(spark, sf_dir, "embeddings")
+    scale = 1.0 / (JL_DIM ** 0.5)
+    signs = _jl_signs()
+    coords = [
+        F.round(
+            _dot(
+                F.col("embedding"),
+                F.array(*[F.lit(float(signs[d][k])) for d in range(64)]),
+            )
+            * F.lit(scale),
+            6,
+        ).alias(f"c{k}")
+        for k in range(JL_DIM)
+    ]
+    wide = e.select("vec_id", *coords)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("pos"), F.col(f"c{k}").alias("valor")
+            )
+            for k in range(JL_DIM)
+        ]
+    )
+    return wide.select(
+        "vec_id", F.explode(pairs).alias("pv")
+    ).select("vec_id", F.col("pv.pos").alias("pos"), F.col("pv.valor").alias("valor"))
+
+
+def _jl_sql() -> str:
+    from banking_streaming_etl_spark.operators.similarity import _dot_sql
+
+    scale = 1.0 / (JL_DIM ** 0.5)
+    signs = _jl_signs()
+    cols = []
+    for k in range(JL_DIM):
+        vec = "[" + ", ".join(
+            f"{float(signs[d][k])!r}" for d in range(64)
+        ) + "]"
+        cols.append(
+            f"SELECT vec_id, {k} AS pos, "
+            f"ROUND({_dot_sql('embedding', vec)} * {scale!r}, 6) AS valor "
+            f"FROM embeddings"
+        )
+    return " UNION ALL ".join(cols)
+
+
+JL_PROJECT_SQL = _jl_sql()

@@ -327,6 +327,12 @@ def register_all() -> None:
     register("ewma_value_per_payer", behavior.ewma_value_per_payer,
              behavior.EWMA_SQL,
              "truncated-EWMA smoothing feature, one window shuffle")
+    register("score_multi_regression", dashboard.score_multi_regression,
+             dashboard.SCORE_MULTI_REGRESSION_SQL,
+             "two-feature normal-equations regression on exact moments")
+    register("jl_project_embeddings", embeddings.jl_project_embeddings,
+             embeddings.JL_PROJECT_SQL,
+             "Johnson-Lindenstrauss sign-projection sketch (64 -> 16 dims)")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,

@@ -702,3 +702,54 @@ FROM (
 GROUP BY modalidade_pagamento
 """
 )
+
+
+# --- two-feature regression: score_medio ~ valor + t5 ------------------------
+
+
+def score_multi_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression per modality — score_medio on
+    (valor_transacao, t5_score) by the closed-form normal equations over
+    exact decimal moments (functions/exact.exact_regr2). The multivariate
+    step up from valor_score_regression: same one-shuffle profile (nine
+    moment sums in a single hash aggregate), the 2x2 Cramer solve is
+    scalar arithmetic on the agg row."""
+    t = _approved(spark, sf_dir).filter(
+        F.col("t5_score").isNotNull()
+        & F.col("valor_transacao").isNotNull()
+        & F.col("score_medio").isNotNull()
+    )
+    b1, b2, icept = exact.exact_regr2(
+        "valor_transacao", "t5_score", "score_medio",
+        "raw_b1", "raw_b2", "raw_icept",
+    )
+    return (
+        t.groupBy("modalidade_pagamento")
+        .agg(F.count("*").alias("total"), b1, b2, icept)
+        .select(
+            "modalidade_pagamento",
+            "total",
+            F.round("raw_b1", 6).alias("coef_valor"),
+            F.round("raw_b2", 6).alias("coef_t5"),
+            F.round("raw_icept", 6).alias("intercepto"),
+        )
+    )
+
+
+SCORE_MULTI_REGRESSION_SQL = _oracle(
+    f"""
+SELECT modalidade_pagamento, total,
+       ROUND(raw_b1, 6) AS coef_valor,
+       ROUND(raw_b2, 6) AS coef_t5,
+       ROUND(raw_icept, 6) AS intercepto
+FROM (
+    SELECT modalidade_pagamento, COUNT(*) AS total,
+           {exact.sql_regr2('valor_transacao', 't5_score', 'score_medio',
+                            'raw_b1', 'raw_b2', 'raw_icept')}
+    FROM approved
+    WHERE t5_score IS NOT NULL AND valor_transacao IS NOT NULL
+      AND score_medio IS NOT NULL
+    GROUP BY modalidade_pagamento
+) sub
+"""
+)

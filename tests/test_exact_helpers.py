@@ -82,3 +82,31 @@ def test_exact_sum_permutation_and_partition_invariant(spark):
         assert outs == {want}, (outs, want)
 
     run()
+
+
+def test_exact_regr2_matches_numpy_lstsq(spark):
+    """The closed-form Cramer solve must agree with numpy's least-squares
+    on the same data (loose tolerance: numpy solves in float64 without
+    the 6-digit moment rounding)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark.functions import exact
+
+    rng = [(float(i % 17), float((i * 7) % 13), 0.0) for i in range(200)]
+    rows = [
+        (x1, x2, 2.5 * x1 - 1.25 * x2 + 4.0 + 0.01 * ((i * 31) % 11 - 5))
+        for i, (x1, x2, _) in enumerate(rng)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    b1, b2, icept = exact.exact_regr2(
+        "x1", "x2", "y", "b1", "b2", "icept"
+    )
+    got = df.agg(b1, b2, icept).collect()[0]
+
+    a = np.array([[r[0], r[1], 1.0] for r in rows])
+    yv = np.array([r[2] for r in rows])
+    ref, *_ = np.linalg.lstsq(a, yv, rcond=None)
+    assert abs(got.b1 - ref[0]) < 1e-3
+    assert abs(got.b2 - ref[1]) < 1e-3
+    assert abs(got.icept - ref[2]) < 1e-3

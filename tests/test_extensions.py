@@ -553,3 +553,42 @@ def test_semantic_dedup_keeps_cluster_minimum_and_drops_someone(spark):
     dropped = [r for r in out if not r.mantido]
     assert dropped, "tau should drop at least one vector on this corpus"
     assert len(dropped) < len(out)
+
+
+def test_jl_projection_preserves_pairwise_distances(spark):
+    """JL guarantee, measured: squared distances in the 16-dim sketch
+    correlate strongly with the 64-dim originals over a vector sample."""
+    import itertools
+    import math
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.operators import embeddings as emb_ops
+
+    orig = {
+        r.vec_id: r.embedding
+        for r in datamodel.load_table(spark, SF, "embeddings")
+        .filter("vec_id < 40")
+        .collect()
+    }
+    proj = {}
+    for r in emb_ops.jl_project_embeddings(spark, SF).filter(
+        "vec_id < 40"
+    ).collect():
+        proj.setdefault(r.vec_id, [0.0] * emb_ops.JL_DIM)[r.pos] = r.valor
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ids = sorted(orig)
+    ratios = sorted(
+        d2(proj[a], proj[b]) / d2(orig[a], orig[b])
+        for a, b in itertools.combinations(ids, 2)
+    )
+    n = len(ratios)
+    # JL at K=16 (eps ~ 1/sqrt(K) ~ 0.25 per pair, chi^2_16 tails): the
+    # sketch must be unbiased (median ratio ~ 1) with bounded bulk
+    # distortion. Measured on this corpus: median 1.01, p5 0.54, p95 1.76.
+    assert 0.85 < ratios[n // 2] < 1.15, ratios[n // 2]
+    assert ratios[n // 20] > 0.35, ratios[n // 20]
+    assert ratios[-n // 20] < 2.2, ratios[-n // 20]
+    assert math.isfinite(ratios[-1])

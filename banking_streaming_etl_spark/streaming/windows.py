@@ -154,3 +154,40 @@ def late_data_filter(
         F.col("data_horario")
     )
     return tx_stream.filter(lag_ms <= max_delay_seconds * 1000)
+
+
+def streaming_mad_alerts(
+    tx_stream: DataFrame, mad_stats: DataFrame, cutoff: float = 3.5
+) -> DataFrame:
+    """Batch-trained, stream-scored anomaly alerts (the Lambda pattern):
+    per-modality median/MAD come from the HISTORY (a batch aggregate,
+    5 rows), broadcast into the live stream; each arriving transaction is
+    flagged when its modified z-score |x - med| / (1.4826 * MAD) exceeds
+    the cutoff. The model side is static per micro-batch — re-start the
+    query (or use foreachBatch re-resolution) to pick up retrained stats.
+
+    The stream side stays stateless (a broadcast join + a filter), so
+    alerts flow with per-row latency — no watermark, no state store.
+    Mirrors plans/dashboard.mad_outliers_per_modality's batch rule
+    exactly; differential-tested stream-vs-batch.
+    """
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark.plans.dashboard import MAD_K
+
+    return (
+        tx_stream.join(F.broadcast(mad_stats), "modalidade_pagamento")
+        .withColumn(
+            "z_mod",
+            F.abs(F.col("valor_transacao") - F.col("mediana"))
+            / (F.lit(MAD_K) * F.col("mad")),
+        )
+        .filter(F.col("z_mod") > cutoff)
+        .select(
+            "id_transacao",
+            "id_usuario_pagador",
+            "modalidade_pagamento",
+            "valor_transacao",
+            F.round("z_mod", 6).alias("z_mod"),
+        )
+    )

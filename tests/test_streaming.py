@@ -345,3 +345,30 @@ def test_quality_observation_counts_inline(spark):
     assert got["valor_nulos"] == want[0]
     assert got["pagadores_nulos"] == want[1]
     assert got["valor_total"] > 0
+
+
+def test_streaming_mad_alerts_match_batch_rule(spark, replay_dir):
+    """Lambda pattern: MAD stats trained on the batch history, broadcast
+    into the stream — the streamed alert set must equal the batch filter
+    applied with the same stats."""
+    from banking_streaming_etl_spark.plans import dashboard
+
+    stats = (
+        dashboard.mad_outliers_per_modality(spark, SF)
+        .select("modalidade_pagamento", "mediana", "mad")
+    )
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    alerts = swin.streaming_mad_alerts(tx, stats)
+    _run_to_memory(alerts, "mad_alerts_out", mode="append")
+    got = {
+        (r.id_transacao, r.z_mod)
+        for r in spark.sql("SELECT * FROM mad_alerts_out").collect()
+    }
+
+    batch_tx = datamodel.transactions(spark, SF)
+    want = {
+        (r.id_transacao, r.z_mod)
+        for r in swin.streaming_mad_alerts(batch_tx, stats).collect()
+    }
+    assert got == want
+    assert len(want) > 0

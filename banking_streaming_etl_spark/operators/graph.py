@@ -145,3 +145,71 @@ pr0 AS (
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the undirected payment graph — the clustering
+    signal behind fraud-ring detection (dense money-cycling cliques).
+
+    Edges are normalized to (a < b); triangles enumerate as ordered
+    triples a < b < c with all three edges present — two equi-joins on
+    node keys, each candidate counted exactly once, no direction
+    double-counting. Scale shape: self-joins keyed on node ids (the
+    standard distributed triangle enumeration); production adds the
+    degree-ordering refinement (orient edges low->high degree) to bound
+    the skew of the first join, same plan shape.
+
+    Output: per-payer triangle membership count, a (node, count) table —
+    a graph feature joinable back onto users.
+    """
+    edges, _ = _graph(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    wedges = e1.join(
+        e2, (F.col("y") == F.col("y2")) & (F.col("x") < F.col("y2"))
+    ).select("x", "y", "z")
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("no"))
+        .groupBy("no")
+        .agg(F.count("*").alias("n_triangulos"))
+    )
+    return per_node.orderBy(F.desc("n_triangulos"), F.asc("no")).limit(100)
+
+
+TRIANGLE_SQL = datamodel.with_ctes(
+    """
+SELECT no, CAST(COUNT(*) AS BIGINT) AS n_triangulos
+FROM (
+    SELECT x AS no FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+GROUP BY no
+ORDER BY n_triangulos DESC, no ASC
+LIMIT 100
+""",
+    extra_ctes="""
+und AS (
+    SELECT DISTINCT LEAST(id_usuario_pagador, id_usuario_recebedor) AS a,
+           GREATEST(id_usuario_pagador, id_usuario_recebedor) AS b
+    FROM transactions
+    WHERE id_usuario_recebedor IS NOT NULL
+      AND LEAST(id_usuario_pagador, id_usuario_recebedor)
+          <> GREATEST(id_usuario_pagador, id_usuario_recebedor)
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a AND e1.a < e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)""",
+)

@@ -333,6 +333,11 @@ def register_all() -> None:
     register("jl_project_embeddings", embeddings.jl_project_embeddings,
              embeddings.JL_PROJECT_SQL,
              "Johnson-Lindenstrauss sign-projection sketch (64 -> 16 dims)")
+    register("payer_triangles", graph.triangle_count, graph.TRIANGLE_SQL,
+             "per-payer triangle membership over the undirected pay graph")
+    register("collocations_pmi", text.collocations_pmi,
+             text.COLLOCATIONS_PMI_SQL,
+             "top bigram collocations by pointwise mutual information")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,

@@ -949,3 +949,100 @@ LIMIT {BM25_TOP_K}
 
 
 BM25_SQL = _bm25_sql()
+
+
+# --- collocation mining: bigram PMI ------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent-token bigrams by pointwise mutual
+    information, PMI = ln(P(ab) / (P(a) P(b))) — the phrase detector a
+    tokenizer/vocab pipeline runs before merging multiword units.
+
+    Scale shape: bigram extraction is the same zip-of-adjacent map as the
+    bigram LM (narrow); one shuffle for bigram counts, one for unigram
+    counts; the unigram table joins back twice by key (broadcast while
+    vocabulary-sized); min-count pruning happens before the joins so the
+    tail never travels. Top-K is a TakeOrderedAndProject with the bigram
+    text as tiebreak."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "toks")
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    totals = uni.agg(
+        F.sum("cw").alias("n_uni")
+    )
+    bg_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .filter(F.col("cb") >= PMI_MIN_COUNT)
+    )
+    n_bg = bigrams.agg(F.count("*").alias("n_bg"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb").cast("double") / F.col("n_bg").cast("double"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_uni").cast("double"))
+                * (F.col("c2").cast("double") / F.col("n_uni").cast("double"))
+            )
+        ),
+        6,
+    )
+    return (
+        bg_counts.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_bg))
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "cb", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+    )
+
+
+COLLOCATIONS_PMI_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bigrams AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+),
+uni AS (
+    SELECT w, COUNT(*) AS cw
+    FROM (SELECT unnest(t) AS w FROM toks)
+    GROUP BY w
+),
+totals AS (SELECT SUM(cw) AS n_uni FROM uni),
+bg_counts AS (
+    SELECT w1, w2, COUNT(*) AS cb FROM bigrams GROUP BY w1, w2
+    HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+n_bg AS (SELECT COUNT(*) AS n_bg FROM bigrams)
+SELECT w1, w2, cb,
+       ROUND(LN((CAST(cb AS DOUBLE) / CAST(n_bg AS DOUBLE))
+                / ((CAST(c1 AS DOUBLE) / CAST(n_uni AS DOUBLE))
+                   * (CAST(c2 AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 6) AS pmi
+FROM bg_counts
+JOIN (SELECT w AS w1, cw AS c1 FROM uni) USING (w1)
+JOIN (SELECT w AS w2, cw AS c2 FROM uni) USING (w2)
+CROSS JOIN n_bg CROSS JOIN totals
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOP_K}
+"""

@@ -139,3 +139,29 @@ def upsert_jdbc(
     execute_jdbc(
         df.sparkSession, url, merge, (properties or {}).get("driver")
     )
+
+
+def read_json_lines(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """JSON-lines batch scan — the batch flavor of the streaming wire
+    format (one JSON object per line). Explicit schema skips the
+    inference pass; without one Spark samples the file (same cost caveat
+    as CSV inferSchema)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC batch sink — Spark-native columnar alternative when the
+    downstream warehouse is ORC-based (Hive/Trino); same pushdown and
+    stats-pruning contract as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch scan with predicate pushdown (mirror of the parquet
+    path)."""
+    return spark.read.orc(path)

@@ -124,3 +124,42 @@ def test_streaming_progress_metrics(spark, tmp_path):
     assert summary.batches >= 2  # one per chunk
     assert summary.total_rows == 1000
     assert summary.avg_rows_per_s > 0
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC write/read preserves rows and pushes predicates to the scan
+    (same contract as parquet)."""
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.sources import batch as bsrc
+
+    tx = datamodel.transactions(spark, "/root/testdata/sf0.001").select(
+        "id_transacao", "id_usuario_pagador", "valor_transacao"
+    )
+    path = str(tmp_path / "tx_orc")
+    bsrc.write_orc(tx, path)
+    back = bsrc.read_orc(spark, path)
+    assert back.count() == tx.count()
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter("valor_transacao > 100.0").explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "GreaterThan(valor_transacao" in plan
+
+
+def test_json_lines_batch_matches_stream_parse(spark, tmp_path):
+    """The batch JSON reader over the replay chunks yields the same rows
+    as the streaming wire parser — the batch/stream unification holds at
+    the source layer too."""
+    from banking_streaming_etl_spark.sources import batch as bsrc
+    from banking_streaming_etl_spark.sources import stream as ssrc
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    n = ssrc.write_replay_chunks(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "chunks"), n_chunks=2
+    )
+    df = bsrc.read_json_lines(spark, str(tmp_path / "chunks"))
+    assert df.count() == n

@@ -97,6 +97,21 @@ def exact_regr(
 # --- SQL twins --------------------------------------------------------------
 
 
+def _sql_s(e: str) -> str:
+    """Exact decimal sum of a 6-rounded expression, cast back to double —
+    the single source of the moment-string shape every sql_* twin uses
+    (a precision change here is a precision change everywhere)."""
+    return f"CAST(SUM(CAST(ROUND({e}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def _sql_sp(a: str, b: str) -> str:
+    """Exact decimal sum of a 6-rounded product of 6-rounded factors."""
+    return (
+        f"CAST(SUM(CAST(ROUND(ROUND({a}, 6) * ROUND({b}, 6), 6)"
+        f" AS DECIMAL(28,6))) AS DOUBLE)"
+    )
+
+
 def sql_sum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST(ROUND({expr}, 6) AS DECIMAL(28,6))) AS DOUBLE) AS {alias}"
 
@@ -109,15 +124,7 @@ def sql_avg(expr: str, alias: str) -> str:
 
 
 def sql_corr(x: str, y: str, alias: str) -> str:
-    def s(e: str) -> str:
-        return f"CAST(SUM(CAST(ROUND({e}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
-
-    def sp(a: str, b: str) -> str:
-        return (
-            f"CAST(SUM(CAST(ROUND(ROUND({a}, 6) * ROUND({b}, 6), 6)"
-            f" AS DECIMAL(28,6))) AS DOUBLE)"
-        )
-
+    s, sp = _sql_s, _sql_sp
     n = "CAST(COUNT(1) AS DOUBLE)"
     varx = f"({n} * {sp(x, x)} - {s(x)} * {s(x)})"
     vary = f"({n} * {sp(y, y)} - {s(y)} * {s(y)})"
@@ -131,16 +138,7 @@ def sql_corr(x: str, y: str, alias: str) -> str:
 def sql_regr(x: str, y: str, slope_alias: str, icept_alias: str) -> str:
     """SQL twin of `exact_regr`: two aliased projections, term-for-term
     identical to the Spark expressions."""
-
-    def s(e: str) -> str:
-        return f"CAST(SUM(CAST(ROUND({e}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
-
-    def sp(a: str, b: str) -> str:
-        return (
-            f"CAST(SUM(CAST(ROUND(ROUND({a}, 6) * ROUND({b}, 6), 6)"
-            f" AS DECIMAL(28,6))) AS DOUBLE)"
-        )
-
+    s, sp = _sql_s, _sql_sp
     n = "CAST(COUNT(1) AS DOUBLE)"
     varx = f"({n} * {sp(x, x)} - {s(x)} * {s(x)})"
     slope = f"(({n} * {sp(x, y)} - {s(x)} * {s(y)}) / {varx})"
@@ -152,11 +150,8 @@ def sql_regr(x: str, y: str, slope_alias: str, icept_alias: str) -> str:
 
 
 def sql_std(expr: str, alias: str) -> str:
-    s = f"CAST(SUM(CAST(ROUND({expr}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
-    sq = (
-        f"CAST(SUM(CAST(ROUND(ROUND({expr}, 6) * ROUND({expr}, 6), 6)"
-        f" AS DECIMAL(28,6))) AS DOUBLE)"
-    )
+    s = _sql_s(expr)
+    sq = _sql_sp(expr, expr)
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     return f"SQRT(({sq} - {s} * {s} / {n}) / ({n} - 1.0)) AS {alias}"
 
@@ -207,16 +202,7 @@ def sql_regr2(
     x1: str, x2: str, y: str, b1_alias: str, b2_alias: str, icept_alias: str
 ) -> str:
     """DuckDB twin of exact_regr2 — MUST stay term-for-term identical."""
-
-    def s(e: str) -> str:
-        return f"CAST(SUM(CAST(ROUND({e}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
-
-    def sp(a: str, b: str) -> str:
-        return (
-            f"CAST(SUM(CAST(ROUND(ROUND({a}, 6) * ROUND({b}, 6), 6)"
-            f" AS DECIMAL(28,6))) AS DOUBLE)"
-        )
-
+    s, sp = _sql_s, _sql_sp
     n = "CAST(COUNT(*) AS DOUBLE)"
     s1, s2, sy = s(x1), s(x2), s(y)
     c11 = f"({sp(x1, x1)} - {s1} * {s1} / {n})"

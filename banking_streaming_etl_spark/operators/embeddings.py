@@ -238,12 +238,6 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _norm_sql() -> str:
-    from banking_streaming_etl_spark.operators.similarity import NORM_SQL
-
-    return NORM_SQL
-
-
 def _semantic_dedup_sql() -> str:
     from banking_streaming_etl_spark.operators.similarity import (
         NORM_SQL,

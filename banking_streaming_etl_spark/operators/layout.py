@@ -122,10 +122,19 @@ def file_overlap_fraction(
         md = pq.ParquetFile(f).metadata
         schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
         ix, iy = schema_names.index(col_x), schema_names.index(col_y)
-        xmin = min(md.row_group(g).column(ix).statistics.min for g in range(md.num_row_groups))
-        xmax = max(md.row_group(g).column(ix).statistics.max for g in range(md.num_row_groups))
-        ymin = min(md.row_group(g).column(iy).statistics.min for g in range(md.num_row_groups))
-        ymax = max(md.row_group(g).column(iy).statistics.max for g in range(md.num_row_groups))
+        stats = [
+            (md.row_group(g).column(ix).statistics,
+             md.row_group(g).column(iy).statistics)
+            for g in range(md.num_row_groups)
+        ]
+        if any(sx is None or sy is None for sx, sy in stats):
+            # no stats -> a pruning reader must scan the file: count a hit
+            hit += 1
+            continue
+        xmin = min(sx.min for sx, _ in stats)
+        xmax = max(sx.max for sx, _ in stats)
+        ymin = min(sy.min for _, sy in stats)
+        ymax = max(sy.max for _, sy in stats)
         if xmax >= x_lo and xmin <= x_hi and ymax >= y_lo and ymin <= y_hi:
             hit += 1
     return hit / max(len(files), 1)

@@ -36,8 +36,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-region funnel: users who viewed; of those, users whose first
     click came after their first view; of those, users whose first
     purchase came after that click. Ordered progression via MIN(ts)
-    per stage — one shuffle on (user), then a tiny region aggregate."""
+    per stage — one shuffle on (user), then a tiny region aggregate.
+    The region is the USER's home region from the canonical users
+    dimension (datamodel.users, LEFT join — unknown payers group under
+    NULL), never a re-derived key."""
     t = datamodel.transactions(spark, sf_dir)
+    u = datamodel.users(spark, sf_dir).select(
+        F.col("id_usuario").alias("id_usuario_pagador"), "id_regiao_u"
+    )
     per_user = (
         t.filter(F.col("modalidade_pagamento").isin(*FUNNEL_STAGES))
         .groupBy("id_usuario_pagador")
@@ -50,10 +56,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"t_{s}")
                 for s in FUNNEL_STAGES
             ],
-            (F.col("id_usuario_pagador") % datamodel.N_REGIONS).alias(
-                "id_regiao"
-            ),
         )
+        .join(F.broadcast(u), "id_usuario_pagador", "left")
     )
     viewed = F.col("t_view").isNotNull()
     clicked = viewed & F.col("t_click").isNotNull() & (
@@ -62,7 +66,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchased = clicked & F.col("t_purchase").isNotNull() & (
         F.col("t_purchase") > F.col("t_click")
     )
-    return per_user.groupBy("id_regiao").agg(
+    return per_user.groupBy("id_regiao_u").agg(
         F.sum(F.when(viewed, 1).otherwise(0)).alias("usuarios_view"),
         F.sum(F.when(clicked, 1).otherwise(0)).alias("usuarios_click"),
         F.sum(F.when(purchased, 1).otherwise(0)).alias("usuarios_purchase"),
@@ -71,12 +75,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUNNEL_SQL = datamodel.with_ctes(
     f"""
-SELECT id_regiao,
+SELECT id_regiao_u,
        CAST(SUM(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT) AS usuarios_view,
        CAST(SUM(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS usuarios_click,
        CAST(SUM(CASE WHEN purchased THEN 1 ELSE 0 END) AS BIGINT) AS usuarios_purchase
 FROM (
-    SELECT id_usuario_pagador % {datamodel.N_REGIONS} AS id_regiao,
+    SELECT u.id_regiao_u,
            t_view IS NOT NULL AS viewed,
            t_view IS NOT NULL AND t_click IS NOT NULL
                AND t_click > t_view AS clicked,
@@ -94,9 +98,10 @@ FROM (
         FROM transactions
         WHERE modalidade_pagamento IN {FUNNEL_STAGES}
         GROUP BY id_usuario_pagador
-    )
+    ) f
+    LEFT JOIN users u ON f.id_usuario_pagador = u.id_usuario
 )
-GROUP BY id_regiao
+GROUP BY id_regiao_u
 """
 )
 
@@ -117,16 +122,15 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cohorts.groupBy("dia_cohort").agg(
         F.count("*").alias("usuarios_cohort")
     )
-    joined = days.join(cohorts, "id_usuario_pagador")
-    rows = None
-    for n in RETENTION_DAYS:
-        r = (
-            joined.filter(F.col("dia") == F.date_add(F.col("dia_cohort"), n))
-            .groupBy("dia_cohort")
-            .agg(F.count("*").alias("usuarios_retidos"))
-            .withColumn("dias_depois", F.lit(n))
+    rows = (
+        days.join(cohorts, "id_usuario_pagador")
+        .withColumn(
+            "dias_depois", F.datediff(F.col("dia"), F.col("dia_cohort"))
         )
-        rows = r if rows is None else rows.unionByName(r)
+        .filter(F.col("dias_depois").isin(*RETENTION_DAYS))
+        .groupBy("dia_cohort", "dias_depois")
+        .agg(F.count("*").alias("usuarios_retidos"))
+    )
     return (
         rows.join(base, "dia_cohort")
         .select(
@@ -217,11 +221,13 @@ def ewma_value_per_payer(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = F.coalesce(x * F.lit(wt), F.lit(0.0))
         num = contrib if num is None else num + contrib
         den = term if den is None else den + term
+    # den == 0 (current value AND all lags NULL): Spark doubles would give
+    # 0/0 = NaN while DuckDB gives NULL — emit NULL in both engines.
     return t.select(
         "id_transacao",
         "id_usuario_pagador",
         "valor_transacao",
-        F.round(num / den, 6).alias("valor_ewma"),
+        F.when(den > 0, F.round(num / den, 6)).alias("valor_ewma"),
     )
 
 
@@ -243,7 +249,8 @@ def _ewma_sql() -> str:
     return datamodel.with_ctes(
         f"""
 SELECT id_transacao, id_usuario_pagador, valor_transacao,
-       ROUND(({num}) / ({den}), 6) AS valor_ewma
+       CASE WHEN ({den}) > 0
+            THEN ROUND(({num}) / ({den}), 6) END AS valor_ewma
 FROM transactions
 """
     )

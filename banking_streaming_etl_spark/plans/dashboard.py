@@ -653,12 +653,17 @@ def mad_outliers_per_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("desvio_abs") / (F.lit(MAD_K) * F.col("mad")),
         )
     )
+    # mad == 0 guard: Spark doubles give desvio/0 = Inf while DuckDB's
+    # division yields NULL — gate on mad > 0 so a zero-variance modality
+    # counts 0 outliers identically in both engines.
     return flagged.groupBy("modalidade_pagamento").agg(
         F.count("*").alias("n_tx"),
         F.min("mediana").alias("mediana"),
         F.min("mad").alias("mad"),
         F.sum(
-            F.when(F.col("z_mod") > MAD_CUTOFF, 1).otherwise(0)
+            F.when(
+                (F.col("mad") > 0) & (F.col("z_mod") > MAD_CUTOFF), 1
+            ).otherwise(0)
         ).alias("n_outliers"),
     )
 
@@ -669,7 +674,8 @@ SELECT modalidade_pagamento,
        CAST(COUNT(*) AS BIGINT) AS n_tx,
        MIN(mediana) AS mediana,
        MIN(mad) AS mad,
-       CAST(SUM(CASE WHEN desvio_abs / ({MAD_K} * mad) > {MAD_CUTOFF}
+       CAST(SUM(CASE WHEN mad > 0
+                      AND desvio_abs / ({MAD_K} * mad) > {MAD_CUTOFF}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM (
     SELECT d.modalidade_pagamento, d.mediana, d.desvio_abs, m.mad

@@ -888,9 +888,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.  The slimmed schema has no partsupp, so the supply relation is
     derived: per (part, supplier) the minimum observed unit price in
     lineitem (MIN of an IEEE division — order-independent, so it is
-    bit-identical cross-engine).  The correlated MIN compiles to a window
-    over the part key riding the part-join shuffle — one exchange, no
-    self-join re-scan of the supply relation.
+    bit-identical cross-engine).  The supply aggregate is explicitly
+    repartitioned on l_partkey alone — that partitioning satisfies the
+    (partkey, suppkey) grouping AND the correlated-MIN window's
+    partitionBy(partkey), so the whole query runs on ONE hash exchange
+    (plan-pinned) with no self-join re-scan of the supply relation.
 
     Reference parity: joins-against-aggregate is the reference dashboard's
     J7/J8 family (SURVEY.md §2.4); this is the same shape at TPC-H
@@ -899,9 +901,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     li = datamodel.load_table(spark, sf_dir, "lineitem")
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
-            "supply_cost"
+    supply = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supply_cost"
+            )
         )
     )
     s = datamodel.load_table(spark, sf_dir, "supplier")

@@ -177,6 +177,9 @@ def streaming_mad_alerts(
 
     return (
         tx_stream.join(F.broadcast(mad_stats), "modalidade_pagamento")
+        # mad == 0 guard (matches the batch rule): a zero-variance
+        # modality raises no alerts rather than flagging every row Inf.
+        .filter(F.col("mad") > 0)
         .withColumn(
             "z_mod",
             F.abs(F.col("valor_transacao") - F.col("mediana"))

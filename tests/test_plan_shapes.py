@@ -219,11 +219,16 @@ def test_dynamic_partition_pruning_on_partitioned_history(spark, tmp_path):
 
 def test_q2_single_supply_shuffle_and_broadcast_dims(spark):
     """Q2's correlated regional MIN must ride the supply aggregation's
-    partitioning as a window — lineitem scanned once, every dim broadcast,
-    a TakeOrderedAndProject top-100 (never a global sort), and no second
+    partkey partitioning as a window — lineitem scanned once, ONE hash
+    exchange total (the explicit partkey repartition satisfies both the
+    grouping and the window), every dim broadcast, a
+    TakeOrderedAndProject top-100 (never a global sort), and no second
     aggregate of the supply relation."""
+    import re
+
     plan = _physical_plan(_query(spark, "q2_min_cost_supplier"))
     assert plan.count("lineitem.parquet") == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan

@@ -38,8 +38,13 @@ def _query(spark, name):
 def test_flagship_is_shuffle_free(spark):
     """approval_pipeline: broadcast joins only — zero hash-partition
     exchanges (the stream twin shares this join graph)."""
+    import re
+
     plan = _physical_plan(_query(spark, "approval_pipeline"))
-    assert "Exchange hashpartitioning" not in plan
+    # count actual Exchange nodes — the "Exchange hashpartitioning"
+    # substring never occurs in formatted-mode output, so matching it
+    # would be vacuously true
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
     assert plan.count("BroadcastHashJoin") >= 3
 
 
@@ -117,10 +122,12 @@ def test_ivf_centroids_are_broadcast(spark):
     )
     _, assign = similarity.ivf_assignments(emb)
     plan = _physical_plan(assign)
+    import re
+
     assert "BroadcastExchange" in plan
     # the corpus-vs-centroid join itself must not shuffle the corpus: the
     # only hash exchange allowed is the per-vector row_number window
-    assert plan.count("Exchange hashpartitioning") <= 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
     assert "CartesianProduct" not in plan
 
 

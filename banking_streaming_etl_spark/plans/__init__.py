@@ -338,6 +338,12 @@ def register_all() -> None:
     register("collocations_pmi", text.collocations_pmi,
              text.COLLOCATIONS_PMI_SQL,
              "top bigram collocations by pointwise mutual information")
+    register("perf_temporal_gapfill_locf", views.perf_temporal_gapfill_locf,
+             views.PERF_TEMPORAL_LOCF_SQL,
+             "gap-filled hourly series with last-observation carry-forward")
+    register("dq_report_transactions", views.dq_report_transactions,
+             views.DQ_REPORT_SQL,
+             "data-quality constraint report (completeness/domain/uniqueness)")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,

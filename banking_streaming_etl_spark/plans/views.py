@@ -145,3 +145,137 @@ GROUP BY DATE_TRUNC('hour', data_horario)
 ORDER BY hora DESC
 """
 )
+
+
+def perf_temporal_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly average with LOCF interpolation (TimescaleDB's
+    `locf()` companion to time_bucket_gapfill): empty buckets carry the
+    last observed hourly average forward instead of dropping to zero —
+    what a dashboard draws for a *level* metric (an average), where a
+    zero would read as a crash.
+
+    Same hours-sized spine as the zero-fill variant; the carry-forward is
+    one window (last non-null, unbounded-preceding) over the spine —
+    spine-sized work, never data-sized. Rows before the first
+    observation stay NULL in both engines.
+    """
+    from pyspark.sql import Window as W
+
+    t = datamodel.transactions(spark, sf_dir)
+    bounds = t.agg(
+        F.date_trunc("hour", F.min("data_horario")).alias("h0"),
+        F.date_trunc("hour", F.max("data_horario")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hora")
+    )
+    hourly = t.groupBy(
+        F.date_trunc("hour", F.col("data_horario")).alias("hora")
+    ).agg(
+        F.count("*").alias("total_transacoes"),
+        F.round(exact.exact_avg("valor_transacao", "m"), 6).alias(
+            "valor_medio_hora"
+        ),
+    )
+    w = W.orderBy("hora").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(hourly, "hora", "left")
+        .withColumn(
+            "valor_medio_locf",
+            F.last("valor_medio_hora", ignorenulls=True).over(w),
+        )
+        .select(
+            "hora",
+            F.coalesce("total_transacoes", F.lit(0)).alias(
+                "total_transacoes"
+            ),
+            "valor_medio_locf",
+        )
+    )
+
+
+PERF_TEMPORAL_LOCF_SQL = datamodel.with_ctes(
+    f"""
+SELECT hora,
+       COALESCE(total_transacoes, 0) AS total_transacoes,
+       LAST_VALUE(valor_medio_hora IGNORE NULLS) OVER (
+           ORDER BY hora
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS valor_medio_locf
+FROM (
+    SELECT unnest(generate_series(
+               DATE_TRUNC('hour', (SELECT MIN(data_horario) FROM transactions)),
+               DATE_TRUNC('hour', (SELECT MAX(data_horario) FROM transactions)),
+               INTERVAL 1 HOUR)) AS hora
+) spine
+LEFT JOIN (
+    SELECT DATE_TRUNC('hour', data_horario) AS hora,
+           COUNT(*) AS total_transacoes,
+           ROUND({exact._sql_s('valor_transacao')}
+                 / CAST(COUNT(valor_transacao) AS DOUBLE), 6)
+               AS valor_medio_hora
+    FROM transactions
+    GROUP BY 1
+) c USING (hora)
+"""
+)
+
+
+def dq_report_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report over the transaction feed (the
+    Deequ/expectations pattern): completeness per contract column,
+    domain checks (non-negative values, modality vocabulary), and key
+    uniqueness — one scan, one row, every metric a conditional aggregate.
+    The audit a pipeline gates a load on before publishing a partition.
+    """
+    t = datamodel.transactions(spark, sf_dir)
+    n = F.count(F.lit(1))
+    return t.agg(
+        n.alias("n_linhas"),
+        F.sum(F.when(F.col("id_transacao").isNull(), 1).otherwise(0)).alias(
+            "nulos_id"
+        ),
+        F.sum(
+            F.when(F.col("id_usuario_recebedor").isNull(), 1).otherwise(0)
+        ).alias("nulos_recebedor"),
+        F.sum(F.when(F.col("valor_transacao").isNull(), 1).otherwise(0)).alias(
+            "nulos_valor"
+        ),
+        F.sum(F.when(F.col("valor_transacao") < 0, 1).otherwise(0)).alias(
+            "valores_negativos"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("modalidade_pagamento").isin(*datamodel.MODALITIES), 1
+            ).otherwise(0)
+        ).alias("modalidades_fora_vocab"),
+        (n - F.count_distinct(F.col("id_transacao"))).alias(
+            "ids_duplicados"
+        ),
+        F.min("data_horario").alias("ts_min"),
+        F.max("data_horario").alias("ts_max"),
+    )
+
+
+_DQ_VOCAB = ", ".join(f"'{m}'" for m in datamodel.MODALITIES)
+
+DQ_REPORT_SQL = datamodel.with_ctes(
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_linhas,
+       CAST(SUM(CASE WHEN id_transacao IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS nulos_id,
+       CAST(SUM(CASE WHEN id_usuario_recebedor IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS nulos_recebedor,
+       CAST(SUM(CASE WHEN valor_transacao IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS nulos_valor,
+       CAST(SUM(CASE WHEN valor_transacao < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS valores_negativos,
+       CAST(SUM(CASE WHEN modalidade_pagamento NOT IN ({_DQ_VOCAB})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS modalidades_fora_vocab,
+       CAST(COUNT(*) - COUNT(DISTINCT id_transacao) AS BIGINT)
+           AS ids_duplicados,
+       MIN(data_horario) AS ts_min,
+       MAX(data_horario) AS ts_max
+FROM transactions
+"""
+)

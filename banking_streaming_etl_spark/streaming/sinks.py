@@ -117,3 +117,91 @@ def compact_parquet(
         .parquet(dst_path)
     )
     return len(glob.glob(f"{dst_path}/part-*.parquet"))
+
+
+class MaterializedAggregateView:
+    """Exactly-once streaming materialized view of an ADDITIVE aggregate
+    (counts / decimal sums keyed by a group column) — the incremental
+    twin of a batch groupBy that a dashboard reads without rescanning
+    history.
+
+    Additive merges are NOT naturally idempotent (a replayed epoch would
+    double-add), so each micro-batch's partial aggregate lands in its own
+    `batch_id=N` partition via dynamic overwrite — the same epoch-keyed
+    pattern as IdempotentParquetSink, applied to aggregate DELTAS instead
+    of rows. A replayed epoch overwrites its own delta; the read side
+    re-aggregates the (tiny, groups x epochs) delta table. Periodic
+    `compact()` folds all deltas into one partition to bound that table.
+
+    At scale: each delta write is the batch's own partial aggregate
+    (groups-sized, not rows-sized); the read-side fold is over
+    groups x epochs rows — compact() keeps epochs bounded. The pattern a
+    transactional lakehouse implements with MERGE, done with plain
+    parquet + epoch keys.
+    """
+
+    def __init__(self, out_dir: str, key_col: str, value_col: str):
+        self.out_dir = out_dir
+        self.key_col = key_col
+        self.value_col = value_col
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy(self.key_col).agg(
+            F.count("*").alias("n_delta"),
+            F.sum(
+                F.round(F.col(self.value_col), 6).cast("decimal(28,6)")
+            ).alias("soma_delta"),
+        )
+        (
+            delta.withColumn("batch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.out_dir)
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Fold the deltas into the current view: (key, n, soma)."""
+        deltas = spark.read.parquet(self.out_dir)
+        return deltas.groupBy(self.key_col).agg(
+            F.sum("n_delta").alias("n"),
+            F.sum("soma_delta").cast("double").alias("soma"),
+        )
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold all epoch deltas into a single batch_id=-1 partition (the
+        maintenance pass that bounds the delta table)."""
+        folded = (
+            spark.read.parquet(self.out_dir)
+            .groupBy(self.key_col)
+            .agg(
+                F.sum("n_delta").alias("n_delta"),
+                F.sum("soma_delta").alias("soma_delta"),
+            )
+            .withColumn("batch_id", F.lit(-1))
+        )
+        tmp = self.out_dir + "__compact"
+        folded.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.out_dir)
+        shutil.move(tmp, self.out_dir)
+
+
+def start_materialized_view(
+    tx_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "modalidade_pagamento",
+    value_col: str = "valor_transacao",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    view = MaterializedAggregateView(out_dir, key_col, value_col)
+    writer = (
+        tx_stream.writeStream.outputMode("append")
+        .foreachBatch(view.write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -343,3 +343,82 @@ def test_transform_with_state_twin_matches_jvm_last_tx(
         for r in spark.sql("SELECT * FROM last_tx_jvm_ref2").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_materialized_view_replay_and_compact(spark, tmp_path):
+    """Additive-aggregate materialized view: a replayed epoch must NOT
+    double-add (delta overwritten, not appended), the folded view must
+    equal the batch groupBy bit-for-bit, and compact() must preserve it."""
+    view = sinks.MaterializedAggregateView(
+        str(tmp_path / "mv"), "modalidade_pagamento", "valor_transacao"
+    )
+    tx = datamodel.transactions(spark, SF)
+    half1 = tx.filter("id_transacao % 2 = 0")
+    half2 = tx.filter("id_transacao % 2 = 1")
+    view.write_batch(half1, epoch_id=0)
+    view.write_batch(half1, epoch_id=0)  # post-failure replay
+    view.write_batch(half2, epoch_id=1)
+
+    got = {
+        (r.modalidade_pagamento, r.n, r.soma)
+        for r in view.read(spark).collect()
+    }
+    want = {
+        (r.modalidade_pagamento, r.n, r.soma)
+        for r in tx.groupBy("modalidade_pagamento")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("valor_transacao", 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("soma"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    view.compact(spark)
+    after = {
+        (r.modalidade_pagamento, r.n, r.soma)
+        for r in view.read(spark).collect()
+    }
+    assert after == want
+    assert (
+        spark.read.parquet(str(tmp_path / "mv"))
+        .select("batch_id").distinct().count() == 1
+    )
+
+
+def test_materialized_view_streaming_end_to_end(spark, tmp_path, module_replay_dir):
+    """The streaming materialized view over the replayed events equals the
+    batch aggregate of the same data."""
+    from banking_streaming_etl_spark.sources import stream as stream_src
+
+    tx = stream_src.read_transaction_stream(spark, module_replay_dir)
+    q = sinks.start_materialized_view(
+        tx,
+        out_dir=str(tmp_path / "mv"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    view = sinks.MaterializedAggregateView(
+        str(tmp_path / "mv"), "modalidade_pagamento", "valor_transacao"
+    )
+    got = {
+        (r.modalidade_pagamento, r.n, r.soma)
+        for r in view.read(spark).collect()
+    }
+    want = {
+        (r.modalidade_pagamento, r.n, r.soma)
+        for r in datamodel.transactions(spark, SF)
+        .groupBy("modalidade_pagamento")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("valor_transacao", 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("soma"),
+        )
+        .collect()
+    }
+    assert got == want

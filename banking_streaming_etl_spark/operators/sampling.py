@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from banking_streaming_etl_spark import datamodel
 
@@ -63,3 +64,63 @@ def stratified_sample(
         fractions = {m: 0.2 for m in datamodel.MODALITIES}
         fractions["purchase"] = 1.0  # upweight the minority-style class
     return t.sampleBy("modalidade_pagamento", fractions, seed=seed)
+
+
+# --- deterministic per-group reservoir (hash-minimum) sample -----------------
+
+RESERVOIR_K = 20
+
+_TX_HASH_SPARK = (
+    "cast(conv(substring(md5(cast(id_transacao as string)), 1, 12), 16, 10)"
+    " as bigint)"
+)
+_TX_HASH_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(id_transacao AS VARCHAR)), 1, 12))"
+    " AS BIGINT)"
+)
+
+
+def reservoir_sample_per_modality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic K-per-group uniform sample: keep the K rows with the
+    smallest md5-derived hash per modality (bottom-K-by-hash == a
+    uniform reservoir, but reproducible across runs, engines, and
+    partitionings — randomSplit/sampleBy can't promise any of that).
+
+    Scale shape: one window per group ordered by (hash, id) — a single
+    shuffle; at extreme group sizes the same result comes from a partial
+    per-partition bottom-K before the shuffle (Spark's
+    TakeOrderedAndProject generalized per key)."""
+    t = datamodel.transactions(spark, sf_dir)
+    h = F.expr(_TX_HASH_SPARK)
+    w = W.partitionBy("modalidade_pagamento").orderBy(
+        F.col("h").asc(), F.col("id_transacao").asc()
+    )
+    return (
+        t.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select(
+            "modalidade_pagamento",
+            "rk",
+            "id_transacao",
+            "valor_transacao",
+        )
+    )
+
+
+RESERVOIR_SQL = datamodel.with_ctes(
+    f"""
+SELECT modalidade_pagamento, rk, id_transacao, valor_transacao
+FROM (
+    SELECT modalidade_pagamento, id_transacao, valor_transacao,
+           ROW_NUMBER() OVER (
+               PARTITION BY modalidade_pagamento
+               ORDER BY {_TX_HASH_DUCK} ASC, id_transacao ASC
+           ) AS rk
+    FROM transactions
+)
+WHERE rk <= {RESERVOIR_K}
+"""
+)

@@ -344,6 +344,12 @@ def register_all() -> None:
     register("dq_report_transactions", views.dq_report_transactions,
              views.DQ_REPORT_SQL,
              "data-quality constraint report (completeness/domain/uniqueness)")
+    register("reservoir_sample_per_modality",
+             sampling.reservoir_sample_per_modality, sampling.RESERVOIR_SQL,
+             "deterministic K-per-group bottom-K-by-hash uniform sample")
+    register("equidepth_histogram_valor", dashboard.equidepth_histogram_valor,
+             dashboard.EQUIDEPTH_SQL,
+             "equi-depth (equal-count) value histogram via total-order ntile")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,

@@ -759,3 +759,48 @@ FROM (
 ) sub
 """
 )
+
+
+# --- equi-depth histogram of transaction values ------------------------------
+
+EQUIDEPTH_BUCKETS = 10
+
+
+def equidepth_histogram_valor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of transaction values — the
+    histogram an optimizer keeps (bucket boundaries adapt to skew,
+    unlike the fixed-width A13 binning). NTILE over a total order
+    (valor, id tiebreak) then per-bucket min/max/count.
+
+    Scale note: a global NTILE is a single-partition sort; at 100 TB the
+    same boundaries come from approx quantiles + a broadcast cut join
+    (the value_histogram p99 pattern, K cuts instead of 1). The exact
+    form here is the oracle-checkable baseline of that path."""
+    t = datamodel.transactions(spark, sf_dir)
+    w = W.orderBy(F.col("valor_transacao").asc(), F.col("id_transacao").asc())
+    return (
+        t.withColumn("balde", F.ntile(EQUIDEPTH_BUCKETS).over(w))
+        .groupBy("balde")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("valor_transacao").alias("valor_min"),
+            F.max("valor_transacao").alias("valor_max"),
+        )
+    )
+
+
+EQUIDEPTH_SQL = datamodel.with_ctes(
+    f"""
+SELECT balde, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(valor_transacao) AS valor_min,
+       MAX(valor_transacao) AS valor_max
+FROM (
+    SELECT valor_transacao,
+           NTILE({EQUIDEPTH_BUCKETS}) OVER (
+               ORDER BY valor_transacao ASC, id_transacao ASC
+           ) AS balde
+    FROM transactions
+)
+GROUP BY balde
+"""
+)

@@ -60,6 +60,29 @@ def perf_temporal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hour_spine(t: DataFrame) -> DataFrame:
+    """Generated hour spine [min bucket, max bucket] — ONE definition for
+    every gapfill variant (scalar min/max agg broadcast into sequence();
+    hours-sized at any scale)."""
+    bounds = t.agg(
+        F.date_trunc("hour", F.min("data_horario")).alias("h0"),
+        F.date_trunc("hour", F.max("data_horario")).alias("h1"),
+    )
+    return bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hora")
+    )
+
+
+#: DuckDB twin of _hour_spine — the generate_series subquery both gapfill
+#: oracles build on.
+HOUR_SPINE_SQL = """(
+    SELECT unnest(generate_series(
+               DATE_TRUNC('hour', (SELECT MIN(data_horario) FROM transactions)),
+               DATE_TRUNC('hour', (SELECT MAX(data_horario) FROM transactions)),
+               INTERVAL 1 HOUR)) AS hora
+) spine"""
+
+
 def perf_temporal_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly series (the TimescaleDB time_bucket_gapfill
     pattern): a generated hour spine from min to max bucket, LEFT-joined
@@ -68,15 +91,7 @@ def perf_temporal_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar min/max aggregate broadcast into sequence(); at any scale
     it's hours-between-endpoints rows, never data-sized."""
     t = datamodel.transactions(spark, sf_dir)
-    bounds = t.agg(
-        F.date_trunc("hour", F.min("data_horario")).alias("h0"),
-        F.date_trunc("hour", F.max("data_horario")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(
-            F.expr("sequence(h0, h1, interval 1 hour)")
-        ).alias("hora")
-    )
+    spine = _hour_spine(t)
     counts = t.groupBy(
         F.date_trunc("hour", F.col("data_horario")).alias("hora")
     ).agg(
@@ -95,12 +110,7 @@ PERF_TEMPORAL_GAPFILL_SQL = datamodel.with_ctes(
 SELECT hora,
        COALESCE(total_transacoes, 0) AS total_transacoes,
        COALESCE(valor_total, 0.0) AS valor_total
-FROM (
-    SELECT unnest(generate_series(
-               DATE_TRUNC('hour', (SELECT MIN(data_horario) FROM transactions)),
-               DATE_TRUNC('hour', (SELECT MAX(data_horario) FROM transactions)),
-               INTERVAL 1 HOUR)) AS hora
-) spine
+FROM {HOUR_SPINE_SQL}
 LEFT JOIN (
     SELECT DATE_TRUNC('hour', data_horario) AS hora,
            COUNT(*) AS total_transacoes,
@@ -162,13 +172,7 @@ def perf_temporal_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     t = datamodel.transactions(spark, sf_dir)
-    bounds = t.agg(
-        F.date_trunc("hour", F.min("data_horario")).alias("h0"),
-        F.date_trunc("hour", F.max("data_horario")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hora")
-    )
+    spine = _hour_spine(t)
     hourly = t.groupBy(
         F.date_trunc("hour", F.col("data_horario")).alias("hora")
     ).agg(
@@ -202,12 +206,7 @@ SELECT hora,
            ORDER BY hora
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS valor_medio_locf
-FROM (
-    SELECT unnest(generate_series(
-               DATE_TRUNC('hour', (SELECT MIN(data_horario) FROM transactions)),
-               DATE_TRUNC('hour', (SELECT MAX(data_horario) FROM transactions)),
-               INTERVAL 1 HOUR)) AS hora
-) spine
+FROM {HOUR_SPINE_SQL}
 LEFT JOIN (
     SELECT DATE_TRUNC('hour', data_horario) AS hora,
            COUNT(*) AS total_transacoes,

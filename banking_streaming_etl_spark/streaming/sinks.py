@@ -146,11 +146,11 @@ class MaterializedAggregateView:
         self.value_col = value_col
 
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from banking_streaming_etl_spark.functions import exact
+
         delta = batch_df.groupBy(self.key_col).agg(
             F.count("*").alias("n_delta"),
-            F.sum(
-                F.round(F.col(self.value_col), 6).cast("decimal(28,6)")
-            ).alias("soma_delta"),
+            F.sum(exact._d(F.col(self.value_col))).alias("soma_delta"),
         )
         (
             delta.withColumn("batch_id", F.lit(int(epoch_id)))
@@ -170,7 +170,15 @@ class MaterializedAggregateView:
 
     def compact(self, spark: SparkSession) -> None:
         """Fold all epoch deltas into a single batch_id=-1 partition (the
-        maintenance pass that bounds the delta table)."""
+        maintenance pass that bounds the delta table).
+
+        OPERATIONAL CONSTRAINT (like any lake VACUUM/OPTIMIZE): run only
+        while the stream is STOPPED at a committed checkpoint. Folding a
+        written-but-uncommitted epoch and then replaying it would count
+        it twice, and a delta landing between the fold's read and the
+        directory swap would be lost. The folded output keeps the
+        batch_id partition layout — a mixed layout would make Spark's
+        partition discovery silently drop the root-level file."""
         folded = (
             spark.read.parquet(self.out_dir)
             .groupBy(self.key_col)
@@ -181,7 +189,7 @@ class MaterializedAggregateView:
             .withColumn("batch_id", F.lit(-1))
         )
         tmp = self.out_dir + "__compact"
-        folded.write.mode("overwrite").parquet(tmp)
+        folded.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
         import shutil
 
         shutil.rmtree(self.out_dir)

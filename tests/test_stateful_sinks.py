@@ -363,14 +363,14 @@ def test_materialized_view_replay_and_compact(spark, tmp_path):
         (r.modalidade_pagamento, r.n, r.soma)
         for r in view.read(spark).collect()
     }
+    from banking_streaming_etl_spark.functions import exact
+
     want = {
         (r.modalidade_pagamento, r.n, r.soma)
         for r in tx.groupBy("modalidade_pagamento")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.round("valor_transacao", 6).cast("decimal(28,6)"))
-            .cast("double")
-            .alias("soma"),
+            exact.exact_sum("valor_transacao", "soma"),
         )
         .collect()
     }
@@ -386,6 +386,17 @@ def test_materialized_view_replay_and_compact(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "mv"))
         .select("batch_id").distinct().count() == 1
     )
+
+    # epochs arriving AFTER a compaction must append to the folded state
+    # (a mixed partitioned/unpartitioned layout would silently drop the
+    # compacted history from partition discovery)
+    view.write_batch(half1, epoch_id=2)
+    grown = {r.modalidade_pagamento: r.n for r in view.read(spark).collect()}
+    base = {r.modalidade_pagamento: r.n for r in tx.groupBy(
+        "modalidade_pagamento").agg(F.count("*").alias("n")).collect()}
+    extra = {r.modalidade_pagamento: r.n for r in half1.groupBy(
+        "modalidade_pagamento").agg(F.count("*").alias("n")).collect()}
+    assert grown == {k: base[k] + extra.get(k, 0) for k in base}
 
 
 def test_materialized_view_streaming_end_to_end(spark, tmp_path, module_replay_dir):
@@ -409,15 +420,15 @@ def test_materialized_view_streaming_end_to_end(spark, tmp_path, module_replay_d
         (r.modalidade_pagamento, r.n, r.soma)
         for r in view.read(spark).collect()
     }
+    from banking_streaming_etl_spark.functions import exact
+
     want = {
         (r.modalidade_pagamento, r.n, r.soma)
         for r in datamodel.transactions(spark, SF)
         .groupBy("modalidade_pagamento")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.round("valor_transacao", 6).cast("decimal(28,6)"))
-            .cast("double")
-            .alias("soma"),
+            exact.exact_sum("valor_transacao", "soma"),
         )
         .collect()
     }

@@ -95,10 +95,11 @@ def register_all() -> None:
              dashboard.VALUE_HISTOGRAM_SQL, "p99 trim + histogram (P9+A13)")
     register("density_grid", dashboard.density_grid,
              dashboard.DENSITY_GRID_SQL, "2-D histogram (A14)")
-    register("hourly_score_approval", dashboard.hourly_score_approval,
-             dashboard.HOURLY_SCORE_APPROVAL_SQL, "hourly score + rate (A6)")
-    register("region_approval", dashboard.region_approval,
-             dashboard.REGION_APPROVAL_SQL, "approval rate by region (A7)")
+    register("bm25_topk", text.bm25_topk, text.BM25_SQL,
+             "BM25 retrieval top-K for a fixed query term set")
+    register("funnel_conversion", behavior.funnel_conversion,
+             behavior.FUNNEL_SQL,
+             "view->click->purchase funnel via first-touch MIN(ts) compares")
     register("denial_reasons", dashboard.denial_reasons,
              dashboard.DENIAL_REASONS_SQL, "conditional counts (A10)")
     register("distance_bucket_pivot", dashboard.distance_bucket_pivot,
@@ -171,8 +172,9 @@ def register_all() -> None:
              similarity.QUANTIZE_SQL, "int8 symmetric quantization")
 
     # scale extensions: text analysis
-    register("token_counts", text.token_counts,
-             text.TOKEN_COUNTS_SQL, "per-doc token counts")
+    register("semantic_dedup", embeddings.semantic_dedup,
+             embeddings.SEMANTIC_DEDUP_SQL,
+             "SemDeDup: within-cluster greedy cosine prune, keep-earliest")
     register("text_quality_scores", text.text_quality_scores,
              text.TEXT_QUALITY_SQL, "quality metrics + keep flag")
     register("lang_id_heuristic", text.lang_id_heuristic,
@@ -210,6 +212,15 @@ def register_all() -> None:
              "deterministic hash-based 80/20 split")
     register("minmax_normalize_window", groupedmap.minmax_normalize_window,
              groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
+
+    # displaced second-representatives (A6/A7/token counting) — still in
+    # the local parity gate every pytest run
+    register("hourly_score_approval", dashboard.hourly_score_approval,
+             dashboard.HOURLY_SCORE_APPROVAL_SQL, "hourly score + rate (A6)")
+    register("region_approval", dashboard.region_approval,
+             dashboard.REGION_APPROVAL_SQL, "approval rate by region (A7)")
+    register("token_counts", text.token_counts, text.TOKEN_COUNTS_SQL,
+             "per-doc token counting")
 
     # ------------------------------------------------------------------
     # Slots 51+ — oracle-backed siblings of in-window queries (verified
@@ -286,9 +297,6 @@ def register_all() -> None:
              embeddings.nearest_centroid_confusion,
              embeddings.NEAREST_CENTROID_SQL,
              "nearest-centroid assignment confusion table")
-    register("semantic_dedup", embeddings.semantic_dedup,
-             embeddings.SEMANTIC_DEDUP_SQL,
-             "SemDeDup: within-cluster greedy cosine prune, keep-earliest")
     register("fuzzy_dedup_levenshtein", dedup.fuzzy_dedup_levenshtein,
              dedup.FUZZY_DEDUP_SQL,
              "blocked edit-distance fuzzy-duplicate pairs over part names")
@@ -313,14 +321,9 @@ def register_all() -> None:
     register("quality_classifier_scores", text.quality_classifier_scores,
              text.QUALITY_CLASSIFIER_SQL,
              "hashed-feature linear classifier (NB log-odds, fastText-style)")
-    register("funnel_conversion", behavior.funnel_conversion,
-             behavior.FUNNEL_SQL,
-             "view->click->purchase funnel via first-touch MIN(ts) compares")
     register("cohort_retention", behavior.cohort_retention,
              behavior.COHORT_SQL,
              "first-activity-day cohorts with 1/3/7-day retention rates")
-    register("bm25_topk", text.bm25_topk, text.BM25_SQL,
-             "BM25 retrieval top-K for a fixed query term set")
     register("mad_outliers_per_modality", dashboard.mad_outliers_per_modality,
              dashboard.MAD_OUTLIERS_SQL,
              "robust median/MAD outlier profile (modified z-score > 3.5)")

@@ -1046,3 +1046,74 @@ CROSS JOIN n_bg CROSS JOIN totals
 ORDER BY pmi DESC, w1 ASC, w2 ASC
 LIMIT {PMI_TOP_K}
 """
+
+
+# --- corpus-statistics: Zipf fit ---------------------------------------------
+
+ZIPF_TOP_N = 1000
+
+
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: regress
+    log10(freq) on log10(rank) over the top-N tokens — the one-row
+    corpus health check (natural language sits near slope -1; generated
+    or templated text drifts flatter). Reuses the exact-moment
+    regression, so the fit is bit-identical cross-engine.
+
+    Scale shape: one shuffle for the frequency table; the rank window is
+    over the VOCABULARY (top-N of it), never the corpus; the regression
+    is one aggregate over N rows."""
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = (
+        freq.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("c"), F.asc("w"))),
+        )
+        .filter(F.col("rank") <= ZIPF_TOP_N)
+        .select(
+            F.log10(F.col("rank").cast("double")).alias("lx"),
+            F.log10(F.col("c").cast("double")).alias("ly"),
+        )
+    )
+    slope, icept = exact.exact_regr("lx", "ly", "raw_slope", "raw_icept")
+    return ranked.agg(
+        F.count("*").alias("n_tokens_fit"), slope, icept
+    ).select(
+        "n_tokens_fit",
+        F.round("raw_slope", 6).alias("zipf_slope"),
+        F.round("raw_icept", 6).alias("zipf_intercept"),
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH freq AS (
+    SELECT w, COUNT(*) AS c
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    GROUP BY w
+),
+ranked AS (
+    SELECT LOG10(CAST(rank AS DOUBLE)) AS lx, LOG10(CAST(c AS DOUBLE)) AS ly
+    FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank
+        FROM freq
+    )
+    WHERE rank <= {ZIPF_TOP_N}
+)
+SELECT n_tokens_fit,
+       ROUND(raw_slope, 6) AS zipf_slope,
+       ROUND(raw_icept, 6) AS zipf_intercept
+FROM (
+    SELECT COUNT(*) AS n_tokens_fit,
+           {exact.sql_regr('lx', 'ly', 'raw_slope', 'raw_icept')}
+    FROM ranked
+)
+"""

@@ -239,3 +239,105 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audio windowing over the synthetic media table
     (rows-only check; determinism + coverage contract pinned in tests)."""
     return audio_energy_windows(synthesize_media(spark, sf_dir))
+
+
+# --- perceptual-hash image dedup ---------------------------------------------
+
+PHASH_GRID = 8  # 8x8 grid -> 64-bit hash
+PHASH_BANDS = 8  # 8 bands x 8 bits: blocking for the near-dup join
+PHASH_MAX_HAMMING = 7  # pigeonhole: <=7 bit flips leave >=1 band intact
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _phash_from_body(body: bytes) -> int:
+    """64-bit perceptual hash of the fake-decoded pixel body: mean byte
+    per cell of an 8x8 grid, bit = cell mean > global mean (the aHash
+    construction; a real image path would DCT a PIL-decoded grayscale
+    thumbnail — same signature, same downstream join)."""
+    n = len(body)
+    cells = PHASH_GRID * PHASH_GRID
+    if n == 0:
+        return 0
+    chunk = max(1, n // cells)
+    means = []
+    for i in range(cells):
+        piece = body[i * chunk : (i + 1) * chunk] or body[-chunk:]
+        means.append(sum(piece) / len(piece))
+    overall = sum(means) / len(means)
+    h = 0
+    for i, m in enumerate(means):
+        if m > overall:
+            h |= 1 << i
+    return h - (1 << 63) if h >= (1 << 63) else h
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing of binary payloads (one 64-bit
+    hash per asset — narrow, parallel, the only Python touching bytes)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, body = _decode_fake(bytes(payload))
+                rows.append(
+                    {"doc_id": int(doc_id), "phash": _phash_from_body(body)}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.repartition("doc_id").mapInPandas(compute, PHASH_SCHEMA)
+
+
+def near_dup_images(media: DataFrame) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: band-blocked candidate
+    join (8 bands x 8 bits — pigeonhole guarantees recall for hamming
+    <= 7), then an exact popcount verify. The SimHash dedup pattern
+    applied to the multimodal payload column; JVM-side join + verify,
+    Python only in the per-asset hash above."""
+    h = phash_media(media)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("phash"), b * PHASH_BANDS)
+            .bitwiseAND(F.lit(255).cast("long"))
+            .alias("bits"),
+        )
+        for b in range(PHASH_BANDS)
+    ]
+    blocked = h.select(
+        "doc_id", "phash", F.explode(F.array(*bands)).alias("blk")
+    )
+    a = blocked.select(
+        F.col("blk").alias("blk_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+    )
+    b = blocked.select(
+        F.col("blk").alias("blk_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
+def media_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: perceptual near-dup pairs over the synthetic
+    media table (rows-only — the hash rides Python byte math that DuckDB
+    can't mirror; recall/precision pinned by the planted-pair test)."""
+    return near_dup_images(synthesize_media(spark, sf_dir))

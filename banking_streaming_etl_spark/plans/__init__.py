@@ -440,5 +440,7 @@ def register_all() -> None:
     register("media_frame_samples", multimodal.media_frame_samples, None,
              "video-shape frame sampling: 1 payload -> N frame rows "
              "(mapInPandas explosion)")
+    register("media_near_dup_images", multimodal.media_near_dup_images, None,
+             "perceptual-hash (aHash) image near-dup pairs, band-blocked")
 
     _REGISTERED = True

@@ -592,3 +592,50 @@ def test_jl_projection_preserves_pairwise_distances(spark):
     assert ratios[n // 20] > 0.35, ratios[n // 20]
     assert ratios[-n // 20] < 2.2, ratios[-n // 20]
     assert math.isfinite(ratios[-1])
+
+
+def test_phash_near_dup_images_finds_planted_near_identical_payloads(spark):
+    """A payload differing by a few bytes must land within hamming <= 7 of
+    its source (found); unrelated payloads must not pair up wholesale."""
+    import pandas as pd
+
+    from banking_streaming_etl_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, SF).limit(40).cache()
+    rows = media.collect()
+    # plant: copy doc 0's payload under a new id with ONE body byte bumped
+    src = rows[0]
+    tweaked = bytearray(bytes(src.payload))
+    tweaked[20] = (tweaked[20] + 1) % 256
+    planted = spark.createDataFrame(
+        pd.DataFrame(
+            [{
+                "doc_id": 10_000,
+                "media_format": src.media_format,
+                "width": src.width,
+                "height": src.height,
+                "payload": bytes(tweaked),
+            }]
+        ),
+        schema=media.schema,
+    )
+    pairs = mm.near_dup_images(media.unionByName(planted)).collect()
+    assert any(
+        {p.doc_a, p.doc_b} == {src.doc_id, 10_000} for p in pairs
+    ), pairs
+    # sanity: nothing pairs the planted asset with unrelated docs at <= 7
+    bogus = [
+        p for p in pairs
+        if 10_000 in (p.doc_a, p.doc_b)
+        and {p.doc_a, p.doc_b} != {src.doc_id, 10_000}
+    ]
+    assert len(bogus) <= 2, bogus
+
+
+def test_phash_is_deterministic(spark):
+    from banking_streaming_etl_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, SF).limit(20)
+    a = {r.doc_id: r.phash for r in mm.phash_media(media).collect()}
+    b = {r.doc_id: r.phash for r in mm.phash_media(media).collect()}
+    assert a == b and len(a) == 20

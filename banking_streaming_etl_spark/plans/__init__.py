@@ -355,6 +355,9 @@ def register_all() -> None:
              "equi-depth (equal-count) value histogram via total-order ntile")
     register("zipf_fit_tokens", text.zipf_fit_tokens, text.ZIPF_FIT_SQL,
              "Zipf-law slope/intercept fit over top-N token frequencies")
+    register("benford_digit_screen", dashboard.benford_digit_screen,
+             dashboard.BENFORD_SQL,
+             "Benford first-digit frequencies + chi-square contributions")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,

@@ -804,3 +804,78 @@ FROM (
 GROUP BY balde
 """
 )
+
+
+# --- Benford's-law first-digit screen ----------------------------------------
+
+
+def benford_digit_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over transaction amounts: observed
+    first-significant-digit frequencies vs the log10(1 + 1/d)
+    expectation, with each digit's chi-square contribution — the
+    classic forensic-accounting test for fabricated amounts.
+
+    First digit via floor(x / 10^floor(log10(x))) on positive values —
+    pure JVM math, identical in both dialects. One scan + one 9-row
+    aggregate; the total count joins back as a scalar broadcast.
+    """
+    t = datamodel.transactions(spark, sf_dir).filter(
+        F.col("valor_transacao") > 0
+    )
+    digit = F.floor(
+        F.col("valor_transacao")
+        / F.pow(F.lit(10.0), F.floor(F.log10("valor_transacao")))
+    ).cast("int")
+    counts = t.select(digit.alias("digito")).groupBy("digito").agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    p_obs = F.col("n").cast("double") / F.col("n_total").cast("double")
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digito").cast("double"))
+    chi = (
+        F.col("n_total").cast("double")
+        * (p_obs - p_exp) * (p_obs - p_exp) / p_exp
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digito",
+            "n",
+            F.round(p_obs, 6).alias("freq_observada"),
+            F.round(p_exp, 6).alias("freq_benford"),
+            F.round(chi, 6).alias("chi2_contrib"),
+        )
+    )
+
+
+BENFORD_SQL = datamodel.with_ctes(
+    """
+SELECT digito, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+           AS freq_observada,
+       ROUND(LOG10(1.0 + 1.0 / CAST(digito AS DOUBLE)), 6) AS freq_benford,
+       ROUND(CAST(n_total AS DOUBLE)
+             * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                - LOG10(1.0 + 1.0 / CAST(digito AS DOUBLE)))
+             * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                - LOG10(1.0 + 1.0 / CAST(digito AS DOUBLE)))
+             / LOG10(1.0 + 1.0 / CAST(digito AS DOUBLE)), 6)
+           AS chi2_contrib
+FROM (
+    SELECT CAST(FLOOR(valor_transacao
+                      / POW(10.0, FLOOR(LOG10(valor_transacao))))
+                AS INTEGER) AS digito,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM transactions
+    WHERE valor_transacao > 0
+    GROUP BY 1
+), (SELECT CAST(SUM(n2) AS BIGINT) AS n_total FROM (
+        SELECT COUNT(*) AS n2
+        FROM transactions
+        WHERE valor_transacao > 0
+        GROUP BY CAST(FLOOR(valor_transacao
+                            / POW(10.0, FLOOR(LOG10(valor_transacao))))
+                      AS INTEGER)
+    ))
+"""
+)

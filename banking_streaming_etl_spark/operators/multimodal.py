@@ -75,11 +75,25 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes) -> object:
-    """Where a real decoder would go (PIL/libvips not in this container)."""
-    raise NotImplementedError(
-        "image decode requires PIL/libvips; wire it here on a real cluster"
-    )
+def decode_image_real(payload: bytes) -> tuple[int, int, bytes]:
+    """Real image decode when PIL is importable: (width, height, raw RGB
+    bytes) — the same tuple contract as `_decode_fake`, so downstream
+    feature extraction is decoder-agnostic. This container ships no
+    imaging libs, so the gate raises the documented NotImplementedError
+    there; on a cluster with Pillow installed the decode is live
+    (differential-tested against the contract in
+    tests/test_extensions.py, skipif no PIL)."""
+    try:
+        from PIL import Image  # optional dep — not in this container
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL/libvips; wire it here on a real cluster"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        rgb = im.convert("RGB")
+        return rgb.size[0], rgb.size[1], rgb.tobytes()
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int, bytes]:

@@ -809,23 +809,39 @@ GROUP BY balde
 # --- Benford's-law first-digit screen ----------------------------------------
 
 
+def _benford_digit(col):
+    """First significant digit WITHOUT transcendentals: scale into [1,10)
+    with a comparison ladder of exact power-of-10 literals, then floor.
+
+    Every step is an IEEE-754 compare/multiply/divide — correctly rounded
+    and bit-identical across JVM and DuckDB libm-free — so the GROUP BY
+    key cannot shift between engines the way floor(log10)/pow could at
+    power-of-10 boundaries (a 1-ulp log10 divergence there moves a row
+    between digit groups). Division by a power of 10 is monotone, so
+    y >= 10^k implies y/10^k >= 1 and each step halves the exponent
+    range: domain covered is (1e-32, 1e32), far beyond any amount.
+    """
+    y = F.when(col < 1.0, col * F.lit(1.0e16)).otherwise(col)
+    y = F.when(y < 1.0, y * F.lit(1.0e16)).otherwise(y)
+    for p in (1.0e16, 1.0e8, 1.0e4, 1.0e2, 1.0e1):
+        y = F.when(y >= p, y / F.lit(p)).otherwise(y)
+    return F.floor(y).cast("int")
+
+
 def benford_digit_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law screen over transaction amounts: observed
     first-significant-digit frequencies vs the log10(1 + 1/d)
     expectation, with each digit's chi-square contribution — the
     classic forensic-accounting test for fabricated amounts.
 
-    First digit via floor(x / 10^floor(log10(x))) on positive values —
-    pure JVM math, identical in both dialects. One scan + one 9-row
-    aggregate; the total count joins back as a scalar broadcast.
+    First digit via the transcendental-free ladder (_benford_digit) on
+    positive values. One scan + one 9-row aggregate; the total count
+    joins back as a scalar broadcast.
     """
     t = datamodel.transactions(spark, sf_dir).filter(
         F.col("valor_transacao") > 0
     )
-    digit = F.floor(
-        F.col("valor_transacao")
-        / F.pow(F.lit(10.0), F.floor(F.log10("valor_transacao")))
-    ).cast("int")
+    digit = _benford_digit(F.col("valor_transacao"))
     counts = t.select(digit.alias("digito")).groupBy("digito").agg(
         F.count("*").alias("n")
     )
@@ -848,6 +864,29 @@ def benford_digit_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: digit ladder as chained CTEs — the same exact power-of-10 literals and
+#: step order as _benford_digit, so both engines walk identical IEEE ops.
+_BENFORD_CTES = """
+bd0 AS (
+    SELECT valor_transacao AS x FROM transactions WHERE valor_transacao > 0
+),
+bd1 AS (SELECT CASE WHEN x < 1.0 THEN x * 1e16 ELSE x END AS y FROM bd0),
+bd2 AS (SELECT CASE WHEN y < 1.0 THEN y * 1e16 ELSE y END AS y FROM bd1),
+bd3 AS (SELECT CASE WHEN y >= 1e16 THEN y / 1e16 ELSE y END AS y FROM bd2),
+bd4 AS (SELECT CASE WHEN y >= 1e8 THEN y / 1e8 ELSE y END AS y FROM bd3),
+bd5 AS (SELECT CASE WHEN y >= 1e4 THEN y / 1e4 ELSE y END AS y FROM bd4),
+bd6 AS (SELECT CASE WHEN y >= 1e2 THEN y / 1e2 ELSE y END AS y FROM bd5),
+bd7 AS (SELECT CASE WHEN y >= 1e1 THEN y / 1e1 ELSE y END AS y FROM bd6),
+benford_counts AS (
+    SELECT CAST(FLOOR(y) AS INTEGER) AS digito,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM bd7 GROUP BY 1
+),
+benford_total AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM benford_counts
+)
+"""
+
 BENFORD_SQL = datamodel.with_ctes(
     """
 SELECT digito, n,
@@ -861,21 +900,7 @@ SELECT digito, n,
                 - LOG10(1.0 + 1.0 / CAST(digito AS DOUBLE)))
              / LOG10(1.0 + 1.0 / CAST(digito AS DOUBLE)), 6)
            AS chi2_contrib
-FROM (
-    SELECT CAST(FLOOR(valor_transacao
-                      / POW(10.0, FLOOR(LOG10(valor_transacao))))
-                AS INTEGER) AS digito,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM transactions
-    WHERE valor_transacao > 0
-    GROUP BY 1
-), (SELECT CAST(SUM(n2) AS BIGINT) AS n_total FROM (
-        SELECT COUNT(*) AS n2
-        FROM transactions
-        WHERE valor_transacao > 0
-        GROUP BY CAST(FLOOR(valor_transacao
-                            / POW(10.0, FLOOR(LOG10(valor_transacao))))
-                      AS INTEGER)
-    ))
-"""
+FROM benford_counts, benford_total
+""",
+    extra_ctes=_BENFORD_CTES,
 )

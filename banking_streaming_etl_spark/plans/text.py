@@ -741,17 +741,22 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("feat", "peso")
     )
+    # prior guarded on BOTH class counts > 0: a single-class corpus would
+    # yield +-Infinity in Spark vs NULL/error in DuckDB — the same
+    # divergence class the mad > 0 / den > 0 guards close elsewhere.
     docs_prior = d.agg(
-        F.round(
-            F.log(
-                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
-                    "double"
-                )
-                / F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).cast(
-                    "double"
-                )
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nd_en"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("nd_ot"),
+    ).select(
+        F.when(
+            (F.col("nd_en") > 0) & (F.col("nd_ot") > 0),
+            F.round(
+                F.log(
+                    F.col("nd_en").cast("double")
+                    / F.col("nd_ot").cast("double")
+                ),
+                6,
             ),
-            6,
         ).alias("prior")
     )
     scored = (
@@ -818,11 +823,16 @@ w AS (
     FROM counts, totals
 ),
 prior AS (
-    SELECT ROUND(LN(
-               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-               / CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE)
-           ), 6) AS prior
-    FROM documents
+    SELECT CASE
+               WHEN nd_en > 0 AND nd_ot > 0
+               THEN ROUND(LN(CAST(nd_en AS DOUBLE)
+                             / CAST(nd_ot AS DOUBLE)), 6)
+           END AS prior
+    FROM (
+        SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nd_en,
+               SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nd_ot
+        FROM documents
+    )
 ),
 scored AS (
     SELECT doc_id, is_en,

@@ -190,10 +190,19 @@ class MaterializedAggregateView:
         )
         tmp = self.out_dir + "__compact"
         folded.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        import os
         import shutil
 
-        shutil.rmtree(self.out_dir)
+        # crash-safe swap: rename the live view aside FIRST, then promote
+        # the compacted copy, then drop the backup — at least one complete
+        # copy of the aggregate state exists at every instant (a crash
+        # between rmtree and move would otherwise lose the whole view).
+        backup = self.out_dir + "__old"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(self.out_dir, backup)
         shutil.move(tmp, self.out_dir)
+        shutil.rmtree(backup)
 
 
 def start_materialized_view(

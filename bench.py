@@ -42,11 +42,13 @@ HEADLINE = [
 ]
 
 
-def bench_streaming_replay(spark, sf_dir: str) -> tuple[float, float]:
+def bench_streaming_replay(spark, sf_dir: str) -> tuple[float, float, list[int]]:
     """Replay the whole events table through the streaming approval pipeline
     (file-stream source -> watermark -> joins -> scores -> parquet sink via
-    foreachBatch) and return (elapsed_sec, rows_per_sec) — the number
-    BASELINE.md compares (~1000 tx/s micro-batched on the reference)."""
+    foreachBatch) and return (elapsed_sec, rows_per_sec, batch_ms) — the
+    numbers BASELINE.md compares (~1000 tx/s micro-batched on the
+    reference, ~1000 ms steady-state micro-batch duration). batch_ms is
+    the per-batch triggerExecution duration of every non-empty batch."""
     import shutil
     import tempfile
 
@@ -75,9 +77,14 @@ def bench_streaming_replay(spark, sf_dir: str) -> tuple[float, float]:
             checkpoint_dir=f"{work}/ckpt",
         )
         q.processAllAvailable()
-        q.stop()
         elapsed = time.perf_counter() - t0
-        return elapsed, n_rows / elapsed
+        batch_ms = [
+            int((p.get("durationMs") or {}).get("triggerExecution", 0) or 0)
+            for p in q.recentProgress
+            if int(p.get("numInputRows", 0) or 0) > 0
+        ]
+        q.stop()
+        return elapsed, n_rows / elapsed, batch_ms
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -106,10 +113,18 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
 
-    stream_sec, tx_per_s = bench_streaming_replay(spark, sf_dir)
+    stream_sec, tx_per_s, batch_ms = bench_streaming_replay(spark, sf_dir)
     timings["streaming_replay"] = round(stream_sec, 4)
+    batch_sorted = sorted(batch_ms)
+
+    def _pct(q: float) -> int:
+        if not batch_sorted:
+            return 0
+        return batch_sorted[min(len(batch_sorted) - 1, int(q * len(batch_sorted)))]
+
     print(
-        f"# streaming_replay: {stream_sec:.3f}s ({tx_per_s:,.0f} tx/s)",
+        f"# streaming_replay: {stream_sec:.3f}s ({tx_per_s:,.0f} tx/s, "
+        f"batch p50={_pct(0.5)}ms p95={_pct(0.95)}ms)",
         file=sys.stderr,
     )
 
@@ -122,9 +137,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # the BASELINE.md comparison number: the reference's published
-                # ceiling is ~1,000 tx/s micro-batched (maxOffsetsPerTrigger)
+                # the BASELINE.md comparison numbers: the reference's
+                # published ceiling is ~1,000 tx/s micro-batched
+                # (maxOffsetsPerTrigger) at ~1,000 ms steady-state batches
                 "streaming_tx_per_s": round(tx_per_s, 1),
+                "streaming_batch_ms_p50": _pct(0.5),
+                "streaming_batch_ms_p95": _pct(0.95),
             }
         )
     )

@@ -348,11 +348,45 @@ def test_train_test_split_deterministic_and_balanced(spark):
     assert 0.7 <= n_train / len(a) <= 0.9  # ~80%
 
 
-def test_decode_real_is_stubbed():
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_real_gated_without_pil():
     import pytest
 
+    if _has_pil():
+        pytest.skip("PIL installed: the real decoder is live, not gated")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"FAKE")
+
+
+def test_decode_real_matches_contract_with_pil():
+    """Differential: the real PIL decoder honors the same (width, height,
+    rgb bytes) tuple contract `_decode_fake` defines, on a deterministic
+    synthetic RGB image round-tripped through PNG."""
+    import pytest
+
+    if not _has_pil():
+        pytest.skip("PIL not in this container (decode stays gated)")
+    import io
+
+    from PIL import Image
+
+    w, h = 12, 7
+    rgb = bytes((x * 7 + y * 31 + c * 13) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    im = Image.frombytes("RGB", (w, h), rgb)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    got_w, got_h, got_body = multimodal.decode_image_real(buf.getvalue())
+    assert (got_w, got_h) == (w, h)  # same shape contract as _decode_fake
+    assert got_body == rgb  # PNG is lossless: exact byte round-trip
 
 
 def test_fuzzy_dedup_planted_pairs(spark):

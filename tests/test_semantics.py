@@ -158,3 +158,74 @@ def test_approx_aggregates_near_exact(spark):
         )
         assert rel_err < 0.1
         assert r.p95_aprox is not None
+
+
+def test_benford_digit_ladder_exact_at_power_boundaries(spark):
+    """The Benford GROUP BY key must be engine-independent: the comparison
+    ladder (_benford_digit) is pure IEEE compare/multiply/divide, so both
+    Spark and DuckDB must produce the mathematically exact first
+    significant digit of the double's value — including the doubles
+    immediately adjacent to powers of 10, where a 1-ulp log10/pow
+    divergence would flip the digit (the failure class this derivation
+    replaces)."""
+    import math
+    from decimal import Decimal
+
+    import duckdb
+
+    from banking_streaming_etl_spark.plans.dashboard import _benford_digit
+
+    def exact_first_digit(x: float) -> int:
+        # Decimal(x) is the EXACT decimal expansion of the binary double
+        for ch in format(Decimal(x), "f"):
+            if ch in "123456789":
+                return int(ch)
+        raise AssertionError(f"no significant digit in {x!r}")
+
+    values = []
+    for p in (0.001, 0.01, 0.1, 1.0, 10.0, 100.0, 1e3, 1e4, 1e6, 1e9, 1e12):
+        values += [
+            math.nextafter(p, 0.0),  # just below: digit must be 9
+            p,
+            math.nextafter(p, math.inf),  # just above: digit must be 1
+        ]
+    values += [0.5, 2.5, 9.999999, 1234.5678, 7e-5, 3.14159e7]
+    truth = [exact_first_digit(v) for v in values]
+
+    df = spark.createDataFrame(list(enumerate(values)), "i int, x double")
+    got_spark = [
+        r.d
+        for r in df.select("i", _benford_digit(F.col("x")).alias("d"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_spark == truth
+
+    # same ladder, DuckDB dialect (the oracle side of benford_digit_screen);
+    # values arrive as a registered float64 frame — NOT SQL literals, which
+    # DuckDB parses through DECIMAL and re-rounds (the driver's oracle also
+    # reads binary doubles from parquet, never decimal text)
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "benford_vals",
+        pd.DataFrame({"i": range(len(values)), "x": values}).astype(
+            {"i": "int64", "x": "float64"}
+        ),
+    )
+    rel = con.sql(
+        """
+        WITH bd0 AS (SELECT i, x FROM benford_vals),
+        bd1 AS (SELECT i, CASE WHEN x < 1.0 THEN x * 1e16 ELSE x END AS y FROM bd0),
+        bd2 AS (SELECT i, CASE WHEN y < 1.0 THEN y * 1e16 ELSE y END AS y FROM bd1),
+        bd3 AS (SELECT i, CASE WHEN y >= 1e16 THEN y / 1e16 ELSE y END AS y FROM bd2),
+        bd4 AS (SELECT i, CASE WHEN y >= 1e8 THEN y / 1e8 ELSE y END AS y FROM bd3),
+        bd5 AS (SELECT i, CASE WHEN y >= 1e4 THEN y / 1e4 ELSE y END AS y FROM bd4),
+        bd6 AS (SELECT i, CASE WHEN y >= 1e2 THEN y / 1e2 ELSE y END AS y FROM bd5),
+        bd7 AS (SELECT i, CASE WHEN y >= 1e1 THEN y / 1e1 ELSE y END AS y FROM bd6)
+        SELECT CAST(FLOOR(y) AS INTEGER) AS d FROM bd7 ORDER BY i
+        """
+    ).fetchall()
+    con.close()
+    assert [r[0] for r in rel] == truth

@@ -74,6 +74,23 @@ def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one cached shingle-hash frame per (session, sf_dir): near_dup_jaccard
+#: and dedup_minhash_lsh both scan it, and returning the SAME DataFrame
+#: object guarantees a single InMemoryRelation (plan-identity, not
+#: CacheManager plan-equality luck) — the tokenize+explode+distinct
+#: shuffle runs once per bench/driver session instead of per query.
+_SHARED_SHINGLES: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHARED_SHINGLES.get(key)
+    if df is None:
+        df = doc_shingle_hashes(spark, sf_dir).cache()
+        _SHARED_SHINGLES[key] = df
+    return df
+
+
 SHINGLES_CTE = f"""
 doc_shingles AS (
     SELECT DISTINCT doc_id,
@@ -137,7 +154,7 @@ def _jaccard_verified_pairs(common: DataFrame, sizes: DataFrame) -> DataFrame:
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard near-dup pairs (a < b, J >= threshold),
     joined on hashed shingles (see doc_shingle_hashes)."""
-    sh = doc_shingle_hashes(spark, sf_dir).cache()
+    sh = shared_shingle_hashes(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -178,7 +195,7 @@ def minhash_signatures(
     """P per-doc minima of xxhash64(perm_id, shingle_hash) — one groupBy,
     P aggs over the hashed inverted index."""
     if sh is None:
-        sh = doc_shingle_hashes(spark, sf_dir)
+        sh = shared_shingle_hashes(spark, sf_dir)
     aggs = [
         F.min(F.xxhash64(F.lit(p), F.col("h"))).alias(f"mh_{p}")
         for p in range(MINHASH_PERMS)
@@ -226,7 +243,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification of the
     candidate set (so precision is exact; recall ~1 at J>=0.8 — see module
     docstring for the shared-oracle argument)."""
-    sh = doc_shingle_hashes(spark, sf_dir).cache()
+    sh = shared_shingle_hashes(spark, sf_dir)
     candidates = lsh_candidate_pairs(minhash_signatures(spark, sf_dir, sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
 

@@ -174,32 +174,93 @@ GROUP BY 1, 2
 SEM_DEDUP_COSINE = 0.40
 
 
+def _portable_hash_spark(col):
+    """Engine-portable integer hash (32-bit LCG step): the same closed-form
+    arithmetic runs in DuckDB SQL, unlike xxhash64. The inner % bounds the
+    multiply below 2^63 for ANY bigint id (ANSI-overflow-safe)."""
+    return (
+        (col % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345)
+    ) % F.lit(2147483648)
+
+
+_PORTABLE_HASH_SQL = (
+    "((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648"
+)
+
+
+def sem_dedup_centroids(emb: DataFrame, k: int) -> DataFrame:
+    """K hash-sampled seed centroids (K smallest portable-hash(vec_id),
+    vec_id tiebreak — a total order, partition- and engine-independent).
+    Planned as TakeOrdered top-K: no global sort, O(K x dim) output."""
+    return (
+        emb.select("vec_id", "embedding", "norm")
+        .orderBy(
+            _portable_hash_spark(F.col("vec_id")).asc(), F.col("vec_id").asc()
+        )
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     cluster vectors by nearest centroid, then within each cluster greedily
     drop any vector that has a lower-id clustermate with cosine >= tau
     (keep-earliest policy — deterministic, single pass, no iteration).
 
-    Scale shape: the pairwise cosine is confined WITHIN clusters — the
-    join is an equi-join on the cluster key, never corpus-level all-pairs.
-    Work is sum(cluster_size^2); production keeps cluster sizes bounded by
-    raising the centroid count (K ~ sqrt(N), the IVF budget rule in
-    operators/similarity.py) — the label centroids here play that role at
-    test scale. The centroid table stays O(K x dim) broadcast.
+    Scale shape — cluster count is a BUDGET, not a data property: K =
+    ceil(sqrt(N)) hash-sampled centroids (the IVF mechanism from
+    operators/similarity.py:ivf_assignments), so expected cluster size is
+    ~sqrt(N) and total within-cluster pairwise work is O(N^1.5), at any
+    corpus size. (The earlier design blocked on label centroids, whose
+    count is a data constant — linear cluster growth, quadratic total
+    work at 100x; tests/test_extensions.py pins the budget and the
+    cluster equi-join key so that regression cannot return.) The
+    centroid table stays an O(K x dim) broadcast; assignment is one
+    broadcast join + row_number argmax; the pairwise cosine is confined
+    WITHIN clusters — an equi-join on the cluster key, never corpus-level
+    all-pairs. N is read once up front (a count-star metadata job, the
+    same scalar the reference's producer issues — SURVEY §2.1 S7).
 
     No reference equivalent; this is the embedding-space stage of the
     training-data curation family (COVERAGE.md "Scale extensions").
     """
+    import math
+
     from banking_streaming_etl_spark.operators.similarity import (
         _dot,
         _with_norm,
     )
 
+    n = datamodel.load_table(spark, sf_dir, "embeddings").count()
+    k = max(1, math.ceil(math.sqrt(n)))
     emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    cent = sem_dedup_centroids(emb, k)
+
+    # nearest-centroid assignment: broadcast crossJoin + row_number argmax
+    # on the 6-rounded cosine (rounded so the ranking key is bit-identical
+    # across engines), centroid_id ascending as the total-order tiebreak.
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("centroid"))
+        / (F.col("norm") * F.col("cnorm")),
+        6,
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
     m = (
-        centroid_assignments(spark, sf_dir)
-        .select("vec_id", F.col("label_c").alias("cluster"))
-        .join(emb.select("vec_id", "embedding", "norm"), "vec_id")
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cluster"),
+            "embedding",
+            "norm",
+        )
     )
     a = m.select(
         F.col("cluster").alias("cluster_a"),
@@ -245,13 +306,37 @@ def _semantic_dedup_sql() -> str:
     )
 
     return f"""
-WITH {ASSIGN_SQL_CTES},
-emb AS (
+WITH emb AS (
     SELECT vec_id, embedding, {NORM_SQL} AS norm FROM embeddings
 ),
+kk AS (
+    SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+    FROM embeddings
+),
+hashed AS (
+    SELECT vec_id, embedding, norm, {_PORTABLE_HASH_SQL} AS h FROM emb
+),
+cent AS (
+    SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY h ASC, vec_id ASC) AS rn
+        FROM hashed
+    )
+    WHERE rn <= (SELECT k FROM kk)
+),
+scored AS (
+    SELECT e.vec_id, c.centroid_id, e.embedding, e.norm,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_dot_sql('e.embedding', 'c.centroid')}
+                              / (e.norm * c.cnorm), 6) DESC,
+                        c.centroid_id ASC
+           ) AS rk
+    FROM emb e CROSS JOIN cent c
+),
 m AS (
-    SELECT assign.vec_id, assign.label_c AS cluster, emb.embedding, emb.norm
-    FROM assign JOIN emb USING (vec_id)
+    SELECT vec_id, centroid_id AS cluster, embedding, norm
+    FROM scored WHERE rk = 1
 ),
 drops AS (
     SELECT DISTINCT b.vec_id

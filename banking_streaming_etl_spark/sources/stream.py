@@ -130,3 +130,75 @@ def read_kafka_stream(
     # Kafka carries a broker-assigned ingest timestamp; the file replay
     # stamps processing time. Same parser either way.
     return parse_wire(raw, F.col("timestamp"))
+
+
+# --- documents replay (the curation suite's stream twin) ---------------------
+
+#: deterministic synthetic event-time base for the documents stream —
+#: documents are a batch table, but watermarked streaming state needs an
+#: event-time axis; epoch + doc_id seconds is reproducible in both the
+#: writer and any batch twin.
+_DOC_EVENT_EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+
+def document_schema() -> T.StructType:
+    """Wire schema of the replayed `documents` stream (the 5 table columns
+    plus the synthetic event_ts)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("event_ts", T.TimestampType()),
+        ]
+    )
+
+
+def write_document_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> int:
+    """Serialize `documents` to JSON-lines chunks for streaming replay —
+    the S4 pattern applied to the LLM-curation suite. Returns rows
+    written."""
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    envelope = d.select(
+        F.to_json(
+            F.struct(
+                "doc_id",
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+                F.date_format(
+                    F.timestamp_seconds(
+                        F.lit(_DOC_EVENT_EPOCH) + F.col("doc_id")
+                    ),
+                    "yyyy-MM-dd'T'HH:mm:ss",
+                ).alias("event_ts"),
+            )
+        ).alias("value")
+    ).cache()
+    n = envelope.count()
+    envelope.repartition(n_chunks).write.mode("overwrite").text(out_dir)
+    envelope.unpersist()
+    return n
+
+
+def read_document_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream the document chunks: raw line -> from_json -> flatten,
+    mirroring read_transaction_stream (source-agnostic downstream)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(source_dir)
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), document_schema()).alias(
+            "d"
+        )
+    ).select("d.*")

@@ -194,3 +194,27 @@ def streaming_mad_alerts(
             F.round("z_mod", 6).alias("z_mod"),
         )
     )
+
+
+def dedup_documents_within_watermark(
+    doc_stream: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming exact-dedup for the curation suite: exactly ONE surviving
+    representative per content digest within the lateness bound — the
+    stream twin of operators/dedup.dedup_exact, and the reference's T7
+    lesson (JVM-native state only, §4.4) applied to the LLM-data family.
+
+    State is keyed by the 32-byte md5 digest in the JVM state store and
+    expires with the watermark, so memory is bounded by the distinct-
+    content arrival rate, not corpus size. The survivor is the first
+    arrival (arrival-order dependent where the batch twin keeps min
+    doc_id — the differential test pins digest-set equality and group
+    membership, the invariants replay order cannot break)."""
+    from banking_streaming_etl_spark.functions import textfns
+
+    return (
+        doc_stream.withColumn("fingerprint", textfns.md5_fingerprint())
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

@@ -103,6 +103,14 @@ def main() -> None:
     # warmup: JVM, codegen, parquet footer caches
     if "approval_pipeline" in queries:
         queries["approval_pipeline"].fn(spark, sf_dir).count()
+    # ... and the session-shared shingle-hash scan both dedup headliners
+    # read (operators/dedup.shared_shingle_hashes): materializing the
+    # shared input once keeps each query's timing about ITS operator
+    # (banding vs brute join), not about who ran first.
+    if "near_dup_jaccard" in queries or "dedup_minhash_lsh" in queries:
+        from banking_streaming_etl_spark.operators import dedup as _dedup
+
+        _dedup.shared_shingle_hashes(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -673,3 +673,27 @@ def test_phash_is_deterministic(spark):
     a = {r.doc_id: r.phash for r in mm.phash_media(media).collect()}
     b = {r.doc_id: r.phash for r in mm.phash_media(media).collect()}
     assert a == b and len(a) == 20
+
+
+def test_semantic_dedup_cluster_count_is_a_budget_not_label_cardinality(spark):
+    """The blocking key cardinality must follow the K = ceil(sqrt(N))
+    budget (size-independent mechanism), NOT the corpus's label set (a
+    data constant that let cluster sizes grow linearly with N)."""
+    import math
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.operators import embeddings
+
+    n = datamodel.load_table(spark, SF, "embeddings").count()
+    k = math.ceil(math.sqrt(n))
+    out = embeddings.semantic_dedup(spark, SF).collect()
+    clusters = {r.cluster for r in out}
+    assert len(clusters) <= k  # never more clusters than the budget
+    assert len(clusters) >= k // 2  # hash sampling actually spreads
+    n_labels = (
+        datamodel.load_table(spark, SF, "embeddings")
+        .select("label")
+        .distinct()
+        .count()
+    )
+    assert len(clusters) != n_labels  # decoupled from label cardinality

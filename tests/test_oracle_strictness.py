@@ -125,13 +125,18 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "sessionize_events",
         "denial_reasons",
         "distance_bucket_pivot",
-        "pivot_returnflag_linestatus",
         "quantize_embeddings",
         "dedup_minhash_lsh",
         "near_dup_embeddings_lsh",
         "asof_balance_at_tx",
         "range_join_tx_in_alert_window",
-        "payer_chains_batch",
+        # round-3 rotation: the hardest TPC-H correlation shapes must be
+        # driver-proven (they displaced pivot_returnflag_linestatus,
+        # customers_without_tx, payer_chains_batch — all re-proven by
+        # in-window siblings and the local parity gate)
+        "q2_min_cost_supplier",
+        "q20_promotion_suppliers",
+        "q21_suppliers_kept_waiting",
         "scd2_user_history",
         "tfidf_terms",
         "winnowing_fingerprints",

@@ -259,3 +259,17 @@ def test_ewma_shares_one_window_sort(spark):
     plan = _physical_plan(_query(spark, "ewma_value_per_payer"))
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_semantic_dedup_pairwise_join_is_keyed_on_cluster_budget(spark):
+    """semantic_dedup's O(N^2)-risk stage must stay confined: the pairwise
+    cosine join is an EQUI-join on the hash-sampled cluster key (never a
+    cartesian), and the only cross join is the O(K x dim) broadcast of
+    the centroid set during assignment. K is a budget (ceil(sqrt(N))),
+    so cluster count cannot silently become a data property again."""
+    plan = _physical_plan(_query(spark, "semantic_dedup"))
+    assert "CartesianProduct" not in plan
+    # the pairwise stage keys on the cluster columns
+    assert "cluster_a" in plan and "cluster_b" in plan
+    # assignment broadcasts the bounded centroid set
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -372,3 +372,38 @@ def test_streaming_mad_alerts_match_batch_rule(spark, replay_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Differential: the streaming digest-dedup (dropDuplicatesWithinWatermark
+    over the replayed documents stream) must agree with the batch
+    dedup_exact operator on everything replay order cannot change — the
+    digest set, exactly one survivor per digest, and every survivor being
+    a genuine member of its batch duplicate group."""
+    from banking_streaming_etl_spark.functions import textfns
+    from banking_streaming_etl_spark.operators import dedup as ddup
+
+    d = str(tmp_path / "doc_chunks")
+    n = stream_src.write_document_chunks(spark, SF, d, n_chunks=6)
+    ds = stream_src.read_document_stream(spark, d, max_files_per_trigger=2)
+    out = swin.dedup_documents_within_watermark(ds)
+    _run_to_memory(out, "doc_dedup_out", mode="append")
+
+    got = spark.sql("SELECT fingerprint, doc_id FROM doc_dedup_out").collect()
+    batch = {
+        r.fingerprint: (r.doc_id_canonico, r.n_copias)
+        for r in ddup.dedup_exact(spark, SF).collect()
+    }
+    assert sum(c for _, c in batch.values()) == n  # groups cover the corpus
+    # exactly one survivor per digest, and the digest sets are identical
+    assert len(got) == len({r.fingerprint for r in got}) == len(batch)
+    assert {r.fingerprint for r in got} == set(batch)
+    # each survivor belongs to the duplicate group it represents
+    members = {
+        (r.f, r.doc_id)
+        for r in datamodel.load_table(spark, SF, "documents")
+        .select(textfns.md5_fingerprint().alias("f"), "doc_id")
+        .collect()
+    }
+    for r in got:
+        assert (r.fingerprint, r.doc_id) in members

@@ -392,6 +392,17 @@ def register_all() -> None:
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")
+    register("geo_distance_by_region", dashboard.geo_distance_by_region,
+             dashboard.GEO_DISTANCE_SQL,
+             "haversine tx-to-payer distance stats per region (F18 with "
+             "a DuckDB oracle)")
+    register("tx_velocity_1h", relational.tx_velocity_1h,
+             relational.TX_VELOCITY_SQL,
+             "trailing-1h per-payer velocity via RANGE frame on epoch "
+             "seconds")
+    register("pareto_share_by_decile", dashboard.pareto_share_by_decile,
+             dashboard.PARETO_SHARE_SQL,
+             "payer-decile volume concentration (NTILE over exact totals)")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

@@ -904,3 +904,129 @@ FROM benford_counts, benford_total
 """,
     extra_ctes=_BENFORD_CTES,
 )
+
+
+# --- geodesic distance stats (F18 with a DuckDB oracle) ----------------------
+
+
+def geo_distance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per tx-region haversine stats between the transaction region's
+    coordinates and the payer's home-region coordinates — F18
+    (dashboard.py:187-191's geopy row-apply) as a native trig expression
+    WITH an oracle twin (the geo family was previously only
+    property-tested). Same per-value ROUND(.,6) + exact-decimal-mean
+    discipline as BM25's log-bearing aggregate; null payer coords are
+    filtered in both dialects.
+
+    Scale shape: one narrow trig map over the enriched scan, one 25-group
+    hash aggregate."""
+    from banking_streaming_etl_spark.functions import exact, geo
+
+    e = datamodel.enriched_transactions(spark, sf_dir).filter(
+        F.col("latitude_u").isNotNull()
+    )
+    hav = F.round(
+        geo.haversine_km(
+            "latitude_t", "longitude_t", "latitude_u", "longitude_u"
+        ),
+        6,
+    )
+    return (
+        e.select("id_regiao", hav.alias("dist_km"))
+        .groupBy("id_regiao")
+        .agg(
+            F.count("*").alias("n_tx"),
+            exact.exact_avg(F.col("dist_km"), "dist_media_km"),
+            F.min("dist_km").alias("dist_min_km"),
+            F.max("dist_km").alias("dist_max_km"),
+        )
+    )
+
+
+def _geo_distance_sql() -> str:
+    from banking_streaming_etl_spark.functions import exact, geo
+
+    hav = geo.haversine_sql(
+        "latitude_t", "longitude_t", "latitude_u", "longitude_u"
+    )
+    return datamodel.with_ctes(
+        f"""
+SELECT id_regiao, COUNT(*) AS n_tx,
+       {exact.sql_avg('dist_km', 'dist_media_km')},
+       MIN(dist_km) AS dist_min_km,
+       MAX(dist_km) AS dist_max_km
+FROM (
+    SELECT id_regiao, ROUND({hav}, 6) AS dist_km
+    FROM enriched
+    WHERE latitude_u IS NOT NULL
+)
+GROUP BY id_regiao
+"""
+    )
+
+
+GEO_DISTANCE_SQL = _geo_distance_sql()
+
+
+# --- Pareto concentration by payer decile ------------------------------------
+
+
+def pareto_share_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume concentration: payers ranked by total spend, NTILE(10)
+    deciles, each decile's share of all volume — the 80/20 fraud-exposure
+    profile. Totals accumulate in exact DECIMAL; the only double math is
+    the final share division, term-identical in both dialects.
+
+    Scale note: the unpartitioned NTILE sorts payer TOTALS (dimension-
+    sized, one row per payer), never the fact table — same single-sort
+    caveat as value_quartiles."""
+    from banking_streaming_etl_spark.functions import exact
+
+    t = datamodel.transactions(spark, sf_dir)
+    totals = t.groupBy("id_usuario_pagador").agg(
+        F.sum(exact._d(F.col("valor_transacao"))).alias("total_dec")
+    )
+    w = W.orderBy(F.desc("total_dec"), F.asc("id_usuario_pagador"))
+    gt = totals.agg(F.sum("total_dec").alias("grand_dec"))
+    return (
+        totals.withColumn("decil", F.ntile(10).over(w))
+        .groupBy("decil")
+        .agg(
+            F.count("*").alias("n_pagadores"),
+            F.sum("total_dec").alias("soma_dec"),
+        )
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "decil",
+            "n_pagadores",
+            F.col("soma_dec").cast("double").alias("valor_total"),
+            F.round(
+                F.col("soma_dec").cast("double")
+                / F.col("grand_dec").cast("double"),
+                6,
+            ).alias("parcela"),
+        )
+    )
+
+
+PARETO_SHARE_SQL = datamodel.with_ctes(
+    """
+SELECT decil, CAST(COUNT(*) AS BIGINT) AS n_pagadores,
+       CAST(SUM(total_dec) AS DOUBLE) AS valor_total,
+       ROUND(CAST(SUM(total_dec) AS DOUBLE) / CAST(grand_dec AS DOUBLE), 6)
+           AS parcela
+FROM (
+    SELECT *, NTILE(10) OVER (
+        ORDER BY total_dec DESC, id_usuario_pagador ASC
+    ) AS decil
+    FROM (
+        SELECT id_usuario_pagador,
+               SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)))
+                   AS total_dec
+        FROM transactions GROUP BY 1
+    )
+), (SELECT SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)))
+        AS grand_dec FROM transactions)
+GROUP BY decil, grand_dec
+"""
+)

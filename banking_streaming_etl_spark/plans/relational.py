@@ -521,3 +521,54 @@ SELECT id_usuario_pagador,
 FROM transactions
 GROUP BY id_usuario_pagador"""
 )
+
+
+# --- trailing-hour velocity (RANGE frame) ------------------------------------
+
+
+def tx_velocity_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transaction trailing-1-hour velocity features for the SAME
+    payer: event count and exact-decimal value sum over a RANGE frame on
+    epoch seconds — the window-frame type (rangeBetween on a value axis)
+    the rest of the window family doesn't exercise, and the batch twin of
+    a per-key sliding-window stream aggregate (T6).
+
+    Epoch seconds derive via integer `div` of unix_micros (floor in both
+    dialects — DuckDB's epoch() returns a rounding double, avoided).
+    RANGE frames include ALL peer rows at equal epoch_s in both engines,
+    so ties need no ordering tiebreak. One (payer)-keyed window shuffle."""
+    t = datamodel.transactions(spark, sf_dir).withColumn(
+        "epoch_s", F.expr("unix_micros(data_horario) div 1000000")
+    )
+    w = (
+        W.partitionBy("id_usuario_pagador")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return t.select(
+        "id_transacao",
+        "id_usuario_pagador",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(exact._d(F.col("valor_transacao")))
+        .over(w)
+        .cast("double")
+        .alias("valor_1h"),
+    )
+
+
+TX_VELOCITY_SQL = datamodel.with_ctes(
+    """
+SELECT id_transacao, id_usuario_pagador,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))) OVER w
+            AS DOUBLE) AS valor_1h
+FROM (
+    SELECT *, epoch_us(CAST(data_horario AS TIMESTAMP)) // 1000000 AS epoch_s
+    FROM transactions
+)
+WINDOW w AS (
+    PARTITION BY id_usuario_pagador
+    ORDER BY epoch_s
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)"""
+)

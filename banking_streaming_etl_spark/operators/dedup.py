@@ -515,3 +515,57 @@ JOIN p b
  AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= {FUZZY_LEV_MAX}
 WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_LEV_MAX}
 """
+
+
+# --- per-document shingle novelty (substring-level dedup signal) --------------
+
+
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty vs everything BEFORE it: the fraction of the
+    doc's 3-gram shingles whose first corpus occurrence (min doc_id) is
+    not an earlier document — the substring-level dedup/boilerplate
+    signal (Lee et al. 2022's dup-fraction, at shingle granularity) that
+    drives keep/trim decisions where whole-doc dedup is too blunt.
+
+    Scale shape: reuses the session-shared shingle-hash scan; one
+    groupBy(h) for first-occurrence, one hash-join back, one per-doc
+    aggregate — shuffle keys are the 8-byte shingle hash and doc_id. The
+    oracle re-derives over raw shingle strings, so a hash collision
+    would surface as a parity failure, not silent skew."""
+    sh = shared_shingle_hashes(spark, sf_dir)
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    ).alias("n_vistos")
+    per = (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), seen)
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_vistos",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_vistos").cast("double")
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novidade"),
+    )
+
+
+DOC_NOVELTY_SQL = f"""
+WITH {SHINGLES_CTE.strip().rstrip()},
+first_seen AS (
+    SELECT s, MIN(doc_id) AS first_doc FROM doc_shingles GROUP BY s
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_vistos,
+       ROUND(1.0 - CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS novidade
+FROM doc_shingles JOIN first_seen USING (s)
+GROUP BY doc_id
+"""

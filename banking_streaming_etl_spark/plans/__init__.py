@@ -403,6 +403,13 @@ def register_all() -> None:
     register("pareto_share_by_decile", dashboard.pareto_share_by_decile,
              dashboard.PARETO_SHARE_SQL,
              "payer-decile volume concentration (NTILE over exact totals)")
+    register("doc_novelty", dedup.doc_novelty, dedup.DOC_NOVELTY_SQL,
+             "per-doc shingle novelty vs earlier docs (substring-level "
+             "dedup signal, shares the session shingle scan)")
+    register("hash_embed_documents", text.hash_embed_documents,
+             text.HASH_EMBED_SQL,
+             "feature-hashed L2-normalized bag-of-words doc embedding "
+             "(documents -> vector bridge)")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

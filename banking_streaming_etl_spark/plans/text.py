@@ -1127,3 +1127,71 @@ FROM (
     FROM ranked
 )
 """
+
+
+# --- feature-hashed document embedding ---------------------------------------
+
+#: dimensionality of the hashed bag-of-words embedding. A power of two so
+#: the md5-derived bucket is uniform; small enough that the exploded
+#: output stays docs x <= EMBED_DIM rows.
+EMBED_DIM = 32
+_EMBED_HASH = (
+    f"pmod(cast(conv(substring(md5(termo), 1, 12), 16, 10) as bigint), "
+    f"{EMBED_DIM})"
+)
+_EMBED_HASH_DUCK = (
+    f"CAST(('0x' || substr(md5(termo), 1, 12)) AS BIGINT) % {EMBED_DIM}"
+)
+
+
+def hash_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embedder (Weinberger et al. 2009): token ->
+    md5-derived bucket in [0, EMBED_DIM), value = bucket count
+    L2-normalized — the deterministic, model-free featurizer that bridges
+    `documents` to the vector operators (ANN / centroids / JL / semantic
+    dedup all consume such vectors) when no learned embedder is in the
+    loop. Output exploded to (doc_id, pos, valor) rows (array columns
+    don't canonicalize in the driver compare).
+
+    Scale shape: explode -> one (doc_id, pos) count aggregate -> per-doc
+    norm aggregate -> narrow join back; counts are exact integers so the
+    only doubles are the final sqrt/divide, term-identical in both
+    dialects. Same portable hash recipe as the quality classifier's
+    feature buckets."""
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode("toks").alias("termo"))
+    counts = (
+        terms.withColumn("pos", F.expr(_EMBED_HASH))
+        .groupBy("doc_id", "pos")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = counts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("norm")
+    )
+    return counts.join(norms, "doc_id").select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("c").cast("double") / F.col("norm"), 6).alias("valor"),
+    )
+
+
+HASH_EMBED_SQL = f"""
+WITH terms AS (
+    SELECT doc_id, {_EMBED_HASH_DUCK} AS pos
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS termo
+        FROM documents
+    )
+),
+counts AS (
+    SELECT doc_id, pos, CAST(COUNT(*) AS BIGINT) AS c
+    FROM terms GROUP BY doc_id, pos
+),
+norms AS (
+    SELECT doc_id, SQRT(CAST(SUM(c * c) AS DOUBLE)) AS norm
+    FROM counts GROUP BY doc_id
+)
+SELECT counts.doc_id, pos,
+       ROUND(CAST(c AS DOUBLE) / norm, 6) AS valor
+FROM counts JOIN norms ON counts.doc_id = norms.doc_id
+"""

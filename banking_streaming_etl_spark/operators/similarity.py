@@ -521,3 +521,147 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# --- product quantization (PQ) ANN --------------------------------------------
+
+#: PQ layout: 64 dims -> PQ_M subspaces of PQ_SUB_DIM dims, PQ_K codes per
+#: subspace. The codebook is PQ_M x PQ_K x PQ_SUB_DIM floats (4 KB here,
+#: megabytes at production sizes) — broadcast-bounded like IVF centroids;
+#: each database vector compresses to PQ_M one-byte codes, the property
+#: that makes billion-vector serving memory-bounded.
+PQ_M = 8
+PQ_SUB_DIM = 8  # LSH_DIM / PQ_M
+PQ_K = 16
+#: ADC candidate pool before exact re-rank (standard two-stage serving).
+PQ_RERANK_POOL = 50
+
+
+def _subspaces(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Explode a vector column into (sub, svec) subspace slices."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.slice(F.col(vec_col), m * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias(
+                    "svec"
+                ),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return df.withColumn("sv", F.explode(slices)).select(
+        *[c for c in df.columns if c != vec_col], "sv.sub", "sv.svec"
+    )
+
+
+def pq_codebooks(emb: DataFrame) -> DataFrame:
+    """Per-subspace codebook: the sub-slices of PQ_K hash-sampled vectors
+    (same deterministic TakeOrdered budget mechanism as IVF seeding; at
+    production scale you'd Lloyd-refine per subspace exactly like
+    ivf_train). Output (sub, code, cvec): PQ_M x PQ_K rows, broadcast."""
+    sampled = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(PQ_K)
+        .withColumn(
+            "code",
+            F.row_number().over(
+                W.orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+            )
+            - 1,
+        )
+    )
+    return _subspaces(sampled).select("sub", "code", F.col("svec").alias("cvec"))
+
+
+def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
+    """Encode every vector as PQ_M code ids: per subspace, argmin squared
+    L2 to the PQ_K codes (broadcast join + row_number argmin — the same
+    mechanics as centroid assignment). Output (vec_id, sub, code)."""
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("svec"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        _subspaces(emb.select("vec_id", "embedding"))
+        .join(F.broadcast(books), "sub")
+        .withColumn("d2", sq)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with asymmetric distance computation (ADC,
+    Jegou et al. 2011) and exact re-rank:
+
+    1. codebook: PQ_M x PQ_K sub-centroids (broadcast);
+    2. database vectors live ONLY as PQ_M byte codes (the memory story);
+    3. per query: precompute query-subvector x code partial dots
+       (PQ_M x PQ_K scalars per query — a broadcast-sized table), join
+       against the codes, sum per (query, vec) = approximate dot;
+    4. take the top PQ_RERANK_POOL by ADC score per query, re-rank that
+       pool with exact cosine, emit TOP_K.
+
+    Scale shape: the ADC join keys on (sub, code) — 128 distinct keys
+    fan-out-joined against the code table, partial-aggregated map-side;
+    no all-pairs stage. Recall vs brute force is pinned in tests (rows-
+    only: the per-engine float argmin in encoding has no portable SQL
+    twin, same class as LSH/SimHash)."""
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    books = pq_codebooks(emb)
+    codes = pq_encode(emb, books)
+
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    # per-(query, sub, code) partial dot of the query's sub-slice with the code
+    qparts = (
+        _subspaces(q.withColumnRenamed("qe", "embedding"), "embedding")
+        .join(F.broadcast(books), "sub")
+        .withColumn("pdot", _dot(F.col("svec"), F.col("cvec")))
+        .select("query_id", "qn", "sub", "code", "pdot")
+    )
+    adc = (
+        qparts.join(codes, ["sub", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "qn", "vec_id")
+        .agg(F.sum("pdot").alias("adc_dot"))
+    )
+    wpool = W.partitionBy("query_id").orderBy(
+        F.desc("adc_dot"), F.asc("vec_id")
+    )
+    pool = (
+        adc.withColumn("rk", F.row_number().over(wpool))
+        .filter(F.col("rk") <= PQ_RERANK_POOL)
+        .select("query_id", "qn", F.col("vec_id").alias("neighbor_id"))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    wtop = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pool.join(c, "neighbor_id")
+        .join(qe, "query_id")
+        .withColumn("cosine", F.round(sim, 6))
+        .withColumn("posicao", F.row_number().over(wtop))
+        .filter(F.col("posicao") <= TOP_K)
+        .select("query_id", "posicao", "neighbor_id", "cosine")
+    )

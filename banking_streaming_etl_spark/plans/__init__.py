@@ -454,6 +454,9 @@ def register_all() -> None:
              "sign-projection LSH top-K (recall vs brute force in tests)")
     register("ann_ivf_topk", similarity.ann_ivf_topk, None,
              "IVF-probed top-K (recall vs brute force in tests)")
+    register("ann_pq_topk", similarity.ann_pq_topk, None,
+             "product-quantization ADC top-K + exact re-rank (recall vs "
+             "brute force in tests)")
     register("approx_aggregates", batchdev.approx_aggregates, None,
              "HLL++/approx-percentile sketches (tolerance-tested)")
     register("synthetic_transactions", batchdev.synthetic_transactions, None,

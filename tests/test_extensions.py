@@ -697,3 +697,31 @@ def test_semantic_dedup_cluster_count_is_a_budget_not_label_cardinality(spark):
         .count()
     )
     assert len(clusters) != n_labels  # decoupled from label cardinality
+
+
+def test_pq_topk_recall_and_rerank_exactness(spark):
+    """PQ-ADC with exact re-rank: top-1 recall against brute force must
+    clear the bar on this unstructured corpus (hardest case), shared
+    (query, neighbor) pairs must carry the EXACT brute-force cosine
+    (the re-rank uses the same expression), and every database vector
+    must encode to exactly PQ_M codes in [0, PQ_K)."""
+    from banking_streaming_etl_spark import datamodel
+
+    brute = similarity.ann_cosine_topk(spark, SF).collect()
+    pq = similarity.ann_pq_topk(spark, SF).collect()
+    top1_brute = {(r.query_id, r.neighbor_id) for r in brute if r.posicao == 1}
+    top1_pq = {(r.query_id, r.neighbor_id) for r in pq if r.posicao == 1}
+    recall = len(top1_brute & top1_pq) / len(top1_brute)
+    assert recall >= 0.5, f"top-1 recall {recall}"
+
+    brute_cos = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    shared = [r for r in pq if (r.query_id, r.neighbor_id) in brute_cos]
+    assert shared
+    for r in shared:
+        assert r.cosine == brute_cos[(r.query_id, r.neighbor_id)]
+
+    emb = similarity._with_norm(datamodel.load_table(spark, SF, "embeddings"))
+    codes = similarity.pq_encode(emb, similarity.pq_codebooks(emb)).collect()
+    n_vecs = emb.count()
+    assert len(codes) == n_vecs * similarity.PQ_M  # one code per subspace
+    assert all(0 <= r.code < similarity.PQ_K for r in codes)

@@ -218,3 +218,29 @@ def dedup_documents_within_watermark(
         .withWatermark("event_ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def trending_tokens_windowed(
+    doc_stream: DataFrame,
+    window_size: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Windowed token counts over the replayed documents stream — the
+    trending-vocabulary monitor of a live ingestion pipeline (second
+    streaming twin for the curation suite, after the digest dedup): a
+    watermarked tumbling-window aggregate keyed (window, token), all
+    JVM-native state. The batch twin groups the same synthetic event-time
+    axis, so stream-vs-batch equality is exact (differential test)."""
+    from banking_streaming_etl_spark.functions import textfns
+
+    toks = doc_stream.select(
+        "event_ts", F.explode(textfns.tokens()).alias("termo")
+    )
+    return (
+        toks.withWatermark("event_ts", watermark)
+        .groupBy(
+            F.window("event_ts", window_size).alias("janela"), "termo"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("janela.start").alias("inicio"), "termo", "n")
+    )

@@ -407,3 +407,36 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     }
     for r in got:
         assert (r.fingerprint, r.doc_id) in members
+
+
+def test_streaming_trending_tokens_match_batch(spark, tmp_path):
+    """Stream-vs-batch unification for the windowed vocabulary monitor:
+    tumbling (window, token) counts over the replayed documents stream
+    must equal the batch aggregate over the same synthetic event-time
+    axis."""
+    from banking_streaming_etl_spark.functions import textfns
+    from banking_streaming_etl_spark.sources.stream import _DOC_EVENT_EPOCH
+
+    d = str(tmp_path / "doc_chunks_trend")
+    stream_src.write_document_chunks(spark, SF, d, n_chunks=5)
+    ds = stream_src.read_document_stream(spark, d, max_files_per_trigger=2)
+    out = swin.trending_tokens_windowed(ds, window_size="10 minutes")
+    _run_to_memory(out, "trend_out", mode="complete")
+    got = {
+        (r.inicio, r.termo, r.n)
+        for r in spark.sql("SELECT * FROM trend_out").collect()
+    }
+
+    batch = (
+        datamodel.load_table(spark, SF, "documents")
+        .withColumn(
+            "event_ts",
+            F.timestamp_seconds(F.lit(_DOC_EVENT_EPOCH) + F.col("doc_id")),
+        )
+        .select("event_ts", F.explode(textfns.tokens()).alias("termo"))
+        .groupBy(F.window("event_ts", "10 minutes").alias("janela"), "termo")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("janela.start").alias("inicio"), "termo", "n")
+    )
+    want = {(r.inicio, r.termo, r.n) for r in batch.collect()}
+    assert got == want and len(want) > 0

@@ -273,3 +273,25 @@ def test_semantic_dedup_pairwise_join_is_keyed_on_cluster_budget(spark):
     assert "cluster_a" in plan and "cluster_b" in plan
     # assignment broadcasts the bounded centroid set
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tx_velocity_single_window_exchange(spark):
+    """The RANGE-frame velocity features ride ONE payer-keyed exchange —
+    both window aggregates share the same partitioning and sort."""
+    import re
+
+    plan = _physical_plan(_query(spark, "tx_velocity_1h"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_geo_distance_broadcasts_all_dims(spark):
+    """Haversine stats: the enrichment joins stay broadcast (dims), the
+    trig is a narrow map, and the only exchange is the 25-group
+    aggregate."""
+    import re
+
+    plan = _physical_plan(_query(spark, "geo_distance_by_region"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

@@ -241,23 +241,42 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
     cent = sem_dedup_centroids(emb, k)
 
-    # nearest-centroid assignment: broadcast crossJoin + row_number argmax
-    # on the 6-rounded cosine (rounded so the ranking key is bit-identical
-    # across engines), centroid_id ascending as the total-order tiebreak.
+    # nearest-centroid assignment: broadcast crossJoin, then an ARGMAX
+    # AGGREGATE — max(struct(csim, -centroid_id)) — instead of a
+    # row_number window. Same answer (highest 6-rounded cosine, lowest
+    # centroid_id on ties — the struct compares fields in order, and the
+    # oracle's ROW_NUMBER ORDER BY picks identically), but the partial
+    # aggregate collapses the N x K expansion to one row per vector
+    # MAP-SIDE, so the exchange carries N rows — a window would shuffle
+    # all N x K. At K ~ sqrt(N) that is the difference between an
+    # O(N^1.5)-row shuffle and an O(N)-row one. The cosine is 6-rounded
+    # so the ranking key is bit-identical across engines; embedding/norm
+    # ride along via first() (constant within each vec_id group).
     csim = F.round(
         _dot(F.col("embedding"), F.col("centroid"))
         / (F.col("norm") * F.col("cnorm")),
         6,
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
     m = (
         emb.crossJoin(F.broadcast(cent))
-        .withColumn("csim", csim)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
         .select(
             "vec_id",
-            F.col("centroid_id").alias("cluster"),
+            "embedding",
+            "norm",
+            F.struct(
+                csim.alias("csim"),
+                (-F.col("centroid_id")).alias("neg_cid"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max("cand").alias("best"),
+            F.first("embedding").alias("embedding"),
+            F.first("norm").alias("norm"),
+        )
+        .select(
+            "vec_id",
+            (-F.col("best.neg_cid")).alias("cluster"),
             "embedding",
             "norm",
         )

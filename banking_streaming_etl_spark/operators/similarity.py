@@ -253,18 +253,49 @@ def assign_to_centroids(
     emb: DataFrame, cent: DataFrame, probes: int = 1
 ) -> DataFrame:
     """Nearest-centroid assignment against an explicit centroid set — the
-    ONE broadcast-join + row_number argmax that training
-    (`ivf_train`), index build (`ivf_assignments`), and query probing
-    (`ann_ivf_topk`, probes>1) all share, so tie-break order and the
-    similarity expression cannot diverge between paths."""
+    ONE broadcast-join argmax that training (`ivf_train`), index build
+    (`ivf_assignments`), and query probing (`ann_ivf_topk`, probes>1)
+    all share, so tie-break order and the similarity expression cannot
+    diverge between paths.
+
+    probes==1 (the full-corpus paths) computes the argmax as a
+    max(struct(csim, -centroid_id)) AGGREGATE: partial aggregation
+    collapses the N x K broadcast expansion to one row per vector
+    map-side, so the exchange carries N rows, not N x K — the shape that
+    matters when K follows a sqrt(N)-style budget. probes>1 (the
+    query-sample path, a small fraction of N) keeps the row_number
+    top-P window; both order by (csim DESC, centroid_id ASC)."""
     sim = _dot(F.col("embedding"), F.col("centroid")) / (
         F.col("norm") * F.col("cnorm")
     )
+    expanded = emb.crossJoin(F.broadcast(cent)).withColumn("csim", sim)
+    if probes == 1:
+        return (
+            expanded.select(
+                "vec_id",
+                "embedding",
+                "norm",
+                F.struct(
+                    F.col("csim"), (-F.col("centroid_id")).alias("neg_cid")
+                ).alias("cand"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max("cand").alias("best"),
+                F.first("embedding").alias("embedding"),
+                F.first("norm").alias("norm"),
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                "norm",
+                (-F.col("best.neg_cid")).alias("centroid_id"),
+                F.col("best.csim").alias("csim"),
+            )
+        )
     w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
     return (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("csim", sim)
-        .withColumn("rk", F.row_number().over(w))
+        expanded.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= probes)
         .select("vec_id", "embedding", "norm", "centroid_id", "csim")
     )

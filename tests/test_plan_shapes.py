@@ -273,6 +273,10 @@ def test_semantic_dedup_pairwise_join_is_keyed_on_cluster_budget(spark):
     assert "cluster_a" in plan and "cluster_b" in plan
     # assignment broadcasts the bounded centroid set
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # argmax is an AGGREGATE (partial collapse of the N x K expansion
+    # map-side), never a window — a Window node here means the exchange
+    # regressed to shuffling all N x K candidate rows
+    assert "(Window" not in plan
 
 
 def test_tx_velocity_single_window_exchange(spark):

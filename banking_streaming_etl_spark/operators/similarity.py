@@ -696,3 +696,127 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("posicao") <= TOP_K)
         .select("query_id", "posicao", "neighbor_id", "cosine")
     )
+
+
+# --- hierarchical (two-level) centroid assignment ----------------------------
+
+
+def assign_to_centroids_hierarchical(
+    emb: DataFrame,
+    cent: DataFrame,
+    n_super: int | None = None,
+    coarse_probes: int = 2,
+) -> DataFrame:
+    """Two-level approximate nearest-centroid assignment for LARGE
+    centroid budgets — the compute-side companion to the argmax-aggregate
+    shuffle fix: flat assignment costs N x K dot products; this costs
+    ~N x (G + K/G) with G = ceil(sqrt(K)) (minimized at G = sqrt(K)),
+    i.e. O(N x sqrt(K)) — the standard coarse-quantizer trick (IMI /
+    two-level IVF).
+
+    1. G super-centroids = hash-sample of the centroid set (same
+       TakeOrdered budget mechanism all sampling here uses);
+    2. route each centroid to its nearest super-centroid (K x G, tiny;
+       broadcast the K-row routing table);
+    3. route each vector to its nearest super-centroid (N x G);
+    4. score the vector ONLY against its super-cell's centroids
+       (N x K/G expected).
+
+    Vectors probe their `coarse_probes` nearest super-cells (the
+    standard multi-probe recall lever; compute becomes
+    N x (G + probes*K/G), still O(N x sqrt(K)) for constant probes).
+    Every join broadcasts a budget-bounded side; the final argmax is the
+    partial-aggregating max(struct) (exchange carries N rows; the coarse
+    top-P window shuffles only N x G rows with G = sqrt(K)). The true
+    nearest centroid may still live in an unprobed super-cell — the same
+    recall trade IVF probing makes; tests pin agreement and assigned-
+    similarity quality against the exact path on the unstructured
+    worst-case corpus. Rows-only (no SQL twin): the approximation is
+    plan-shape, not new semantics."""
+    import math
+
+    k = cent.count()
+    g = n_super or max(1, math.ceil(math.sqrt(k)))
+    sup = (
+        cent.orderBy(
+            F.xxhash64(F.col("centroid_id")).asc(), F.col("centroid_id").asc()
+        )
+        .limit(g)
+        .select(
+            F.col("centroid_id").alias("super_id"),
+            F.col("centroid").alias("svec"),
+            F.col("cnorm").alias("snorm"),
+        )
+    )
+
+    def _route(df, id_col, vec_col, norm_col, probes=1):
+        sim = _dot(F.col(vec_col), F.col("svec")) / (
+            F.col(norm_col) * F.col("snorm")
+        )
+        expanded = df.crossJoin(F.broadcast(sup)).withColumn("ssim", sim)
+        if probes == 1:
+            return (
+                expanded.select(
+                    id_col,
+                    F.struct(
+                        F.col("ssim"), (-F.col("super_id")).alias("neg_sid")
+                    ).alias("cand"),
+                )
+                .groupBy(id_col)
+                .agg(F.max("cand").alias("best"))
+                .select(id_col, (-F.col("best.neg_sid")).alias("super_id"))
+            )
+        w = W.partitionBy(id_col).orderBy(
+            F.desc("ssim"), F.asc("super_id")
+        )
+        return (
+            expanded.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= probes)
+            .select(id_col, "super_id")
+        )
+
+    cent_route = _route(cent, "centroid_id", "centroid", "cnorm")
+    cell_members = cent.join(F.broadcast(cent_route), "centroid_id")
+    vec_route = _route(
+        emb.select("vec_id", "embedding", "norm"),
+        "vec_id",
+        "embedding",
+        "norm",
+        probes=coarse_probes,
+    )
+
+    sim = _dot(F.col("embedding"), F.col("centroid")) / (
+        F.col("norm") * F.col("cnorm")
+    )
+    # vec_route is N x probes rows — joined on vec_id (co-partitionable
+    # shuffle join; NEVER broadcast, it grows with the corpus); only the
+    # K-row cell_members table broadcasts.
+    return (
+        emb.select("vec_id", "embedding", "norm")
+        .join(vec_route, "vec_id")
+        .join(F.broadcast(cell_members), "super_id")
+        .select(
+            "vec_id",
+            F.struct(
+                sim.alias("csim"), (-F.col("centroid_id")).alias("neg_cid")
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cand").alias("best"))
+        .select(
+            "vec_id",
+            (-F.col("best.neg_cid")).alias("centroid_id"),
+            F.col("best.csim").alias("csim"),
+        )
+    )
+
+
+def centroid_assign_hierarchical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered rows-only surface for the two-level assignment: route
+    the corpus against the IVF centroid budget through the G = sqrt(K)
+    coarse level. Quality vs the exact path is pinned in tests."""
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    cent, _ = ivf_assignments(emb)
+    return assign_to_centroids_hierarchical(emb, cent)

@@ -457,6 +457,10 @@ def register_all() -> None:
     register("ann_pq_topk", similarity.ann_pq_topk, None,
              "product-quantization ADC top-K + exact re-rank (recall vs "
              "brute force in tests)")
+    register("centroid_assign_hierarchical",
+             similarity.centroid_assign_hierarchical, None,
+             "two-level sqrt(K) coarse-quantized centroid assignment "
+             "(agreement vs exact path in tests)")
     register("approx_aggregates", batchdev.approx_aggregates, None,
              "HLL++/approx-percentile sketches (tolerance-tested)")
     register("synthetic_transactions", batchdev.synthetic_transactions, None,

@@ -725,3 +725,38 @@ def test_pq_topk_recall_and_rerank_exactness(spark):
     n_vecs = emb.count()
     assert len(codes) == n_vecs * similarity.PQ_M  # one code per subspace
     assert all(0 <= r.code < similarity.PQ_K for r in codes)
+
+
+def test_hierarchical_assignment_quality_vs_exact(spark):
+    """Two-level sqrt(K) assignment: exactly one cluster per vector, every
+    assigned centroid comes from the budget, and quality holds against
+    the exact path — agreement and mean assigned-cosine bars set on this
+    UNSTRUCTURED corpus (the worst case: random vectors make coarse
+    routing least informative; clustered real corpora do far better)."""
+    import statistics
+
+    from banking_streaming_etl_spark import datamodel
+
+    emb = similarity._with_norm(
+        datamodel.load_table(spark, SF, "embeddings")
+    ).cache()
+    cent, _ = similarity.ivf_assignments(emb)
+    exact = {
+        r.vec_id: (r.centroid_id, r.csim)
+        for r in similarity.assign_to_centroids(emb, cent).collect()
+    }
+    hier = {
+        r.vec_id: (r.centroid_id, r.csim)
+        for r in similarity.assign_to_centroids_hierarchical(emb, cent).collect()
+    }
+    assert set(hier) == set(exact)  # one row per vector, none lost
+    budget = {r.centroid_id for r in cent.collect()}
+    assert {c for c, _ in hier.values()} <= budget
+    agree = sum(1 for v in exact if exact[v][0] == hier[v][0]) / len(exact)
+    assert agree >= 0.4, f"agreement {agree}"
+    ratio = statistics.mean(v[1] for v in hier.values()) / statistics.mean(
+        v[1] for v in exact.values()
+    )
+    assert ratio >= 0.8, f"assigned-cosine quality ratio {ratio}"
+    # hierarchical csim can never exceed the exact nearest
+    assert all(hier[v][1] <= exact[v][1] + 1e-12 for v in exact)

@@ -410,6 +410,9 @@ def register_all() -> None:
              text.HASH_EMBED_SQL,
              "feature-hashed L2-normalized bag-of-words doc embedding "
              "(documents -> vector bridge)")
+    register("region_modalities_listagg", relational.region_modalities_listagg,
+             relational.REGION_MODALITIES_LISTAGG_SQL,
+             "ordered string aggregation (LISTAGG) with total-order sort")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

@@ -572,3 +572,34 @@ WINDOW w AS (
     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
 )"""
 )
+
+
+# --- ordered string aggregation (LISTAGG / STRING_AGG) -----------------------
+
+
+def region_modalities_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per region, the alphabetically sorted
+    distinct modalities as ONE text column (LISTAGG/STRING_AGG — the
+    manifest-building aggregate). collect_set alone is partition-order-
+    dependent; array_sort before array_join imposes the total order that
+    makes the result deterministic and hash-comparable, and the output is
+    text rather than an array (driver canonicalization can't sort list
+    columns). One small-key shuffle with map-side partial sets."""
+    t = datamodel.transactions(spark, sf_dir)
+    return t.groupBy("id_regiao").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("modalidade_pagamento")), ","
+        ).alias("modalidades"),
+        F.countDistinct("modalidade_pagamento").alias("n_modalidades"),
+    )
+
+
+REGION_MODALITIES_LISTAGG_SQL = datamodel.with_ctes(
+    """
+SELECT id_regiao,
+       array_to_string(list_sort(list_distinct(list(modalidade_pagamento))),
+                       ',') AS modalidades,
+       COUNT(DISTINCT modalidade_pagamento) AS n_modalidades
+FROM transactions
+GROUP BY id_regiao"""
+)

@@ -413,6 +413,9 @@ def register_all() -> None:
     register("region_modalities_listagg", relational.region_modalities_listagg,
              relational.REGION_MODALITIES_LISTAGG_SQL,
              "ordered string aggregation (LISTAGG) with total-order sort")
+    register("modality_mode_per_region", relational.modality_mode_per_region,
+             relational.MODALITY_MODE_SQL,
+             "deterministic MODE per group (tie-broken most-frequent)")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

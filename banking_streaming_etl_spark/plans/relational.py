@@ -603,3 +603,48 @@ SELECT id_regiao,
 FROM transactions
 GROUP BY id_regiao"""
 )
+
+
+# --- deterministic mode (most-frequent value per group) ----------------------
+
+
+def modality_mode_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region MODE of the payment modality with a deterministic
+    tie-break (highest count, then alphabetically first) — the built-in
+    `mode()` leaves ties unspecified, which can never hash-match across
+    engines. Two-level shape: the heavy groupBy collapses the fact table
+    to (region x modality) counts; the rank window then runs on that
+    TINY aggregate (cardinality = group keys, not rows), so the window
+    cost is constant at any corpus size."""
+    t = datamodel.transactions(spark, sf_dir)
+    counts = t.groupBy("id_regiao", "modalidade_pagamento").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("id_regiao").orderBy(
+        F.desc("n"), F.asc("modalidade_pagamento")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "id_regiao",
+            F.col("modalidade_pagamento").alias("modalidade_mais_comum"),
+            "n",
+        )
+    )
+
+
+MODALITY_MODE_SQL = datamodel.with_ctes(
+    """
+SELECT id_regiao, modalidade_pagamento AS modalidade_mais_comum, n
+FROM (
+    SELECT id_regiao, modalidade_pagamento, COUNT(*) AS n,
+           ROW_NUMBER() OVER (
+               PARTITION BY id_regiao
+               ORDER BY COUNT(*) DESC, modalidade_pagamento ASC
+           ) AS rk
+    FROM transactions
+    GROUP BY id_regiao, modalidade_pagamento
+)
+WHERE rk = 1"""
+)

@@ -416,6 +416,10 @@ def register_all() -> None:
     register("modality_mode_per_region", relational.modality_mode_per_region,
              relational.MODALITY_MODE_SQL,
              "deterministic MODE per group (tie-broken most-frequent)")
+    register("kmv_distinct_payers", relational.kmv_distinct_payers,
+             relational.KMV_DISTINCT_SQL,
+             "engine-portable KMV distinct sketch (oracle-checkable "
+             "approximate op) + exact witness")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

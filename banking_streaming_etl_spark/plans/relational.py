@@ -648,3 +648,92 @@ FROM (
 )
 WHERE rk = 1"""
 )
+
+
+# --- engine-portable KMV distinct sketch -------------------------------------
+
+#: k-minimum-values sketch size: estimate = (k-1) * M / h_k where h_k is
+#: the k-th smallest distinct hash and M the hash range. Relative error
+#: ~ 1/sqrt(k-2) (~13% at k=64).
+KMV_K = 64
+_KMV_M = 2147483648  # the portable LCG's range (2^31)
+
+
+def kmv_distinct_payers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct payers per modality via a K-minimum-values
+    sketch (Bar-Yossef et al. 2002) over the engine-portable LCG hash —
+    unlike HLL/approx_count_distinct (whose hashes differ per engine and
+    can never hash-match), the KMV estimate is a deterministic closed
+    form both dialects compute identically, so an APPROXIMATE operator
+    becomes oracle-checkable. Exact count rides along as the error
+    witness.
+
+    Scale shape: distinct (modality, h) pairs — one shuffle; the k-th
+    order statistic is a per-group rank over the distinct-hash stream
+    (bounded by distinct cardinality, and in production a partial
+    bottom-K per partition pre-truncates it). KMV sketches are also
+    mergeable (union the min-sets, re-truncate to k) — the property that
+    lets per-partition sketches combine on a 1000-executor cluster."""
+    t = datamodel.transactions(spark, sf_dir)
+    hashed = t.select(
+        "modalidade_pagamento",
+        (
+            (F.col("id_usuario_pagador") % F.lit(_KMV_M))
+            * F.lit(1103515245)
+            + F.lit(12345)
+        ).__mod__(F.lit(_KMV_M)).alias("h"),
+    ).distinct()
+    w = W.partitionBy("modalidade_pagamento").orderBy(F.asc("h"))
+    kth = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == KMV_K)
+        .select("modalidade_pagamento", F.col("h").alias("h_k"))
+    )
+    exact_cnt = t.groupBy("modalidade_pagamento").agg(
+        F.countDistinct("id_usuario_pagador").alias("pagadores_exato")
+    )
+    est = F.round(
+        F.lit(float(KMV_K - 1))
+        * F.lit(float(_KMV_M))
+        / F.col("h_k").cast("double"),
+        6,
+    )
+    return (
+        exact_cnt.join(kth, "modalidade_pagamento", "left")
+        .select(
+            "modalidade_pagamento",
+            "pagadores_exato",
+            F.when(F.col("h_k").isNotNull(), est).alias("pagadores_kmv"),
+        )
+    )
+
+
+KMV_DISTINCT_SQL = datamodel.with_ctes(
+    f"""
+SELECT e.modalidade_pagamento, pagadores_exato,
+       CASE WHEN h_k IS NOT NULL
+            THEN ROUND({float(KMV_K - 1)!r} * {float(_KMV_M)!r}
+                       / CAST(h_k AS DOUBLE), 6)
+       END AS pagadores_kmv
+FROM (
+    SELECT modalidade_pagamento,
+           COUNT(DISTINCT id_usuario_pagador) AS pagadores_exato
+    FROM transactions GROUP BY 1
+) e
+LEFT JOIN (
+    SELECT modalidade_pagamento, h AS h_k
+    FROM (
+        SELECT modalidade_pagamento, h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY modalidade_pagamento ORDER BY h ASC
+               ) AS rk
+        FROM (
+            SELECT DISTINCT modalidade_pagamento,
+                   ((id_usuario_pagador % {_KMV_M}) * 1103515245 + 12345)
+                       % {_KMV_M} AS h
+            FROM transactions
+        )
+    )
+    WHERE rk = {KMV_K}
+) k ON e.modalidade_pagamento = k.modalidade_pagamento"""
+)

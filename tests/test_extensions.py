@@ -760,3 +760,24 @@ def test_hierarchical_assignment_quality_vs_exact(spark):
     assert ratio >= 0.8, f"assigned-cosine quality ratio {ratio}"
     # hierarchical csim can never exceed the exact nearest
     assert all(hier[v][1] <= exact[v][1] + 1e-12 for v in exact)
+
+
+def test_kmv_sketch_estimate_quality(spark):
+    """The KMV estimate must land within the sketch's statistical bounds
+    (~1/sqrt(k-2) ~ 13% at k=64; assert a conservative 35%) wherever the
+    group has >= k distinct values, and be NULL below k (no estimate is
+    honest there)."""
+    from banking_streaming_etl_spark.plans.relational import (
+        KMV_K,
+        kmv_distinct_payers,
+    )
+
+    rows = kmv_distinct_payers(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.pagadores_exato >= KMV_K:
+            assert r.pagadores_kmv is not None
+            rel = abs(r.pagadores_kmv - r.pagadores_exato) / r.pagadores_exato
+            assert rel <= 0.35, (r.modalidade_pagamento, rel)
+        else:
+            assert r.pagadores_kmv is None

@@ -640,8 +640,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. per query: precompute query-subvector x code partial dots
        (PQ_M x PQ_K scalars per query — a broadcast-sized table), join
        against the codes, sum per (query, vec) = approximate dot;
-    4. take the top PQ_RERANK_POOL by ADC score per query, re-rank that
-       pool with exact cosine, emit TOP_K.
+    4. take the top PQ_RERANK_POOL by ADC COSINE per query (the ADC dot
+       normalized by the stored vector norm — ranking the pool by raw
+       dot would over-represent large-norm vectors and then re-rank by
+       a different metric; each vector's norm is one extra float beside
+       its codes), re-rank that pool with exact cosine, emit TOP_K.
 
     Scale shape: the ADC join keys on (sub, code) — 128 distinct keys
     fan-out-joined against the code table, partial-aggregated map-side;
@@ -669,9 +672,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("vec_id"))
         .groupBy("query_id", "qn", "vec_id")
         .agg(F.sum("pdot").alias("adc_dot"))
+        .join(
+            emb.select("vec_id", F.col("norm").alias("cn_pool")), "vec_id"
+        )
+        .withColumn(
+            "adc_cos", F.col("adc_dot") / (F.col("qn") * F.col("cn_pool"))
+        )
     )
     wpool = W.partitionBy("query_id").orderBy(
-        F.desc("adc_dot"), F.asc("vec_id")
+        F.desc("adc_cos"), F.asc("vec_id")
     )
     pool = (
         adc.withColumn("rk", F.row_number().over(wpool))
@@ -808,6 +817,48 @@ def assign_to_centroids_hierarchical(
             (-F.col("best.neg_cid")).alias("centroid_id"),
             F.col("best.csim").alias("csim"),
         )
+    )
+
+
+def streaming_centroid_assignments(
+    emb_stream: DataFrame, centroids: list
+) -> DataFrame:
+    """STATELESS streaming nearest-centroid assignment — the embedding-
+    side streaming twin of `ivf_assignments`' serving half: every
+    arriving vector routes against the FIXED budget-bounded centroid
+    table, inlined as literal arrays (the broadcast — megabytes even at
+    production K, the same bound the batch broadcast join relies on).
+
+    The argmax is a per-row array_max over the K candidate structs
+    (csim, -centroid_id): NO state store, NO watermark, NO shuffle —
+    append-mode safe at any trigger cadence, latency one narrow map.
+    The candidate struct ordering mirrors `assign_to_centroids`
+    term-for-term ((csim DESC, centroid_id ASC) via max(struct(csim,
+    neg_cid))), and the literal doubles are the exact values the batch
+    path computes, so the stream-vs-batch differential asserts set
+    EQUALITY, not a tolerance.
+
+    `centroids` is the driver-collected (centroid_id, centroid, cnorm)
+    rows of the coarse quantizer — the standard broadcast-model
+    streaming-enrichment pattern (same shape as the LM-filter models)."""
+    emb = _with_norm(emb_stream)
+    cands = []
+    for c in centroids:
+        cvec = F.array(*[F.lit(float(x)) for x in c.centroid])
+        csim = _dot(F.col("embedding"), cvec) / (
+            F.col("norm") * F.lit(float(c.cnorm))
+        )
+        cands.append(
+            F.struct(
+                csim.alias("csim"),
+                F.lit(-int(c.centroid_id)).cast("long").alias("neg_cid"),
+            )
+        )
+    best = F.array_max(F.array(*cands))
+    return emb.select(
+        "vec_id",
+        (-best.getField("neg_cid")).alias("centroid_id"),
+        best.getField("csim").alias("csim"),
     )
 
 

@@ -100,18 +100,31 @@ def register_all() -> None:
     register("funnel_conversion", behavior.funnel_conversion,
              behavior.FUNNEL_SQL,
              "view->click->purchase funnel via first-touch MIN(ts) compares")
-    register("denial_reasons", dashboard.denial_reasons,
-             dashboard.DENIAL_REASONS_SQL, "conditional counts (A10)")
+    # Round-4 rotation: the LLM-pipeline capstones and the only
+    # RANGE-frame shape take the slots of their most redundant in-window
+    # siblings so the third-party gate proves the flagship extension
+    # surface — denial_reasons (1-row conditional counts re-proven inside
+    # distance_bucket_pivot's fill path), recent_metrics (scalar means
+    # re-proven by approval_overview + q6), valor_score_correlation (its
+    # regression sibling stays parity-gated). The displaced three
+    # re-register right after the window (still parity-gated every run).
+    register("tx_velocity_1h", relational.tx_velocity_1h,
+             relational.TX_VELOCITY_SQL,
+             "trailing-1h per-payer velocity via RANGE frame on epoch "
+             "seconds")
     register("distance_bucket_pivot", dashboard.distance_bucket_pivot,
              dashboard.DISTANCE_BUCKET_PIVOT_SQL, "bucket x approval (A9+F15)")
     register("score_by_value_bucket", dashboard.score_by_value_bucket,
              dashboard.SCORE_BY_VALUE_BUCKET_SQL,
              "box-plot quartiles per value bucket (F15+A2)")
-    register("recent_metrics", dashboard.recent_metrics,
-             dashboard.RECENT_METRICS_SQL, "live-view scalar metrics (A11)")
-    register("valor_score_correlation", dashboard.valor_score_correlation,
-             dashboard.VALOR_SCORE_CORRELATION_SQL,
-             "exact-moment Pearson correlation per modality")
+    register("corpus_clean_pipeline", text.corpus_clean_pipeline,
+             text._corpus_clean_sql(),
+             "end-to-end corpus cleaning: dedup -> quality -> lang-ID -> "
+             "split (composed from the registered single-step builders)")
+    register("training_manifest", curation.training_manifest,
+             curation._training_manifest_sql(),
+             "capstone: clean -> chunk -> pack manifest, oracle-checked "
+             "end-to-end")
     register("freq_per_payer_hour", dashboard.freq_per_payer_hour,
              dashboard.FREQ_PER_PAYER_HOUR_SQL, "frequency window (W1+F16)")
     register("zscore_per_payer", dashboard.zscore_per_payer,
@@ -221,8 +234,15 @@ def register_all() -> None:
              groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
-    # round-3 rotation's three) — still in the local parity gate every
-    # pytest run
+    # round-3 and round-4 rotations' displacees) — still in the local
+    # parity gate every pytest run
+    register("recent_metrics", dashboard.recent_metrics,
+             dashboard.RECENT_METRICS_SQL, "live-view scalar metrics (A11)")
+    register("valor_score_correlation", dashboard.valor_score_correlation,
+             dashboard.VALOR_SCORE_CORRELATION_SQL,
+             "exact-moment Pearson correlation per modality")
+    register("denial_reasons", dashboard.denial_reasons,
+             dashboard.DENIAL_REASONS_SQL, "conditional counts (A10)")
     register("customers_without_tx", relational.customers_without_tx,
              relational.CUSTOMERS_WITHOUT_TX_SQL, "anti join")
     register("pivot_returnflag_linestatus",
@@ -293,10 +313,6 @@ def register_all() -> None:
              text.DOC_FINGERPRINTS_SQL, "md5 + normalized md5")
     register("top_tokens", text.top_tokens,
              text.TOP_TOKENS_SQL, "corpus token frequency top-50")
-    register("corpus_clean_pipeline", text.corpus_clean_pipeline,
-             text._corpus_clean_sql(),
-             "end-to-end corpus cleaning: dedup -> quality -> lang-ID -> "
-             "split (composed from the registered single-step builders)")
     register("token_counts_bpe", text.token_counts_bpe,
              text.TOKEN_COUNTS_BPE_SQL,
              "BPE-ish pre-tokenizer counts + fertility ratio")
@@ -369,6 +385,10 @@ def register_all() -> None:
     register("equidepth_histogram_valor", dashboard.equidepth_histogram_valor,
              dashboard.EQUIDEPTH_SQL,
              "equi-depth (equal-count) value histogram via total-order ntile")
+    register("equidepth_histogram_approx", dashboard.equidepth_histogram_approx,
+             dashboard.EQUIDEPTH_APPROX_SQL,
+             "scale-safe equi-depth twin: sampled boundaries + broadcast "
+             "cut join (no global sort; still oracle-exact)")
     register("zipf_fit_tokens", text.zipf_fit_tokens, text.ZIPF_FIT_SQL,
              "Zipf-law slope/intercept fit over top-N token frequencies")
     register("benford_digit_screen", dashboard.benford_digit_screen,
@@ -385,10 +405,6 @@ def register_all() -> None:
     register("temperature_mix_weights", curation.temperature_mix_weights,
              curation.TEMPERATURE_MIX_SQL,
              "sqrt-temperature data-mixing weights per source")
-    register("training_manifest", curation.training_manifest,
-             curation._training_manifest_sql(),
-             "capstone: clean -> chunk -> pack manifest, oracle-checked "
-             "end-to-end")
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")
@@ -396,10 +412,6 @@ def register_all() -> None:
              dashboard.GEO_DISTANCE_SQL,
              "haversine tx-to-payer distance stats per region (F18 with "
              "a DuckDB oracle)")
-    register("tx_velocity_1h", relational.tx_velocity_1h,
-             relational.TX_VELOCITY_SQL,
-             "trailing-1h per-payer velocity via RANGE frame on epoch "
-             "seconds")
     register("pareto_share_by_decile", dashboard.pareto_share_by_decile,
              dashboard.PARETO_SHARE_SQL,
              "payer-decile volume concentration (NTILE over exact totals)")

@@ -806,6 +806,165 @@ GROUP BY balde
 )
 
 
+#: sampled-boundary budget for the approx twin: expected sample size is
+#: min(16 * ceil(sqrt(N)), 65536) — grows with N for small tables (boundary
+#: precision), capped at a constant so the single boundary-sort aggregate
+#: buffer stays ~2 MB at ANY corpus size (DKW: max CDF error at the cap is
+#: ~0.5% — far inside one bucket's mass).
+EQUIDEPTH_SAMPLE_MULT = 16
+EQUIDEPTH_SAMPLE_CAP = 65536
+_ED_M = 2147483648  # the portable LCG's range (2^31)
+
+
+def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe equi-depth histogram: SAMPLED boundary estimation + a
+    broadcast cut join — the 100 TB twin of `equidepth_histogram_valor`
+    (whose global NTILE is a single-reducer sort of the fact table; that
+    exact form stays registered as the oracle-checkable baseline).
+
+    1. deterministic sample: rows whose portable LCG hash of
+       id_transacao falls below M * K_s / N (K_s per
+       EQUIDEPTH_SAMPLE_MULT/CAP — both engines derive the same budget
+       from COUNT(*), the semantic_dedup size-following template);
+    2. boundaries: the j*|S|/B-th order statistics of the sample under
+       the (valor, id) total order, computed in ONE bounded
+       sort_array(collect_list) aggregate (no Window node anywhere —
+       pinned by a plan test);
+    3. cut join: the <= B-1 boundary structs broadcast against the fact
+       scan; bucket = 1 + #boundaries below the row in the total order
+       (a narrow map over a 9-element array);
+    4. per-bucket count/min/max — one ordinary hash aggregate.
+
+    Every stage is engine-portable closed-form arithmetic, so this
+    APPROXIMATE operator is still oracle-checked bit-for-bit; agreement
+    with the exact NTILE baseline is tolerance-tested separately."""
+    b = EQUIDEPTH_BUCKETS
+    t = datamodel.transactions(spark, sf_dir)
+    params = (
+        t.agg(F.count("*").alias("n_total"))
+        .select(
+            "n_total",
+            F.least(
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.ceil(F.sqrt(F.col("n_total"))),
+                )
+                * F.lit(EQUIDEPTH_SAMPLE_MULT),
+                F.lit(EQUIDEPTH_SAMPLE_CAP).cast("bigint"),
+            ).alias("k_s"),
+        )
+        .select(F.expr(f"({_ED_M} * k_s) DIV n_total").alias("thr"))
+    )
+    h = (
+        (F.col("id_transacao") % F.lit(_ED_M)) * F.lit(1103515245)
+        + F.lit(12345)
+    ).__mod__(F.lit(_ED_M))
+    sample = (
+        t.select(
+            F.col("valor_transacao").alias("v"),
+            F.col("id_transacao").alias("i"),
+            h.alias("h"),
+        )
+        .crossJoin(F.broadcast(params))
+        .filter(F.col("h") < F.col("thr"))
+    )
+    positions = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(b - 1)),
+            lambda j: F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(
+                    j.cast("bigint") * F.size("arr").cast("bigint")
+                    / F.lit(float(b))
+                ),
+            ),
+        )
+    )
+    bnds = (
+        sample.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("v"), F.col("i")))
+            ).alias("arr")
+        )
+        .select(
+            F.filter(
+                F.transform(
+                    positions,
+                    lambda p: F.try_element_at(F.col("arr"), p.cast("int")),
+                ),
+                lambda s: s.isNotNull(),
+            ).alias("bnds")
+        )
+    )
+    below = F.size(
+        F.filter(
+            F.col("bnds"),
+            lambda s: (s["v"] < F.col("valor_transacao"))
+            | (
+                (s["v"] == F.col("valor_transacao"))
+                & (s["i"] < F.col("id_transacao"))
+            ),
+        )
+    )
+    return (
+        t.crossJoin(F.broadcast(bnds))
+        .select(
+            (F.lit(1) + below).alias("balde"),
+            "valor_transacao",
+        )
+        .groupBy("balde")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("valor_transacao").alias("valor_min"),
+            F.max("valor_transacao").alias("valor_max"),
+        )
+    )
+
+
+EQUIDEPTH_APPROX_SQL = datamodel.with_ctes(
+    f"""
+SELECT balde, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(valor_transacao) AS valor_min,
+       MAX(valor_transacao) AS valor_max
+FROM (
+    SELECT t.valor_transacao, t.id_transacao,
+           1 + (SELECT COUNT(*) FROM bnd b
+                WHERE b.v < t.valor_transacao
+                   OR (b.v = t.valor_transacao
+                       AND b.i < t.id_transacao)) AS balde
+    FROM transactions t
+)
+GROUP BY balde""",
+    extra_ctes=f"""
+ed_params AS (
+    SELECT ({_ED_M} * LEAST(
+               GREATEST(1, CAST(CEIL(SQRT(n_total)) AS BIGINT))
+                   * {EQUIDEPTH_SAMPLE_MULT},
+               {EQUIDEPTH_SAMPLE_CAP})) // n_total AS thr
+    FROM (SELECT COUNT(*) AS n_total FROM transactions)
+),
+ed_sample AS (
+    SELECT t.valor_transacao AS v, t.id_transacao AS i
+    FROM transactions t, ed_params
+    WHERE ((t.id_transacao % {_ED_M}) * 1103515245 + 12345) % {_ED_M}
+          < ed_params.thr
+),
+ed_ranked AS (
+    SELECT v, i, ROW_NUMBER() OVER (ORDER BY v ASC, i ASC) AS rn
+    FROM ed_sample
+),
+ed_pos AS (
+    SELECT DISTINCT GREATEST(1, CAST(FLOOR(
+               j * (SELECT COUNT(*) FROM ed_sample)
+                 / {float(EQUIDEPTH_BUCKETS)!r}) AS BIGINT)) AS p
+    FROM generate_series(1, {EQUIDEPTH_BUCKETS - 1}) AS gs(j)
+),
+bnd AS (
+    SELECT v, i FROM ed_ranked JOIN ed_pos ON ed_ranked.rn = ed_pos.p
+)""",
+)
+
+
 # --- Benford's-law first-digit screen ----------------------------------------
 
 

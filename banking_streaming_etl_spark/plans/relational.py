@@ -657,6 +657,10 @@ WHERE rk = 1"""
 #: ~ 1/sqrt(k-2) (~13% at k=64).
 KMV_K = 64
 _KMV_M = 2147483648  # the portable LCG's range (2^31)
+#: salt fan-out of the stage-1 bottom-K: each stage-1 rank partition holds
+#: ~1/KMV_SALTS of a modality's distinct hashes, so no single task ever
+#: sorts the full distinct-hash stream.
+KMV_SALTS = 32
 
 
 def kmv_distinct_payers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,11 +673,16 @@ def kmv_distinct_payers(spark: SparkSession, sf_dir: str) -> DataFrame:
     witness.
 
     Scale shape: distinct (modality, h) pairs — one shuffle; the k-th
-    order statistic is a per-group rank over the distinct-hash stream
-    (bounded by distinct cardinality, and in production a partial
-    bottom-K per partition pre-truncates it). KMV sketches are also
-    mergeable (union the min-sets, re-truncate to k) — the property that
-    lets per-partition sketches combine on a 1000-executor cluster."""
+    order statistic is computed as a TWO-STAGE mergeable bottom-K (the
+    KMV merge property: union the min-sets, re-truncate to k). Stage 1
+    ranks within (modality, salt) slices — salt = h % KMV_SALTS, a
+    deterministic data-derived key — keeping the K smallest per slice;
+    the global bottom-K has at most K members in ANY slice, so every
+    survivor of the global rank survives stage 1. Stage 2 ranks the
+    <= KMV_SALTS x K survivors per modality — a constant-size partition
+    regardless of corpus cardinality. No task ever sorts a modality's
+    full distinct-hash stream (the round-3 shape did: one rank window
+    per modality over ALL distinct hashes)."""
     t = datamodel.transactions(spark, sf_dir)
     hashed = t.select(
         "modalidade_pagamento",
@@ -683,9 +692,17 @@ def kmv_distinct_payers(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(12345)
         ).__mod__(F.lit(_KMV_M)).alias("h"),
     ).distinct()
+    pre_w = W.partitionBy("modalidade_pagamento", "kmv_salt").orderBy(
+        F.asc("h")
+    )
+    pre = (
+        hashed.withColumn("kmv_salt", F.col("h") % F.lit(KMV_SALTS))
+        .withColumn("rk_pre", F.row_number().over(pre_w))
+        .filter(F.col("rk_pre") <= KMV_K)
+    )
     w = W.partitionBy("modalidade_pagamento").orderBy(F.asc("h"))
     kth = (
-        hashed.withColumn("rk", F.row_number().over(w))
+        pre.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == KMV_K)
         .select("modalidade_pagamento", F.col("h").alias("h_k"))
     )

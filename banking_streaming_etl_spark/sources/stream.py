@@ -202,3 +202,31 @@ def read_document_stream(
             "d"
         )
     ).select("d.*")
+
+
+def write_embedding_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> int:
+    """Serialize `embeddings` to parquet chunks for streaming replay — the
+    S4 directory-replay pattern for the vector side of the curation
+    suite. Parquet (not a JSON wire) keeps the float vectors bit-exact,
+    so stream-vs-batch differentials compare with equality, never a
+    float tolerance. Returns rows written."""
+    e = datamodel.load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    e.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
+    return n
+
+
+def read_embedding_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream the embedding chunks (schema peeked from the parquet
+    footers batch-side, as the file-stream source requires)."""
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)

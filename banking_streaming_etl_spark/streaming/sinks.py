@@ -145,9 +145,28 @@ class MaterializedAggregateView:
         self.key_col = key_col
         self.value_col = value_col
 
+    def _recover_interrupted_compact(self) -> None:
+        """Roll back a compact() that crashed mid-swap: if the live view
+        directory is gone but the `__old` backup exists, the crash hit
+        between the rename-aside and the promote — restore the backup
+        (which is a complete copy of the pre-compact state) and drop any
+        stray compacted temp. Without this, the next write_batch would
+        silently recreate an EMPTY view while all prior aggregate state
+        sat stranded in `__old`."""
+        import os
+        import shutil
+
+        backup = self.out_dir + "__old"
+        if not os.path.exists(self.out_dir) and os.path.exists(backup):
+            os.rename(backup, self.out_dir)
+            tmp = self.out_dir + "__compact"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+
     def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         from banking_streaming_etl_spark.functions import exact
 
+        self._recover_interrupted_compact()
         delta = batch_df.groupBy(self.key_col).agg(
             F.count("*").alias("n_delta"),
             F.sum(exact._d(F.col(self.value_col))).alias("soma_delta"),
@@ -162,6 +181,7 @@ class MaterializedAggregateView:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Fold the deltas into the current view: (key, n, soma)."""
+        self._recover_interrupted_compact()
         deltas = spark.read.parquet(self.out_dir)
         return deltas.groupBy(self.key_col).agg(
             F.sum("n_delta").alias("n"),
@@ -197,6 +217,9 @@ class MaterializedAggregateView:
         # the compacted copy, then drop the backup — at least one complete
         # copy of the aggregate state exists at every instant (a crash
         # between rmtree and move would otherwise lose the whole view).
+        # A crash BETWEEN the rename-aside and the promote leaves no live
+        # dir; _recover_interrupted_compact restores the backup on the
+        # next read/write_batch, so that window is covered too.
         backup = self.out_dir + "__old"
         if os.path.exists(backup):
             shutil.rmtree(backup)

@@ -56,6 +56,11 @@ def bench_streaming_replay(spark, sf_dir: str) -> tuple[float, float, list[int]]
     from banking_streaming_etl_spark.sources import stream as stream_src
     from banking_streaming_etl_spark.streaming import pipeline as spipe
 
+    # q.recentProgress is capped by spark.sql.streaming.numRecentProgressUpdates
+    # (default 100): a replay with more non-empty micro-batches than that
+    # would silently report p50/p95 over only the most recent ones. Raise
+    # the cap well above any replay length this bench produces.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     work = tempfile.mkdtemp(prefix="bench_stream_")
     try:
         n_rows = stream_src.write_replay_chunks(
@@ -89,6 +94,33 @@ def bench_streaming_replay(spark, sf_dir: str) -> tuple[float, float, list[int]]
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _warm(spark, queries, sf_dir: str) -> None:
+    """Amortize one-time costs out of the per-query numbers: JVM/codegen
+    (flagship run) and the session-shared shingle scans both dedup
+    headliners read (operators/dedup.shared_shingle_hashes/_sizes) —
+    materializing the shared INPUT once keeps each query's timing about
+    ITS operator (banding vs brute join), not about who ran first."""
+    if "approval_pipeline" in queries:
+        queries["approval_pipeline"].fn(spark, sf_dir).count()
+    if "near_dup_jaccard" in queries or "dedup_minhash_lsh" in queries:
+        from banking_streaming_etl_spark.operators import dedup as _dedup
+
+        _dedup.shared_shingle_hashes(spark, sf_dir).count()
+        _dedup.shared_shingle_sizes(spark, sf_dir).count()
+
+
+def _time_headline(spark, queries, names, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -100,26 +132,22 @@ def main() -> None:
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # warmup: JVM, codegen, parquet footer caches
-    if "approval_pipeline" in queries:
-        queries["approval_pipeline"].fn(spark, sf_dir).count()
-    # ... and the session-shared shingle-hash scan both dedup headliners
-    # read (operators/dedup.shared_shingle_hashes): materializing the
-    # shared input once keeps each query's timing about ITS operator
-    # (banding vs brute join), not about who ran first.
-    if "near_dup_jaccard" in queries or "dedup_minhash_lsh" in queries:
-        from banking_streaming_etl_spark.operators import dedup as _dedup
+    _warm(spark, queries, sf_dir)
+    timings = _time_headline(spark, queries, names, sf_dir)
 
-        _dedup.shared_shingle_hashes(spark, sf_dir).count()
-
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = queries[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+    # scale-curve datapoint: the same headline set one decade down
+    # (sf0.01), so the design-for-scale claim carries an empirical slope —
+    # near-linear scaling expected; a super-linear query is a red flag.
+    sf001_total = None
+    timings_sf001: dict[str, float] = {}
+    sf001_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if os.path.isdir(sf001_dir) and os.path.abspath(sf001_dir) != os.path.abspath(
+        sf_dir.rstrip("/")
+    ):
+        print(f"# scale curve: re-running headline at {sf001_dir}", file=sys.stderr)
+        _warm(spark, queries, sf001_dir)
+        timings_sf001 = _time_headline(spark, queries, names, sf001_dir)
+        sf001_total = round(sum(timings_sf001.values()), 4)
 
     stream_sec, tx_per_s, batch_ms = bench_streaming_replay(spark, sf_dir)
     timings["streaming_replay"] = round(stream_sec, 4)
@@ -151,6 +179,10 @@ def main() -> None:
                 "streaming_tx_per_s": round(tx_per_s, 1),
                 "streaming_batch_ms_p50": _pct(0.5),
                 "streaming_batch_ms_p95": _pct(0.95),
+                # one decade down the scale curve (None when the sibling
+                # sf0.01 dir is absent or IS the target dir)
+                "headline_sf001_total": sf001_total,
+                "queries_sf001": timings_sf001,
             }
         )
     )

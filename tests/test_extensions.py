@@ -712,7 +712,10 @@ def test_pq_topk_recall_and_rerank_exactness(spark):
     top1_brute = {(r.query_id, r.neighbor_id) for r in brute if r.posicao == 1}
     top1_pq = {(r.query_id, r.neighbor_id) for r in pq if r.posicao == 1}
     recall = len(top1_brute & top1_pq) / len(top1_brute)
-    assert recall >= 0.5, f"top-1 recall {recall}"
+    # 0.8 measured with the norm-normalized ADC pool (ranking the pool by
+    # raw ADC dot over-represented large-norm vectors: 0.5-0.6); the bar
+    # pins the normalized-pool behavior with headroom for corpus drift.
+    assert recall >= 0.7, f"top-1 recall {recall}"
 
     brute_cos = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
     shared = [r for r in pq if (r.query_id, r.neighbor_id) in brute_cos]
@@ -781,3 +784,67 @@ def test_kmv_sketch_estimate_quality(spark):
             assert rel <= 0.35, (r.modalidade_pagamento, rel)
         else:
             assert r.pagadores_kmv is None
+
+
+def test_equidepth_approx_agrees_with_exact_ntile(spark):
+    """The sampled-boundary equi-depth twin must track the exact NTILE
+    baseline: all rows assigned, every bucket populated, and each
+    bucket's count within 35% of the ideal N/B mass (measured max
+    deviation at this sf is ~14% — 2.5x headroom, still far below the
+    2x mass error that would mean a boundary landed a whole bucket
+    off)."""
+    from banking_streaming_etl_spark import registry
+
+    q = registry.all_queries()
+    exact = {
+        r["balde"]: r["n"]
+        for r in q["equidepth_histogram_valor"].fn(spark, SF).collect()
+    }
+    approx = {
+        r["balde"]: r["n"]
+        for r in q["equidepth_histogram_approx"].fn(spark, SF).collect()
+    }
+    n = sum(exact.values())
+    assert sum(approx.values()) == n  # every row lands in exactly one bucket
+    b = len(exact)
+    assert set(approx) == set(range(1, b + 1))
+    ideal = n / b
+    for balde, cnt in approx.items():
+        assert abs(cnt - ideal) <= 0.35 * ideal, (balde, cnt, ideal)
+
+
+def test_hierarchical_probe_count_recall_curve(spark):
+    """The multi-probe knob's contract, tested rather than asserted:
+    agreement with the exact assignment must be MONOTONE in
+    coarse_probes on the unstructured worst-case corpus (measured
+    0.43 / 0.54 / 0.82 at probes 1/2/4 here), and probing every
+    super-cell (probes = G) must reproduce the exact path identically —
+    the approximation comes ONLY from unprobed cells."""
+    import math
+
+    from banking_streaming_etl_spark import datamodel
+
+    emb = similarity._with_norm(
+        datamodel.load_table(spark, SF, "embeddings")
+    ).cache()
+    cent, _ = similarity.ivf_assignments(emb)
+    exact = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_to_centroids(emb, cent).collect()
+    }
+
+    def agreement(probes: int) -> float:
+        hier = {
+            r.vec_id: r.centroid_id
+            for r in similarity.assign_to_centroids_hierarchical(
+                emb, cent, coarse_probes=probes
+            ).collect()
+        }
+        assert len(hier) == len(exact)
+        return sum(1 for v, c in hier.items() if exact[v] == c) / len(exact)
+
+    r1, r2, r4 = agreement(1), agreement(2), agreement(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r4 >= 0.7, (r1, r2, r4)  # measured 0.82; headroom for drift
+    g = math.ceil(math.sqrt(cent.count()))
+    assert agreement(g) == 1.0  # all cells probed -> exact by construction

@@ -123,7 +123,6 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "approval_pipeline",
         "q1_pricing_summary",
         "sessionize_events",
-        "denial_reasons",
         "distance_bucket_pivot",
         "quantize_embeddings",
         "dedup_minhash_lsh",
@@ -137,6 +136,13 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "q2_min_cost_supplier",
         "q20_promotion_suppliers",
         "q21_suppliers_kept_waiting",
+        # round-4 rotation: the LLM-pipeline capstones and the RANGE-frame
+        # shape must be driver-proven (they displaced denial_reasons,
+        # recent_metrics, valor_score_correlation — all re-proven by
+        # in-window siblings and the local parity gate)
+        "corpus_clean_pipeline",
+        "training_manifest",
+        "tx_velocity_1h",
         "scd2_user_history",
         "tfidf_terms",
         "winnowing_fingerprints",

@@ -299,3 +299,30 @@ def test_geo_distance_broadcasts_all_dims(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_kmv_kth_rank_is_salt_pretruncated(spark):
+    """kmv_distinct_payers: the k-th order statistic must run as the
+    two-stage mergeable bottom-K — stage 1 ranks (modality, salt) slices
+    (never a modality's full distinct-hash stream in one partition),
+    stage 2 ranks only the bounded survivor set. A single modality-keyed
+    Window over the raw distinct scan is the round-3 scale bug."""
+    import re
+
+    plan = _physical_plan(_query(spark, "kmv_distinct_payers"))
+    # two rank stages total on the sketch side (WindowGroupLimit rows are
+    # Spark's rank-limit pushdown of the same stages, not extra windows)
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 2, plan
+    # stage 1 partitions by the salt as well as the modality
+    assert "kmv_salt" in plan, plan
+
+
+def test_equidepth_approx_has_no_global_sort(spark):
+    """equidepth_histogram_approx: the scale twin must never sort or rank
+    the fact table — boundaries come from one bounded sample aggregate,
+    bucketing is a broadcast cut join. Any Window node means the exact
+    twin's single-reducer NTILE leaked back in."""
+    plan = _physical_plan(_query(spark, "equidepth_histogram_approx"))
+    assert "(Window" not in plan and ") Window" not in plan, plan
+    # the boundary and params sides ride broadcasts, never a shuffle join
+    assert "SortMergeJoin" not in plan, plan

@@ -433,3 +433,46 @@ def test_materialized_view_streaming_end_to_end(spark, tmp_path, module_replay_d
         .collect()
     }
     assert got == want
+
+
+def test_materialized_view_recovers_interrupted_compact(spark, tmp_path):
+    """A compact() crash between the rename-aside and the promote leaves
+    (no live dir, complete `__old` backup). The next read/write_batch
+    must restore the backup — NOT silently recreate an empty view."""
+    import os
+    import shutil
+
+    mv = str(tmp_path / "mv")
+    view = sinks.MaterializedAggregateView(
+        mv, "modalidade_pagamento", "valor_transacao"
+    )
+    tx = datamodel.transactions(spark, SF)
+    view.write_batch(tx, epoch_id=0)
+    want = {
+        (r.modalidade_pagamento, r.n, r.soma)
+        for r in view.read(spark).collect()
+    }
+
+    # simulate the crash window: live dir renamed aside, stray temp left
+    os.rename(mv, mv + "__old")
+    os.makedirs(mv + "__compact")
+
+    recovered = {
+        (r.modalidade_pagamento, r.n, r.soma)
+        for r in view.read(spark).collect()
+    }
+    assert recovered == want
+    assert not os.path.exists(mv + "__old")
+    assert not os.path.exists(mv + "__compact")
+
+    # and write_batch on the crashed state appends instead of restarting
+    os.rename(mv, mv + "__old")
+    view.write_batch(tx, epoch_id=1)
+    grown = {r.modalidade_pagamento: r.n for r in view.read(spark).collect()}
+    doubled = {
+        r.modalidade_pagamento: 2 * r.n
+        for r in tx.groupBy("modalidade_pagamento")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert grown == doubled

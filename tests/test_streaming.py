@@ -440,3 +440,33 @@ def test_streaming_trending_tokens_match_batch(spark, tmp_path):
     )
     want = {(r.inicio, r.termo, r.n) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_centroid_assignment_matches_batch(spark, tmp_path):
+    """The stateless streaming nearest-centroid twin over replayed
+    embedding chunks must assign every vector to EXACTLY the centroid
+    the batch ivf_assignments path picks (same literal doubles, same
+    tie-break), regardless of replay chunking."""
+    from banking_streaming_etl_spark.operators import similarity
+
+    emb = similarity._with_norm(
+        datamodel.load_table(spark, SF, "embeddings")
+    )
+    cent, assign = similarity.ivf_assignments(emb)
+    batch = {(r.vec_id, r.centroid_id) for r in assign.collect()}
+
+    n = stream_src.write_embedding_chunks(
+        spark, SF, str(tmp_path / "emb_chunks"), n_chunks=4
+    )
+    es = stream_src.read_embedding_stream(
+        spark, str(tmp_path / "emb_chunks"), max_files_per_trigger=1
+    )
+    out = similarity.streaming_centroid_assignments(es, cent.collect())
+    assert out.isStreaming
+    _run_to_memory(out, "cent_assign_out")
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in spark.sql("SELECT * FROM cent_assign_out").collect()
+    }
+    assert len(got) == n
+    assert got == batch

@@ -615,3 +615,116 @@ SELECT doc_id, COUNT(*) AS n_shingles,
 FROM doc_shingles JOIN first_seen USING (s)
 GROUP BY doc_id
 """
+
+
+# --- duplicated-span statistics (positional substring-level dedup) ------------
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-SPAN statistics: how much of each doc is
+    covered by 3-gram shingles that also occur in at least one OTHER
+    document, and the longest CONSECUTIVE such run (in shingle
+    positions). This is the positional complement of `doc_novelty` —
+    the signal behind exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a long
+    duplicated run marks a boilerplate/quoted block worth trimming even
+    when the whole doc isn't a near-dup.
+
+    Scale shape: the corpus-wide duplicated-shingle set reuses the
+    session-shared distinct (doc_id, hash) scan (one groupBy on the
+    8-byte hash); positional shingles are a narrow map + explode; the
+    flag join is an equi-join on the hash; run detection is the
+    gaps-and-islands window PARTITIONED BY doc_id (per-doc work, never
+    a global sort). The oracle re-derives duplication over raw shingle
+    strings, so a hash collision surfaces as a parity failure."""
+    sh = shared_shingle_hashes(spark, sf_dir)
+    docs = datamodel.load_table(spark, sf_dir, "documents")
+    return dup_span_frame(docs, sh)
+
+
+def dup_span_frame(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """Frame-level core of `dup_span_stats` over any (doc_id, text)
+    frame; `sh` is an optional pre-built distinct (doc_id, h) shingle
+    scan (the session memo on the registered path)."""
+    from pyspark.sql import Window
+
+    docs = docs.withColumn("toks", textfns.tokens())
+    if sh is None:
+        sh = docs.select(
+            "doc_id",
+            F.explode(textfns.word_shingles("toks", SHINGLE_N)).alias("s"),
+        ).distinct().select("doc_id", F.xxhash64("s").alias("h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(textfns.word_shingles("toks", SHINGLE_N)).alias(
+            "pos", "s"
+        ),
+    ).select("doc_id", "pos", F.xxhash64("s").alias("h"))
+    flagged = pos.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    per_dup = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("rl"))
+        .groupBy("doc_id")
+        .agg(F.max("rl").alias("max_run"), F.sum("rl").alias("n_dup"))
+    )
+    totals = pos.groupBy("doc_id").agg(F.count("*").alias("n_pos"))
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0).cast("long"))
+    return totals.join(per_dup, "doc_id", "left").select(
+        "doc_id",
+        "n_pos",
+        n_dup.alias("n_dup"),
+        F.round(
+            n_dup.cast("double") / F.col("n_pos").cast("double"), 6
+        ).alias("frac_dup"),
+        F.coalesce(F.col("max_run"), F.lit(0).cast("long")).alias("max_run"),
+    )
+
+
+DUP_SPAN_SQL = f"""
+WITH {SHINGLES_CTE.strip().rstrip()},
+dupset AS (
+    SELECT s FROM doc_shingles GROUP BY s HAVING COUNT(*) >= 2
+),
+pos AS (
+    SELECT doc_id,
+           unnest(range(1, len(string_split(text, ' ')) - {SHINGLE_N - 2}))
+               AS pos,
+           unnest({textfns.word_shingles_sql("string_split(text, ' ')", SHINGLE_N)})
+               AS s
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+),
+flagged AS (
+    SELECT doc_id, pos FROM pos JOIN dupset USING (s)
+),
+runs AS (
+    SELECT doc_id,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM flagged
+),
+runlens AS (
+    SELECT doc_id, grp, COUNT(*) AS rl FROM runs GROUP BY 1, 2
+),
+per_dup AS (
+    SELECT doc_id, MAX(rl) AS max_run, SUM(rl) AS n_dup
+    FROM runlens GROUP BY doc_id
+),
+totals AS (
+    SELECT doc_id, COUNT(*) AS n_pos FROM pos GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+       ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+           AS frac_dup,
+       CAST(COALESCE(max_run, 0) AS BIGINT) AS max_run
+FROM totals LEFT JOIN per_dup USING (doc_id)
+"""

@@ -418,6 +418,9 @@ def register_all() -> None:
     register("doc_novelty", dedup.doc_novelty, dedup.DOC_NOVELTY_SQL,
              "per-doc shingle novelty vs earlier docs (substring-level "
              "dedup signal, shares the session shingle scan)")
+    register("dup_span_stats", dedup.dup_span_stats, dedup.DUP_SPAN_SQL,
+             "positional duplicated-span stats (longest cross-doc run + "
+             "coverage fraction — the exact-substring-dedup signal)")
     register("hash_embed_documents", text.hash_embed_documents,
              text.HASH_EMBED_SQL,
              "feature-hashed L2-normalized bag-of-words doc embedding "
@@ -432,6 +435,10 @@ def register_all() -> None:
              relational.KMV_DISTINCT_SQL,
              "engine-portable KMV distinct sketch (oracle-checkable "
              "approximate op) + exact witness")
+    register("kmv_modality_overlap", relational.kmv_modality_overlap,
+             relational.KMV_OVERLAP_SQL,
+             "KMV set-op sketch: union/intersection cardinality estimates "
+             "from merged bottom-K sketches + exact witnesses")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

@@ -754,3 +754,257 @@ LEFT JOIN (
     WHERE rk = {KMV_K}
 ) k ON e.modalidade_pagamento = k.modalidade_pagamento"""
 )
+
+
+# --- KMV set operations (union / intersection cardinality estimates) ---------
+
+
+def _kmv_hashed_payers(t: DataFrame) -> DataFrame:
+    """Distinct (modality, portable-LCG hash) pairs. The LCG multiply is
+    by an odd constant mod 2^31, a bijection of payer % 2^31 — distinct
+    payers map to distinct hashes, so sketch membership is collision-free
+    by construction (not just with high probability)."""
+    return t.select(
+        "modalidade_pagamento",
+        (
+            (F.col("id_usuario_pagador") % F.lit(_KMV_M))
+            * F.lit(1103515245)
+            + F.lit(12345)
+        ).__mod__(F.lit(_KMV_M)).alias("h"),
+    ).distinct()
+
+
+def _kmv_bottom_k(hashed: DataFrame) -> DataFrame:
+    """Per-modality bottom-K hash sketch via the same two-stage mergeable
+    truncation as `kmv_distinct_payers` (stage 1 ranks (modality, salt)
+    slices, stage 2 ranks the <= KMV_SALTS x K survivors) — no task ever
+    sorts a modality's full distinct-hash stream. Returns (modality, h)
+    with |rows per modality| <= KMV_K."""
+    pre_w = W.partitionBy("modalidade_pagamento", "kmv_salt").orderBy(
+        F.asc("h")
+    )
+    pre = (
+        hashed.withColumn("kmv_salt", F.col("h") % F.lit(KMV_SALTS))
+        .withColumn("rk_pre", F.row_number().over(pre_w))
+        .filter(F.col("rk_pre") <= KMV_K)
+    )
+    w = W.partitionBy("modalidade_pagamento").orderBy(F.asc("h"))
+    return (
+        pre.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .select("modalidade_pagamento", "h")
+    )
+
+
+def kmv_modality_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities between modality payer-sets from
+    MERGED KMV sketches: for every modality pair (a < b), estimate
+    |A union B| from the re-truncated union of the two bottom-K sketches
+    (the KMV merge property) and |A intersect B| via the sketch Jaccard
+    (fraction of the union sketch's members present in BOTH input
+    sketches — Beyer et al. 2007). Exact counts ride along as the error
+    witness. Like `kmv_distinct_payers`, every estimate is a
+    deterministic closed form over the portable LCG hash, so an
+    approximate DISTRIBUTIVE set-op sketch becomes oracle-checkable.
+
+    Scale shape: sketch construction is the two-stage bottom-K (no
+    full-cardinality rank window); everything pairwise happens on
+    K-sized sketches (n_modalities x KMV_K rows — broadcast-sized
+    regardless of corpus cardinality). The exact witness is one
+    payer-keyed self-join, the same one shuffle `pagadores_exato`
+    pays."""
+    t = datamodel.transactions(spark, sf_dir)
+    hashed = _kmv_hashed_payers(t)
+    sk = _kmv_bottom_k(hashed).cache()
+
+    modal = sk.select("modalidade_pagamento").distinct()
+    pairs = (
+        modal.select(F.col("modalidade_pagamento").alias("ma"))
+        .crossJoin(modal.select(F.col("modalidade_pagamento").alias("mb")))
+        .filter(F.col("ma") < F.col("mb"))
+    )
+
+    ska = sk.select(F.col("modalidade_pagamento").alias("ma"), "h")
+    skb = sk.select(F.col("modalidade_pagamento").alias("mb"), "h")
+    u = (
+        pairs.join(ska, "ma")
+        .select("ma", "mb", "h")
+        .union(pairs.join(skb, "mb").select("ma", "mb", "h"))
+        .distinct()
+    )
+    uw = W.partitionBy("ma", "mb").orderBy(F.asc("h"))
+    ub = u.withColumn("rk", F.row_number().over(uw)).filter(
+        F.col("rk") <= KMV_K
+    )
+    ustats = ub.groupBy("ma", "mb").agg(
+        F.count("*").alias("n_u"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("h_k"),
+    )
+    both = (
+        ub.join(ska, ["ma", "h"])
+        .join(skb, ["mb", "h"])
+        .groupBy("ma", "mb")
+        .agg(F.count("*").alias("n_both"))
+    )
+
+    pay = t.select(
+        "modalidade_pagamento", "id_usuario_pagador"
+    ).distinct()
+    cnt = pay.groupBy("modalidade_pagamento").agg(
+        F.count("*").alias("c")
+    )
+    inter_exact = (
+        pay.select(
+            F.col("modalidade_pagamento").alias("ma"), "id_usuario_pagador"
+        )
+        .join(
+            pay.select(
+                F.col("modalidade_pagamento").alias("mb"),
+                "id_usuario_pagador",
+            ),
+            "id_usuario_pagador",
+        )
+        .filter(F.col("ma") < F.col("mb"))
+        .groupBy("ma", "mb")
+        .agg(F.count("*").alias("intersecao_exata"))
+    )
+
+    u_raw = F.when(
+        F.col("n_u") >= KMV_K,
+        F.lit(float(KMV_K - 1)) * F.lit(float(_KMV_M))
+        / F.col("h_k").cast("double"),
+    ).otherwise(F.col("n_u").cast("double"))
+    j_raw = F.col("n_both").cast("double") / F.least(
+        F.lit(KMV_K), F.col("n_u")
+    ).cast("double")
+    return (
+        pairs.join(ustats, ["ma", "mb"])
+        .join(both, ["ma", "mb"], "left")
+        .join(inter_exact, ["ma", "mb"], "left")
+        .join(cnt.select(F.col("modalidade_pagamento").alias("ma"),
+                         F.col("c").alias("ca")), "ma")
+        .join(cnt.select(F.col("modalidade_pagamento").alias("mb"),
+                         F.col("c").alias("cb")), "mb")
+        .withColumn("n_both", F.coalesce("n_both", F.lit(0).cast("long")))
+        .withColumn(
+            "intersecao_exata",
+            F.coalesce("intersecao_exata", F.lit(0).cast("long")),
+        )
+        .select(
+            "ma",
+            "mb",
+            (F.col("ca") + F.col("cb") - F.col("intersecao_exata")).alias(
+                "uniao_exata"
+            ),
+            "intersecao_exata",
+            F.round(u_raw, 6).alias("uniao_kmv"),
+            F.round(j_raw, 6).alias("jaccard_kmv"),
+            F.round(j_raw * u_raw, 6).alias("intersecao_kmv"),
+        )
+    )
+
+
+KMV_OVERLAP_SQL = datamodel.with_ctes(
+    f"""
+SELECT p.ma, p.mb,
+       CAST(cca.c + ccb.c - COALESCE(n_inter, 0) AS BIGINT) AS uniao_exata,
+       CAST(COALESCE(n_inter, 0) AS BIGINT) AS intersecao_exata,
+       ROUND(CASE WHEN n_u >= {KMV_K}
+                  THEN {float(KMV_K - 1)!r} * {float(_KMV_M)!r}
+                       / CAST(h_k AS DOUBLE)
+                  ELSE CAST(n_u AS DOUBLE) END, 6) AS uniao_kmv,
+       ROUND(CAST(COALESCE(n_both, 0) AS DOUBLE)
+             / CAST(LEAST({KMV_K}, n_u) AS DOUBLE), 6) AS jaccard_kmv,
+       ROUND((CAST(COALESCE(n_both, 0) AS DOUBLE)
+              / CAST(LEAST({KMV_K}, n_u) AS DOUBLE))
+             * (CASE WHEN n_u >= {KMV_K}
+                     THEN {float(KMV_K - 1)!r} * {float(_KMV_M)!r}
+                          / CAST(h_k AS DOUBLE)
+                     ELSE CAST(n_u AS DOUBLE) END), 6) AS intersecao_kmv
+FROM (
+    SELECT a.modalidade_pagamento AS ma, b.modalidade_pagamento AS mb
+    FROM (SELECT DISTINCT modalidade_pagamento FROM transactions) a
+    JOIN (SELECT DISTINCT modalidade_pagamento FROM transactions) b
+      ON a.modalidade_pagamento < b.modalidade_pagamento
+) p
+JOIN (
+    -- union-sketch stats per pair: bottom-K of the merged sketches
+    SELECT ma, mb, COUNT(*) AS n_u,
+           MAX(CASE WHEN rk = {KMV_K} THEN h END) AS h_k,
+           CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both
+    FROM (
+        SELECT ma, mb, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY ma, mb ORDER BY h ASC) AS rk
+        FROM (
+            SELECT ma, mb, h,
+                   BOOL_OR(src = 'a') AS in_a, BOOL_OR(src = 'b') AS in_b
+            FROM (
+                SELECT p2.ma, p2.mb, s.h, 'a' AS src
+                FROM (
+                    SELECT a.modalidade_pagamento AS ma,
+                           b.modalidade_pagamento AS mb
+                    FROM (SELECT DISTINCT modalidade_pagamento
+                          FROM transactions) a
+                    JOIN (SELECT DISTINCT modalidade_pagamento
+                          FROM transactions) b
+                      ON a.modalidade_pagamento < b.modalidade_pagamento
+                ) p2
+                JOIN kmv_sketch s ON s.modalidade_pagamento = p2.ma
+                UNION ALL
+                SELECT p3.ma, p3.mb, s.h, 'b' AS src
+                FROM (
+                    SELECT a.modalidade_pagamento AS ma,
+                           b.modalidade_pagamento AS mb
+                    FROM (SELECT DISTINCT modalidade_pagamento
+                          FROM transactions) a
+                    JOIN (SELECT DISTINCT modalidade_pagamento
+                          FROM transactions) b
+                      ON a.modalidade_pagamento < b.modalidade_pagamento
+                ) p3
+                JOIN kmv_sketch s ON s.modalidade_pagamento = p3.mb
+            )
+            GROUP BY ma, mb, h
+        )
+    )
+    WHERE rk <= {KMV_K}
+    GROUP BY ma, mb
+) us ON us.ma = p.ma AND us.mb = p.mb
+LEFT JOIN (
+    SELECT x.modalidade_pagamento AS ma, y.modalidade_pagamento AS mb,
+           COUNT(*) AS n_inter
+    FROM (SELECT DISTINCT modalidade_pagamento, id_usuario_pagador
+          FROM transactions) x
+    JOIN (SELECT DISTINCT modalidade_pagamento, id_usuario_pagador
+          FROM transactions) y
+      ON x.id_usuario_pagador = y.id_usuario_pagador
+     AND x.modalidade_pagamento < y.modalidade_pagamento
+    GROUP BY 1, 2
+) i ON i.ma = p.ma AND i.mb = p.mb
+JOIN (
+    SELECT modalidade_pagamento, COUNT(DISTINCT id_usuario_pagador) AS c
+    FROM transactions GROUP BY 1
+) cca ON cca.modalidade_pagamento = p.ma
+JOIN (
+    SELECT modalidade_pagamento, COUNT(DISTINCT id_usuario_pagador) AS c
+    FROM transactions GROUP BY 1
+) ccb ON ccb.modalidade_pagamento = p.mb
+""",
+    extra_ctes=f"""
+kmv_sketch AS (
+    SELECT modalidade_pagamento, h
+    FROM (
+        SELECT modalidade_pagamento, h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY modalidade_pagamento ORDER BY h ASC
+               ) AS rk
+        FROM (
+            SELECT DISTINCT modalidade_pagamento,
+                   ((id_usuario_pagador % {_KMV_M}) * 1103515245 + 12345)
+                       % {_KMV_M} AS h
+            FROM transactions
+        )
+    )
+    WHERE rk <= {KMV_K}
+)""",
+)

@@ -848,3 +848,62 @@ def test_hierarchical_probe_count_recall_curve(spark):
     assert r4 >= 0.7, (r1, r2, r4)  # measured 0.82; headroom for drift
     g = math.ceil(math.sqrt(cent.count()))
     assert agreement(g) == 1.0  # all cells probed -> exact by construction
+
+
+def test_dup_span_planted_run(spark):
+    """Planted duplicated block: two docs share a 10-token run inside
+    otherwise-unique text; a third doc is fully unique. The shared block
+    must produce max_run == 8 (10 tokens -> 8 positional 3-gram
+    shingles) in both sharers and zero duplication in the unique doc."""
+    block = " ".join(f"dup{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + block + " delta epsilon zeta"),
+            (2, "one two three four " + block + " five six seven"),
+            (3, "lonely words that never repeat anywhere else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.dup_span_frame(docs).collect()}
+    assert rows[1].max_run == 8 and rows[2].max_run == 8
+    assert rows[1].n_dup == 8 and rows[2].n_dup == 8
+    assert rows[3].n_dup == 0 and rows[3].max_run == 0
+    assert rows[3].frac_dup == 0.0
+    # coverage fraction: 8 duplicated of (token_count - 2) positions
+    # (output is ROUND(., 6))
+    assert abs(rows[1].frac_dup - 8 / (16 - 2)) < 1e-6
+
+
+def test_dup_span_within_doc_repeat_not_flagged(spark):
+    """A shingle repeated WITHIN one doc but found in no other doc is
+    not cross-doc duplication (the dup set counts distinct docs)."""
+    docs = spark.createDataFrame(
+        [(1, "echo echo echo echo echo unique tail words here")],
+        "doc_id long, text string",
+    )
+    rows = dedup.dup_span_frame(docs).collect()
+    assert rows[0].n_dup == 0 and rows[0].max_run == 0
+
+
+def test_kmv_overlap_estimates_track_exact(spark):
+    """KMV union/intersection estimates must land within the sketch's
+    statistical bounds against the exact witnesses wherever the union
+    sketch is saturated (n >= K): union within 35% relative, and the
+    intersection within 35% of the union size as an absolute yardstick
+    (the Jaccard estimator's error scales with |union|/k, so tiny
+    intersections carry wide relative bands)."""
+    from banking_streaming_etl_spark.plans.relational import (
+        KMV_K,
+        kmv_modality_overlap,
+    )
+
+    rows = kmv_modality_overlap(spark, SF).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r.ma < r.mb
+        assert r.uniao_exata >= r.intersecao_exata
+        if r.uniao_exata >= KMV_K:
+            rel = abs(r.uniao_kmv - r.uniao_exata) / r.uniao_exata
+            assert rel <= 0.35, (r.ma, r.mb, rel)
+            abs_err = abs(r.intersecao_kmv - r.intersecao_exata)
+            assert abs_err <= 0.35 * r.uniao_exata, (r.ma, r.mb, abs_err)

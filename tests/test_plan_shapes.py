@@ -326,3 +326,12 @@ def test_equidepth_approx_has_no_global_sort(spark):
     assert "(Window" not in plan and ") Window" not in plan, plan
     # the boundary and params sides ride broadcasts, never a shuffle join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmv_overlap_sketch_is_salt_pretruncated(spark):
+    """kmv_modality_overlap: the per-modality sketches must come from the
+    same two-stage salted bottom-K as kmv_distinct_payers (stage-1 salt
+    partition visible), and every pairwise step must run on sketch-sized
+    frames — no window over the raw distinct-hash stream."""
+    plan = _physical_plan(_query(spark, "kmv_modality_overlap"))
+    assert "kmv_salt" in plan, plan

@@ -42,6 +42,48 @@ HEADLINE = [
 ]
 
 
+def _warm_streaming(spark, sf_dir: str) -> None:
+    """One tiny replay (2 chunks of the sf0.001 events) before the
+    measured one: the first streaming query in a session pays one-time
+    micro-batch machinery + codegen costs (measured 3+ extra seconds,
+    pure startup noise). BASELINE.md's reference number is steady-state
+    micro-batch throughput, so the comparable measurement is the warmed
+    one — same reasoning as the batch-side flagship warmup."""
+    import shutil
+    import tempfile
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.sources import stream as stream_src
+    from banking_streaming_etl_spark.streaming import pipeline as spipe
+
+    small_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(small_sf):
+        small_sf = sf_dir
+    work = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    try:
+        stream_src.write_replay_chunks(
+            spark, small_sf, f"{work}/chunks", n_chunks=2
+        )
+        tx = stream_src.read_transaction_stream(
+            spark, f"{work}/chunks", max_files_per_trigger=2
+        )
+        out = spipe.approval_stream(
+            tx,
+            datamodel.users(spark, small_sf),
+            datamodel.regions(spark, small_sf),
+        )
+        q = spipe.start_multi_sink(
+            out,
+            history_dir=f"{work}/hist",
+            scores_dir=f"{work}/scores",
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_streaming_replay(spark, sf_dir: str) -> tuple[float, float, list[int]]:
     """Replay the whole events table through the streaming approval pipeline
     (file-stream source -> watermark -> joins -> scores -> parquet sink via
@@ -135,6 +177,14 @@ def main() -> None:
     _warm(spark, queries, sf_dir)
     timings = _time_headline(spark, queries, names, sf_dir)
 
+    # streaming replay runs BEFORE the scale-curve pass: streaming_tx_per_s
+    # is the round-over-round comparable metric, so it must be measured
+    # under the same session state every round — not after a second sf's
+    # cached relations and codegen have piled up.
+    _warm_streaming(spark, sf_dir)
+    stream_sec, tx_per_s, batch_ms = bench_streaming_replay(spark, sf_dir)
+    timings["streaming_replay"] = round(stream_sec, 4)
+
     # scale-curve datapoint: the same headline set one decade down
     # (sf0.01), so the design-for-scale claim carries an empirical slope —
     # near-linear scaling expected; a super-linear query is a red flag.
@@ -148,9 +198,6 @@ def main() -> None:
         _warm(spark, queries, sf001_dir)
         timings_sf001 = _time_headline(spark, queries, names, sf001_dir)
         sf001_total = round(sum(timings_sf001.values()), 4)
-
-    stream_sec, tx_per_s, batch_ms = bench_streaming_replay(spark, sf_dir)
-    timings["streaming_replay"] = round(stream_sec, 4)
     batch_sorted = sorted(batch_ms)
 
     def _pct(q: float) -> int:

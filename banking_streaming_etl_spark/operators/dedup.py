@@ -728,3 +728,151 @@ SELECT doc_id,
        CAST(COALESCE(max_run, 0) AS BIGINT) AS max_run
 FROM totals LEFT JOIN per_dup USING (doc_id)
 """
+
+
+# --- incremental dedup (new batch vs existing corpus index) -------------------
+
+#: deterministic arrival split: docs with doc_id % 5 == 0 play the "new
+#: batch"; the rest are the standing corpus index. (In production the
+#: split is the ingestion boundary; a data-derived rule keeps the
+#: operator oracle-checkable.)
+INCREMENTAL_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a NEW batch of documents against the
+    standing corpus index — the production shape of dedup at 100 TB,
+    where re-deduplicating the whole corpus per ingest is off the
+    table. Per new document: exact-duplicate flag (its content digest
+    exists in the index) and the best shingle-Jaccard match among index
+    documents (with a deterministic argmax: highest rounded Jaccard,
+    lowest index doc_id).
+
+    Scale shape: the digest screen is an equi-join on the 32-byte
+    digest; the near-dup screen joins the new batch's shingle hashes
+    against the index side of the SESSION-SHARED shingle scan — the
+    same inverted-index join as near_dup_jaccard but new x index only
+    (never index x index). At full scale the index side is the stored
+    MinHash band table and candidate generation is the banded bucket
+    join of dedup_minhash_lsh — identical plan shape, persisted
+    signatures."""
+    from pyspark.sql import Window
+
+    is_new = F.col("doc_id") % INCREMENTAL_MOD == 0
+    docs = datamodel.load_table(spark, sf_dir, "documents")
+    digests = docs.select(
+        "doc_id", textfns.md5_fingerprint().alias("fingerprint")
+    )
+    new_dig = digests.filter(is_new)
+    idx_dig = digests.filter(~is_new).select(
+        F.col("fingerprint").alias("fingerprint"),
+    ).distinct()
+    exact_hit = (
+        new_dig.join(idx_dig, "fingerprint", "left_semi")
+        .select("doc_id")
+        .withColumn("dup_exata", F.lit(True))
+    )
+
+    sh = shared_shingle_hashes(spark, sf_dir)
+    sizes = shared_shingle_sizes(spark, sf_dir)
+    new_sh = sh.filter(is_new).select(
+        F.col("doc_id").alias("doc_novo"), "h"
+    )
+    idx_sh = sh.filter(~is_new).select(
+        F.col("doc_id").alias("doc_indice"), "h"
+    )
+    common = (
+        new_sh.join(idx_sh, "h")
+        .groupBy("doc_novo", "doc_indice")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.round(
+        F.col("c").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+        6,
+    )
+    scored = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_novo"),
+                         F.col("n").alias("na")),
+            "doc_novo",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_indice"),
+                         F.col("n").alias("nb")),
+            "doc_indice",
+        )
+        .withColumn("jaccard", jac)
+    )
+    w = Window.partitionBy("doc_novo").orderBy(
+        F.desc("jaccard"), F.asc("doc_indice")
+    )
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_novo",
+            F.col("jaccard").alias("melhor_jaccard"),
+            F.col("doc_indice").alias("doc_id_indice"),
+        )
+    )
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(exact_hit, "doc_id", "left")
+        .join(best, docs.doc_id == best.doc_novo, "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_exata", F.lit(False)).alias("dup_exata"),
+            "melhor_jaccard",
+            "doc_id_indice",
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {SHINGLES_CTE.strip().rstrip()},
+new_docs AS (
+    SELECT doc_id, md5(text) AS fingerprint FROM documents
+    WHERE doc_id % {INCREMENTAL_MOD} = 0
+),
+idx_digests AS (
+    SELECT DISTINCT md5(text) AS fingerprint FROM documents
+    WHERE doc_id % {INCREMENTAL_MOD} <> 0
+),
+common AS (
+    SELECT n.doc_id AS doc_novo, i.doc_id AS doc_indice, COUNT(*) AS c
+    FROM doc_shingles n
+    JOIN doc_shingles i ON n.s = i.s
+    WHERE n.doc_id % {INCREMENTAL_MOD} = 0
+      AND i.doc_id % {INCREMENTAL_MOD} <> 0
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT doc_novo, doc_indice,
+           ROUND(CAST(c AS DOUBLE)
+                 / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN shingle_sizes sa ON doc_novo = sa.doc_id
+    JOIN shingle_sizes sb ON doc_indice = sb.doc_id
+),
+best AS (
+    SELECT doc_novo, jaccard AS melhor_jaccard, doc_indice AS doc_id_indice
+    FROM (
+        SELECT doc_novo, jaccard, doc_indice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_novo
+                   ORDER BY jaccard DESC, doc_indice ASC
+               ) AS rk
+        FROM scored
+    )
+    WHERE rk = 1
+)
+SELECT nd.doc_id,
+       (ed.fingerprint IS NOT NULL) AS dup_exata,
+       melhor_jaccard,
+       doc_id_indice
+FROM new_docs nd
+LEFT JOIN idx_digests ed ON nd.fingerprint = ed.fingerprint
+LEFT JOIN best ON nd.doc_id = best.doc_novo
+"""

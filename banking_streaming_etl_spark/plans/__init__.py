@@ -405,6 +405,14 @@ def register_all() -> None:
     register("temperature_mix_weights", curation.temperature_mix_weights,
              curation.TEMPERATURE_MIX_SQL,
              "sqrt-temperature data-mixing weights per source")
+    register("interleave_sources", curation.interleave_sources,
+             curation.INTERLEAVE_SOURCES_SQL,
+             "deterministic source-interleaved curriculum keys (equal-epoch "
+             "stride, portable-hash shuffle within source)")
+    register("event_transition_matrix", behavior.event_transition_matrix,
+             behavior.EVENT_TRANSITION_SQL,
+             "first-order Markov modality transition counts + conditional "
+             "probabilities per payer sequence")
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")
@@ -421,6 +429,10 @@ def register_all() -> None:
     register("dup_span_stats", dedup.dup_span_stats, dedup.DUP_SPAN_SQL,
              "positional duplicated-span stats (longest cross-doc run + "
              "coverage fraction — the exact-substring-dedup signal)")
+    register("dedup_incremental", dedup.dedup_incremental,
+             dedup.DEDUP_INCREMENTAL_SQL,
+             "incremental new-batch-vs-index dedup: digest screen + best "
+             "Jaccard match with deterministic argmax")
     register("hash_embed_documents", text.hash_embed_documents,
              text.HASH_EMBED_SQL,
              "feature-hashed L2-normalized bag-of-words doc embedding "

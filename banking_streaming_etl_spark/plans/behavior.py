@@ -257,3 +257,83 @@ FROM transactions
 
 
 EWMA_SQL = _ewma_sql()
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each payer's ordered
+    modality sequence: for every (previous, current) modality pair, the
+    transition count and the row-conditional probability — the
+    behavioral model a next-event predictor or anomaly screen consumes
+    (a purchase following an error is rare; its probability IS the
+    screen's threshold).
+
+    Scale shape: one lag window PARTITIONED BY payer with the
+    (timestamp, id) total-order tiebreak (per-user work, same shuffle
+    class as sessionize_events), then a hash aggregate onto the tiny
+    (modality x modality) key space; the row-normalizer joins on the
+    5-key prev side — broadcast-sized forever."""
+    from pyspark.sql import Window as W
+
+    t = datamodel.transactions(spark, sf_dir)
+    w = W.partitionBy("id_usuario_pagador").orderBy(
+        "data_horario", "id_transacao"
+    )
+    seq = (
+        t.select(
+            "id_usuario_pagador",
+            "modalidade_pagamento",
+            "data_horario",
+            "id_transacao",
+        )
+        .withColumn("anterior", F.lag("modalidade_pagamento").over(w))
+        .filter(F.col("anterior").isNotNull())
+    )
+    counts = seq.groupBy(
+        "anterior", F.col("modalidade_pagamento").alias("atual")
+    ).agg(F.count("*").alias("n"))
+    totals = counts.groupBy("anterior").agg(F.sum("n").alias("n_total"))
+    return counts.join(F.broadcast(totals), "anterior").select(
+        "anterior",
+        "atual",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("probabilidade"),
+    )
+
+
+EVENT_TRANSITION_SQL = datamodel.with_ctes(
+    """
+SELECT anterior, atual, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+           AS probabilidade
+FROM (
+    SELECT anterior, atual, COUNT(*) AS n
+    FROM (
+        SELECT LAG(modalidade_pagamento) OVER (
+                   PARTITION BY id_usuario_pagador
+                   ORDER BY data_horario, id_transacao
+               ) AS anterior,
+               modalidade_pagamento AS atual
+        FROM transactions
+    )
+    WHERE anterior IS NOT NULL
+    GROUP BY 1, 2
+) c
+JOIN (
+    SELECT anterior, SUM(n) AS n_total
+    FROM (
+        SELECT anterior, COUNT(*) AS n
+        FROM (
+            SELECT LAG(modalidade_pagamento) OVER (
+                       PARTITION BY id_usuario_pagador
+                       ORDER BY data_horario, id_transacao
+                   ) AS anterior
+            FROM transactions
+        )
+        WHERE anterior IS NOT NULL
+        GROUP BY 1
+    )
+    GROUP BY 1
+) t USING (anterior)"""
+)

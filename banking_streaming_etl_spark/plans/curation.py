@@ -321,3 +321,79 @@ SELECT doc_id, chunk_id, split, n_tokens_chunk, chunk_md5,
        CAST({off} AS BIGINT) // {PACK_BUDGET} AS pack_id
 FROM j
 """
+
+
+def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved curriculum order: every source
+    emits its i-th document at key i * (N_total / n_source), so small
+    sources spread evenly through the big ones instead of clumping —
+    the execution step of the data-mixing decision
+    `temperature_mix_weights` computes (equal-epoch interleave; scale a
+    source's stride by its weight to oversample it). Within a source,
+    order is a deterministic shuffle: rank by the portable hash of
+    doc_id (doc_id tiebreak), so the "random" order is reproducible on
+    any partitioning and in the oracle.
+
+    The global curriculum is ORDER BY (chave_intercalacao, source,
+    doc_id) — consumed at scale as a repartitionByRange sorted WRITE
+    (one range shuffle, the same cost class as any sorted layout; see
+    operators/layout.py), never materialized as a global row-number.
+    Per-source positions come from a window partitioned by source —
+    the pack_sequences/manifest precedent. Every key arithmetic step
+    (count division, rank multiply) is a correctly-rounded IEEE op on
+    integers — no transcendentals — so the key doubles are bit-identical
+    across engines."""
+    d = datamodel.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    h = (
+        (F.col("doc_id") % F.lit(2147483648))
+        * F.lit(1103515245)
+        + F.lit(12345)
+    ) % F.lit(2147483648)
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.withColumn("posicao_na_fonte", F.row_number().over(w))
+    per_source = d.groupBy("source").agg(F.count("*").alias("n_fonte"))
+    total = d.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        ranked.join(F.broadcast(per_source), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            F.col("posicao_na_fonte").cast("long").alias("posicao_na_fonte"),
+            (
+                F.col("posicao_na_fonte").cast("double")
+                * (
+                    F.col("n_total").cast("double")
+                    / F.col("n_fonte").cast("double")
+                )
+            ).alias("chave_intercalacao"),
+        )
+    )
+
+
+INTERLEAVE_SOURCES_SQL = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
+                        % 2147483648 ASC, doc_id ASC
+           ) AS posicao_na_fonte
+    FROM documents
+),
+per_source AS (
+    SELECT source, COUNT(*) AS n_fonte FROM documents GROUP BY source
+),
+total AS (
+    SELECT COUNT(*) AS n_total FROM documents
+)
+SELECT doc_id, source, CAST(posicao_na_fonte AS BIGINT) AS posicao_na_fonte,
+       CAST(posicao_na_fonte AS DOUBLE)
+           * (CAST(n_total AS DOUBLE) / CAST(n_fonte AS DOUBLE))
+           AS chave_intercalacao
+FROM ranked
+JOIN per_source USING (source)
+CROSS JOIN total
+"""

@@ -145,9 +145,17 @@ def register_all() -> None:
              "TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation")
     register("payer_set_ops", relational.payer_set_ops,
              relational.PAYER_SET_OPS_SQL, "union/intersect/except")
-    register("distinct_payers_per_modality",
-             relational.distinct_payers_per_modality,
-             relational.DISTINCT_PAYERS_SQL, "count distinct per group")
+    # Round-4 rotation: the KMV set-op sketch takes the slot of
+    # distinct_payers_per_modality — its COUNT(DISTINCT)-per-group proof
+    # is subsumed by the overlap query's exact witness columns (and by
+    # kmv_distinct_payers' pagadores_exato, parity-gated every run), while
+    # the sketch adds a driver-green proof of the oracle-checkable
+    # approximate-op family. The displaced query re-registers right after
+    # the window.
+    register("kmv_modality_overlap", relational.kmv_modality_overlap,
+             relational.KMV_OVERLAP_SQL,
+             "KMV set-op sketch: union/intersection cardinality estimates "
+             "from merged bottom-K sketches + exact witnesses")
     register("rollup_modality_region", relational.rollup_modality_region,
              relational.ROLLUP_SQL, "rollup subtotals")
     register("unpivot_user_limits", relational.unpivot_user_limits,
@@ -236,6 +244,9 @@ def register_all() -> None:
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3 and round-4 rotations' displacees) — still in the local
     # parity gate every pytest run
+    register("distinct_payers_per_modality",
+             relational.distinct_payers_per_modality,
+             relational.DISTINCT_PAYERS_SQL, "count distinct per group")
     register("recent_metrics", dashboard.recent_metrics,
              dashboard.RECENT_METRICS_SQL, "live-view scalar metrics (A11)")
     register("valor_score_correlation", dashboard.valor_score_correlation,
@@ -447,10 +458,6 @@ def register_all() -> None:
              relational.KMV_DISTINCT_SQL,
              "engine-portable KMV distinct sketch (oracle-checkable "
              "approximate op) + exact witness")
-    register("kmv_modality_overlap", relational.kmv_modality_overlap,
-             relational.KMV_OVERLAP_SQL,
-             "KMV set-op sketch: union/intersection cardinality estimates "
-             "from merged bottom-K sketches + exact witnesses")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

@@ -230,3 +230,55 @@ def read_embedding_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(source_dir)
+
+
+def write_replay_chunks_ordered(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> int:
+    """Time-ordered replay: like `write_replay_chunks`, but chunk k holds
+    the k-th time-range of the stream and chunks are written
+    SEQUENTIALLY, so the file-stream source (which processes oldest
+    modification time first) replays events in global event-time order —
+    the log-replay contract an order-sensitive stateful operator (e.g.
+    `transition_counts_stream`) needs for an exact stream-vs-batch
+    differential. The global sort is a replay-harness cost, not an
+    operator cost (a real log is already time-ordered)."""
+    import time as _time
+
+    t = datamodel.transactions(spark, sf_dir)
+    envelope = t.select(
+        F.col("data_horario").alias("_ts"),
+        F.col("id_transacao").alias("_id"),
+        F.to_json(
+            F.struct(
+                "id_transacao",
+                "id_usuario_pagador",
+                "id_usuario_recebedor",
+                "id_regiao",
+                "modalidade_pagamento",
+                F.date_format(
+                    "data_horario", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                ).alias("data_horario"),
+                "valor_transacao",
+            )
+        ).alias("value"),
+    )
+    from pyspark.sql import Window as W
+
+    chunked = envelope.withColumn(
+        "_chunk",
+        F.ntile(n_chunks).over(W.orderBy(F.asc("_ts"), F.asc("_id"))),
+    ).cache()
+    n = chunked.count()
+    for k in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("_chunk") == k)
+            .orderBy(F.asc("_ts"), F.asc("_id"))
+            .select("value")
+            .coalesce(1)
+            .write.mode("append")
+            .text(out_dir)
+        )
+        _time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+    chunked.unpersist()
+    return n

@@ -223,3 +223,91 @@ def last_tx_per_user_tws(approved_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: output contract of `transition_counts_stream`.
+_TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("id_usuario_pagador", T.LongType()),
+        T.StructField("anterior", T.StringType()),
+        T.StructField("atual", T.StringType()),
+    ]
+)
+
+
+def transition_counts_stream(tx_stream: DataFrame) -> DataFrame:
+    """Streaming twin of `plans.behavior.event_transition_matrix`: emit
+    one row per observed (previous -> current) modality transition per
+    payer, with the previous event carried ACROSS micro-batches in
+    per-user state.
+
+    This is the one stateful shape in this engine's surface that a
+    JVM-native streaming aggregation genuinely cannot express — a lag
+    needs the neighbor row, not a commutative combine — so it is the
+    legitimate use of applyInPandasWithState (Arrow-batched group
+    iteration, scalar state per user: (ts_us, id, modality) of the
+    latest event; never the reference's per-row serde that melted its
+    T7 experiment, SURVEY.md §4.4).
+
+    Contract: arrival must respect per-user event-time order across
+    micro-batches (the time-ordered log-replay contract —
+    sources/stream.write_replay_chunks_ordered; a Kafka source keyed by
+    user gives the same per-key ordering). Rows within a batch are
+    sorted per group before pairing; an out-of-order row (older than
+    the state's last event) is dropped like late data past a watermark
+    rather than corrupting the chain. Downstream, counts are one
+    aggregation over the emitted pairs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("id_transacao", T.LongType()),
+            T.StructField("modalidade", T.StringType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        events = []
+        for pdf in pdfs:
+            for ts, txid, mod in zip(
+                pdf["data_horario"],
+                pdf["id_transacao"],
+                pdf["modalidade_pagamento"],
+            ):
+                events.append(
+                    (int(pd.Timestamp(ts).value // 1000), int(txid), str(mod))
+                )
+        events.sort()
+        prev = tuple(state.get) if state.exists else None
+        out = []
+        for ev in events:
+            if prev is not None and ev[:2] > tuple(prev[:2]):
+                out.append((key[0], prev[2], ev[2]))
+                prev = ev
+            elif prev is None:
+                prev = ev
+            # else: out-of-order arrival — drop, keep the newer state
+        state.update(prev)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["id_usuario_pagador", "anterior", "atual"]
+            )
+
+    return (
+        tx_stream.select(
+            "id_usuario_pagador",
+            "data_horario",
+            "id_transacao",
+            "modalidade_pagamento",
+        )
+        .groupBy("id_usuario_pagador")
+        .applyInPandasWithState(
+            fn,
+            _TRANSITION_SCHEMA,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

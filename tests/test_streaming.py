@@ -470,3 +470,33 @@ def test_streaming_centroid_assignment_matches_batch(spark, tmp_path):
     }
     assert len(got) == n
     assert got == batch
+
+
+def test_streaming_transition_counts_match_batch(spark, tmp_path):
+    """Stream-vs-batch differential for the order-sensitive stateful op:
+    per-payer transition pairs carried across micro-batches (previous
+    event in applyInPandasWithState scalar state) over a time-ordered
+    replay must aggregate to EXACTLY the batch transition matrix."""
+    from banking_streaming_etl_spark.plans.behavior import (
+        event_transition_matrix,
+    )
+    from banking_streaming_etl_spark.streaming import stateful as sstate
+
+    d = str(tmp_path / "ordered_chunks")
+    stream_src.write_replay_chunks_ordered(spark, SF, d, n_chunks=6)
+    tx = stream_src.read_transaction_stream(spark, d, max_files_per_trigger=1)
+    out = sstate.transition_counts_stream(tx)
+    _run_to_memory(out, "transition_out", mode="append")
+
+    got = {
+        (r.anterior, r.atual): r.n
+        for r in spark.sql(
+            "SELECT anterior, atual, COUNT(*) AS n FROM transition_out "
+            "GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r.anterior, r.atual): r.n
+        for r in event_transition_matrix(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0

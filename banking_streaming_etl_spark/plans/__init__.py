@@ -44,6 +44,7 @@ def register_all() -> None:
         sampling,
         scd,
         similarity,
+        sketches,
     )
     from banking_streaming_etl_spark.plans import (
         approval,
@@ -458,6 +459,27 @@ def register_all() -> None:
              relational.KMV_DISTINCT_SQL,
              "engine-portable KMV distinct sketch (oracle-checkable "
              "approximate op) + exact witness")
+    register("cms_heavy_hitters", sketches.cms_heavy_hitters,
+             sketches.CMS_HEAVY_HITTERS_SQL,
+             "engine-portable Count-Min frequency sketch: top-N payer "
+             "estimates + exact witness (bounded-memory counter table)")
+    register("bloom_filter_screen", sketches.bloom_filter_screen,
+             sketches.BLOOM_SCREEN_SQL,
+             "engine-portable Bloom membership screen: runtime-filter "
+             "shape with exact semi-join witness + FP-rate report")
+    register("cumulative_distinct_payers",
+             relational.cumulative_distinct_payers,
+             relational.CUMULATIVE_DISTINCT_SQL,
+             "running distinct payers per modality (first-touch windowed "
+             "COUNT DISTINCT decomposition)")
+    register("bpe_pair_counts", text.bpe_pair_counts,
+             text.BPE_PAIR_COUNTS_SQL,
+             "BPE tokenizer-training iteration: weighted adjacent symbol "
+             "pair counts over the vocabulary")
+    register("source_ngram_overlap", curation.source_ngram_overlap,
+             curation.SOURCE_NGRAM_OVERLAP_SQL,
+             "pairwise cross-source shingle overlap matrix (Jaccard + "
+             "containment, shares the session shingle scan)")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

@@ -397,3 +397,107 @@ FROM ranked
 JOIN per_source USING (source)
 CROSS JOIN total
 """
+
+
+# --- cross-source shingle overlap matrix -------------------------------------
+
+
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap report between sources: for every source
+    pair, the number of shared distinct word-shingles, Jaccard similarity
+    and containment (shared / smaller side) — the curation diagnostic for
+    "are two crawl snapshots/dumps near-copies of each other" that decides
+    whether a source earns its mixing weight (source_mix_report's
+    dup-rate column is within-source; this is the ACROSS-source signal).
+
+    Scale shape: rides the session-memoized shingle-hash scan
+    (operators/dedup.shared_shingle_hashes); the distinct (source, hash)
+    projection shuffles fixed-width keys once, and the pair join keys on
+    the hash with #sources^2 output groups — never a doc-level or
+    all-pairs stage. The oracle joins raw shingle strings, so a hash
+    collision would surface as a parity break, not silent error."""
+    from banking_streaming_etl_spark.operators import dedup
+
+    d = datamodel.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    sh = (
+        dedup.shared_shingle_hashes(spark, sf_dir)
+        .join(d, "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shingles_comuns"))
+    )
+    na = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    nb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        common.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shingles_comuns",
+            F.round(
+                F.col("shingles_comuns").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shingles_comuns")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("shingles_comuns").cast("double")
+                / F.least("na", "nb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+from banking_streaming_etl_spark.operators import dedup as _dedup_mod
+
+SOURCE_NGRAM_OVERLAP_SQL = f"""
+WITH src_shingles AS (
+    SELECT DISTINCT d.source, s.s
+    FROM (
+        SELECT doc_id,
+               unnest({textfns.word_shingles_sql("string_split(text, ' ')", _dedup_mod.SHINGLE_N)}) AS s
+        FROM documents
+    ) s
+    JOIN documents d ON s.doc_id = d.doc_id
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM src_shingles GROUP BY 1),
+common AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shingles_comuns
+    FROM src_shingles a
+    JOIN src_shingles b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b, CAST(c.shingles_comuns AS BIGINT)
+           AS shingles_comuns,
+       ROUND(CAST(c.shingles_comuns AS DOUBLE)
+             / CAST(na.n + nb.n - c.shingles_comuns AS DOUBLE), 6) AS jaccard,
+       ROUND(CAST(c.shingles_comuns AS DOUBLE)
+             / CAST(LEAST(na.n, nb.n) AS DOUBLE), 6) AS containment
+FROM common c
+JOIN sizes na ON c.source_a = na.source
+JOIN sizes nb ON c.source_b = nb.source
+"""

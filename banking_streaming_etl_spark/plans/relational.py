@@ -1008,3 +1008,61 @@ kmv_sketch AS (
     WHERE rk <= {KMV_K}
 )""",
 )
+
+
+# --- cumulative distinct payers (windowed COUNT DISTINCT emulation) ----------
+
+
+def cumulative_distinct_payers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-payer count per modality by hour — the windowed
+    COUNT(DISTINCT) that SQL window frames cannot express directly
+    (reference dashboards recompute it per refresh over the full history,
+    dashboard freq queries; SURVEY.md §2.6 W-family).
+
+    Standard first-touch decomposition: a payer contributes to the hour
+    of its FIRST transaction per modality (one groupBy), hours aggregate
+    new-payer counts (second small groupBy), and a prefix-sum window over
+    the per-modality hour series (a few hundred rows per group) yields
+    the running total. Scale shape: the only wide shuffle keys on
+    (modality, payer) with map-side partial MIN — no windowed distinct
+    state, no rescan per frame; the window runs over modality x hours
+    rows, tiny at any corpus size."""
+    t = datamodel.transactions(spark, sf_dir)
+    first_seen = t.groupBy("modalidade_pagamento", "id_usuario_pagador").agg(
+        F.min(F.date_trunc("hour", F.col("data_horario"))).alias("hora")
+    )
+    novos = first_seen.groupBy("modalidade_pagamento", "hora").agg(
+        F.count("*").alias("novos_pagadores")
+    )
+    w = (
+        W.partitionBy("modalidade_pagamento")
+        .orderBy("hora")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return novos.select(
+        "modalidade_pagamento",
+        "hora",
+        "novos_pagadores",
+        F.sum("novos_pagadores").over(w).alias("pagadores_acum"),
+    )
+
+
+CUMULATIVE_DISTINCT_SQL = datamodel.with_ctes(
+    """
+SELECT modalidade_pagamento, hora, CAST(novos_pagadores AS BIGINT)
+           AS novos_pagadores,
+       CAST(SUM(novos_pagadores) OVER (
+           PARTITION BY modalidade_pagamento ORDER BY hora
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS pagadores_acum
+FROM (
+    SELECT modalidade_pagamento, hora, COUNT(*) AS novos_pagadores
+    FROM (
+        SELECT modalidade_pagamento, id_usuario_pagador,
+               MIN(date_trunc('hour', CAST(data_horario AS TIMESTAMP)))
+                   AS hora
+        FROM transactions GROUP BY 1, 2
+    )
+    GROUP BY 1, 2
+)"""
+)

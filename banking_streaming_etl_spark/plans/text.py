@@ -1195,3 +1195,72 @@ SELECT counts.doc_id, pos,
        ROUND(CAST(c AS DOUBLE) / norm, 6) AS valor
 FROM counts JOIN norms ON counts.doc_id = norms.doc_id
 """
+
+
+# --- BPE vocabulary induction: first merge iteration -------------------------
+
+#: how many top adjacent-pairs the induction step reports (a real BPE
+#: trainer would merge rank 1 and iterate; the per-iteration counting
+#: below is the expensive distributed part, the merge loop is driver-side
+#: bookkeeping over the vocabulary).
+BPE_PAIR_TOP = 40
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE tokenizer training (Sennrich et al. 2016):
+    corpus word frequencies, words split to character symbols, adjacent
+    symbol pairs counted weighted by word frequency — the top pair is the
+    next merge rule. The missing piece of the tokenizer family
+    (token_counts_bpe APPLIES a BPE-ish tokenizer; this trains one).
+
+    Scale shape: pair counting runs over the WORD-FREQUENCY table (the
+    vocabulary — sublinear in corpus size), not the corpus: one corpus
+    shuffle for word counts, then a vocabulary-sized explode + groupBy,
+    then TakeOrdered top-N. The same shape holds for later iterations
+    (re-segment the vocabulary against merged symbols, recount)."""
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    pairs = wf.select(
+        "f",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substring(w, i, 1) AS a, "
+                "substring(w, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("f").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+        .limit(BPE_PAIR_TOP)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH words AS (
+    SELECT w, COUNT(*) AS f
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    WHERE length(w) >= 2
+    GROUP BY 1
+),
+pairs AS (
+    SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                 i -> substring(w, i, 1))) AS a,
+           unnest(list_transform(generate_series(1, length(w) - 1),
+                                 i -> substring(w, i + 1, 1))) AS b,
+           f
+    FROM words
+)
+SELECT a, b, CAST(SUM(f) AS BIGINT) AS freq
+FROM pairs
+GROUP BY 1, 2
+ORDER BY freq DESC, a ASC, b ASC
+LIMIT {BPE_PAIR_TOP}
+"""

@@ -989,3 +989,98 @@ def test_dedup_incremental_exact_flags(spark):
         for r in res.values()
         if r.melhor_jaccard is not None and r.melhor_jaccard >= 0.8
     ) >= 3
+
+
+# --- portable sketches (CMS / Bloom) ----------------------------------------
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """Count-Min guarantee: the sketch estimate upper-bounds the true
+    count for EVERY probed key (collisions only ever add)."""
+    from banking_streaming_etl_spark.operators import sketches
+
+    rows = sketches.cms_heavy_hitters(spark, SF).collect()
+    assert len(rows) == sketches.CMS_TOP
+    assert all(r.tx_cms >= r.tx_exato for r in rows), rows
+    # the exact top list is ordered-deterministic: re-run agrees
+    again = sketches.cms_heavy_hitters(spark, SF).collect()
+    assert {(r.id_usuario_pagador, r.tx_cms) for r in rows} == {
+        (r.id_usuario_pagador, r.tx_cms) for r in again
+    }
+
+
+def test_bloom_screen_has_no_false_negatives(spark):
+    """Bloom guarantee: every true member passes, so passes decompose
+    exactly into members + false positives; the bit table stays within
+    the configured filter size."""
+    from banking_streaming_etl_spark.operators import sketches
+
+    r = sketches.bloom_filter_screen(spark, SF).collect()[0]
+    assert r.n_bloom_pass >= r.n_membros
+    assert r.n_bloom_pass == r.n_membros + r.n_falso_pos
+    assert 0 < r.n_membros < r.n_pagadores
+    assert r.bits_set <= min(
+        sketches.BLOOM_BITS, r.n_membros * sketches.BLOOM_J
+    )
+
+
+def test_bpe_pair_counts_matches_python_recount(spark):
+    """Differential vs a pure-Python recount of the first BPE iteration."""
+    from collections import Counter
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans import text as textplans
+
+    docs = datamodel.load_table(spark, SF, "documents").select("text").collect()
+    wf = Counter()
+    for row in docs:
+        for w in row.text.lower().split(" "):
+            if len(w) >= 2:
+                wf[w] += 1
+    pairs = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += f
+    expected = sorted(
+        pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[: textplans.BPE_PAIR_TOP]
+    got = [
+        ((r.a, r.b), r.freq)
+        for r in textplans.bpe_pair_counts(spark, SF).collect()
+    ]
+    assert got == expected
+
+
+def test_cumulative_distinct_payers_converges_to_exact(spark):
+    """The final running total per modality equals the exact distinct
+    payer count (the whole point of the first-touch decomposition)."""
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans import relational
+
+    out = relational.cumulative_distinct_payers(spark, SF)
+    finals = {
+        r.modalidade_pagamento: r.pagadores_acum
+        for r in out.orderBy("modalidade_pagamento", "hora").collect()
+        # last row per modality wins the dict slot
+    }
+    exact = {
+        r.modalidade_pagamento: r.n
+        for r in datamodel.transactions(spark, SF)
+        .groupBy("modalidade_pagamento")
+        .agg(F.countDistinct("id_usuario_pagador").alias("n"))
+        .collect()
+    }
+    assert finals == exact
+
+
+def test_source_overlap_bounds(spark):
+    """Jaccard <= containment <= 1 and all source pairs are ordered."""
+    from banking_streaming_etl_spark.plans import curation
+
+    rows = curation.source_ngram_overlap(spark, SF).collect()
+    assert rows, "no overlapping source pairs found"
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0.0 < r.jaccard <= r.containment <= 1.0

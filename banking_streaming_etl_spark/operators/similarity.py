@@ -871,3 +871,137 @@ def centroid_assign_hierarchical(
     emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
     cent, _ = ivf_assignments(emb)
     return assign_to_centroids_hierarchical(emb, cent)
+
+
+# --- IVF + PQ composition (the billion-vector serving architecture) ----------
+
+
+def ivf_pq_index(
+    emb: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the composed IVFPQ index (Jegou et al. 2011, the FAISS
+    IVFPQ layout): coarse-quantize every vector to an IVF list, then
+    PQ-encode its RESIDUAL (x - centroid) against per-subspace residual
+    codebooks. Returns (centroids, residual codebooks, codes) where codes
+    carry (vec_id, centroid_id, sub, code) — the entire per-vector index
+    state is the list id + PQ_M bytes + one norm float, the layout that
+    keeps a billion-vector index in executor memory.
+
+    Residuals (not raw vectors) are what PQ encodes: within one IVF cell
+    vectors share the centroid's direction, so residual magnitudes are
+    smaller and the fixed PQ_K code budget spends its resolution on the
+    intra-cell variation — the reason the composition beats flat PQ at
+    equal code size."""
+    cent, assign = ivf_assignments(emb)
+    res = (
+        assign.join(
+            F.broadcast(cent.select("centroid_id", "centroid")),
+            "centroid_id",
+        )
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                F.col("embedding"),
+                F.col("centroid"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    books = pq_codebooks(res.select("vec_id", "embedding"))
+    codes = pq_encode(res.select("vec_id", "embedding"), books).join(
+        res.select("vec_id", "centroid_id"), "vec_id"
+    )
+    return cent, books, codes
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN: coarse probe -> residual-ADC scan of only the probed
+    lists -> exact re-rank. The inner-product decomposition
+    q . x = q . c + q . r  ~  q . c + sum_sub(q_sub . code_sub) makes the
+    ADC term a per-(centroid, sub, code) lookup: q . c is one broadcast
+    join against the centroid table, and the residual term joins the
+    query's PQ_M x PQ_K partial-dot table against the codes of the
+    probed lists ONLY — an equi-join on (centroid_id, sub, code), cell
+    co-partitioned, scanning ~probes/K of the index (vs flat PQ's full
+    code table).
+
+    Rows-only like the other approximate ANN paths (per-engine float
+    argmin in encoding has no portable SQL twin); recall vs brute force
+    and re-rank exactness are pinned in tests."""
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    cent, books, codes = ivf_pq_index(emb)
+
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    qprobe = assign_to_centroids(q, cent, probes=IVF_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        "centroid_id",
+    )
+    # q . c term per probed list (broadcast, exact)
+    qc = qprobe.join(
+        F.broadcast(cent.select("centroid_id", "centroid")), "centroid_id"
+    ).select(
+        "query_id",
+        "qn",
+        "centroid_id",
+        _dot(F.col("qe"), F.col("centroid")).alias("qc_dot"),
+    )
+    # residual term: raw query subvectors x residual codebooks
+    qparts = (
+        _subspaces(
+            qprobe.select(
+                "query_id", "centroid_id", F.col("qe").alias("embedding")
+            )
+        )
+        .join(F.broadcast(books), "sub")
+        .select(
+            "query_id",
+            "centroid_id",
+            "sub",
+            "code",
+            _dot(F.col("svec"), F.col("cvec")).alias("pdot"),
+        )
+    )
+    adc = (
+        qparts.join(codes, ["centroid_id", "sub", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "centroid_id", "vec_id")
+        .agg(F.sum("pdot").alias("res_dot"))
+        .join(qc, ["query_id", "centroid_id"])
+        .join(emb.select("vec_id", F.col("norm").alias("cn_pool")), "vec_id")
+        .withColumn(
+            "adc_cos",
+            (F.col("qc_dot") + F.col("res_dot"))
+            / (F.col("qn") * F.col("cn_pool")),
+        )
+    )
+    wpool = W.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.asc("vec_id")
+    )
+    pool = (
+        adc.withColumn("rk", F.row_number().over(wpool))
+        .filter(F.col("rk") <= PQ_RERANK_POOL)
+        .select("query_id", "qn", F.col("vec_id").alias("neighbor_id"))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sim = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    wtop = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pool.join(c, "neighbor_id")
+        .join(qe, "query_id")
+        .withColumn("cosine", F.round(sim, 6))
+        .withColumn("posicao", F.row_number().over(wtop))
+        .filter(F.col("posicao") <= TOP_K)
+        .select("query_id", "posicao", "neighbor_id", "cosine")
+    )

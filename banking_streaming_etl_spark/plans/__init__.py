@@ -527,6 +527,10 @@ def register_all() -> None:
     register("ann_pq_topk", similarity.ann_pq_topk, None,
              "product-quantization ADC top-K + exact re-rank (recall vs "
              "brute force in tests)")
+    register("ann_ivf_pq_topk", similarity.ann_ivf_pq_topk, None,
+             "composed IVFPQ: coarse probe + residual-ADC scan of probed "
+             "lists + exact re-rank (the FAISS IVFPQ layout; recall and "
+             "re-rank exactness in tests)")
     register("centroid_assign_hierarchical",
              similarity.centroid_assign_hierarchical, None,
              "two-level sqrt(K) coarse-quantized centroid assignment "

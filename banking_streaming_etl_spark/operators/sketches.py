@@ -84,6 +84,31 @@ def _lcg_bucket_sql(expr: str, a: int, b: int, width: int) -> str:
 # --- Count-Min sketch heavy hitters ------------------------------------------
 
 
+def cms_coords(col) -> "F.Column":
+    """The D (d, bucket) sketch coordinates of a key — the ONE definition
+    the batch build, the probe side, and the streaming twin all share."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _lcg_bucket(col, *_HASH_CONSTANTS[d], CMS_W).alias("bucket"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+
+
+def cms_cells(tx: DataFrame) -> DataFrame:
+    """D x W cell counts of payer occurrences — works unchanged on a
+    bounded frame or an unbounded stream (complete-mode aggregation:
+    state is the fixed-size cell table, bounded at any stream length)."""
+    return (
+        tx.select(F.explode(cms_coords(F.col("id_usuario_pagador"))).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cell"))
+    )
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimate per-payer transaction counts for the exact top-N payers
     from a D x W Count-Min sketch, with the exact count as witness
@@ -96,22 +121,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact top-N (TakeOrdered — no global sort) joins the broadcast
     cell table on its D (d, bucket) coordinates and takes the min."""
     tx = datamodel.transactions(spark, sf_dir)
-    coords = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                _lcg_bucket(
-                    F.col("id_usuario_pagador"), *_HASH_CONSTANTS[d], CMS_W
-                ).alias("bucket"),
-            )
-            for d in range(CMS_D)
-        ]
-    )
-    cells = (
-        tx.select(F.explode(coords).alias("c"))
-        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count("*").alias("cell"))
-    )
+    coords = cms_coords(F.col("id_usuario_pagador"))
+    cells = cms_cells(tx)
     top = (
         tx.groupBy("id_usuario_pagador")
         .agg(F.count("*").alias("tx_exato"))

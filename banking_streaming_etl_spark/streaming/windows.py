@@ -244,3 +244,17 @@ def trending_tokens_windowed(
         .agg(F.count("*").alias("n"))
         .select(F.col("janela.start").alias("inicio"), "termo", "n")
     )
+
+
+def streaming_cms_cells(tx_stream: DataFrame) -> DataFrame:
+    """Streaming twin of the Count-Min build (operators/sketches.cms_cells
+    — literally the same builder: the coords expression and groupBy work
+    unchanged on an unbounded stream). Run in COMPLETE output mode: the
+    aggregation state IS the sketch — a fixed D x W cell table no matter
+    how long the stream runs, the rare aggregation whose complete-mode
+    output is bounded by construction. Downstream, the live cell table
+    answers frequency point-queries without any per-payer state (the
+    Redis-hash replacement at stream scale)."""
+    from banking_streaming_etl_spark.operators import sketches
+
+    return sketches.cms_cells(tx_stream)

@@ -500,3 +500,26 @@ def test_streaming_transition_counts_match_batch(spark, tmp_path):
         for r in event_transition_matrix(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_cms_cells_match_batch_sketch(spark, replay_dir):
+    """The complete-mode streaming CMS cell table must equal the batch
+    sketch over the same replayed transactions — the mergeability that
+    makes the sketch a streaming-safe aggregate."""
+    from banking_streaming_etl_spark.operators import sketches
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    cells = swin.streaming_cms_cells(tx)
+    _run_to_memory(cells, "cms_cells_out", mode="complete")
+    got = {
+        (r.d, r.bucket, r.cell)
+        for r in spark.sql("SELECT * FROM cms_cells_out").collect()
+    }
+    want = {
+        (r.d, r.bucket, r.cell)
+        for r in sketches.cms_cells(
+            datamodel.transactions(spark, SF)
+        ).collect()
+    }
+    assert got == want
+    assert len(want) <= sketches.CMS_D * sketches.CMS_W

@@ -52,6 +52,7 @@ def register_all() -> None:
         behavior,
         curation,
         dashboard,
+        governance,
         relational,
         text,
         tpch,
@@ -480,6 +481,18 @@ def register_all() -> None:
              curation.SOURCE_NGRAM_OVERLAP_SQL,
              "pairwise cross-source shingle overlap matrix (Jaccard + "
              "containment, shares the session shingle scan)")
+    register("hybrid_retrieval_rrf", text.hybrid_retrieval_rrf,
+             text.HYBRID_RRF_SQL,
+             "hybrid retrieval: BM25 lexical + feature-hash dense top-Ks "
+             "fused by reciprocal rank fusion (the RAG retrieval stack)")
+    register("k_anonymity_report", governance.k_anonymity_report,
+             governance.K_ANONYMITY_SQL,
+             "k-anonymity re-identification audit over the QI tuple "
+             "(region, modality, value bucket)")
+    register("dp_region_counts", governance.dp_region_counts,
+             governance.DP_REGION_COUNTS_SQL,
+             "differentially-private count release with deterministic "
+             "portable-hash Laplace noise + exact witness")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

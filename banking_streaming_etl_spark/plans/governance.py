@@ -1,0 +1,159 @@
+"""Data-governance / privacy queries: k-anonymity risk report and a
+deterministic differentially-private count release.
+
+A training-data pipeline that ingests transaction-like logs needs a
+re-identification audit before the data leaves the trust boundary (the
+reference ships raw ids straight to its dashboards; these are the
+controls that would gate that at scale). Both queries are deterministic
+end-to-end — the DP noise derives from the portable LCG hash (seeded,
+reproducible, engine-identical), so even the "random" release is
+oracle-checkable. A production release would swap the hash-uniform for a
+cryptographic DRBG; the mechanism (inverse-CDF Laplace, per-key seed) is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+
+#: k-anonymity thresholds reported (class sizes below k are re-id risk).
+K_THRESHOLDS = (2, 5, 10)
+
+#: value-bucket width for the quasi-identifier ladder (floor(valor/50) —
+#: IEEE divide+floor, deterministic in both engines, never a
+#: transcendental in a group key).
+QI_VALUE_BUCKET = 50.0
+
+#: Laplace scale b = sensitivity/epsilon for the DP count release
+#: (count queries have sensitivity 1).
+DP_EPSILON = 1.0
+_LCG_M = 2147483648
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (region, modality, value bucket): for each threshold k, how many
+    equivalence classes and rows sit in classes smaller than k, and the
+    row-level risk fraction.
+
+    Scale shape: ONE groupBy on the QI tuple builds the class-size
+    table (map-side partial counts); the per-threshold report is a
+    cross join of that classes-sized frame against the 3-row threshold
+    list plus a tiny re-aggregate — the fact table is scanned once."""
+    t = datamodel.transactions(spark, sf_dir)
+    classes = t.groupBy(
+        "id_regiao",
+        "modalidade_pagamento",
+        F.floor(F.col("valor_transacao") / F.lit(QI_VALUE_BUCKET))
+        .cast("bigint")
+        .alias("faixa_valor"),
+    ).agg(F.count("*").alias("tam"))
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k) for k in K_THRESHOLDS])
+        ).alias("k")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum(F.when(F.col("tam") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_em_risco"),
+            F.sum(
+                F.when(F.col("tam") < F.col("k"), F.col("tam")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("linhas_em_risco"),
+            F.sum("tam").cast("bigint").alias("linhas_total"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "classes_em_risco",
+            "linhas_em_risco",
+            F.round(
+                F.col("linhas_em_risco").cast("double")
+                / F.col("linhas_total").cast("double"),
+                6,
+            ).alias("fracao_em_risco"),
+        )
+    )
+
+
+K_ANONYMITY_SQL = datamodel.with_ctes(
+    f"""
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN tam < k THEN 1 ELSE 0 END) AS BIGINT)
+           AS classes_em_risco,
+       CAST(SUM(CASE WHEN tam < k THEN tam ELSE 0 END) AS BIGINT)
+           AS linhas_em_risco,
+       ROUND(CAST(SUM(CASE WHEN tam < k THEN tam ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(tam) AS DOUBLE), 6) AS fracao_em_risco
+FROM qi_classes
+CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in K_THRESHOLDS)}]) AS k)
+GROUP BY k""",
+    extra_ctes=f"""
+qi_classes AS (
+    SELECT id_regiao, modalidade_pagamento,
+           CAST(FLOOR(valor_transacao / {QI_VALUE_BUCKET!r}) AS BIGINT)
+               AS faixa_valor,
+           COUNT(*) AS tam
+    FROM transactions
+    GROUP BY 1, 2, 3
+)""",
+)
+
+
+def dp_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private transaction counts per region: exact count
+    plus inverse-CDF Laplace noise, scale 1/epsilon. The uniform draw is
+    the per-region portable LCG hash mapped into (0, 1) — u = (h+0.5)/M
+    is strictly inside the interval, so ln(1-2|u-1/2|) never hits
+    ln(0). Noise lands in a ROUND(.,6) VALUE column (transcendentals
+    never touch group keys, per the oracle invariants); the exact count
+    rides along as the utility witness.
+
+    Scale shape: one region-keyed count aggregate; the noise is a
+    25-row narrow map after it."""
+    t = datamodel.transactions(spark, sf_dir)
+    counts = t.groupBy("id_regiao").agg(F.count("*").alias("tx_exato"))
+    h = (
+        (F.col("id_regiao") % F.lit(_LCG_M)) * F.lit(1103515245)
+        + F.lit(12345)
+    ) % F.lit(_LCG_M)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_LCG_M))
+    v = u - F.lit(0.5)
+    b = 1.0 / DP_EPSILON
+    noise = (
+        F.lit(-b)
+        * F.when(v >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+    return counts.select(
+        "id_regiao",
+        "tx_exato",
+        F.round(F.col("tx_exato").cast("double") + noise, 6).alias("tx_dp"),
+    )
+
+
+DP_REGION_COUNTS_SQL = datamodel.with_ctes(
+    f"""
+SELECT id_regiao, CAST(tx_exato AS BIGINT) AS tx_exato,
+       ROUND(CAST(tx_exato AS DOUBLE)
+             + (-{1.0 / DP_EPSILON!r})
+               * (CASE WHEN (CAST(h AS DOUBLE) + 0.5) / {float(_LCG_M)!r}
+                            - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+               * LN(1.0 - 2.0 * ABS((CAST(h AS DOUBLE) + 0.5)
+                                    / {float(_LCG_M)!r} - 0.5)), 6) AS tx_dp
+FROM (
+    SELECT id_regiao, COUNT(*) AS tx_exato,
+           ((id_regiao % {_LCG_M}) * 1103515245 + 12345) % {_LCG_M} AS h
+    FROM transactions
+    GROUP BY 1
+)"""
+)

@@ -1264,3 +1264,128 @@ GROUP BY 1, 2
 ORDER BY freq DESC, a ASC, b ASC
 LIMIT {BPE_PAIR_TOP}
 """
+
+
+# --- hybrid retrieval: lexical BM25 + dense feature-hash, RRF-fused ----------
+
+#: reciprocal-rank-fusion constant (Cormack et al. 2009's k=60).
+RRF_K = 60
+#: how many candidates each retriever contributes to the fusion.
+DENSE_TOP_K = BM25_TOP_K
+HYBRID_TOP_K = 10
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal rank fusion (Cormack et al. 2009):
+    the BM25 lexical top-K and a dense top-K (cosine between the
+    feature-hashed doc vectors and the feature-hashed QUERY vector, same
+    recipe as hash_embed_documents) fuse by
+    rrf(d) = sum over lists of 1 / (RRF_K + rank_d) — the standard RAG
+    retrieval stack (sparse + dense + fusion) with no learned model in
+    the loop, so every rank and score is deterministic and
+    oracle-checkable.
+
+    Scale shape: both candidate lists are TakeOrdered top-Ks (no global
+    sort); the rank windows then run over <= K rows each; the dense
+    score is an equi-join of the (doc_id, pos) vector table against a
+    broadcast 32-row query vector with a decimal-exact dot aggregate.
+    RRF terms are exact rationals (1/(60+r)) — bit-identical across
+    engines, so the fused ORDER BY cannot tie-flip."""
+    from pyspark.sql import Window as W
+
+    lex = bm25_topk(spark, sf_dir)
+    wlex = W.orderBy(F.desc("score_bm25"), F.asc("doc_id"))
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(wlex).cast("bigint").alias("r_lex")
+    )
+
+    vecs = hash_embed_documents(spark, sf_dir)
+    q = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in BM25_QUERY])).alias("termo")
+    )
+    qpos = q.select(F.expr(_EMBED_HASH).alias("pos")).groupBy("pos").agg(
+        F.count("*").alias("qc")
+    )
+    qnorm = qpos.agg(
+        F.sqrt(F.sum(F.col("qc") * F.col("qc")).cast("double")).alias("qn")
+    )
+    qvec = qpos.crossJoin(qnorm).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("qc").cast("double") / F.col("qn"), 6).alias("qval"),
+    )
+    dense = (
+        vecs.join(F.broadcast(qvec), "pos")
+        .groupBy("doc_id")
+        .agg(exact.exact_sum(F.col("valor") * F.col("qval"), "cos_dense"))
+    )
+    wdense = W.orderBy(F.desc("cos_dense"), F.asc("doc_id"))
+    dense_ranked = (
+        dense.orderBy(F.desc("cos_dense"), F.asc("doc_id"))
+        .limit(DENSE_TOP_K)
+        .select(
+            "doc_id",
+            F.row_number().over(wdense).cast("bigint").alias("r_dense"),
+        )
+    )
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("r_dense")), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        lex_ranked.join(dense_ranked, "doc_id", "full_outer")
+        .select("doc_id", "r_lex", "r_dense", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(HYBRID_TOP_K)
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    qlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH lex AS ({_bm25_sql()}),
+lex_ranked AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_bm25 DESC, doc_id ASC)
+                AS BIGINT) AS r_lex
+    FROM lex
+),
+vecs AS ({HASH_EMBED_SQL}),
+qterms AS (SELECT unnest([{qlist}]) AS termo),
+qpos AS (
+    SELECT {_EMBED_HASH_DUCK} AS pos, COUNT(*) AS qc FROM qterms GROUP BY 1
+),
+qnorm AS (SELECT SQRT(CAST(SUM(qc * qc) AS DOUBLE)) AS qn FROM qpos),
+qvec AS (
+    SELECT CAST(pos AS BIGINT) AS pos,
+           ROUND(CAST(qc AS DOUBLE) / qn, 6) AS qval
+    FROM qpos, qnorm
+),
+dense AS (
+    SELECT doc_id, {exact.sql_sum("valor * qval", "cos_dense")}
+    FROM vecs JOIN qvec USING (pos) GROUP BY doc_id
+),
+dense_top AS (
+    SELECT doc_id, cos_dense FROM dense
+    ORDER BY cos_dense DESC, doc_id ASC LIMIT {DENSE_TOP_K}
+),
+dense_ranked AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cos_dense DESC, doc_id ASC)
+                AS BIGINT) AS r_dense
+    FROM dense_top
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+       ROUND(COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + d.r_dense), 0.0), 6) AS rrf
+FROM lex_ranked l FULL OUTER JOIN dense_ranked d ON l.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {HYBRID_TOP_K}
+"""
+
+
+HYBRID_RRF_SQL = _hybrid_rrf_sql()

@@ -116,9 +116,17 @@ def register_all() -> None:
              "seconds")
     register("distance_bucket_pivot", dashboard.distance_bucket_pivot,
              dashboard.DISTANCE_BUCKET_PIVOT_SQL, "bucket x approval (A9+F15)")
-    register("score_by_value_bucket", dashboard.score_by_value_bucket,
-             dashboard.SCORE_BY_VALUE_BUCKET_SQL,
-             "box-plot quartiles per value bucket (F15+A2)")
+    # Round-4 second rotation: the portable Count-Min sketch takes the
+    # slot of score_by_value_bucket (its F15 bucket ladder is re-proven
+    # by distance_bucket_pivot and its A2 per-group percentiles by
+    # perf_stats_by_modality, both in-window) so the driver gate proves
+    # a SECOND member of the oracle-checkable approximate-op family
+    # beside kmv_modality_overlap. Displaced query re-registers after
+    # the window (still parity-gated every run).
+    register("cms_heavy_hitters", sketches.cms_heavy_hitters,
+             sketches.CMS_HEAVY_HITTERS_SQL,
+             "engine-portable Count-Min frequency sketch: top-N payer "
+             "estimates + exact witness (bounded-memory counter table)")
     register("corpus_clean_pipeline", text.corpus_clean_pipeline,
              text._corpus_clean_sql(),
              "end-to-end corpus cleaning: dedup -> quality -> lang-ID -> "
@@ -211,8 +219,16 @@ def register_all() -> None:
              text.LANG_ID_SQL, "lexicon-argmax language ID")
     register("tfidf_terms", text.tfidf_terms,
              text.TFIDF_SQL, "exact TF-IDF via joins")
-    register("winnowing_fingerprints", text.winnowing_fingerprints,
-             text.WINNOWING_SQL, "MOSS winnowing fingerprint sets")
+    # Round-4 second rotation: the hybrid-retrieval capstone takes the
+    # slot of winnowing_fingerprints (the fingerprint/term-weight shape
+    # is re-proven in-window by tfidf_terms, and winnowing stays
+    # parity-gated every run) — one driver-green row then proves the
+    # whole RAG read stack: BM25, the feature-hash embedder, and the
+    # RRF fusion it composes.
+    register("hybrid_retrieval_rrf", text.hybrid_retrieval_rrf,
+             text.HYBRID_RRF_SQL,
+             "hybrid retrieval: BM25 lexical + feature-hash dense top-Ks "
+             "fused by reciprocal rank fusion (the RAG retrieval stack)")
 
     # as-of join (union+window composition; DuckDB native ASOF as oracle)
     register("asof_balance_at_tx", asof.asof_balance_at_tx,
@@ -249,6 +265,11 @@ def register_all() -> None:
     register("distinct_payers_per_modality",
              relational.distinct_payers_per_modality,
              relational.DISTINCT_PAYERS_SQL, "count distinct per group")
+    register("score_by_value_bucket", dashboard.score_by_value_bucket,
+             dashboard.SCORE_BY_VALUE_BUCKET_SQL,
+             "box-plot quartiles per value bucket (F15+A2)")
+    register("winnowing_fingerprints", text.winnowing_fingerprints,
+             text.WINNOWING_SQL, "MOSS winnowing fingerprint sets")
     register("recent_metrics", dashboard.recent_metrics,
              dashboard.RECENT_METRICS_SQL, "live-view scalar metrics (A11)")
     register("valor_score_correlation", dashboard.valor_score_correlation,
@@ -460,10 +481,6 @@ def register_all() -> None:
              relational.KMV_DISTINCT_SQL,
              "engine-portable KMV distinct sketch (oracle-checkable "
              "approximate op) + exact witness")
-    register("cms_heavy_hitters", sketches.cms_heavy_hitters,
-             sketches.CMS_HEAVY_HITTERS_SQL,
-             "engine-portable Count-Min frequency sketch: top-N payer "
-             "estimates + exact witness (bounded-memory counter table)")
     register("bloom_filter_screen", sketches.bloom_filter_screen,
              sketches.BLOOM_SCREEN_SQL,
              "engine-portable Bloom membership screen: runtime-filter "
@@ -481,10 +498,6 @@ def register_all() -> None:
              curation.SOURCE_NGRAM_OVERLAP_SQL,
              "pairwise cross-source shingle overlap matrix (Jaccard + "
              "containment, shares the session shingle scan)")
-    register("hybrid_retrieval_rrf", text.hybrid_retrieval_rrf,
-             text.HYBRID_RRF_SQL,
-             "hybrid retrieval: BM25 lexical + feature-hash dense top-Ks "
-             "fused by reciprocal rank fusion (the RAG retrieval stack)")
     register("k_anonymity_report", governance.k_anonymity_report,
              governance.K_ANONYMITY_SQL,
              "k-anonymity re-identification audit over the QI tuple "

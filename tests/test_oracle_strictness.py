@@ -143,9 +143,14 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "corpus_clean_pipeline",
         "training_manifest",
         "tx_velocity_1h",
+        # round-4 second rotation: the portable-CMS sketch and the hybrid
+        # RRF retrieval capstone must be driver-proven (they displaced
+        # score_by_value_bucket and winnowing_fingerprints — re-proven by
+        # in-window siblings and the local parity gate)
+        "cms_heavy_hitters",
+        "hybrid_retrieval_rrf",
         "scd2_user_history",
         "tfidf_terms",
-        "winnowing_fingerprints",
         "train_test_split_docs",
         "coerced_casts",
         "score_recombination",

@@ -335,3 +335,52 @@ def test_kmv_overlap_sketch_is_salt_pretruncated(spark):
     frames — no window over the raw distinct-hash stream."""
     plan = _physical_plan(_query(spark, "kmv_modality_overlap"))
     assert "kmv_salt" in plan, plan
+
+
+def test_cms_probe_join_is_broadcast(spark):
+    """cms_heavy_hitters: the cell table joins the probe side as a
+    BROADCAST (it is <= D x W rows by construction) and the exact top-N
+    plans as TakeOrdered, never a global sort."""
+    plan = _physical_plan(_query(spark, "cms_heavy_hitters"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_probe_join_is_broadcast(spark):
+    """bloom_filter_screen: the set-bit table (<= B_BITS rows) must ride
+    a broadcast left join against the probe stream — the runtime-filter
+    shape; a shuffle join would mean the member set travelled."""
+    plan = _physical_plan(_query(spark, "bloom_filter_screen"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hybrid_rrf_lists_are_take_ordered(spark):
+    """hybrid_retrieval_rrf: both candidate lists are TakeOrdered top-Ks
+    and the query vector rides a broadcast — the corpus is never
+    globally sorted and the rank windows see only <= K rows."""
+    plan = _physical_plan(_query(spark, "hybrid_retrieval_rrf"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cumulative_distinct_window_is_hours_sized(spark):
+    """cumulative_distinct_payers: exactly one wide shuffle keyed
+    (modality, payer) with partial aggregation; the prefix-sum window
+    runs AFTER the hours-sized re-aggregate, never over the fact."""
+    plan = _physical_plan(_query(spark, "cumulative_distinct_payers"))
+    # partial min below the (modality, payer) exchange = map-side combine
+    assert "partial_min" in plan, plan
+    assert "hashpartitioning(modalidade_pagamento" in plan, plan
+    # the window sorts the post-aggregate hours series, not the fact:
+    # exactly one Sort node, above the final hours-keyed aggregate
+    assert plan.count("(Sort") + plan.count(") Sort") >= 1, plan
+    assert "TakeOrderedAndProject" not in plan, plan
+
+
+def test_bpe_pair_counting_runs_on_vocabulary(spark):
+    """bpe_pair_counts: the pair explode must sit ABOVE the word-frequency
+    aggregate (vocabulary-sized input), and the top-N is TakeOrdered."""
+    plan = _physical_plan(_query(spark, "bpe_pair_counts"))
+    assert "TakeOrderedAndProject" in plan, plan

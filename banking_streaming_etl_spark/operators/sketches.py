@@ -303,3 +303,53 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pagadores,
 FROM per_payer""",
     extra_ctes=_BLOOM_CTES,
 )
+
+
+def bloom_bits(tx: DataFrame) -> DataFrame:
+    """The filter's set-bit table from a bounded member-defining frame:
+    distinct bit positions of payers whose max transaction clears the
+    membership threshold. <= BLOOM_BITS rows — broadcast-sized forever."""
+    members = (
+        tx.groupBy("id_usuario_pagador")
+        .agg(F.max("valor_transacao").alias("mx"))
+        .filter(F.col("mx") > F.lit(BLOOM_VALUE_THRESHOLD))
+    )
+    arr = F.array(
+        *[
+            _lcg_bucket(
+                F.col("id_usuario_pagador"), *_HASH_CONSTANTS[j], BLOOM_BITS
+            )
+            for j in range(BLOOM_J)
+        ]
+    )
+    return members.select(F.explode(arr).alias("bit")).distinct()
+
+
+def streaming_bloom_screen(tx_stream: DataFrame, bits: list) -> DataFrame:
+    """STATELESS streaming Bloom screen: flag every arriving transaction
+    whose payer passes the history-trained filter — the Lambda pattern
+    (batch-built state, broadcast into the stream) the MAD-alert twin
+    also uses, with the member SET never shipping: `bits` is the
+    driver-collected set-bit rows (<= BLOOM_BITS ints, literal-inlined
+    = the broadcast). The probe is all-J membership of the row's hash
+    positions in the literal bit array: NO state store, NO watermark,
+    NO shuffle — append-safe at any trigger cadence.
+
+    Same hash ladder as the batch screen, so the stream-vs-batch
+    differential asserts flag EQUALITY per payer, not a tolerance."""
+    lit_bits = F.array(*[F.lit(int(b.bit)) for b in bits])
+    probes = [
+        _lcg_bucket(
+            F.col("id_usuario_pagador"), *_HASH_CONSTANTS[j], BLOOM_BITS
+        )
+        for j in range(BLOOM_J)
+    ]
+    passed = F.forall(
+        F.array(*probes), lambda p: F.array_contains(lit_bits, p)
+    )
+    return tx_stream.select(
+        "id_transacao",
+        "id_usuario_pagador",
+        "valor_transacao",
+        passed.alias("bloom_pass"),
+    )

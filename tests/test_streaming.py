@@ -523,3 +523,52 @@ def test_streaming_cms_cells_match_batch_sketch(spark, replay_dir):
     }
     assert got == want
     assert len(want) <= sketches.CMS_D * sketches.CMS_W
+
+
+def test_streaming_bloom_screen_matches_batch(spark, replay_dir):
+    """The stateless streaming Bloom screen (history-trained bits
+    broadcast into the stream) must flag exactly the payers the batch
+    screen passes — no false negatives by construction, and identical
+    false positives because the hash ladder is shared."""
+    from banking_streaming_etl_spark.operators import sketches
+
+    batch_tx = datamodel.transactions(spark, SF)
+    bits = sketches.bloom_bits(batch_tx).collect()
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    out = sketches.streaming_bloom_screen(tx, bits)
+    _run_to_memory(out, "bloom_stream_out")
+
+    got = {
+        (r.id_usuario_pagador, r.bloom_pass)
+        for r in spark.sql(
+            "SELECT DISTINCT id_usuario_pagador, bloom_pass "
+            "FROM bloom_stream_out"
+        ).collect()
+    }
+    # batch per-payer truth: pure-Python probe of the same bit table
+    payers = [
+        r.id_usuario_pagador
+        for r in batch_tx.select("id_usuario_pagador").distinct().collect()
+    ]
+    bit_rows = {b.bit for b in bits}
+    want = set()
+    for p in payers:
+        pos = [
+            (((p % sketches._M) * a + b) % sketches._M) % sketches.BLOOM_BITS
+            for a, b in sketches._HASH_CONSTANTS[: sketches.BLOOM_J]
+        ]
+        want.add((p, all(x in bit_rows for x in pos)))
+    assert got == want
+    # every true member passes (no false negatives)
+    members = {
+        r.id_usuario_pagador
+        for r in batch_tx.filter(
+            F.col("valor_transacao") > sketches.BLOOM_VALUE_THRESHOLD
+        )
+        .select("id_usuario_pagador")
+        .distinct()
+        .collect()
+    }
+    passed = {p for p, ok in got if ok}
+    assert members <= passed

@@ -110,3 +110,37 @@ def test_exact_regr2_matches_numpy_lstsq(spark):
     assert abs(got.b1 - ref[0]) < 1e-3
     assert abs(got.b2 - ref[1]) < 1e-3
     assert abs(got.icept - ref[2]) < 1e-3
+
+
+def test_portable_lcg_is_a_bijection_and_ansi_safe():
+    """Property (hypothesis): every LCG row used by the sketch family
+    (KMV / CMS / Bloom share the constant table) is a BIJECTION of
+    x % 2^31 — odd multiplier mod a power of two — so "distinct keys map
+    to distinct hashes" is a construction guarantee, not a probability;
+    and every intermediate stays below 2^63, so ANSI mode can never
+    overflow-throw."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from banking_streaming_etl_spark.operators import sketches
+
+    M = sketches._M
+    for a, _ in sketches._HASH_CONSTANTS:
+        assert a % 2 == 1 and a < M
+
+    @given(
+        st.integers(min_value=0, max_value=2**62),
+        st.integers(min_value=0, max_value=2**62),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(x, y):
+        for a, b in sketches._HASH_CONSTANTS:
+            hx = ((x % M) * a + b) % M
+            hy = ((y % M) * a + b) % M
+            assert (x % M) * a + b < 2**63  # ANSI bound
+            if x % M != y % M:
+                assert hx != hy  # bijection on the residue class
+            else:
+                assert hx == hy
+
+    check()

@@ -572,3 +572,33 @@ def test_streaming_bloom_screen_matches_batch(spark, replay_dir):
     }
     passed = {p for p, ok in got if ok}
     assert members <= passed
+
+
+def test_available_now_trigger_drains_backlog_in_bounded_batches(spark, replay_dir):
+    """Trigger.AvailableNow: the backfill/catch-up mode — process ALL
+    data available at start in rate-limited micro-batches, then STOP on
+    its own (unlike processingTime, which runs forever; unlike the
+    deprecated once-trigger, which ignores intake caps). The drained
+    result must equal the batch read, and the file cap must split the
+    backlog into multiple batches."""
+    tx = stream_src.read_transaction_stream(
+        spark, replay_dir, max_files_per_trigger=1
+    )
+    q = (
+        tx.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("available_now_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # self-terminates after draining
+    assert not q.isActive
+    batches = [
+        p
+        for p in q.recentProgress
+        if int(p.get("numInputRows", 0) or 0) > 0
+    ]
+    assert len(batches) >= 2  # the 4-chunk replay honored the 1-file cap
+    got = spark.sql("SELECT COUNT(*) FROM available_now_out").collect()[0][0]
+    want = datamodel.transactions(spark, SF).count()
+    assert got == want

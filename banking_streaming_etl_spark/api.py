@@ -46,3 +46,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
         "vw_performance_temporal",
     ]
     return names
+
+
+def register_query_views(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    prefix: str = "q_",
+) -> list[str]:
+    """Expose registered queries as temp views (`q_<name>`), completing
+    the SQL surface: after this, every operator in the engine — dedup,
+    ANN, sketches, curation, governance — is one `spark.sql` away, the
+    way the reference's users reach everything through Postgres views.
+
+    Views are LAZY (a temp view stores the plan, not results), so
+    registering all ~150 costs nothing until a view is queried — and a
+    queried view plans exactly like the DataFrame API call (same
+    Catalyst tree)."""
+    from banking_streaming_etl_spark import registry
+
+    qs = registry.all_queries()
+    picked = names if names is not None else list(qs)
+    out: list[str] = []
+    for n in picked:
+        qs[n].fn(spark, sf_dir).createOrReplaceTempView(f"{prefix}{n}")
+        out.append(f"{prefix}{n}")
+    return out

@@ -85,3 +85,34 @@ def test_salted_join_matches_plain(spark):
         .count()
     )
     assert plain == salted
+
+
+def test_register_query_views_exposes_full_sql_surface(spark):
+    """Every registered query is reachable through spark.sql after
+    register_query_views — spot-check one per new family."""
+    from banking_streaming_etl_spark.api import register_query_views
+
+    picked = ["cms_heavy_hitters", "hybrid_retrieval_rrf",
+              "k_anonymity_report"]
+    names = register_query_views(
+        spark, "/root/testdata/sf0.001", names=picked
+    )
+    assert names == [f"q_{n}" for n in picked]
+    top = spark.sql(
+        "SELECT id_usuario_pagador FROM q_cms_heavy_hitters "
+        "ORDER BY tx_exato DESC, id_usuario_pagador LIMIT 1"
+    ).collect()
+    assert len(top) == 1
+    k = spark.sql("SELECT COUNT(*) FROM q_k_anonymity_report").collect()[0][0]
+    assert k == 3
+
+
+def test_cli_list_and_run(capsys):
+    """The __main__ CLI lists queries and runs one end to end."""
+    from banking_streaming_etl_spark.__main__ import main
+
+    rc = main(["--list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "cms_heavy_hitters" in out and "[oracle]" in out
+    assert main(["definitely_not_a_query"]) == 2

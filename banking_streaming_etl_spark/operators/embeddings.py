@@ -460,3 +460,67 @@ def _jl_sql() -> str:
 
 
 JL_PROJECT_SQL = _jl_sql()
+
+
+def centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between the label centroids — the class-geometry
+    diagnostic (which labels are confusable BEFORE looking at a
+    confusion table; the centroid-space complement of
+    nearest_centroid_confusion). Decimal-exact dot products over the
+    exploded (label, pos) centroid frame keep every cosine bit-identical
+    cross-engine.
+
+    Scale shape: everything downstream of label_centroids is
+    labels x dim sized — the self-join keys on pos with labels^2 output
+    groups; the fact-table work is label_centroids' one aggregate."""
+    cen = label_centroids(spark, sf_dir).select("label", "pos", "centroide")
+    norms = cen.groupBy("label").agg(
+        exact.exact_sum(F.col("centroide") * F.col("centroide"), "ssq")
+    )
+    a = cen.select(
+        F.col("label").alias("label_a"), "pos", F.col("centroide").alias("ca")
+    )
+    b = cen.select(
+        F.col("label").alias("label_b"), "pos", F.col("centroide").alias("cb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(exact.exact_sum(F.col("ca") * F.col("cb"), "dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("ssq").alias("ssq_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("ssq").alias("ssq_b"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / (F.sqrt("ssq_a") * F.sqrt("ssq_b")), 6
+            ).alias("cosseno"),
+        )
+    )
+
+
+CENTROID_SIMILARITY_SQL = f"""
+WITH cen AS (
+    SELECT label, pos, centroide FROM ({LABEL_CENTROIDS_SQL.strip()})
+),
+norms AS (
+    SELECT label, {exact.sql_sum("centroide * centroide", "ssq")}
+    FROM cen GROUP BY label
+),
+dots AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           {exact.sql_sum("a.centroide * b.centroide", "dot")}
+    FROM cen a JOIN cen b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+       ROUND(d.dot / (SQRT(na.ssq) * SQRT(nb.ssq)), 6) AS cosseno
+FROM dots d
+JOIN norms na ON d.label_a = na.label
+JOIN norms nb ON d.label_b = nb.label
+"""

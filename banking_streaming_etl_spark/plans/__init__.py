@@ -506,6 +506,15 @@ def register_all() -> None:
              governance.DP_REGION_COUNTS_SQL,
              "differentially-private count release with deterministic "
              "portable-hash Laplace noise + exact witness")
+    register("psi_value_drift", governance.psi_value_drift,
+             governance.PSI_VALUE_DRIFT_SQL,
+             "population-stability-index drift screen: reference vs "
+             "current value distribution, per-bucket contributions")
+    register("centroid_similarity_matrix",
+             embeddings.centroid_similarity_matrix,
+             embeddings.CENTROID_SIMILARITY_SQL,
+             "pairwise cosine between label centroids (class-geometry "
+             "diagnostic, decimal-exact dots)")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

@@ -157,3 +157,107 @@ FROM (
     GROUP BY 1
 )"""
 )
+
+
+# --- population stability index (distribution drift screen) ------------------
+
+#: reference/current split boundary: the first half of the 30-day window
+#: trains the "expected" distribution, the rest is scored against it.
+PSI_SPLIT = "2024-01-16 00:00:00"
+#: additive smoothing mass per bucket (keeps ln() off empty cells while
+#: staying deterministic — no epsilon-clamp branch divergence).
+PSI_SMOOTH = 0.5
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the transaction-value distribution,
+    reference window vs current window — the drift screen an ML pipeline
+    runs before trusting a model trained on last month's data:
+    PSI = sum over buckets of (p_cur - p_ref) * ln(p_cur / p_ref),
+    with per-bucket contributions reported so the drifting buckets are
+    visible (total = SUM(psi_contrib); < 0.1 stable, > 0.25 drifted by
+    the usual rule of thumb).
+
+    Shares the k-anonymity value-bucket ladder (floor(valor/50) — never
+    a transcendental in a group key); shares are additive-smoothed
+    ((n + 0.5) / (N + 0.5 K)) so ln never sees an empty cell, with K =
+    the joint bucket count — every term is exact integer arithmetic
+    until the final ln, which lands in a ROUND(.,6) value column.
+
+    Scale shape: one (half, bucket) count aggregate over the fact, then
+    buckets-sized joins; the two scalar totals broadcast."""
+    t = datamodel.transactions(spark, sf_dir).withColumn(
+        "faixa_valor",
+        F.floor(F.col("valor_transacao") / F.lit(QI_VALUE_BUCKET)).cast(
+            "bigint"
+        ),
+    )
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    halves = t.groupBy("faixa_valor").agg(
+        F.sum(
+            F.when(F.col("data_horario") < split, 1).otherwise(0)
+        ).cast("bigint").alias("n_ref"),
+        F.sum(
+            F.when(F.col("data_horario") >= split, 1).otherwise(0)
+        ).cast("bigint").alias("n_cur"),
+    )
+    tot = halves.agg(
+        F.sum("n_ref").cast("bigint").alias("tot_ref"),
+        F.sum("n_cur").cast("bigint").alias("tot_cur"),
+        F.count("*").cast("bigint").alias("k_buckets"),
+    )
+    sm = F.lit(PSI_SMOOTH)
+    joined = halves.crossJoin(F.broadcast(tot))
+    p_ref = (F.col("n_ref").cast("double") + sm) / (
+        F.col("tot_ref").cast("double") + sm * F.col("k_buckets").cast("double")
+    )
+    p_cur = (F.col("n_cur").cast("double") + sm) / (
+        F.col("tot_cur").cast("double") + sm * F.col("k_buckets").cast("double")
+    )
+    return joined.select(
+        "faixa_valor",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            "psi_contrib"
+        ),
+    )
+
+
+PSI_VALUE_DRIFT_SQL = datamodel.with_ctes(
+    f"""
+SELECT faixa_valor, n_ref, n_cur,
+       ROUND(((CAST(n_cur AS DOUBLE) + {PSI_SMOOTH!r})
+                  / (CAST(tot_cur AS DOUBLE)
+                     + {PSI_SMOOTH!r} * CAST(k_buckets AS DOUBLE))
+              - (CAST(n_ref AS DOUBLE) + {PSI_SMOOTH!r})
+                  / (CAST(tot_ref AS DOUBLE)
+                     + {PSI_SMOOTH!r} * CAST(k_buckets AS DOUBLE)))
+             * LN(((CAST(n_cur AS DOUBLE) + {PSI_SMOOTH!r})
+                       / (CAST(tot_cur AS DOUBLE)
+                          + {PSI_SMOOTH!r} * CAST(k_buckets AS DOUBLE)))
+                  / ((CAST(n_ref AS DOUBLE) + {PSI_SMOOTH!r})
+                       / (CAST(tot_ref AS DOUBLE)
+                          + {PSI_SMOOTH!r} * CAST(k_buckets AS DOUBLE)))),
+             6) AS psi_contrib
+FROM halves
+CROSS JOIN (
+    SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+           CAST(SUM(n_cur) AS BIGINT) AS tot_cur,
+           CAST(COUNT(*) AS BIGINT) AS k_buckets
+    FROM halves
+) t""",
+    extra_ctes=f"""
+halves AS (
+    SELECT CAST(FLOOR(valor_transacao / {QI_VALUE_BUCKET!r}) AS BIGINT)
+               AS faixa_valor,
+           CAST(SUM(CASE WHEN CAST(data_horario AS TIMESTAMP)
+                              < TIMESTAMP '{PSI_SPLIT}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(SUM(CASE WHEN CAST(data_horario AS TIMESTAMP)
+                              >= TIMESTAMP '{PSI_SPLIT}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+    FROM transactions
+    GROUP BY 1
+)""",
+)

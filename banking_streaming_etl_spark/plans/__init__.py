@@ -555,6 +555,10 @@ def register_all() -> None:
 
     register("dedup_simhash", dedup.dedup_simhash, None,
              "SimHash near-dup pairs (engine-specific hash: rows-only)")
+    register("bpe_learned_merges", text.bpe_learned_merges, None,
+             "iterative BPE training loop: corpus scanned once, "
+             "vocabulary-sized merge iterations (exact-equality "
+             "differential vs a pure-Python trainer)")
     register("ann_lsh_topk", similarity.ann_lsh_topk, None,
              "sign-projection LSH top-K (recall vs brute force in tests)")
     register("ann_ivf_topk", similarity.ann_ivf_topk, None,

@@ -1389,3 +1389,97 @@ LIMIT {HYBRID_TOP_K}
 
 
 HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
+# --- BPE vocabulary induction: the full (small-N) training loop --------------
+
+#: merges learned by the registered training query.
+BPE_N_MERGES = 6
+
+
+def _bpe_sym_pairs(wf: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent symbol-pair counts over a vocabulary
+    frame (w, f, syms). Words reduced to <2 symbols stop contributing."""
+    pairs = wf.filter(F.size("syms") >= 2).select(
+        "f",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS a, "
+                "element_at(syms, i + 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("f").alias("freq")
+    )
+
+
+def _bpe_apply_merge(a: str, b: str):
+    """Greedy left-to-right application of one merge rule to the `syms`
+    array, as a pure fold expression (no UDF): append each symbol unless
+    it extends a pending (a, b) match, in which case the accumulator's
+    last element is replaced by the merged symbol. Overlaps cannot
+    double-merge because the merged token differs from its left part."""
+    merged = a + b
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE training loop (Sennrich et al. 2016) for
+    BPE_N_MERGES iterations: count pairs -> adopt the most frequent as a
+    merge rule -> re-segment the VOCABULARY -> repeat. Returns the
+    learned merge table (rank, symbol pair, frequency at adoption).
+
+    Scale shape: the corpus is touched ONCE (word-frequency aggregate,
+    cached); every iteration after that is vocabulary-sized — a fold
+    over each word's symbol array plus a pair-count aggregate, with the
+    argmax collected to the driver (one 3-column row per iteration: the
+    model being learned, not data). This is the standard distributed-BPE
+    layout — corpus-sublinear training, driver-side rule bookkeeping.
+
+    Rows-only registration: the iterative loop has no single-statement
+    SQL twin; tests pin exact equality against a pure-Python trainer."""
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+        .cache()
+    )
+    wf = base
+    merges = []
+    try:
+        for rank in range(1, BPE_N_MERGES + 1):
+            top = (
+                _bpe_sym_pairs(wf)
+                .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            t = top[0]
+            merges.append((rank, t.a, t.b, int(t.freq)))
+            wf = wf.withColumn("syms", _bpe_apply_merge(t.a, t.b))
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, simbolo_a string, simbolo_b string, freq bigint"
+    )

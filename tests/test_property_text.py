@@ -72,3 +72,59 @@ def test_quality_classifier_enriches_the_target_class(spark):
     prec = sum(1 for r in sel if r.is_en) / len(sel)
     assert abs(len(sel) / len(rows) - text.CLF_KEEP_FRACTION) < 0.05
     assert prec > base + 0.05, (prec, base)
+
+
+def test_bpe_learned_merges_match_python_trainer(spark):
+    """The distributed BPE loop must learn EXACTLY the merge table a
+    pure-Python reference trainer learns on the same corpus (greedy
+    most-frequent pair, (freq DESC, a, b) tie-break, left-to-right
+    non-overlapping application)."""
+    from collections import Counter
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans import text as textplans
+
+    SF = "/root/testdata/sf0.001"
+    docs = datamodel.load_table(spark, SF, "documents").select("text").collect()
+    vocab = Counter()
+    for row in docs:
+        for w in row.text.lower().split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    segs = {w: [c for c in w] for w in vocab}
+
+    def pair_counts():
+        pc = Counter()
+        for w, syms in segs.items():
+            f = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        return pc
+
+    def apply(a, b):
+        for w, syms in segs.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            segs[w] = out
+
+    want = []
+    for rank in range(1, textplans.BPE_N_MERGES + 1):
+        pc = pair_counts()
+        if not pc:
+            break
+        (a, b), f = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, a, b, f))
+        apply(a, b)
+
+    got = [
+        (r.rank, r.simbolo_a, r.simbolo_b, r.freq)
+        for r in textplans.bpe_learned_merges(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) == textplans.BPE_N_MERGES

@@ -506,6 +506,10 @@ def register_all() -> None:
              governance.DP_REGION_COUNTS_SQL,
              "differentially-private count release with deterministic "
              "portable-hash Laplace noise + exact witness")
+    register("seasonal_decompose_hourly", behavior.seasonal_decompose_hourly,
+             behavior.SEASONAL_DECOMPOSE_SQL,
+             "classical additive seasonal decomposition of the hourly "
+             "series (trend / hour-of-day seasonal / residual)")
     register("psi_value_drift", governance.psi_value_drift,
              governance.PSI_VALUE_DRIFT_SQL,
              "population-stability-index drift screen: reference vs "

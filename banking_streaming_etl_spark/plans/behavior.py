@@ -337,3 +337,115 @@ JOIN (
     GROUP BY 1
 ) t USING (anterior)"""
 )
+
+
+# --- classical seasonal decomposition of the hourly series -------------------
+
+#: centered moving-average half-width for the trend (24-hour season ->
+#: a 24-point window: 11 back, 12 forward).
+SEASONAL_TREND_BACK = 11
+SEASONAL_TREND_FWD = 12
+
+
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly
+    transaction-count series: trend = 24-point centered moving average,
+    seasonal = per-hour-of-day mean deviation from trend, residual =
+    observed - trend - seasonal — the anomaly-detection preprocessor
+    (alert on residuals, not raw counts, so daily rhythm stops paging).
+
+    Determinism: counts are integers; the trend is an integer-sum /
+    count division (exact); seasonal means accumulate the trend
+    deviations in DECIMAL (functions/exact.py); the residual is the same
+    three-term subtraction in both dialects. Boundary hours with a
+    truncated trend window keep their (shorter-window) average — same
+    ROWS frame semantics in Spark and DuckDB.
+
+    Scale shape: the fact table collapses to the hours-sized series in
+    one aggregate; every window after that is over ~720 rows."""
+    from pyspark.sql import Window as W
+
+    from banking_streaming_etl_spark.functions import exact
+
+    t = datamodel.transactions(spark, sf_dir)
+    hourly = t.groupBy(
+        F.date_trunc("hour", "data_horario").alias("hora")
+    ).agg(F.count("*").alias("total"))
+    wtrend = (
+        W.orderBy("hora").rowsBetween(-SEASONAL_TREND_BACK, SEASONAL_TREND_FWD)
+    )
+    trended = hourly.withColumn(
+        "tendencia",
+        F.sum("total").over(wtrend).cast("double")
+        / F.count("total").over(wtrend).cast("double"),
+    ).withColumn("hora_do_dia", F.hour("hora"))
+    seasonal = trended.groupBy("hora_do_dia").agg(
+        exact.exact_avg(
+            F.col("total").cast("double") - F.col("tendencia"), "sazonal"
+        )
+    )
+    # the residual subtracts the ROUNDED trend/seasonal (not the full-
+    # precision ones): the full-precision difference is an exact rational
+    # that frequently lands on the .5 round boundary at digit 7, where
+    # the engines' double-rounding algorithms disagree; subtracting
+    # on-grid values keeps the result ~1e-10 from a 6-decimal value, so
+    # its round is unambiguous in both dialects.
+    return (
+        trended.join(F.broadcast(seasonal), "hora_do_dia")
+        .select(
+            "hora",
+            "total",
+            F.round("tendencia", 6).alias("tendencia"),
+            F.round("sazonal", 6).alias("sazonal"),
+        )
+        .withColumn(
+            "residuo",
+            F.round(
+                F.col("total").cast("double")
+                - F.col("tendencia")
+                - F.col("sazonal"),
+                6,
+            ),
+        )
+    )
+
+
+def _seasonal_sql() -> str:
+    from banking_streaming_etl_spark.functions import exact
+
+    return datamodel.with_ctes(
+        f"""
+SELECT hora, total, tendencia, sazonal,
+       ROUND(CAST(total AS DOUBLE) - tendencia - sazonal, 6) AS residuo
+FROM (
+    SELECT t.hora, t.total,
+           ROUND(t.tendencia, 6) AS tendencia,
+           ROUND(s.sazonal, 6) AS sazonal
+    FROM trended t
+    JOIN seasonal s ON t.hora_do_dia = s.hora_do_dia
+)""",
+        extra_ctes=f"""
+hourly AS (
+    SELECT date_trunc('hour', CAST(data_horario AS TIMESTAMP)) AS hora,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM transactions GROUP BY 1
+),
+trended AS (
+    SELECT hora, total,
+           CAST(SUM(total) OVER w AS DOUBLE)
+               / CAST(COUNT(total) OVER w AS DOUBLE) AS tendencia,
+           EXTRACT(hour FROM hora) AS hora_do_dia
+    FROM hourly
+    WINDOW w AS (ORDER BY hora
+                 ROWS BETWEEN {SEASONAL_TREND_BACK} PRECEDING
+                          AND {SEASONAL_TREND_FWD} FOLLOWING)
+),
+seasonal AS (
+    SELECT hora_do_dia,
+           {exact.sql_avg("CAST(total AS DOUBLE) - tendencia", "sazonal")}
+    FROM trended GROUP BY 1
+)""",
+    )
+
+
+SEASONAL_DECOMPOSE_SQL = _seasonal_sql()

@@ -258,3 +258,25 @@ def streaming_cms_cells(tx_stream: DataFrame) -> DataFrame:
     from banking_streaming_etl_spark.operators import sketches
 
     return sketches.cms_cells(tx_stream)
+
+
+def streaming_value_quantiles(tx_stream: DataFrame) -> DataFrame:
+    """Live p50/p95/p99 of transaction value per modality — the streaming
+    sibling of vw_performance_stats' percentile columns, as a
+    complete-mode approx_percentile aggregate: the state per group is
+    the fixed-size quantile summary (KLL-style), bounded no matter how
+    long the stream runs (exact percentiles are impossible streaming —
+    they'd buffer every row; the batch twin stays the exact oracle).
+    Tolerance vs the exact batch percentiles is pinned in tests."""
+    return tx_stream.groupBy("modalidade_pagamento").agg(
+        F.expr(
+            "approx_percentile(valor_transacao, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("qs"),
+        F.count("*").alias("total"),
+    ).select(
+        "modalidade_pagamento",
+        F.col("qs")[0].alias("p50"),
+        F.col("qs")[1].alias("p95"),
+        F.col("qs")[2].alias("p99"),
+        "total",
+    )

@@ -602,3 +602,56 @@ def test_available_now_trigger_drains_backlog_in_bounded_batches(spark, replay_d
     got = spark.sql("SELECT COUNT(*) FROM available_now_out").collect()[0][0]
     want = datamodel.transactions(spark, SF).count()
     assert got == want
+
+
+def test_streaming_value_quantiles_close_to_batch_exact(spark, replay_dir):
+    """Complete-mode approx percentiles over the drained stream must sit
+    within the sketch tolerance of the exact batch percentiles, with
+    exact group counts (count state is exact even when quantile state
+    is approximate)."""
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    q = swin.streaming_value_quantiles(tx)
+    _run_to_memory(q, "quantiles_out", mode="complete")
+    got = {
+        r.modalidade_pagamento: r
+        for r in spark.sql("SELECT * FROM quantiles_out").collect()
+    }
+    batch = datamodel.transactions(spark, SF)
+    want = {
+        r.modalidade_pagamento: r
+        for r in batch.groupBy("modalidade_pagamento")
+        .agg(
+            F.expr(
+                "percentile(valor_transacao, array(0.5, 0.95, 0.99))"
+            ).alias("qs"),
+            F.count("*").alias("total"),
+        )
+        .select(
+            "modalidade_pagamento",
+            F.col("qs")[0].alias("p50"),
+            F.col("qs")[1].alias("p95"),
+            F.col("qs")[2].alias("p99"),
+            "total",
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    # a quantile sketch's contract is RANK error, not value error: the
+    # returned value's empirical rank must sit within eps of the target
+    # quantile (value distance can be large wherever the distribution
+    # is sparse, e.g. p99 tails on small groups).
+    values = {}
+    for r in batch.select("modalidade_pagamento", "valor_transacao").collect():
+        values.setdefault(r.modalidade_pagamento, []).append(
+            r.valor_transacao
+        )
+    for m in want:
+        assert got[m].total == want[m].total  # counts exact
+        vs = sorted(values[m])
+        n = len(vs)
+        for col, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            g = getattr(got[m], col)
+            rank = sum(1 for v in vs if v <= g) / n
+            assert q - 0.03 <= rank <= min(1.0, q + 0.03) + 1e-9, (
+                m, col, g, rank,
+            )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def scd2_init(dim: DataFrame, valid_from) -> DataFrame:
@@ -197,3 +198,116 @@ class CdcUpsertSink:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.snapshot_dir)
+
+
+# --- point-in-time feature join against the SCD2 dimension -------------------
+
+#: mid-window update time for the PIT fixture (scd2_user_history's T1 is
+#: after the 30-day event window, which would make every transaction see
+#: version 1 — a vacuous join; the PIT fixture updates mid-month so both
+#: versions are actually active for different transactions).
+PIT_T1 = "2024-01-16 00:00:00"
+
+
+def pit_balance_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join: each transaction gets the
+    payer's balance FROM THE DIMENSION VERSION VALID AT EVENT TIME — the
+    anti-leakage join a training pipeline must use when labels/events
+    join slowly-changing features (joining today's dimension onto last
+    month's events leaks the future into training data; Feast/feature-
+    store "point-in-time join").
+
+    Scale shape: the naive formulation is an inequality join
+    (valid_from <= ts < valid_to) — a nested loop at scale. This uses
+    the as-of union trick (operators/asof.asof_balance_at_tx): version
+    STARTS become state-change events, one (user)-keyed union + window
+    picks the last version at or before each transaction — a single
+    shuffle, no inequality join anywhere. Correct because SCD2 versions
+    per key are contiguous (each valid_to equals the next valid_from),
+    so "latest start <= ts" IS the active version."""
+    from banking_streaming_etl_spark import datamodel
+
+    users = datamodel.users(spark, sf_dir).select("id_usuario", "saldo")
+    history = scd2_apply(
+        scd2_init(users, SCD2_T0),
+        users.withColumn(
+            "saldo",
+            F.when(
+                F.col("id_usuario") % 10 == 0, F.col("saldo") + 500.0
+            ).otherwise(F.col("saldo")),
+        ),
+        "id_usuario",
+        PIT_T1,
+        compare_cols=["saldo"],
+    )
+    tx = datamodel.transactions(spark, sf_dir).select(
+        "id_transacao",
+        F.col("id_usuario_pagador").alias("id_usuario"),
+        "data_horario",
+    )
+    left = tx.select(
+        "id_usuario",
+        F.col("data_horario").alias("ts"),
+        F.lit(1).alias("tag"),
+        "id_transacao",
+        F.lit(None).cast("double").alias("saldo_v"),
+        F.lit(None).cast("timestamp").alias("versao_v"),
+    )
+    right = history.select(
+        "id_usuario",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("tag"),  # version events sort first at equal ts
+        F.lit(None).cast("long").alias("id_transacao"),
+        F.col("saldo").alias("saldo_v"),
+        F.col("valid_from").alias("versao_v"),
+    )
+    w = (
+        W.partitionBy("id_usuario")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = (
+        left.unionByName(right)
+        .withColumn(
+            "saldo_vigente", F.last("saldo_v", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "versao_vigente", F.last("versao_v", ignorenulls=True).over(w)
+        )
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "id_transacao",
+        "id_usuario",
+        F.col("ts").alias("data_horario"),
+        "saldo_vigente",
+        "versao_vigente",
+    )
+
+
+def _pit_oracle() -> str:
+    from banking_streaming_etl_spark import datamodel
+
+    return datamodel.with_ctes(
+        f"""
+SELECT t.id_transacao, t.id_usuario_pagador AS id_usuario,
+       t.data_horario, h.saldo AS saldo_vigente,
+       h.valid_from AS versao_vigente
+FROM transactions t
+LEFT JOIN pit_history h
+  ON t.id_usuario_pagador = h.id_usuario
+ AND CAST(t.data_horario AS TIMESTAMP) >= h.valid_from
+ AND (h.valid_to IS NULL OR CAST(t.data_horario AS TIMESTAMP) < h.valid_to)""",
+        extra_ctes=f"""
+pit_history AS (
+    SELECT id_usuario, saldo, TIMESTAMP '{SCD2_T0}' AS valid_from,
+           TIMESTAMP '{PIT_T1}' AS valid_to
+    FROM users WHERE id_usuario % 10 = 0
+    UNION ALL
+    SELECT id_usuario, saldo, TIMESTAMP '{SCD2_T0}', NULL
+    FROM users WHERE id_usuario % 10 <> 0
+    UNION ALL
+    SELECT id_usuario, saldo + 500.0, TIMESTAMP '{PIT_T1}', NULL
+    FROM users WHERE id_usuario % 10 = 0
+)""",
+    )
+

@@ -519,6 +519,11 @@ def register_all() -> None:
              embeddings.CENTROID_SIMILARITY_SQL,
              "pairwise cosine between label centroids (class-geometry "
              "diagnostic, decimal-exact dots)")
+    register("pit_balance_feature_join", scd.pit_balance_feature_join,
+             scd._pit_oracle(),
+             "point-in-time-correct feature join against the SCD2 "
+             "dimension (anti-leakage; as-of union trick, no inequality "
+             "join)")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

@@ -280,3 +280,31 @@ def streaming_value_quantiles(tx_stream: DataFrame) -> DataFrame:
         F.col("qs")[2].alias("p99"),
         "total",
     )
+
+
+def streaming_decontaminate_hits(
+    doc_stream: DataFrame, test_shingles: DataFrame
+) -> DataFrame:
+    """Streaming benchmark-decontamination screen: every arriving
+    document's word 8-grams are checked against the held-out test-set
+    shingle table, emitting one row per contaminated shingle hit — the
+    ingest-time quarantine router (batch twin:
+    plans/curation.decontaminate_train_docs).
+
+    STATELESS by design: explode + a stream-static INNER equi-join on
+    the 8-byte shingle hash (the static side broadcasts or co-partitions
+    like any dim). Per-doc aggregation (and repeat-shingle dedup — a doc
+    repeating one 8-gram emits one hit per occurrence) stays downstream/
+    batch-side: at ingest you only need "did this doc hit, on which
+    shingles", and keeping the screen free of dropDuplicates/groupBy
+    means zero state store at any trigger cadence."""
+    from banking_streaming_etl_spark.functions import textfns
+    from banking_streaming_etl_spark.plans.curation import DECON_SHINGLE_N
+
+    exploded = doc_stream.withColumn("toks", textfns.tokens()).select(
+        "doc_id",
+        F.explode(
+            textfns.word_shingles("toks", DECON_SHINGLE_N)
+        ).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    return exploded.join(test_shingles, "h")

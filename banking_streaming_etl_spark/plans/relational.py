@@ -1066,3 +1066,118 @@ FROM (
     GROUP BY 1, 2
 )"""
 )
+
+
+# --- KMV rollup: time-partitioned sketches merged upward ---------------------
+
+
+def kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-payer estimates per modality from MERGED per-day KMV
+    sketches — the datasketches rollup pattern: build one bottom-K
+    sketch per (modality, day) partition, merge partitions upward by
+    re-truncating the union. Min-wise stability makes the merge LOSSLESS
+    (every member of the global bottom-K is in its own day's bottom-K),
+    so the merged estimate EQUALS the direct whole-history sketch —
+    which is why a 100 TB history can keep per-partition sketches and
+    answer any time-range distinct query without rescanning rows. The
+    equality is pinned in tests; the oracle re-derives the merged
+    estimate with the direct closed form.
+
+    Scale shape: day-level sketches aggregate in their partitions (the
+    rank windows see one (modality, day, salt) slice each); the merge
+    ranks <= days x K rows per modality."""
+    t = datamodel.transactions(spark, sf_dir)
+    hashed = t.select(
+        "modalidade_pagamento",
+        F.to_date("data_horario").alias("dia"),
+        (
+            (F.col("id_usuario_pagador") % F.lit(_KMV_M))
+            * F.lit(1103515245)
+            + F.lit(12345)
+        ).__mod__(F.lit(_KMV_M)).alias("h"),
+    ).distinct()
+    # per-(modality, day) bottom-K: salt pre-truncate then rank in-day
+    pre_w = W.partitionBy("modalidade_pagamento", "dia", "kmv_salt").orderBy(
+        F.asc("h")
+    )
+    day_w = W.partitionBy("modalidade_pagamento", "dia").orderBy(F.asc("h"))
+    day_sketch = (
+        hashed.withColumn("kmv_salt", F.col("h") % F.lit(KMV_SALTS))
+        .withColumn("rk_pre", F.row_number().over(pre_w))
+        .filter(F.col("rk_pre") <= KMV_K)
+        .withColumn("rk", F.row_number().over(day_w))
+        .filter(F.col("rk") <= KMV_K)
+        .select("modalidade_pagamento", "dia", "h")
+    )
+    # merge upward: distinct union of day sketches, re-truncate to K
+    merge_w = W.partitionBy("modalidade_pagamento").orderBy(F.asc("h"))
+    merged = (
+        day_sketch.select("modalidade_pagamento", "h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(merge_w))
+    )
+    kth = merged.filter(F.col("rk") == KMV_K).select(
+        "modalidade_pagamento", F.col("h").alias("h_k")
+    )
+    exact_cnt = t.groupBy("modalidade_pagamento").agg(
+        F.countDistinct("id_usuario_pagador").alias("pagadores_exato")
+    )
+    n_days = day_sketch.groupBy("modalidade_pagamento").agg(
+        F.countDistinct("dia").alias("dias_mesclados")
+    )
+    est = F.round(
+        F.lit(float(KMV_K - 1))
+        * F.lit(float(_KMV_M))
+        / F.col("h_k").cast("double"),
+        6,
+    )
+    return (
+        exact_cnt.join(n_days, "modalidade_pagamento")
+        .join(kth, "modalidade_pagamento", "left")
+        .select(
+            "modalidade_pagamento",
+            "pagadores_exato",
+            F.col("dias_mesclados").cast("bigint").alias("dias_mesclados"),
+            F.when(F.col("h_k").isNotNull(), est).alias("pagadores_kmv_merged"),
+        )
+    )
+
+
+KMV_MERGE_ROLLUP_SQL = datamodel.with_ctes(
+    f"""
+SELECT e.modalidade_pagamento, pagadores_exato,
+       CAST(d.dias_mesclados AS BIGINT) AS dias_mesclados,
+       CASE WHEN h_k IS NOT NULL
+            THEN ROUND({float(KMV_K - 1)!r} * {float(_KMV_M)!r}
+                       / CAST(h_k AS DOUBLE), 6)
+       END AS pagadores_kmv_merged
+FROM (
+    SELECT modalidade_pagamento,
+           COUNT(DISTINCT id_usuario_pagador) AS pagadores_exato
+    FROM transactions GROUP BY 1
+) e
+JOIN (
+    SELECT modalidade_pagamento,
+           COUNT(DISTINCT CAST(data_horario AS DATE)) AS dias_mesclados
+    FROM transactions GROUP BY 1
+) d ON e.modalidade_pagamento = d.modalidade_pagamento
+LEFT JOIN (
+    -- min-wise stability: the merged k-th order statistic equals the
+    -- DIRECT whole-history k-th order statistic, so the oracle derives
+    -- it without simulating the per-day merge
+    SELECT modalidade_pagamento, h AS h_k
+    FROM (
+        SELECT modalidade_pagamento, h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY modalidade_pagamento ORDER BY h ASC
+               ) AS rk
+        FROM (
+            SELECT DISTINCT modalidade_pagamento,
+                   ((id_usuario_pagador % {_KMV_M}) * 1103515245 + 12345)
+                       % {_KMV_M} AS h
+            FROM transactions
+        )
+    )
+    WHERE rk = {KMV_K}
+) k ON e.modalidade_pagamento = k.modalidade_pagamento"""
+)

@@ -308,3 +308,18 @@ def streaming_decontaminate_hits(
         ).alias("s"),
     ).select("doc_id", F.xxhash64("s").alias("h"))
     return exploded.join(test_shingles, "h")
+
+
+def streaming_distinct_payers(tx_stream: DataFrame) -> DataFrame:
+    """Live approximate distinct payers per modality
+    (approx_count_distinct = HyperLogLog++ in complete mode: per-group
+    state is the fixed-size HLL register array, bounded forever — the
+    streaming face of the KMV/distinct family; exact distinct streaming
+    would hold every key). Relative error ~2% at the default rsd;
+    tolerance vs the exact batch count is pinned in tests."""
+    return tx_stream.groupBy("modalidade_pagamento").agg(
+        F.approx_count_distinct("id_usuario_pagador").alias(
+            "pagadores_aprox"
+        ),
+        F.count("*").alias("total"),
+    )

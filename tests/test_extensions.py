@@ -1124,3 +1124,23 @@ def test_ivf_pq_topk_recall_and_rerank_exactness(spark):
         "vec_id"
     ).count().collect()
     assert all(r["count"] == 1 for r in lists)
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """Min-wise stability: the per-day-merged KMV estimate must EQUAL the
+    direct whole-history estimate per modality (lossless merge), and
+    multiple days must actually have been merged."""
+    from banking_streaming_etl_spark.plans import relational
+
+    merged = {
+        r.modalidade_pagamento: (r.pagadores_kmv_merged, r.dias_mesclados)
+        for r in relational.kmv_merge_rollup(spark, SF).collect()
+    }
+    direct = {
+        r.modalidade_pagamento: r.pagadores_kmv
+        for r in relational.kmv_distinct_payers(spark, SF).collect()
+    }
+    assert set(merged) == set(direct)
+    for m in direct:
+        assert merged[m][0] == direct[m], m
+        assert merged[m][1] > 1  # genuinely merged across days

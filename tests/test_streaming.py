@@ -709,3 +709,25 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_distinct_payers_within_hll_tolerance(spark, replay_dir):
+    """Complete-mode HLL distinct counts over the drained stream must sit
+    within the sketch's relative error of the exact batch distincts."""
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    out = swin.streaming_distinct_payers(tx)
+    _run_to_memory(out, "distinct_out", mode="complete")
+    got = {
+        r.modalidade_pagamento: r.pagadores_aprox
+        for r in spark.sql("SELECT * FROM distinct_out").collect()
+    }
+    want = {
+        r.modalidade_pagamento: r.n
+        for r in datamodel.transactions(spark, SF)
+        .groupBy("modalidade_pagamento")
+        .agg(F.countDistinct("id_usuario_pagador").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for m, n in want.items():
+        assert abs(got[m] - n) <= max(3, 0.1 * n), (m, got[m], n)

@@ -502,6 +502,10 @@ def register_all() -> None:
              curation.SOURCE_NGRAM_OVERLAP_SQL,
              "pairwise cross-source shingle overlap matrix (Jaccard + "
              "containment, shares the session shingle scan)")
+    register("dataset_card", curation.dataset_card,
+             curation.DATASET_CARD_SQL,
+             "one-row dataset release card (docs/tokens/diversity/"
+             "dup-rate) in a single scan-level aggregate")
     register("k_anonymity_report", governance.k_anonymity_report,
              governance.K_ANONYMITY_SQL,
              "k-anonymity re-identification audit over the QI tuple "

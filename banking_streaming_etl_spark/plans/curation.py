@@ -501,3 +501,67 @@ FROM common c
 JOIN sizes na ON c.source_a = na.source
 JOIN sizes nb ON c.source_b = nb.source
 """
+
+
+# --- dataset card: the one-row corpus summary --------------------------------
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the documents corpus — the summary block
+    a dataset release ships (docs/tokens/chars, source and language
+    diversity, exact-duplicate rate): every statistic in ONE scan-level
+    aggregate (countDistinct on the content digest rides the same
+    shuffle), so the card costs a single pass at any corpus size."""
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("source").alias("n_fontes"),
+        F.countDistinct("lang").alias("n_idiomas"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_en"),
+        F.countDistinct(F.md5("text")).alias("n_digests"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_fontes",
+        "n_idiomas",
+        F.round(
+            F.col("n_docs_en").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("fracao_en"),
+        F.round(
+            (F.col("n_docs") - F.col("n_digests")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("taxa_dup_exata"),
+    )
+
+
+DATASET_CARD_SQL = """
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_fontes AS BIGINT) AS n_fontes,
+       CAST(n_idiomas AS BIGINT) AS n_idiomas,
+       ROUND(CAST(n_docs_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           AS fracao_en,
+       ROUND(CAST(n_docs - n_digests AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           AS taxa_dup_exata
+FROM (
+    SELECT COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS n_tokens,
+           SUM(n_chars) AS n_chars,
+           COUNT(DISTINCT source) AS n_fontes,
+           COUNT(DISTINCT lang) AS n_idiomas,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_docs_en,
+           COUNT(DISTINCT md5(text)) AS n_digests
+    FROM documents
+)
+"""

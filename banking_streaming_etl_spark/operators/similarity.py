@@ -933,7 +933,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only like the other approximate ANN paths (per-engine float
     argmin in encoding has no portable SQL twin); recall vs brute force
     and re-rank exactness are pinned in tests."""
-    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    # cache: the DAG references emb from five branches (assignments,
+    # residuals, codes, query sample, re-rank) — without the barrier each
+    # branch re-runs the scan + norm fold (same rationale as
+    # near_dup_embeddings_lsh's cache)
+    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings")).cache()
     cent, books, codes = ivf_pq_index(emb)
 
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)

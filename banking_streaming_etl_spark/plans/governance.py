@@ -201,13 +201,20 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("data_horario") >= split, 1).otherwise(0)
         ).cast("bigint").alias("n_cur"),
     )
-    tot = halves.agg(
-        F.sum("n_ref").cast("bigint").alias("tot_ref"),
-        F.sum("n_cur").cast("bigint").alias("tot_cur"),
-        F.count("*").cast("bigint").alias("k_buckets"),
+    # totals via an unpartitioned window over the BUCKETS-SIZED aggregate
+    # output (~a dozen rows): a separate halves.agg() would re-derive
+    # `halves` and scan the fact table twice (plan-pinned in tests)
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
     sm = F.lit(PSI_SMOOTH)
-    joined = halves.crossJoin(F.broadcast(tot))
+    joined = (
+        halves.withColumn("tot_ref", F.sum("n_ref").over(wall))
+        .withColumn("tot_cur", F.sum("n_cur").over(wall))
+        .withColumn("k_buckets", F.count("*").over(wall))
+    )
     p_ref = (F.col("n_ref").cast("double") + sm) / (
         F.col("tot_ref").cast("double") + sm * F.col("k_buckets").cast("double")
     )

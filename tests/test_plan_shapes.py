@@ -384,3 +384,54 @@ def test_bpe_pair_counting_runs_on_vocabulary(spark):
     aggregate (vocabulary-sized input), and the top-N is TakeOrdered."""
     plan = _physical_plan(_query(spark, "bpe_pair_counts"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pit_join_is_single_window_no_nested_loop(spark):
+    """pit_balance_feature_join: the interval predicate must NOT appear as
+    a join (no BroadcastNestedLoopJoin / cartesian) — the as-of union
+    trick plans as one user-keyed window over the merged stream."""
+    plan = _physical_plan(_query(spark, "pit_balance_feature_join"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_psi_has_single_fact_aggregate(spark):
+    """psi_value_drift: the fact table contributes ONE grouped aggregate
+    (both halves via conditional sums in the same pass) — a second scan
+    would mean the halves were computed separately."""
+    import re
+
+    plan = _physical_plan(_query(spark, "psi_value_drift"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_kmv_merge_day_sketches_are_salt_pretruncated(spark):
+    """kmv_merge_rollup: day-level sketches must keep the two-stage salted
+    pre-truncation (no rank over a day's full distinct-hash stream)."""
+    plan = _physical_plan(_query(spark, "kmv_merge_rollup"))
+    assert "kmv_salt" in plan, plan
+
+
+def test_seasonal_windows_run_on_hours_not_fact(spark):
+    """seasonal_decompose_hourly: the moving-average window must sit ABOVE
+    the hour aggregate — the window's input columns are the aggregated
+    (hora, total), never raw fact columns."""
+    plan = _physical_plan(_query(spark, "seasonal_decompose_hourly"))
+    assert "Window" in plan, plan
+    # fact column names must not reach the window operator's arguments
+    win_sections = [
+        sec for sec in plan.split("\n\n") if sec.startswith("(")
+        and "Window" in sec.splitlines()[0]
+    ]
+    assert win_sections, plan
+    for sec in win_sections:
+        assert "valor_transacao" not in sec, sec
+
+
+def test_dataset_card_is_one_scan(spark):
+    """dataset_card: all statistics in one aggregate over one scan."""
+    import re
+
+    plan = _physical_plan(_query(spark, "dataset_card"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan

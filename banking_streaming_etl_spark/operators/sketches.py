@@ -241,11 +241,16 @@ def bloom_filter_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_membros",
             "n_bloom_pass",
             "n_falso_pos",
-            F.round(
-                F.col("n_falso_pos").cast("double")
-                / (F.col("n_pagadores") - F.col("n_membros")).cast("double"),
-                6,
-            ).alias("taxa_falso_pos"),
+            F.when(
+                F.col("n_pagadores") > F.col("n_membros"),
+                F.round(
+                    F.col("n_falso_pos").cast("double")
+                    / (F.col("n_pagadores") - F.col("n_membros")).cast(
+                        "double"
+                    ),
+                    6,
+                ),
+            ).alias("taxa_falso_pos"),  # NULL when every payer is a member
             "bits_set",
         )
     )
@@ -295,10 +300,13 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pagadores,
            AS n_bloom_pass,
        CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
            AS BIGINT) AS n_falso_pos,
-       ROUND(CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
-                  AS DOUBLE)
-             / CAST(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)
-                    AS DOUBLE), 6) AS taxa_falso_pos,
+       CASE WHEN COUNT(*) > SUM(CASE WHEN is_member THEN 1 ELSE 0 END)
+            THEN ROUND(
+                CAST(SUM(CASE WHEN bloom_pass AND NOT is_member
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)
+                       AS DOUBLE), 6)
+       END AS taxa_falso_pos,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set
 FROM per_payer""",
     extra_ctes=_BLOOM_CTES,

@@ -511,7 +511,11 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dataset release ships (docs/tokens/chars, source and language
     diversity, exact-duplicate rate): every statistic in ONE scan-level
     aggregate (countDistinct on the content digest rides the same
-    shuffle), so the card costs a single pass at any corpus size."""
+    shuffle), so the card costs a single pass at any corpus size (note:
+    three COUNT(DISTINCT)s in one aggregate plan via Expand — a x3 row
+    multiplier inside the scan stage; at extreme scale swap the
+    diversity columns to approx_count_distinct, keeping this exact form
+    as the oracle)."""
     d = datamodel.load_table(spark, sf_dir, "documents")
     agg = d.agg(
         F.count("*").alias("n_docs"),

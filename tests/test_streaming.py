@@ -731,3 +731,50 @@ def test_streaming_distinct_payers_within_hll_tolerance(spark, replay_dir):
     assert set(got) == set(want)
     for m, n in want.items():
         assert abs(got[m] - n) <= max(3, 0.1 * n), (m, got[m], n)
+
+
+def test_sliding_window_matches_batch(spark, replay_dir):
+    """sliding_value_sum (1 h window, 15 min slide): every event lands in
+    exactly 4 overlapping windows; the drained complete-mode stream must
+    equal a batch recomputation that explodes each event into its 4
+    covering windows."""
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    agg = swin.sliding_value_sum(tx, "1 hour", "15 minutes")
+    _run_to_memory(agg, "sliding_out", mode="complete")
+    got_rows = spark.sql("SELECT * FROM sliding_out").collect()
+    got = {(r.inicio, r.fim): (r.total_transacoes, float(r.valor_total))
+           for r in got_rows}
+    slide_s = 15 * 60
+    batch = (
+        datamodel.transactions(spark, SF)
+        .withColumn(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(3)))
+        )
+        .withColumn(
+            "inicio",
+            F.timestamp_seconds(
+                (F.unix_timestamp("data_horario") / slide_s).cast("long")
+                * slide_s
+                - F.col("k") * slide_s
+            ),
+        )
+        .groupBy("inicio")
+        .agg(
+            F.count("*").alias("total_transacoes"),
+            F.sum("valor_transacao").alias("valor_total"),
+        )
+    )
+    import datetime as _dt
+
+    want = {
+        (r.inicio, r.inicio + _dt.timedelta(hours=1)): (
+            r.total_transacoes,
+            float(r.valor_total),
+        )
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k  # counts exact
+        # sums tolerate aggregation-order float noise only
+        assert abs(got[k][1] - want[k][1]) < 1e-6, k

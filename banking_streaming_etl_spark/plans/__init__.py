@@ -576,6 +576,9 @@ def register_all() -> None:
              "iterative BPE training loop: corpus scanned once, "
              "vocabulary-sized merge iterations (exact-equality "
              "differential vs a pure-Python trainer)")
+    register("bpe_corpus_compression", text.bpe_corpus_compression, None,
+             "tokenizer-loop capstone: train merges, apply, report "
+             "per-source compression (exact differential vs Python)")
     register("ann_lsh_topk", similarity.ann_lsh_topk, None,
              "sign-projection LSH top-K (recall vs brute force in tests)")
     register("ann_ivf_topk", similarity.ann_ivf_topk, None,

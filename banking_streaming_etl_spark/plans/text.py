@@ -1451,6 +1451,16 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only registration: the iterative loop has no single-statement
     SQL twin; tests pin exact equality against a pure-Python trainer."""
+    merges, base, _ = _bpe_train(spark, sf_dir)
+    base.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, simbolo_a string, simbolo_b string, freq bigint"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared training loop: returns (merge list, cached base vocabulary,
+    final re-segmented vocabulary frame). Caller unpersists `base`."""
     d = datamodel.load_table(spark, sf_dir, "documents")
     base = (
         d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
@@ -1465,21 +1475,60 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = base
     merges = []
-    try:
-        for rank in range(1, BPE_N_MERGES + 1):
-            top = (
-                _bpe_sym_pairs(wf)
-                .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            t = top[0]
-            merges.append((rank, t.a, t.b, int(t.freq)))
-            wf = wf.withColumn("syms", _bpe_apply_merge(t.a, t.b))
-    finally:
-        base.unpersist()
-    return spark.createDataFrame(
-        merges, "rank int, simbolo_a string, simbolo_b string, freq bigint"
+    for rank in range(1, BPE_N_MERGES + 1):
+        top = (
+            _bpe_sym_pairs(wf)
+            .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        merges.append((rank, t.a, t.b, int(t.freq)))
+        wf = wf.withColumn("syms", _bpe_apply_merge(t.a, t.b))
+    return merges, base, wf
+
+
+def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer-loop capstone: train BPE_N_MERGES merges, apply
+    them, and report the per-source compression — symbols per word before
+    (= characters) and after the merges, and the ratio. The number a
+    tokenizer team actually tracks (how much sequence length the merge
+    budget buys, per data source).
+
+    Scale shape: training is the corpus-sublinear loop (_bpe_train); the
+    report joins each source's word stream against the vocabulary-sized
+    final segmentation on the word key — one dim-style equi-join + one
+    source-keyed aggregate. Rows-only like the trainer (iterative);
+    exact-equality differential vs the pure-Python pipeline in tests."""
+    merges, base, wf = _bpe_train(spark, sf_dir)
+    seg = wf.select("w", F.size("syms").alias("n_sym"))
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    out = (
+        words.join(seg, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_palavras"),
+            F.sum(F.length("w")).cast("bigint").alias("simbolos_antes"),
+            F.sum("n_sym").cast("bigint").alias("simbolos_depois"),
+        )
+        .select(
+            "source",
+            "n_palavras",
+            "simbolos_antes",
+            "simbolos_depois",
+            F.round(
+                F.col("simbolos_depois").cast("double")
+                / F.col("simbolos_antes").cast("double"),
+                6,
+            ).alias("taxa_compressao"),
+        )
     )
+    # materialize before unpersisting the lineage's cache root
+    rows = out.collect()
+    base.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -128,3 +128,70 @@ def test_bpe_learned_merges_match_python_trainer(spark):
     ]
     assert got == want
     assert len(got) == textplans.BPE_N_MERGES
+
+
+def test_bpe_corpus_compression_matches_python(spark):
+    """The compression report must equal a pure-Python train+apply+measure
+    pipeline exactly (same merges, same greedy application)."""
+    from collections import Counter
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans import text as textplans
+
+    SF = "/root/testdata/sf0.001"
+    docs = datamodel.load_table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect()
+    vocab = Counter()
+    src_words = []
+    for row in docs:
+        for w in row.text.lower().split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+                src_words.append((row.source, w))
+    segs = {w: [c for c in w] for w in vocab}
+
+    def pair_counts():
+        pc = Counter()
+        for w, syms in segs.items():
+            f = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        return pc
+
+    def apply(a, b):
+        for w, syms in segs.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            segs[w] = out
+
+    for _ in range(textplans.BPE_N_MERGES):
+        pc = pair_counts()
+        (a, b), _f = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        apply(a, b)
+
+    stats = {}
+    for src, w in src_words:
+        n, before, after = stats.get(src, (0, 0, 0))
+        stats[src] = (n + 1, before + len(w), after + len(segs[w]))
+    want = {
+        src: (n, before, after, round(after / before, 6))
+        for src, (n, before, after) in stats.items()
+    }
+    got = {
+        r.source: (
+            r.n_palavras,
+            r.simbolos_antes,
+            r.simbolos_depois,
+            r.taxa_compressao,
+        )
+        for r in textplans.bpe_corpus_compression(spark, SF).collect()
+    }
+    assert got == want
+    assert all(v[3] < 1.0 for v in got.values())  # merges actually compress

@@ -587,10 +587,11 @@ def _subspaces(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def pq_codebooks(emb: DataFrame) -> DataFrame:
-    """Per-subspace codebook: the sub-slices of PQ_K hash-sampled vectors
-    (same deterministic TakeOrdered budget mechanism as IVF seeding; at
-    production scale you'd Lloyd-refine per subspace exactly like
-    ivf_train). Output (sub, code, cvec): PQ_M x PQ_K rows, broadcast."""
+    """Per-subspace SEED codebook: the sub-slices of PQ_K hash-sampled
+    vectors (same deterministic TakeOrdered budget mechanism as IVF
+    seeding). `pq_train` Lloyd-refines these per subspace — the same
+    seed/train split as ivf_assignments/ivf_train. Output
+    (sub, code, cvec): PQ_M x PQ_K rows, broadcast."""
     sampled = (
         emb.select("vec_id", "embedding")
         .orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
@@ -1013,3 +1014,70 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("posicao") <= TOP_K)
         .select("query_id", "posicao", "neighbor_id", "cosine")
     )
+
+
+def pq_train(vectors: DataFrame, iterations: int = 2) -> DataFrame:
+    """Per-subspace Lloyd refinement of the hash-sampled PQ codebooks —
+    the training step `pq_codebooks` seeds (same promise/delivery split
+    as ivf_assignments/ivf_train), expressed as joins + groupBy:
+
+    per iteration, per subspace INDEPENDENTLY:
+      1. encode every sub-vector against the current codes (pq_encode's
+         partial-aggregate argmin);
+      2. recompute each (sub, code) cell as the elementwise mean of its
+         assigned sub-vectors — groupBy (sub, code, pos), PQ_M x PQ_K x
+         PQ_SUB_DIM groups, tiny at any corpus size.
+
+    Empty cells keep their previous code vector (standard Lloyd
+    handling); per-subspace training is embarrassingly parallel because
+    PQ quantizes subspaces independently (Jegou et al. 2011 §III).
+    `vectors` is whatever the codes will encode — raw embeddings for
+    flat PQ, residuals for IVFPQ. Returns the refined (sub, code, cvec)
+    codebook frame; Lloyd monotonicity on the quantization error is
+    pinned in tests."""
+    books = pq_codebooks(vectors)
+    subs = _subspaces(vectors.select("vec_id", "embedding"))
+    for _ in range(iterations):
+        enc = (
+            subs.join(F.broadcast(books), "sub")
+            .withColumn(
+                "d2",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("svec"),
+                        F.col("cvec"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "code", "svec")).alias("m"))
+            .select("sub", F.col("m.code").alias("code"),
+                    F.col("m.svec").alias("svec"))
+        )
+        means = (
+            enc.select(
+                "sub", "code", F.posexplode("svec").alias("pos", "val")
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cvec")
+            )
+        )
+        kept = books.join(
+            means.select("sub", "code"), ["sub", "code"], "left_anti"
+        )
+        books = (
+            means.select("sub", "code", "cvec")
+            .unionByName(kept)
+            .localCheckpoint(eager=True)
+        )
+    return books

@@ -1144,3 +1144,45 @@ def test_kmv_merge_equals_direct_sketch(spark):
     for m in direct:
         assert merged[m][0] == direct[m], m
         assert merged[m][1] > 1  # genuinely merged across days
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    """Lloyd monotonicity: per-subspace refined codebooks must not
+    increase the mean squared quantization error over the training set
+    (and should strictly decrease it on this unstructured corpus), while
+    preserving the PQ_M x PQ_K codebook shape."""
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark import datamodel
+
+    emb = similarity._with_norm(datamodel.load_table(spark, SF, "embeddings"))
+    vecs = emb.select("vec_id", "embedding")
+    seed = similarity.pq_codebooks(vecs)
+    trained = similarity.pq_train(vecs, iterations=2)
+    assert trained.count() == similarity.PQ_M * similarity.PQ_K
+
+    def mse(books):
+        enc = (
+            similarity._subspaces(vecs)
+            .join(F.broadcast(books), "sub")
+            .withColumn(
+                "d2",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("svec"),
+                        F.col("cvec"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(F.min("d2").alias("d2"))
+        )
+        return enc.agg(F.avg("d2")).collect()[0][0]
+
+    e_seed = mse(seed)
+    e_trained = mse(trained)
+    assert e_trained < e_seed, (e_seed, e_trained)

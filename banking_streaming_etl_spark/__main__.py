@@ -55,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain("formatted")
         else:
+            # persist: show / the row-count footer / the oracle compare
+            # would otherwise each re-execute the full plan
+            df.persist()
             df.show(args.show, truncate=False)
             print(f"# {df.count()} rows", file=sys.stderr)
         if args.oracle:

@@ -48,6 +48,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     return names
 
 
+#: queries whose BUILDERS run multi-job driver-side loops (model
+#: training), excluded from register_query_views' default sweep — they
+#: would execute minutes of work at registration time, not query time.
+EAGER_QUERIES = frozenset({"bpe_learned_merges", "bpe_corpus_compression"})
+
+
 def register_query_views(
     spark: SparkSession,
     sf_dir: str,
@@ -59,14 +65,24 @@ def register_query_views(
     ANN, sketches, curation, governance — is one `spark.sql` away, the
     way the reference's users reach everything through Postgres views.
 
-    Views are LAZY (a temp view stores the plan, not results), so
-    registering all ~150 costs nothing until a view is queried — and a
-    queried view plans exactly like the DataFrame API call (same
-    Catalyst tree)."""
+    A temp view stores the plan, not results, so registration is cheap
+    for plan-only builders — but a handful of queries RUN Spark jobs
+    while BUILDING their plan (driver-side training loops / budget
+    counts: the BPE trainer collects merge rules per iteration,
+    semantic_dedup counts the corpus for its sqrt(N) budget, the
+    hierarchical assigner counts the centroid budget). The default
+    all-queries mode therefore excludes the heavy training loops
+    (EAGER_QUERIES); pass them in `names` explicitly to accept the
+    build cost. A queried view plans exactly like the DataFrame API
+    call (same Catalyst tree)."""
     from banking_streaming_etl_spark import registry
 
     qs = registry.all_queries()
-    picked = names if names is not None else list(qs)
+    picked = (
+        names
+        if names is not None
+        else [n for n in qs if n not in EAGER_QUERIES]
+    )
     out: list[str] = []
     for n in picked:
         qs[n].fn(spark, sf_dir).createOrReplaceTempView(f"{prefix}{n}")

@@ -198,11 +198,14 @@ def bloom_filter_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Columns: total probed, exact members, bloom passes, false
     positives, fp rate (over non-members), bits set."""
     tx = datamodel.transactions(spark, sf_dir)
+    # cache: the payer aggregate feeds THREE branches (probe stream, bit
+    # build, bit count) — uncached, each branch re-scans the fact table
+    # and re-runs the max-aggregate; the cached frame is payer-dim-sized
     payers = tx.groupBy("id_usuario_pagador").agg(
         (F.max("valor_transacao") > F.lit(BLOOM_VALUE_THRESHOLD)).alias(
             "is_member"
         )
-    )
+    ).cache()
     bit_arr = F.array(
         *[
             _lcg_bucket(
@@ -211,12 +214,14 @@ def bloom_filter_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(BLOOM_J)
         ]
     )
+    # cached too: used by the probe join AND the bits_set count (a few
+    # KB — the broadcast the runtime-filter pattern ships anyway)
     bits = (
         payers.filter("is_member")
         .select(F.explode(bit_arr).alias("bit"))
         .distinct()
         .withColumn("set_", F.lit(1))
-    )
+    ).cache()
     probes = payers.select(
         "id_usuario_pagador", "is_member", F.explode(bit_arr).alias("bit")
     )

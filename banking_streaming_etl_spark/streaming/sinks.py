@@ -199,6 +199,11 @@ class MaterializedAggregateView:
         directory swap would be lost. The folded output keeps the
         batch_id partition layout — a mixed layout would make Spark's
         partition discovery silently drop the root-level file."""
+        # a retried compact after a mid-swap crash must restore the
+        # backup first, like read()/write_batch() do — otherwise the
+        # spark.read below hits the missing live dir and raises instead
+        # of recovering
+        self._recover_interrupted_compact()
         folded = (
             spark.read.parquet(self.out_dir)
             .groupBy(self.key_col)

@@ -213,3 +213,80 @@ tri AS (
     JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 )""",
 )
+
+
+#: convergence threshold for the dynamic-stopping variant (sum of
+#: absolute rank deltas between iterations).
+PAGERANK_EPS = 1e-6
+PAGERANK_MAX_ITERS = 30
+
+
+def payer_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with CONVERGENCE stopping instead of a fixed round count:
+    iterate until the L1 delta between successive rank vectors drops
+    below PAGERANK_EPS (capped at PAGERANK_MAX_ITERS). The delta check
+    is one scalar aggregate collected per iteration — the driver holds
+    the LOOP CONDITION, never the data, which is how every iterative
+    Spark workload (GraphX/ML) terminates dynamically.
+
+    Output adds the iteration count so the stopping behavior is
+    observable. Rows-only (the iteration count is data-dependent, so
+    there is no fixed-depth SQL unrolling); tests pin monotone-ish
+    convergence and agreement with the fixed-round query's ranks."""
+    edges, nodes = _graph(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n = nodes.agg(F.count("*").alias("n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            F.round(F.lit(1.0) / F.col("n").cast("double"), 9).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    iters_run = 0
+    for _ in range(PAGERANK_MAX_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("u", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("u"),
+                F.round(F.col("rank") / F.col("deg").cast("double"), 9)
+                .cast(DEC9)
+                .alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "u", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "u",
+                F.round(
+                    F.lit(1.0 - DAMPING) / F.col("n").cast("double")
+                    + F.lit(DAMPING)
+                    * F.coalesce(F.col("s"), F.lit(0).cast(DEC9)).cast(
+                        "double"
+                    ),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        iters_run += 1
+        delta = (
+            new_ranks.join(
+                ranks.withColumnRenamed("rank", "rank_prev"), "u"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("rank_prev"))).alias("d"))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta < PAGERANK_EPS:
+            break
+    return ranks.select(
+        F.col("u").alias("id_usuario"),
+        F.round("rank", 6).alias("rank"),
+        F.lit(iters_run).alias("iteracoes"),
+    )

@@ -1081,3 +1081,65 @@ def pq_train(vectors: DataFrame, iterations: int = 2) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return books
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-as-a-query: top-1 and top-K recall of every registered
+    approximate ANN path against the brute-force baseline, one row per
+    method — the index-tuning report an ANN deployment watches when
+    turning the probes/planes/codebook knobs.
+
+    All five result sets are DataFrames, so the whole evaluation is a
+    union of per-method (anti-)join aggregates — no driver-side set
+    math; at scale each leg is the method's own query cost plus a
+    (query_id, neighbor_id)-keyed join against the baseline. Rows-only
+    (the legs are rows-only themselves); invariants (recall in [0, 1],
+    brute force scores 1.0 against itself) are pinned in tests."""
+    brute = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "posicao", "neighbor_id"
+    ).cache()
+    methods = [
+        ("brute_force", brute),
+        ("lsh", ann_lsh_topk(spark, sf_dir)),
+        ("ivf", ann_ivf_topk(spark, sf_dir)),
+        ("pq", ann_pq_topk(spark, sf_dir)),
+        ("ivf_pq", ann_ivf_pq_topk(spark, sf_dir)),
+    ]
+    legs = []
+    b1 = brute.filter(F.col("posicao") == 1).select(
+        "query_id", "neighbor_id"
+    )
+    bk = brute.select("query_id", "neighbor_id")
+    n_q = F.countDistinct("query_id")
+    for name, df in methods:
+        m1 = df.filter(F.col("posicao") == 1).select(
+            "query_id", "neighbor_id"
+        )
+        mk = df.select("query_id", "neighbor_id")
+        top1 = (
+            b1.join(m1, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("hit1"))
+            .crossJoin(b1.agg(n_q.alias("nq")))
+        )
+        topk = (
+            bk.join(mk, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("hitk"))
+            .crossJoin(bk.agg(F.count("*").alias("nk")))
+        )
+        legs.append(
+            top1.crossJoin(topk).select(
+                F.lit(name).alias("metodo"),
+                F.round(
+                    F.col("hit1").cast("double") / F.col("nq").cast("double"),
+                    6,
+                ).alias("recall_top1"),
+                F.round(
+                    F.col("hitk").cast("double") / F.col("nk").cast("double"),
+                    6,
+                ).alias("recall_topk"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -579,6 +579,13 @@ def register_all() -> None:
     register("bpe_corpus_compression", text.bpe_corpus_compression, None,
              "tokenizer-loop capstone: train merges, apply, report "
              "per-source compression (exact differential vs Python)")
+    register("ann_recall_eval", similarity.ann_recall_eval, None,
+             "evaluation-as-a-query: top-1/top-K recall of every ANN "
+             "path vs brute force, one row per method")
+    register("payer_pagerank_converged", graph.payer_pagerank_converged,
+             None,
+             "PageRank with convergence stopping (driver holds only the "
+             "loop condition; agreement with fixed-round twin tested)")
     register("ann_lsh_topk", similarity.ann_lsh_topk, None,
              "sign-projection LSH top-K (recall vs brute force in tests)")
     register("ann_ivf_topk", similarity.ann_ivf_topk, None,

@@ -1186,3 +1186,38 @@ def test_pq_train_reduces_quantization_error(spark):
     e_seed = mse(seed)
     e_trained = mse(trained)
     assert e_trained < e_seed, (e_seed, e_trained)
+
+
+def test_ann_recall_eval_invariants(spark):
+    """The recall report: brute force scores exactly 1.0 vs itself, every
+    method lands in [0, 1], and the approximate paths find SOMETHING on
+    this corpus (non-zero recall)."""
+    rows = {
+        r.metodo: (r.recall_top1, r.recall_topk)
+        for r in similarity.ann_recall_eval(spark, SF).collect()
+    }
+    assert set(rows) == {"brute_force", "lsh", "ivf", "pq", "ivf_pq"}
+    assert rows["brute_force"] == (1.0, 1.0)
+    for m, (r1, rk) in rows.items():
+        assert 0.0 <= r1 <= 1.0 and 0.0 <= rk <= 1.0, (m, r1, rk)
+        if m != "brute_force":
+            assert rk > 0.0, m
+
+
+def test_pagerank_converged_agrees_with_fixed_rounds(spark):
+    """Dynamic-stopping PageRank must stop before the cap, run at least
+    as many rounds as the fixed-depth query, and agree with its ranks to
+    the iteration tolerance."""
+    from banking_streaming_etl_spark.operators import graph
+
+    conv = graph.payer_pagerank_converged(spark, SF).collect()
+    iters = {r.iteracoes for r in conv}
+    assert len(iters) == 1
+    n_it = iters.pop()
+    assert graph.PAGERANK_ITERS <= n_it < graph.PAGERANK_MAX_ITERS
+
+    fixed = {r.id_usuario: r.rank for r in graph.payer_pagerank(spark, SF).collect()}
+    got = {r.id_usuario: r.rank for r in conv}
+    assert set(got) == set(fixed)
+    # converged ranks sit within the residual tail of the fixed-round run
+    assert all(abs(got[u] - fixed[u]) < 1e-3 for u in fixed)

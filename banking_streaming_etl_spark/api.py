@@ -49,9 +49,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
 
 
 #: queries whose BUILDERS run multi-job driver-side loops (model
-#: training), excluded from register_query_views' default sweep — they
-#: would execute minutes of work at registration time, not query time.
-EAGER_QUERIES = frozenset({"bpe_learned_merges", "bpe_corpus_compression"})
+#: training, eager per-iteration checkpoints, convergence collects),
+#: excluded from register_query_views' default sweep — they would
+#: execute minutes of work at registration time, not query time.
+#: (Single-count budget builders — semantic_dedup's sqrt(N), the
+#: hierarchical assigner's K — cost one job each and stay in.)
+EAGER_QUERIES = frozenset({
+    "bpe_learned_merges",
+    "bpe_corpus_compression",
+    "payer_pagerank",
+    "payer_pagerank_converged",
+    "dedup_clusters",
+})
 
 
 def register_query_views(

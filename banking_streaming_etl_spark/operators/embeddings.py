@@ -174,18 +174,12 @@ GROUP BY 1, 2
 SEM_DEDUP_COSINE = 0.40
 
 
-def _portable_hash_spark(col):
-    """Engine-portable integer hash (32-bit LCG step): the same closed-form
-    arithmetic runs in DuckDB SQL, unlike xxhash64. The inner % bounds the
-    multiply below 2^63 for ANY bigint id (ANSI-overflow-safe)."""
-    return (
-        (col % F.lit(2147483648)) * F.lit(1103515245) + F.lit(12345)
-    ) % F.lit(2147483648)
+#: the shared engine-portable ladder (functions/portable.py) under the
+#: module's historical names
+from banking_streaming_etl_spark.functions import portable as _portable
 
-
-_PORTABLE_HASH_SQL = (
-    "((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648"
-)
+_portable_hash_spark = _portable.lcg_hash
+_PORTABLE_HASH_SQL = _portable.lcg_hash_sql("vec_id")
 
 
 def sem_dedup_centroids(emb: DataFrame, k: int) -> DataFrame:

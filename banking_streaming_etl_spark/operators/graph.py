@@ -283,7 +283,8 @@ def payer_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0][0]
         )
         ranks = new_ranks
-        if delta < PAGERANK_EPS:
+        # empty graph -> SUM over zero rows is NULL: converged trivially
+        if delta is None or delta < PAGERANK_EPS:
             break
     return ranks.select(
         F.col("u").alias("id_usuario"),

@@ -35,10 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import portable
 
-#: LCG range shared with the KMV sketch (2^31 keeps every multiply below
-#: 2^63 under ANSI for the constants below).
-_M = 2147483648
+#: LCG range (2^31 keeps every multiply below 2^63 under ANSI for the
+#: constants below) — re-exported from the shared ladder.
+_M = portable.M31
 
 #: independent (a, b) LCG constants per hash row — all < 2^31 so
 #: (x % _M) * a + b < 2^62. Classic published LCG parameter sets (glibc,
@@ -70,15 +71,10 @@ BLOOM_VALUE_THRESHOLD = 300.0
 CMS_TOP = 10
 
 
-def _lcg_bucket(col, a: int, b: int, width: int):
-    """((x % M) * a + b) % M % width — every step bounded below 2^63."""
-    return (
-        ((col % F.lit(_M)) * F.lit(a) + F.lit(b)) % F.lit(_M)
-    ) % F.lit(width)
-
-
-def _lcg_bucket_sql(expr: str, a: int, b: int, width: int) -> str:
-    return f"((({expr} % {_M}) * {a} + {b}) % {_M}) % {width}"
+#: thin aliases over the ONE shared ladder (functions/portable.py) —
+#: kept so the sketch code reads in terms of its own geometry
+_lcg_bucket = portable.lcg_bucket
+_lcg_bucket_sql = portable.lcg_bucket_sql
 
 
 # --- Count-Min sketch heavy hitters ------------------------------------------
@@ -185,6 +181,32 @@ GROUP BY 1, 2""",
 # --- Bloom-filter membership screen ------------------------------------------
 
 
+#: session memo of the bloom probe frame, keyed (app_id, sf_dir) —
+#: evicts entries from stopped sessions like the other shared memos.
+_SHARED_PAYERS: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_bloom_payers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    for key in [k for k in _SHARED_PAYERS if k[0] != app_id]:
+        _SHARED_PAYERS.pop(key)
+    key = (app_id, sf_dir)
+    df = _SHARED_PAYERS.get(key)
+    if df is None:
+        df = (
+            datamodel.transactions(spark, sf_dir)
+            .groupBy("id_usuario_pagador")
+            .agg(
+                (
+                    F.max("valor_transacao") > F.lit(BLOOM_VALUE_THRESHOLD)
+                ).alias("is_member")
+            )
+            .cache()
+        )
+        _SHARED_PAYERS[key] = df
+    return df
+
+
 def bloom_filter_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row report of a Bloom-filter membership screen over distinct
     payers: the member set is "payers with any transaction above
@@ -198,14 +220,12 @@ def bloom_filter_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Columns: total probed, exact members, bloom passes, false
     positives, fp rate (over non-members), bits set."""
     tx = datamodel.transactions(spark, sf_dir)
-    # cache: the payer aggregate feeds THREE branches (probe stream, bit
-    # build, bit count) — uncached, each branch re-scans the fact table
-    # and re-runs the max-aggregate; the cached frame is payer-dim-sized
-    payers = tx.groupBy("id_usuario_pagador").agg(
-        (F.max("valor_transacao") > F.lit(BLOOM_VALUE_THRESHOLD)).alias(
-            "is_member"
-        )
-    ).cache()
+    # memoized: the payer aggregate feeds THREE branches (probe stream,
+    # bit build, bit count) — uncached, each branch re-scans the fact
+    # and re-runs the max-aggregate; memoizing (not per-call cache())
+    # keeps repeated invocations in one session from leaking one
+    # InMemoryRelation each (dedup._SHARED_SHINGLES precedent)
+    payers = _shared_bloom_payers(spark, sf_dir)
     bit_arr = F.array(
         *[
             _lcg_bucket(
@@ -214,14 +234,14 @@ def bloom_filter_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(BLOOM_J)
         ]
     )
-    # cached too: used by the probe join AND the bits_set count (a few
-    # KB — the broadcast the runtime-filter pattern ships anyway)
+    # derives from the memoized payers, so the double use (probe join +
+    # bits_set count) re-reads memory, not the fact table
     bits = (
         payers.filter("is_member")
         .select(F.explode(bit_arr).alias("bit"))
         .distinct()
         .withColumn("set_", F.lit(1))
-    ).cache()
+    )
     probes = payers.select(
         "id_usuario_pagador", "is_member", F.explode(bit_arr).alias("bit")
     )

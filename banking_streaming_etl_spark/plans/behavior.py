@@ -305,9 +305,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TRANSITION_SQL = datamodel.with_ctes(
     """
 SELECT anterior, atual, CAST(n AS BIGINT) AS n,
-       ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY anterior) AS DOUBLE), 6)
            AS probabilidade
 FROM (
+    -- one LAG pass; the per-anterior normalizer is a window SUM over
+    -- the counts aggregate instead of a second full LAG derivation
     SELECT anterior, atual, COUNT(*) AS n
     FROM (
         SELECT LAG(modalidade_pagamento) OVER (
@@ -319,23 +322,7 @@ FROM (
     )
     WHERE anterior IS NOT NULL
     GROUP BY 1, 2
-) c
-JOIN (
-    SELECT anterior, SUM(n) AS n_total
-    FROM (
-        SELECT anterior, COUNT(*) AS n
-        FROM (
-            SELECT LAG(modalidade_pagamento) OVER (
-                       PARTITION BY id_usuario_pagador
-                       ORDER BY data_horario, id_transacao
-                   ) AS anterior
-            FROM transactions
-        )
-        WHERE anterior IS NOT NULL
-        GROUP BY 1
-    )
-    GROUP BY 1
-) t USING (anterior)"""
+)"""
 )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from banking_streaming_etl_spark import datamodel
-from banking_streaming_etl_spark.functions import textfns
+from banking_streaming_etl_spark.functions import portable, textfns
 from banking_streaming_etl_spark.operators import sampling
 from banking_streaming_etl_spark.plans import text
 
@@ -346,11 +346,7 @@ def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = datamodel.load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
-    h = (
-        (F.col("doc_id") % F.lit(2147483648))
-        * F.lit(1103515245)
-        + F.lit(12345)
-    ) % F.lit(2147483648)
+    h = portable.lcg_hash(F.col("doc_id"))
     w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     ranked = d.withColumn("posicao_na_fonte", F.row_number().over(w))
     per_source = d.groupBy("source").agg(F.count("*").alias("n_fonte"))

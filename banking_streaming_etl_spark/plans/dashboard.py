@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import portable
 from banking_streaming_etl_spark.functions import exact, scores
 from banking_streaming_etl_spark.plans.approval import (
     with_approval_flags,
@@ -855,10 +856,7 @@ def equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.expr(f"({_ED_M} * k_s) DIV n_total").alias("thr"))
     )
-    h = (
-        (F.col("id_transacao") % F.lit(_ED_M)) * F.lit(1103515245)
-        + F.lit(12345)
-    ).__mod__(F.lit(_ED_M))
+    h = portable.lcg_hash(F.col("id_transacao"))
     sample = (
         t.select(
             F.col("valor_transacao").alias("v"),

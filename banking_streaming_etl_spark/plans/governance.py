@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import portable
 
 #: k-anonymity thresholds reported (class sizes below k are re-id risk).
 K_THRESHOLDS = (2, 5, 10)
@@ -30,7 +31,7 @@ QI_VALUE_BUCKET = 50.0
 #: Laplace scale b = sensitivity/epsilon for the DP count release
 #: (count queries have sensitivity 1).
 DP_EPSILON = 1.0
-_LCG_M = 2147483648
+_LCG_M = portable.M31
 
 
 def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,10 +123,7 @@ def dp_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-row narrow map after it."""
     t = datamodel.transactions(spark, sf_dir)
     counts = t.groupBy("id_regiao").agg(F.count("*").alias("tx_exato"))
-    h = (
-        (F.col("id_regiao") % F.lit(_LCG_M)) * F.lit(1103515245)
-        + F.lit(12345)
-    ) % F.lit(_LCG_M)
+    h = portable.lcg_hash(F.col("id_regiao"))
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_LCG_M))
     v = u - F.lit(0.5)
     b = 1.0 / DP_EPSILON
@@ -152,7 +150,7 @@ SELECT id_regiao, CAST(tx_exato AS BIGINT) AS tx_exato,
                                     / {float(_LCG_M)!r} - 0.5)), 6) AS tx_dp
 FROM (
     SELECT id_regiao, COUNT(*) AS tx_exato,
-           ((id_regiao % {_LCG_M}) * 1103515245 + 12345) % {_LCG_M} AS h
+           {portable.lcg_hash_sql("id_regiao")} AS h
     FROM transactions
     GROUP BY 1
 )"""

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from banking_streaming_etl_spark import datamodel
-from banking_streaming_etl_spark.functions import exact
+from banking_streaming_etl_spark.functions import exact, portable
 
 
 # --- semi / anti joins -------------------------------------------------------
@@ -686,23 +686,10 @@ def kmv_distinct_payers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = datamodel.transactions(spark, sf_dir)
     hashed = t.select(
         "modalidade_pagamento",
-        (
-            (F.col("id_usuario_pagador") % F.lit(_KMV_M))
-            * F.lit(1103515245)
-            + F.lit(12345)
-        ).__mod__(F.lit(_KMV_M)).alias("h"),
+        portable.lcg_hash(F.col("id_usuario_pagador")).alias("h"),
     ).distinct()
-    pre_w = W.partitionBy("modalidade_pagamento", "kmv_salt").orderBy(
-        F.asc("h")
-    )
-    pre = (
-        hashed.withColumn("kmv_salt", F.col("h") % F.lit(KMV_SALTS))
-        .withColumn("rk_pre", F.row_number().over(pre_w))
-        .filter(F.col("rk_pre") <= KMV_K)
-    )
-    w = W.partitionBy("modalidade_pagamento").orderBy(F.asc("h"))
     kth = (
-        pre.withColumn("rk", F.row_number().over(w))
+        _kmv_bottom_k(hashed, with_rank=True)
         .filter(F.col("rk") == KMV_K)
         .select("modalidade_pagamento", F.col("h").alias("h_k"))
     )
@@ -766,33 +753,32 @@ def _kmv_hashed_payers(t: DataFrame) -> DataFrame:
     by construction (not just with high probability)."""
     return t.select(
         "modalidade_pagamento",
-        (
-            (F.col("id_usuario_pagador") % F.lit(_KMV_M))
-            * F.lit(1103515245)
-            + F.lit(12345)
-        ).__mod__(F.lit(_KMV_M)).alias("h"),
+        portable.lcg_hash(F.col("id_usuario_pagador")).alias("h"),
     ).distinct()
 
 
-def _kmv_bottom_k(hashed: DataFrame) -> DataFrame:
-    """Per-modality bottom-K hash sketch via the same two-stage mergeable
-    truncation as `kmv_distinct_payers` (stage 1 ranks (modality, salt)
+def _kmv_bottom_k(
+    hashed: DataFrame,
+    keys: tuple[str, ...] = ("modalidade_pagamento",),
+    with_rank: bool = False,
+) -> DataFrame:
+    """Per-key bottom-K hash sketch via the ONE two-stage mergeable
+    truncation every KMV query shares (stage 1 ranks (keys..., salt)
     slices, stage 2 ranks the <= KMV_SALTS x K survivors) — no task ever
     sorts a modality's full distinct-hash stream. Returns (modality, h)
     with |rows per modality| <= KMV_K."""
-    pre_w = W.partitionBy("modalidade_pagamento", "kmv_salt").orderBy(
-        F.asc("h")
-    )
+    pre_w = W.partitionBy(*keys, "kmv_salt").orderBy(F.asc("h"))
     pre = (
         hashed.withColumn("kmv_salt", F.col("h") % F.lit(KMV_SALTS))
         .withColumn("rk_pre", F.row_number().over(pre_w))
         .filter(F.col("rk_pre") <= KMV_K)
     )
-    w = W.partitionBy("modalidade_pagamento").orderBy(F.asc("h"))
-    return (
-        pre.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KMV_K)
-        .select("modalidade_pagamento", "h")
+    w = W.partitionBy(*keys).orderBy(F.asc("h"))
+    out = pre.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    return out.select(*keys, "h", "rk") if with_rank else out.select(
+        *keys, "h"
     )
 
 
@@ -1090,25 +1076,10 @@ def kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = t.select(
         "modalidade_pagamento",
         F.to_date("data_horario").alias("dia"),
-        (
-            (F.col("id_usuario_pagador") % F.lit(_KMV_M))
-            * F.lit(1103515245)
-            + F.lit(12345)
-        ).__mod__(F.lit(_KMV_M)).alias("h"),
+        portable.lcg_hash(F.col("id_usuario_pagador")).alias("h"),
     ).distinct()
-    # per-(modality, day) bottom-K: salt pre-truncate then rank in-day
-    pre_w = W.partitionBy("modalidade_pagamento", "dia", "kmv_salt").orderBy(
-        F.asc("h")
-    )
-    day_w = W.partitionBy("modalidade_pagamento", "dia").orderBy(F.asc("h"))
-    day_sketch = (
-        hashed.withColumn("kmv_salt", F.col("h") % F.lit(KMV_SALTS))
-        .withColumn("rk_pre", F.row_number().over(pre_w))
-        .filter(F.col("rk_pre") <= KMV_K)
-        .withColumn("rk", F.row_number().over(day_w))
-        .filter(F.col("rk") <= KMV_K)
-        .select("modalidade_pagamento", "dia", "h")
-    )
+    # per-(modality, day) bottom-K through the shared two-stage helper
+    day_sketch = _kmv_bottom_k(hashed, keys=("modalidade_pagamento", "dia"))
     # merge upward: distinct union of day sketches, re-truncate to K
     merge_w = W.partitionBy("modalidade_pagamento").orderBy(F.asc("h"))
     merged = (

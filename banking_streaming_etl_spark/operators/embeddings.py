@@ -518,3 +518,84 @@ FROM dots d
 JOIN norms na ON d.label_a = na.label
 JOIN norms nb ON d.label_b = nb.label
 """
+
+
+def embedding_dimension_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between the reference half and the
+    current half of the corpus (split on vec_id parity — the stand-in
+    for "last index build vs this one"): decimal-exact means and stds
+    per half plus the standardized mean shift
+    |mean_cur - mean_ref| / std_ref — the monitor that catches a model
+    or preprocessing change upstream of an ANN index before recall
+    quietly degrades (an embedding-space PSI; value-space twin:
+    plans/governance.psi_value_drift).
+
+    Scale shape: one posexplode + (half, pos) aggregate — dims x 2
+    groups, map-side partials; the drift join is dims-sized."""
+    ex = _exploded(spark, sf_dir).withColumn(
+        "metade",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("ref")).otherwise(
+            F.lit("cur")
+        ),
+    )
+    stats = ex.groupBy("metade", "pos").agg(
+        exact.exact_avg(F.col("v").cast("double"), "media"),
+        exact.exact_std(F.col("v").cast("double"), "desvio"),
+    )
+    ref = stats.filter(F.col("metade") == "ref").select(
+        "pos", F.col("media").alias("media_ref"),
+        F.col("desvio").alias("desvio_ref"),
+    )
+    cur = stats.filter(F.col("metade") == "cur").select(
+        "pos", F.col("media").alias("media_cur"),
+        F.col("desvio").alias("desvio_cur"),
+    )
+    # the shift derives from the ROUNDED on-grid components (decimal-
+    # exact means are rationals that can land on the .5 round boundary
+    # at digit 7 — the seasonal-residual lesson, CLAUDE.md invariants)
+    return (
+        ref.join(cur, "pos")
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.round("media_ref", 6).alias("media_ref"),
+            F.round("media_cur", 6).alias("media_cur"),
+            F.round("desvio_ref", 6).alias("desvio_ref"),
+            F.round("desvio_cur", 6).alias("desvio_cur"),
+        )
+        .withColumn(
+            "deslocamento_padronizado",
+            F.round(
+                F.abs(F.col("media_cur") - F.col("media_ref"))
+                / F.col("desvio_ref"),
+                6,
+            ),
+        )
+    )
+
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH ex AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS metade,
+           unnest(range(0, len(embedding))) AS pos,
+           unnest(embedding) AS v
+    FROM embeddings
+),
+stats AS (
+    SELECT metade, pos,
+           {exact.sql_avg("CAST(v AS DOUBLE)", "media")},
+           {exact.sql_std("CAST(v AS DOUBLE)", "desvio")}
+    FROM ex GROUP BY 1, 2
+)
+SELECT pos, media_ref, media_cur, desvio_ref, desvio_cur,
+       ROUND(ABS(media_cur - media_ref) / desvio_ref, 6)
+           AS deslocamento_padronizado
+FROM (
+    SELECT r.pos, ROUND(r.media, 6) AS media_ref,
+           ROUND(c.media, 6) AS media_cur,
+           ROUND(r.desvio, 6) AS desvio_ref,
+           ROUND(c.desvio, 6) AS desvio_cur
+    FROM (SELECT * FROM stats WHERE metade = 'ref') r
+    JOIN (SELECT * FROM stats WHERE metade = 'cur') c ON r.pos = c.pos
+)
+"""

@@ -518,6 +518,11 @@ def register_all() -> None:
              behavior.SEASONAL_DECOMPOSE_SQL,
              "classical additive seasonal decomposition of the hourly "
              "series (trend / hour-of-day seasonal / residual)")
+    register("embedding_dimension_drift",
+             embeddings.embedding_dimension_drift,
+             embeddings.EMBEDDING_DRIFT_SQL,
+             "per-dimension embedding drift between corpus halves "
+             "(decimal-exact means/stds + standardized shift)")
     register("psi_value_drift", governance.psi_value_drift,
              governance.PSI_VALUE_DRIFT_SQL,
              "population-stability-index drift screen: reference vs "

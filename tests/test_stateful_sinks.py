@@ -476,3 +476,64 @@ def test_materialized_view_recovers_interrupted_compact(spark, tmp_path):
         .collect()
     }
     assert grown == doubled
+
+
+def test_idempotent_sink_survives_midstream_kill_and_restart(
+    spark, tmp_path, module_replay_dir
+):
+    """T5 under failure: stop the query after the FIRST micro-batch (a
+    mid-stream 'crash'), restart from the same checkpoint, drain, then
+    restart once more with no new data — the epoch-keyed sink must end
+    with exactly one row per transaction (no loss from the kill, no
+    dupes from the replayed epoch, no dupes from the idle restart)."""
+    import shutil
+    import tempfile
+
+    # private replay dir: the module fixture is shared across tests
+    d = tempfile.mkdtemp(prefix="replay_kill_")
+    try:
+        shutil.copytree(module_replay_dir, d, dirs_exist_ok=True)
+        hist = str(tmp_path / "hist")
+        ckpt = str(tmp_path / "ckpt")
+
+        def start():
+            tx = stream_src.read_transaction_stream(
+                spark, d, max_files_per_trigger=1
+            )
+            out = spipe.approval_stream(
+                tx, datamodel.users(spark, SF), datamodel.regions(spark, SF)
+            )
+            return sinks.start_idempotent_sink(
+                out,
+                out_dir=hist,
+                checkpoint_dir=ckpt,
+                columns=["id_transacao", "transacao_aprovada"],
+            )
+
+        q = start()
+        # wait for at least one committed batch, then kill mid-stream
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(
+                int(p.get("numInputRows", 0) or 0) > 0
+                for p in q.recentProgress
+            ):
+                break
+            time.sleep(0.2)
+        q.stop()
+
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+
+        q3 = start()  # idle restart: nothing new to process
+        q3.processAllAvailable()
+        q3.stop()
+
+        df = spark.read.parquet(hist)
+        assert df.count() == 1000
+        assert df.select("id_transacao").distinct().count() == 1000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

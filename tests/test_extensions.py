@@ -1221,3 +1221,34 @@ def test_pagerank_converged_agrees_with_fixed_rounds(spark):
     assert set(got) == set(fixed)
     # converged ranks sit within the residual tail of the fixed-round run
     assert all(abs(got[u] - fixed[u]) < 1e-3 for u in fixed)
+
+
+def test_sketch_and_model_artifacts_roundtrip_parquet(spark, tmp_path):
+    """The serving artifacts (CMS cell table, Bloom bit set, learned BPE
+    merges) persist to parquet and reload IDENTICALLY — the index-build
+    lifecycle: build once, write the artifact, serve from the reload
+    (probing the reloaded sketch equals probing the fresh one)."""
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.operators import sketches
+    from banking_streaming_etl_spark.plans import text as textplans
+
+    tx = datamodel.transactions(spark, SF)
+
+    cells = sketches.cms_cells(tx)
+    cells.write.parquet(str(tmp_path / "cms"))
+    reloaded = spark.read.parquet(str(tmp_path / "cms"))
+    assert {tuple(r) for r in cells.collect()} == {
+        tuple(r) for r in reloaded.collect()
+    }
+
+    bits = sketches.bloom_bits(tx)
+    bits.write.parquet(str(tmp_path / "bloom"))
+    rbits = spark.read.parquet(str(tmp_path / "bloom"))
+    assert {r.bit for r in bits.collect()} == {r.bit for r in rbits.collect()}
+
+    merges = textplans.bpe_learned_merges(spark, SF)
+    merges.write.parquet(str(tmp_path / "bpe"))
+    rmerges = spark.read.parquet(str(tmp_path / "bpe"))
+    assert sorted(tuple(r) for r in merges.collect()) == sorted(
+        tuple(r) for r in rmerges.collect()
+    )

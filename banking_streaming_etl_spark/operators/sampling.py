@@ -124,3 +124,52 @@ FROM (
 WHERE rk <= {RESERVOIR_K}
 """
 )
+
+
+#: weighted sample size (Efraimidis-Spirakis A-Res).
+WEIGHTED_K = 200
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement over documents
+    (Efraimidis & Spirakis 2006, A-Res): key_i = ln(u_i) / w_i with
+    u_i ~ U(0,1), keep the K LARGEST keys — inclusion probability
+    proportional to weight, single pass, no replacement bookkeeping. The
+    quality-weighted example-selection step of a curation pipeline
+    (weight = token count here; swap in a quality score unchanged).
+
+    u_i derives from the portable LCG hash ((h + 0.5)/M, strictly inside
+    (0,1) so ln never sees 0) — the sample is REPRODUCIBLE across runs,
+    partitionings, and engines. Rows-only registration: ln in the SORT
+    key is exactly the transcendental-ordering case the oracle
+    invariants exclude (a 1-ulp flip at the K-th boundary would change
+    the selected SET); determinism + weight-enrichment are pinned in
+    tests instead.
+
+    Scale shape: narrow map for the key, then TakeOrdered top-K — no
+    shuffle, no global sort; the distributed A-Res merge (per-partition
+    top-K then re-truncate) is exactly what TakeOrdered plans."""
+    from banking_streaming_etl_spark.functions import portable
+
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("double")
+    u = (
+        portable.lcg_hash(F.col("doc_id")).cast("double") + F.lit(0.5)
+    ) / F.lit(float(portable.M31))
+    key = F.log(u) / w
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            w.cast("bigint").alias("peso_tokens"),
+            key.alias("chave_ares"),
+        )
+        .orderBy(F.desc("chave_ares"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+        .select(
+            "doc_id",
+            "source",
+            "peso_tokens",
+            F.round("chave_ares", 9).alias("chave_ares"),
+        )
+    )

@@ -612,6 +612,10 @@ def register_all() -> None:
              "producer twin: uuid + seeded draws (F23/F24)")
     register("stratified_sample_tx", sampling.stratified_sample, None,
              "per-stratum sampleBy (tolerance-tested)")
+    register("weighted_sample_docs", sampling.weighted_sample_docs, None,
+             "Efraimidis-Spirakis weight-proportional sample without "
+             "replacement (reproducible portable-hash uniforms; "
+             "Python-twin + enrichment tests)")
     register("minmax_normalize_pandas", groupedmap.minmax_normalize_pandas,
              None, "same via applyInPandas (equality-tested vs window twin)")
     register("media_features", multimodal.media_features, None,

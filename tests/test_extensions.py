@@ -1252,3 +1252,45 @@ def test_sketch_and_model_artifacts_roundtrip_parquet(spark, tmp_path):
     assert sorted(tuple(r) for r in merges.collect()) == sorted(
         tuple(r) for r in rmerges.collect()
     )
+
+
+def test_weighted_sample_is_deterministic_and_weight_enriched(spark):
+    """A-Res weighted sampling: exact-K distinct output, identical across
+    runs, and the sampled mean weight strictly exceeds the corpus mean
+    (weight-proportional inclusion — the point of the operator); also
+    differentially checked against a pure-Python A-Res on the same
+    portable uniforms."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.functions import portable
+    from banking_streaming_etl_spark.operators import sampling
+
+    out1 = sampling.weighted_sample_docs(spark, SF).collect()
+    out2 = sampling.weighted_sample_docs(spark, SF).collect()
+    assert len(out1) == sampling.WEIGHTED_K
+    assert len({r.doc_id for r in out1}) == sampling.WEIGHTED_K
+    assert {r.doc_id for r in out1} == {r.doc_id for r in out2}
+
+    docs = datamodel.load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("w")
+    ).collect()
+    corpus_mean = sum(r.w for r in docs) / len(docs)
+    sample_mean = sum(r.peso_tokens for r in out1) / len(out1)
+    assert sample_mean > corpus_mean
+
+    # Python twin on the same uniforms
+    def key(doc_id, w):
+        h = ((doc_id % portable.M31) * 1103515245 + 12345) % portable.M31
+        u = (h + 0.5) / portable.M31
+        return math.log(u) / w
+
+    want = {
+        r.doc_id
+        for r in sorted(
+            docs, key=lambda r: (-key(r.doc_id, r.w), r.doc_id)
+        )[: sampling.WEIGHTED_K]
+    }
+    assert {r.doc_id for r in out1} == want

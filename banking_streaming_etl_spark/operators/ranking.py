@@ -1,0 +1,305 @@
+"""Exact distributed ranking: global row_number / NTILE without a
+single-partition window.
+
+Spark's unpartitioned ``Window.orderBy(...)`` moves every row to ONE
+task (WindowExec's "Moving all data to a single partition" warning) —
+the classic scale killer behind global ranks, deciles and exact medians.
+This module computes the SAME exact answer with the two-phase
+distributed-ranking pattern, built from pieces this repo already trusts:
+
+1. deterministic sampled boundaries (the equidepth_histogram_approx
+   template: portable-LCG row sample -> one bounded sort aggregate ->
+   B-1 order-statistic cut points, broadcast);
+2. bucket assignment by broadcast cut join (a narrow map — bucket i
+   holds a contiguous slice of the total order);
+3. rank WITHIN each bucket (a PARTITIONED window — parallel, each task
+   sorts ~N/B rows);
+4. exact per-bucket counts -> prefix-sum offsets computed in one bounded
+   aggregate (an ``F.aggregate`` fold over <= B structs — no Window
+   node, no SinglePartition sort anywhere);
+5. global_rank = bucket_offset + local_rank.
+
+The result is bit-identical to ``row_number().over(Window.orderBy(...))``
+for a TOTAL sort key — callers must supply a unique tiebreak column,
+the same contract as every windowed top-K in this repo. Boundary
+PLACEMENT only shapes bucket sizes, never the answer: a row's rank is
+how many rows precede it in the total order, which the exact offsets
+recover regardless of where the sampled cuts fell.
+
+NTILE(k) then follows from (rank, N) in closed form: with q = N div k
+and rem = N mod k, buckets 1..rem hold q+1 rows and the rest q — pure
+bigint arithmetic, engine-portable, so NTILE-based queries stay
+oracle-checkable bit-for-bit against DuckDB's native NTILE (the
+pareto_share_by_decile oracle keeps its plain ``NTILE(10) OVER``).
+
+Reference parity: the reference ranks in driver-memory pandas
+(dashboard/graficos.py qcut/rank one-liners over SELECT *); this is the
+distributed exact equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from banking_streaming_etl_spark.functions import portable
+
+#: sampled-boundary budget (shared shape with equidepth_histogram_approx):
+#: expected sample size min(16 * ceil(sqrt(N)), 65536).
+RANK_SAMPLE_MULT = 16
+RANK_SAMPLE_CAP = 65536
+#: target rows per rank bucket (one window task sorts about this many
+#: rows) and a hard cap on bucket count so the boundary array and the
+#: offsets fold stay broadcast-sized at ANY input size.
+RANK_ROWS_PER_BUCKET = 262144
+RANK_BUCKET_CAP = 4096
+
+
+def _rank_key(df: DataFrame, value_col: str, id_col: str,
+              value_desc: bool) -> tuple[Column, Column]:
+    """(key value, tiebreak id) under an ALL-ASCENDING lexicographic
+    order: descending numeric values ride their negation (exact for
+    decimals and IEEE doubles — a sign flip, never a rounding)."""
+    v = F.col(value_col)
+    return (-v if value_desc else v), F.col(id_col)
+
+
+def with_global_row_number(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    out: str = "global_rank",
+    value_desc: bool = False,
+    rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
+) -> DataFrame:
+    """Append the exact 1-based global rank of each row under the total
+    order (value_col asc|desc, id_col asc) plus a ``_rank_n_total``
+    column (the exact row count — NTILE and percentile math need it),
+    without ever sorting the frame in one task. `id_col` must be unique
+    (bigint — it feeds the portable-LCG sampler)."""
+    nv, ni = _rank_key(df, value_col, id_col, value_desc)
+    keyed = df.withColumn("_rk_v", nv).withColumn("_rk_i", ni)
+
+    # -- 1. size-following sample budget (one COUNT job's worth of plan,
+    #       broadcast as a one-row frame; greatest(n,1) guards empty input)
+    params = (
+        keyed.agg(F.count("*").alias("n_total"))
+        .select(
+            "n_total",
+            F.least(
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.ceil(F.sqrt(F.col("n_total"))),
+                )
+                * F.lit(RANK_SAMPLE_MULT),
+                F.lit(RANK_SAMPLE_CAP).cast("bigint"),
+            ).alias("k_s"),
+            F.least(
+                F.lit(RANK_BUCKET_CAP).cast("bigint"),
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.ceil(
+                        F.col("n_total")
+                        / F.lit(float(rows_per_bucket))
+                    ).cast("bigint"),
+                ),
+            ).alias("n_buckets"),
+        )
+        .select(
+            "n_buckets",
+            # greatest(.., 1): at n > M31 * k_s (~1.4e14 rows) the
+            # integer threshold would floor to 0 and sample NOTHING;
+            # thr=1 keeps the expected sample ~n/M31 (bounded, ~65k)
+            F.greatest(
+                F.expr(
+                    f"({portable.M31} * k_s) DIV greatest(n_total, 1)"
+                ),
+                F.lit(1).cast("bigint"),
+            ).alias("thr"),
+        )
+    )
+
+    # -- 2. deterministic sample -> sorted boundary array (ONE bounded
+    #       collect_list aggregate, never a Window; the equidepth template)
+    sample = (
+        keyed.select("_rk_v", "_rk_i", portable.lcg_hash(ni).alias("_rk_h"))
+        .crossJoin(F.broadcast(params))
+        .filter(F.col("_rk_h") < F.col("thr"))
+    )
+    # n_buckets == 1 must yield NO boundary positions (sequence(1, 0)
+    # would descend under Spark's default step and fabricate cut points)
+    seq = F.when(
+        F.col("n_buckets") > 1,
+        F.sequence(F.lit(1).cast("bigint"), F.col("n_buckets") - 1),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    positions = F.array_distinct(
+        F.transform(
+            seq,
+            lambda j: F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(
+                    j * F.size("arr").cast("bigint")
+                    / F.col("n_buckets").cast("double")
+                ),
+            ),
+        )
+    )
+    # the boundary frame must be EXACTLY one row even when the sample is
+    # empty (an ungrouped aggregate yields one row with an empty list; a
+    # groupBy would yield zero rows and the cut crossJoin would wipe the
+    # input) — empty sample degrades to a single bucket, never to an
+    # empty result
+    bnds = (
+        sample.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_rk_v"), F.col("_rk_i")))
+            ).alias("arr")
+        )
+        .crossJoin(F.broadcast(params))
+        .select(
+            F.filter(
+                F.transform(
+                    positions,
+                    lambda p: F.try_element_at(F.col("arr"), p.cast("int")),
+                ),
+                lambda s: s.isNotNull(),
+            ).alias("_rk_bnds")
+        )
+    )
+
+    # -- 3. broadcast cut join: bucket = 1 + #boundaries strictly before
+    #       the row in the lexicographic total order (narrow map)
+    below = F.size(
+        F.filter(
+            F.col("_rk_bnds"),
+            lambda s: (s["_rk_v"] < F.col("_rk_v"))
+            | ((s["_rk_v"] == F.col("_rk_v")) & (s["_rk_i"] < F.col("_rk_i"))),
+        )
+    )
+    bucketed = (
+        keyed.crossJoin(F.broadcast(bnds))
+        .withColumn("rk_bucket", (F.lit(1) + below))
+        .drop("_rk_bnds")
+    )
+
+    # -- 4. local rank per bucket (partitioned window — parallel)
+    wloc = W.partitionBy("rk_bucket").orderBy(
+        F.asc("_rk_v"), F.asc("_rk_i")
+    )
+    local = bucketed.withColumn(
+        "_rk_local", F.row_number().over(wloc).cast("bigint")
+    )
+
+    # -- 5. exact bucket counts -> prefix offsets, folded in ONE bounded
+    #       aggregate over <= RANK_BUCKET_CAP structs (no Window node)
+    acc0 = F.struct(
+        F.lit(0).cast("bigint").alias("run"),
+        F.expr(
+            "CAST(array() AS array<struct<bucket:int,off:bigint>>)"
+        ).alias("acc"),
+    )
+    offsets = (
+        bucketed.groupBy("rk_bucket")
+        .agg(F.count("*").alias("_rk_cnt"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rk_bucket").cast("int").alias("bucket"),
+                        F.col("_rk_cnt").alias("cnt"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(
+            F.map_from_entries(
+                F.aggregate(
+                    F.col("arr"),
+                    acc0,
+                    lambda a, x: F.struct(
+                        (a["run"] + x["cnt"]).alias("run"),
+                        F.concat(
+                            a["acc"],
+                            F.array(
+                                F.struct(
+                                    x["bucket"].alias("bucket"),
+                                    a["run"].alias("off"),
+                                )
+                            ),
+                        ).alias("acc"),
+                    ),
+                    lambda a: a["acc"],
+                )
+            ).alias("_rk_offs"),
+            F.aggregate(
+                F.col("arr"),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x["cnt"],
+            ).alias("_rank_n_total"),
+        )
+    )
+
+    return (
+        local.crossJoin(F.broadcast(offsets))
+        .withColumn(
+            out,
+            F.element_at(F.col("_rk_offs"), F.col("rk_bucket").cast("int"))
+            + F.col("_rk_local"),
+        )
+        .drop("_rk_v", "_rk_i", "_rk_local", "_rk_offs", "rk_bucket")
+    )
+
+
+def _floordiv(a: Column, b: Column) -> Column:
+    """Exact bigint floor division for NON-NEGATIVE operands (no double
+    round-trip — ranks reach 10^12 at 100 TB, past where float ceil of
+    an integer ratio can land off-by-one)."""
+    return ((a - (a % b)) / b).cast("bigint")
+
+
+def ntile_from_rank(rank: Column, n_total: Column, k: int) -> Column:
+    """SQL NTILE(k) as closed-form bigint arithmetic over (rank, N):
+    q = N div k, rem = N mod k; buckets 1..rem hold q+1 rows, the rest
+    hold q. Engine-portable — DuckDB's native NTILE agrees bit-for-bit,
+    so oracles keep their plain ``NTILE(k) OVER`` text."""
+    n = n_total.cast("bigint")
+    r = rank.cast("bigint")
+    q = _floordiv(n, F.lit(k).cast("bigint"))
+    rem = n % F.lit(k)
+    cut = rem * (q + F.lit(1))
+    # ceil(r / (q+1)) = (r + q) div (q+1); q = 0 => every row sits in the
+    # first branch (cut = rem = N), so greatest(q, 1) in the second
+    # divisor only guards the never-taken branch under ANSI codegen
+    return F.when(
+        r <= cut, _floordiv(r + q, q + F.lit(1)).cast("int")
+    ).otherwise(
+        (
+            rem
+            + _floordiv(
+                r - cut + F.greatest(q, F.lit(1)) - F.lit(1),
+                F.greatest(q, F.lit(1)),
+            )
+        ).cast("int")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int,
+    out: str = "ntile",
+    value_desc: bool = False,
+    rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
+) -> DataFrame:
+    """Append the exact NTILE(k) bucket under (value_col asc|desc,
+    id_col asc) — `with_global_row_number` + the closed form, no
+    single-partition window anywhere in the plan."""
+    ranked = with_global_row_number(
+        df, value_col, id_col, "_rk_rank", value_desc, rows_per_bucket
+    )
+    return ranked.withColumn(
+        out,
+        ntile_from_rank(F.col("_rk_rank"), F.col("_rank_n_total"), k),
+    ).drop("_rk_rank", "_rank_n_total")

@@ -1134,19 +1134,29 @@ def pareto_share_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile. Totals accumulate in exact DECIMAL; the only double math is
     the final share division, term-identical in both dialects.
 
-    Scale note: the unpartitioned NTILE sorts payer TOTALS (dimension-
-    sized, one row per payer), never the fact table — same single-sort
-    caveat as value_quartiles."""
+    Scale shape (round-5 fix of the last single-task sort): the decile
+    comes from operators/ranking.with_global_ntile — sampled boundaries
+    + broadcast cut join + per-bucket rank + exact prefix offsets — so
+    NO unpartitioned window exists anywhere in the plan even though the
+    answer is bit-identical to NTILE(10) (the oracle keeps its plain
+    NTILE text; ntile_from_rank's closed form reproduces it exactly)."""
     from banking_streaming_etl_spark.functions import exact
+    from banking_streaming_etl_spark.operators import ranking
 
     t = datamodel.transactions(spark, sf_dir)
     totals = t.groupBy("id_usuario_pagador").agg(
         F.sum(exact._d(F.col("valor_transacao"))).alias("total_dec")
     )
-    w = W.orderBy(F.desc("total_dec"), F.asc("id_usuario_pagador"))
     gt = totals.agg(F.sum("total_dec").alias("grand_dec"))
     return (
-        totals.withColumn("decil", F.ntile(10).over(w))
+        ranking.with_global_ntile(
+            totals,
+            "total_dec",
+            "id_usuario_pagador",
+            10,
+            out="decil",
+            value_desc=True,
+        )
         .groupBy("decil")
         .agg(
             F.count("*").alias("n_pagadores"),
@@ -1164,6 +1174,59 @@ def pareto_share_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("parcela"),
         )
     )
+
+
+#: percentile points of the exact-distributed-rank percentile query.
+EXACT_PCTS = (0.5, 0.9, 0.99)
+
+
+def exact_percentiles_valor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles of the transaction value at 100 TB
+    scale: percentile p = the value at rank ceil(p * N) under the
+    (valor, id) total order, with the rank computed by the distributed
+    ranking operator — no single-partition sort anywhere, unlike
+    Spark's own `percentile` aggregate (which collects each group's
+    values into one buffer) or a global ROW_NUMBER window. The p
+    literal, the double multiply and the CEIL are IEEE-identical in
+    both dialects, so the selected ranks — and therefore the output
+    rows — are bit-exact against DuckDB's window form.
+
+    Scale shape: one rank pass (sampled boundaries + bucket windows +
+    exact offsets, see operators/ranking.py) + a narrow 3x explode and
+    an equality filter; the heavy lifting is shared with any other
+    rank-consumer of the same frame."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    t = datamodel.transactions(spark, sf_dir).select(
+        F.col("valor_transacao").alias("v"),
+        F.col("id_transacao").alias("i"),
+    )
+    ranked = ranking.with_global_row_number(t, "v", "i", out="r")
+    return (
+        ranked.withColumn(
+            "pct", F.explode(F.array(*[F.lit(p) for p in EXACT_PCTS]))
+        )
+        .filter(
+            F.col("r")
+            == F.ceil(F.col("pct") * F.col("_rank_n_total")).cast("bigint")
+        )
+        .select("pct", F.col("v").alias("valor_percentil"))
+    )
+
+
+EXACT_PERCENTILES_SQL = datamodel.with_ctes(
+    f"""
+SELECT CAST(p.pct AS DOUBLE) AS pct, r.v AS valor_percentil
+FROM (
+    SELECT valor_transacao AS v,
+           ROW_NUMBER() OVER (ORDER BY valor_transacao ASC,
+                              id_transacao ASC) AS r,
+           COUNT(*) OVER () AS n
+    FROM transactions
+) r, (VALUES {', '.join(f'({p})' for p in EXACT_PCTS)}) p(pct)
+WHERE r.r = CAST(CEIL(CAST(p.pct AS DOUBLE) * r.n) AS BIGINT)
+"""
+)
 
 
 PARETO_SHARE_SQL = datamodel.with_ctes(

@@ -271,25 +271,31 @@ Q15_QUARTER = ("1996-01-01", "1996-04-01")
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue view per supplier, then keep the rows whose
-    aggregate EQUALS the max of that same aggregate. The max rides an
-    unpartitioned window over the ALREADY-AGGREGATED per-supplier frame
-    (cardinality = suppliers, tiny next to lineitem), so the fact table is
-    scanned exactly once — a two-reference subquery would scan it twice.
+    aggregate EQUALS the max of that same aggregate. The max is a SCALAR
+    aggregate of the per-supplier frame broadcast back over it (round-5
+    fix: the previous unpartitioned window dragged the supplier-sized
+    frame onto one task; the broadcast scalar costs one extra exchange of
+    ONE row and keeps every stage parallel). Spark dedups the shared
+    per-supplier aggregate subtree via ReusedExchange, so the fact table
+    is still scanned exactly once — pinned by test_q15_scans_lineitem_once.
     Equality on a double is safe here because both sides come from the
     identical DECIMAL-accumulated value."""
-    from pyspark.sql.window import Window
-
+    # the explicit isnotnull mirrors the null-filter the supplier join
+    # infers on the OTHER branch — without it the two per-supplier
+    # aggregate subtrees canonicalize differently and the shuffle is not
+    # reused (= a second fact scan)
     li = datamodel.load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q15_QUARTER[0]).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q15_QUARTER[1]).cast("timestamp"))
+        & F.col("l_suppkey").isNotNull()
     )
     s = datamodel.load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
         F.sum(_rev()).cast("double").alias("total_revenue")
     )
-    w = Window.partitionBy()
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        rev.withColumn("max_revenue", F.max("total_revenue").over(w))
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

@@ -187,12 +187,23 @@ def test_q13_keeps_outer_join_and_pushes_residual(spark):
     assert "Not(EqualTo(o_orderpriority" in plan
 
 
-def test_q15_scans_lineitem_once(spark):
-    """Q15's max-of-aggregate must come from a window over the per-supplier
-    frame — a second scan of the fact table means the subquery was
-    evaluated twice."""
-    plan = _physical_plan(_query(spark, "q15_top_supplier"))
-    assert plan.count("lineitem.parquet") == 1
+def test_q15_scans_lineitem_once_no_window(spark):
+    """Q15's max-of-aggregate must be a broadcast scalar (round-5 fix of
+    the unpartitioned supplier-frame window) AND the per-supplier
+    aggregate's shuffle must be REUSED by the max branch — in the final
+    adaptive plan the fact table is scanned exactly once."""
+    df = _query(spark, "q15_top_supplier")
+    plan = _physical_plan(df)
+    assert "Window" not in plan
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("lineitem.parquet") == 1, final
+    assert "ReusedExchange" in final, final
 
 
 def test_q7_broadcasts_nation_twice(spark):
@@ -427,6 +438,46 @@ def test_seasonal_windows_run_on_hours_not_fact(spark):
     assert win_sections, plan
     for sec in win_sections:
         assert "valor_transacao" not in sec, sec
+
+
+def test_zipf_topn_is_take_ordered_not_global_rank(spark):
+    """zipf_fit_tokens (round-5 fix): the top-N cut over the vocabulary
+    must plan as TakeOrderedAndProject (per-partition heaps); the only
+    Window left ranks the <= ZIPF_TOP_N survivor rows — never the full
+    frequency table (10^8+ rows at 100 TB)."""
+    import re
+
+    plan = _physical_plan(_query(spark, "zipf_fit_tokens"))
+    assert "TakeOrderedAndProject" in plan, plan
+    # exactly one Window node, and it must sit ABOVE the bounded top-N
+    # (its input can only be the limit's output columns w/c, post-cut)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_pareto_decile_has_no_unpartitioned_window(spark):
+    """pareto_share_by_decile (round-5 fix): the exact NTILE must come
+    from the distributed ranking operator — one bucket-PARTITIONED
+    window, never a global NTILE; boundary/offset sides ride broadcasts."""
+    import re
+
+    plan = _physical_plan(_query(spark, "pareto_share_by_decile"))
+    wins = re.findall(r"\(\d+\) Window", plan)
+    assert len(wins) == 1, plan
+    assert "rk_bucket" in plan, plan
+    assert "ntile" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_exact_percentiles_has_no_unpartitioned_window(spark):
+    """exact_percentiles_valor: the global rank must come from the
+    distributed ranking operator (bucket-partitioned window only) — a
+    plain ROW_NUMBER/percentile would single-partition the fact."""
+    plan = _physical_plan(_query(spark, "exact_percentiles_valor"))
+    assert "rk_bucket" in plan, plan
+    # every Window node's spec partitions by the rank bucket
+    for sec in plan.split("\n\n"):
+        if sec.startswith("(") and "Window" in sec.splitlines()[0][:20]:
+            assert "windowspecdefinition(rk_bucket" in sec, sec
 
 
 def test_dataset_card_is_one_scan(spark):

@@ -1,0 +1,125 @@
+"""Differential tests for the exact distributed ranking operator
+(operators/ranking.py): bit-identical to the single-partition window
+forms on every path — including the multi-bucket one, which tiny test
+frames only reach with a forced rows_per_bucket.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from banking_streaming_etl_spark.operators import ranking
+
+SF = "/root/testdata/sf0.001"
+
+
+def _totals(spark):
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.functions import exact
+
+    t = datamodel.transactions(spark, SF)
+    return t.groupBy("id_usuario_pagador").agg(
+        F.sum(exact._d(F.col("valor_transacao"))).alias("total_dec")
+    )
+
+
+def _tx_values(spark):
+    """A bigger frame (one row per transaction) with a unique bigint id."""
+    from banking_streaming_etl_spark import datamodel
+
+    return datamodel.transactions(spark, SF).select(
+        F.col("id_transacao").alias("i"),
+        F.col("valor_transacao").alias("v"),
+    )
+
+
+@pytest.mark.parametrize("rows_per_bucket", [2, 7, 10**6])
+def test_global_row_number_matches_window(spark, rows_per_bucket):
+    """Exact rank == row_number over the unpartitioned window, at forced
+    multi-bucket granularities AND the degenerate single-bucket path."""
+    df = _tx_values(spark)
+    got = ranking.with_global_row_number(
+        df, "v", "i", out="r", value_desc=False,
+        rows_per_bucket=rows_per_bucket,
+    ).select("i", "r")
+    want = df.select(
+        "i",
+        F.row_number()
+        .over(W.orderBy(F.asc("v"), F.asc("i")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("value_desc", [True, False])
+@pytest.mark.parametrize("k", [3, 10])
+def test_global_ntile_matches_window_ntile(spark, value_desc, k):
+    df = _totals(spark)
+    got = ranking.with_global_ntile(
+        df, "total_dec", "id_usuario_pagador", k, out="nt",
+        value_desc=value_desc, rows_per_bucket=3,
+    ).select("id_usuario_pagador", "nt")
+    order = (
+        [F.desc("total_dec"), F.asc("id_usuario_pagador")]
+        if value_desc
+        else [F.asc("total_dec"), F.asc("id_usuario_pagador")]
+    )
+    want = df.select(
+        "id_usuario_pagador",
+        F.ntile(k).over(W.orderBy(*order)).alias("nt"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_ntile_closed_form_property():
+    """ntile_from_rank reproduces SQL NTILE for every (N, k, rank) in an
+    exhaustive small grid (pure arithmetic — checked in Python)."""
+    def sql_ntile(r, n, k):
+        q, rem = divmod(n, k)
+        sizes = [q + 1] * rem + [q] * (k - rem)
+        acc = 0
+        for b, s in enumerate(sizes, start=1):
+            acc += s
+            if r <= acc:
+                return b
+        raise AssertionError("rank out of range")
+
+    def closed_form(r, n, k):
+        q, rem = divmod(n, k)
+        cut = rem * (q + 1)
+        if r <= cut:
+            return (r + q) // (q + 1)
+        qq = max(q, 1)
+        return rem + (r - cut + qq - 1) // qq
+
+    for n in range(1, 40):
+        for k in (1, 2, 3, 7, 10, 64):
+            for r in range(1, n + 1):
+                assert closed_form(r, n, k) == sql_ntile(r, n, k), (r, n, k)
+
+
+def test_global_row_number_survives_empty_sample(spark, monkeypatch):
+    """Degenerate boundary sample (thr floored to its minimum selects ~0
+    rows — the n > M31 * k_s regime at 100 TB+): ranks must DEGRADE to a
+    single bucket, never to an empty or wrong result."""
+    monkeypatch.setattr(ranking, "RANK_SAMPLE_MULT", 0)
+    df = _tx_values(spark)
+    got = ranking.with_global_row_number(df, "v", "i", out="r")
+    n = df.count()
+    assert got.count() == n
+    agg = got.agg(
+        F.min("r").alias("lo"), F.max("r").alias("hi"),
+        F.countDistinct("r").alias("d"),
+    ).first()
+    assert (agg.lo, agg.hi, agg.d) == (1, n, n)
+
+
+def test_global_row_number_empty_frame(spark):
+    df = _tx_values(spark).filter(F.lit(False))
+    out = ranking.with_global_row_number(df, "v", "i", out="r")
+    assert out.count() == 0

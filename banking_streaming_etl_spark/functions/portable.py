@@ -43,6 +43,21 @@ def lcg_hash_sql(expr: str, a: int = LCG_A, b: int = LCG_B) -> str:
     return f"(({expr} % {M31}) * {a} + {b}) % {M31}"
 
 
+def md5_48(col: Column) -> Column:
+    """Engine-portable STRING hash: first 48 bits of md5 as a bigint.
+    For when the key is text (the LCG ladder needs an integer input):
+    both engines compute the identical value, so even hash COLLISIONS
+    are consistent — a count of distinct md5_48 keys is oracle-exact at
+    any corpus size (the hash-embed bucket recipe, widened to a shared
+    helper for shingle-overlap counting)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def md5_48_sql(expr: str) -> str:
+    """The same 48-bit md5 prefix as DuckDB SQL text."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+
+
 def lcg_bucket(col: Column, a: int, b: int, width: int) -> Column:
     """Hash then reduce into [0, width) — sketch cell / bit coordinates."""
     return lcg_hash(col, a, b) % F.lit(width)

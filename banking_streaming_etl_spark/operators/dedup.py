@@ -62,15 +62,25 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, xxhash64(shingle)) distinct pairs. Joining/grouping on the
-    8-byte hash instead of the shingle string is ~3x faster (measured at
-    sf0.1) and the scale answer — the shuffle key is fixed-width no matter
-    the shingle size. Collision risk over the whole corpus is
-    ~(n_shingles^2)/2^64 (~1e-9 at 260k distinct shingles): far below the
-    oracle gate's resolution, and the oracle joins the raw strings, so a
-    collision would be caught, not silently absorbed."""
+    """(doc_id, xxhash64(shingle), md5_48(shingle)) distinct rows.
+    Joining/grouping on an 8-byte hash instead of the shingle string is
+    ~3x faster (measured at sf0.1) and the scale answer — the shuffle
+    key is fixed-width no matter the shingle size.
+
+    Two hashes ride the ONE memoized scan because they serve different
+    contracts: `h` (xxhash64) keys the per-pair dedup joins, where the
+    oracle re-joins raw strings so a collision would be CAUGHT by the
+    parity gate (risk ~(n_shingles^2)/2^64 per doc pair — negligible);
+    `hm` (portable 48-bit md5, functions/portable.md5_48) feeds
+    source_ngram_overlap, whose oracle-compared quantity IS a distinct
+    count — there both engines must count the IDENTICAL key set, which
+    xxhash64 can't give DuckDB (round-4 advice)."""
+    from banking_streaming_etl_spark.functions import portable
+
     return doc_shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("s").alias("h")
+        "doc_id",
+        F.xxhash64("s").alias("h"),
+        portable.md5_48(F.col("s")).alias("hm"),
     )
 
 

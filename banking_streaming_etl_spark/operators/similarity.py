@@ -140,9 +140,51 @@ WHERE posicao <= {TOP_K}
 """
 
 
+#: deterministic near-dup plant for the two near-dup queries: every
+#: PLANT_STRIDE-th vector gets an EXACT twin (vec_id + PLANT_OFFSET, the
+#: identical embedding array). The natural synthetic corpus has zero
+#: pairs at cosine >= 0.95 (max pairwise ~0.48 at every sf), so without
+#: the plant the driver's CORRECTNESS row verified 0 == 0 rows —
+#: vacuous (round-4 verdict task #7). Exact twins make the evidence
+#: real AND keep the LSH path deterministic: identical vectors have
+#: identical sign signatures, so every planted pair shares all T
+#: buckets — recall on the planted set is 1 by construction, never
+#: probabilistic. Both engines derive the same augmented frame (the
+#: oracle SQL carries the same UNION ALL), so this stays oracle-exact.
+NEAR_DUP_PLANT_STRIDE = 100
+NEAR_DUP_PLANT_OFFSET = 1000000
+
+
+def augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + planted exact twins, normed — shared input of
+    `near_dup_embeddings` (brute-force oracle baseline) and
+    `near_dup_embeddings_lsh` (the scale path)."""
+    base = datamodel.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    twins = base.filter(
+        F.col("vec_id") % NEAR_DUP_PLANT_STRIDE == 0
+    ).select(
+        (F.col("vec_id") + F.lit(NEAR_DUP_PLANT_OFFSET)).alias("vec_id"),
+        "embedding",
+    )
+    return _with_norm(base.unionByName(twins))
+
+
+AUGMENTED_EMB_CTE = f"""
+embx AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {NEAR_DUP_PLANT_OFFSET} AS vec_id, embedding
+    FROM embeddings WHERE vec_id % {NEAR_DUP_PLANT_STRIDE} = 0
+)
+"""
+
+
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine >= threshold (a < b): embedding-space near-dup."""
-    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    """All-pairs cosine >= threshold (a < b): embedding-space near-dup
+    over the plant-augmented frame (see `augmented_embeddings`)."""
+    emb = augmented_embeddings(spark, sf_dir)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("norm").alias("na"),
@@ -162,8 +204,9 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEAR_DUP_EMBEDDINGS_SQL = f"""
-WITH emb AS (
-    SELECT vec_id, embedding, {NORM_SQL} AS norm FROM embeddings
+WITH {AUGMENTED_EMB_CTE},
+emb AS (
+    SELECT vec_id, embedding, {NORM_SQL} AS norm FROM embx
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm), 6)
@@ -499,10 +542,12 @@ def near_dup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of `near_dup_embeddings`: same output contract
     (vec_a < vec_b, rounded cosine >= threshold), bucketed candidate
     generation instead of the O(N^2) cross join. Registered against the
-    same all-pairs oracle SQL — the driver verifies the LSH path end to
-    end, and a planted-pair unit test pins recall where the natural
-    corpus has no qualifying pairs."""
-    emb = shared_normed_embeddings(spark, sf_dir)
+    same all-pairs oracle SQL over the plant-augmented frame — the
+    driver now verifies the LSH path end to end WITH non-empty output
+    (exact twins collide in every table, so planted recall is 1 by
+    construction); the planted-pair unit test additionally pins recall
+    for perturbed (non-identical) neighbors."""
+    emb = augmented_embeddings(spark, sf_dir)
     return near_dup_pairs_lsh(emb)
 
 
@@ -962,7 +1007,17 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the barrier each branch re-runs the scan + norm fold
     emb = shared_normed_embeddings(spark, sf_dir)
     cent, books, codes = ivf_pq_index(emb)
+    return ivf_pq_search(emb, cent, books, codes)
 
+
+def ivf_pq_search(
+    emb: DataFrame, cent: DataFrame, books: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """The IVFPQ SERVING path against a prebuilt index — split out of
+    `ann_ivf_pq_topk` so index construction (train/encode, an offline
+    batch job at 100 TB) and query latency (the online path) can be
+    measured and reasoned about separately (bench.py reports
+    ann_ivf_pq_build / ann_ivf_pq_search)."""
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     qprobe = assign_to_centroids(q, cent, probes=IVF_PROBES).select(
         F.col("vec_id").alias("query_id"),

@@ -93,8 +93,21 @@ def register_all() -> None:
     # dashboard analyses (A4-A14, W1-W3, O2, P6-P9, F15-F19)
     register("approval_overview", dashboard.approval_overview,
              dashboard.APPROVAL_OVERVIEW_SQL, "approval counts (A8/A10)")
-    register("value_histogram", dashboard.value_histogram,
-             dashboard.VALUE_HISTOGRAM_SQL, "p99 trim + histogram (P9+A13)")
+    # Round-5 rotation (verdict task #6): the three strongest round-4
+    # shapes not yet driver-verified take the slots of their most
+    # redundant in-window siblings — value_histogram (P9 p99-trim
+    # re-proven by the parity-gated equidepth pair + in-window
+    # density_grid's A14 binning), freq_per_payer_hour (same per-payer
+    # window shape as in-window zscore_per_payer), and
+    # running_total_per_payer (ROWS-frame prefix sum re-proven by
+    # tx_velocity_1h's RANGE frame, the strictly harder sibling). The
+    # displaced three re-register right after the window (still
+    # parity-gated every pytest run).
+    register("pit_balance_feature_join", scd.pit_balance_feature_join,
+             scd._pit_oracle(),
+             "point-in-time-correct feature join against the SCD2 "
+             "dimension (anti-leakage; as-of union trick, no inequality "
+             "join)")
     register("density_grid", dashboard.density_grid,
              dashboard.DENSITY_GRID_SQL, "2-D histogram (A14)")
     register("bm25_topk", text.bm25_topk, text.BM25_SQL,
@@ -135,8 +148,10 @@ def register_all() -> None:
              curation._training_manifest_sql(),
              "capstone: clean -> chunk -> pack manifest, oracle-checked "
              "end-to-end")
-    register("freq_per_payer_hour", dashboard.freq_per_payer_hour,
-             dashboard.FREQ_PER_PAYER_HOUR_SQL, "frequency window (W1+F16)")
+    register("psi_value_drift", governance.psi_value_drift,
+             governance.PSI_VALUE_DRIFT_SQL,
+             "population-stability-index drift screen: reference vs "
+             "current value distribution, per-bucket contributions")
     register("zscore_per_payer", dashboard.zscore_per_payer,
              dashboard.ZSCORE_PER_PAYER_SQL, "z-score window (W2+F17)")
     register("top_k_recent", dashboard.top_k_recent,
@@ -172,8 +187,10 @@ def register_all() -> None:
              relational.UNPIVOT_SQL, "unpivot/melt wide->long")
     register("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL,
              "TPC-H Q2 shape: correlated min-equality + 4-way dim join")
-    register("running_total_per_payer", relational.running_total_per_payer,
-             relational.RUNNING_TOTAL_SQL, "window frame prefix sum")
+    register("seasonal_decompose_hourly", behavior.seasonal_decompose_hourly,
+             behavior.SEASONAL_DECOMPOSE_SQL,
+             "classical additive seasonal decomposition of the hourly "
+             "series (trend / hour-of-day seasonal / residual)")
     register("top3_tx_per_region", relational.top3_tx_per_region,
              relational.TOP3_PER_REGION_SQL, "top-K per group")
     register("sessionize_events", relational.sessionize_events,
@@ -197,11 +214,13 @@ def register_all() -> None:
              similarity.ANN_COSINE_TOPK_SQL, "brute-force cosine top-K")
     # deliberate: the approximate-recall LSH path holds the window slot
     # (not its exact twin) because the driver-green CORRECTNESS row for
-    # the bucketed plan is the point; safe because the embeddings corpus
-    # has ZERO qualifying pairs at every sf (max pairwise cosine ~0.48,
-    # verified at sf0.001/sf0.01), so the ~2e-4 per-pair miss probability
-    # is never exercised by the oracle — recall is pinned by the
-    # planted-pair test instead (test_near_dup_lsh_finds_planted_pairs).
+    # the bucketed plan is the point. Round-5: the input is the
+    # plant-augmented frame (similarity.augmented_embeddings — exact
+    # twins every 100 ids, same UNION in the oracle SQL), so the driver
+    # row verifies NON-EMPTY output (the natural corpus has zero pairs
+    # at cosine >= 0.95); exact twins collide in every LSH table, so the
+    # oracle never exercises a probabilistic miss. Perturbed-pair recall
+    # stays pinned by test_near_dup_lsh_finds_planted_pairs.
     register("near_dup_embeddings_lsh", similarity.near_dup_embeddings_lsh,
              similarity.NEAR_DUP_EMBEDDINGS_SQL,
              "bucketed LSH near-dup + exact verify; shares the all-pairs "
@@ -260,8 +279,14 @@ def register_all() -> None:
              groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
-    # round-3 and round-4 rotations' displacees) — still in the local
+    # round-3/4/5 rotations' displacees) — still in the local
     # parity gate every pytest run
+    register("value_histogram", dashboard.value_histogram,
+             dashboard.VALUE_HISTOGRAM_SQL, "p99 trim + histogram (P9+A13)")
+    register("freq_per_payer_hour", dashboard.freq_per_payer_hour,
+             dashboard.FREQ_PER_PAYER_HOUR_SQL, "frequency window (W1+F16)")
+    register("running_total_per_payer", relational.running_total_per_payer,
+             relational.RUNNING_TOTAL_SQL, "window frame prefix sum")
     register("distinct_payers_per_modality",
              relational.distinct_payers_per_modality,
              relational.DISTINCT_PAYERS_SQL, "count distinct per group")
@@ -456,7 +481,12 @@ def register_all() -> None:
              "a DuckDB oracle)")
     register("pareto_share_by_decile", dashboard.pareto_share_by_decile,
              dashboard.PARETO_SHARE_SQL,
-             "payer-decile volume concentration (NTILE over exact totals)")
+             "payer-decile volume concentration (exact distributed NTILE "
+             "via operators/ranking — no single-partition window)")
+    register("exact_percentiles_valor", dashboard.exact_percentiles_valor,
+             dashboard.EXACT_PERCENTILES_SQL,
+             "exact global p50/p90/p99 via the distributed rank operator "
+             "(the scale path for A2/A12-class exact percentiles)")
     register("doc_novelty", dedup.doc_novelty, dedup.DOC_NOVELTY_SQL,
              "per-doc shingle novelty vs earlier docs (substring-level "
              "dedup signal, shares the session shingle scan)")
@@ -514,30 +544,16 @@ def register_all() -> None:
              governance.DP_REGION_COUNTS_SQL,
              "differentially-private count release with deterministic "
              "portable-hash Laplace noise + exact witness")
-    register("seasonal_decompose_hourly", behavior.seasonal_decompose_hourly,
-             behavior.SEASONAL_DECOMPOSE_SQL,
-             "classical additive seasonal decomposition of the hourly "
-             "series (trend / hour-of-day seasonal / residual)")
     register("embedding_dimension_drift",
              embeddings.embedding_dimension_drift,
              embeddings.EMBEDDING_DRIFT_SQL,
              "per-dimension embedding drift between corpus halves "
              "(decimal-exact means/stds + standardized shift)")
-    register("psi_value_drift", governance.psi_value_drift,
-             governance.PSI_VALUE_DRIFT_SQL,
-             "population-stability-index drift screen: reference vs "
-             "current value distribution, per-bucket contributions")
     register("centroid_similarity_matrix",
              embeddings.centroid_similarity_matrix,
              embeddings.CENTROID_SIMILARITY_SQL,
              "pairwise cosine between label centroids (class-geometry "
              "diagnostic, decimal-exact dots)")
-    register("pit_balance_feature_join", scd.pit_balance_feature_join,
-             scd._pit_oracle(),
-             "point-in-time-correct feature join against the SCD2 "
-             "dimension (anti-leakage; as-of union trick, no inequality "
-             "join)")
-
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,
              "TPC-H Q5 proper: two-dim equality constraint join")

@@ -410,8 +410,11 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.shared_shingle_hashes); the distinct (source, hash)
     projection shuffles fixed-width keys once, and the pair join keys on
     the hash with #sources^2 output groups — never a doc-level or
-    all-pairs stage. The oracle joins raw shingle strings, so a hash
-    collision would surface as a parity break, not silent error."""
+    all-pairs stage. The counted key is the PORTABLE 48-bit md5 prefix
+    (functions/portable.md5_48), which DuckDB re-derives bit-identically
+    — both engines count the exact same key set, so even a hash
+    collision is consistent rather than a parity break (round-4 advice:
+    no engine-specific hash inside an oracle-compared quantity)."""
     from banking_streaming_etl_spark.operators import dedup
 
     d = datamodel.load_table(spark, sf_dir, "documents").select(
@@ -420,7 +423,7 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         dedup.shared_shingle_hashes(spark, sf_dir)
         .join(d, "doc_id")
-        .select("source", "h")
+        .select("source", F.col("hm").alias("h"))
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
@@ -471,7 +474,7 @@ from banking_streaming_etl_spark.operators import dedup as _dedup_mod
 
 SOURCE_NGRAM_OVERLAP_SQL = f"""
 WITH src_shingles AS (
-    SELECT DISTINCT d.source, s.s
+    SELECT DISTINCT d.source, {portable.md5_48_sql('s.s')} AS s
     FROM (
         SELECT doc_id,
                unnest({textfns.word_shingles_sql("string_split(text, ' ')", _dedup_mod.SHINGLE_N)}) AS s

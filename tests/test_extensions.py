@@ -1254,6 +1254,28 @@ def test_sketch_and_model_artifacts_roundtrip_parquet(spark, tmp_path):
     )
 
 
+def test_ivf_pq_index_artifact_roundtrip(spark, tmp_path):
+    """The IVFPQ index artifacts (centroids / residual codebooks / codes)
+    survive a parquet round-trip, and SERVING against the loaded index
+    returns exactly the same top-K as serving against the freshly built
+    one — the offline-build / online-serve split is a real artifact
+    contract, not just a bench timing split."""
+    from banking_streaming_etl_spark.operators import similarity
+
+    emb = similarity.shared_normed_embeddings(spark, SF)
+    cent, books, codes = similarity.ivf_pq_index(emb)
+    parts = {}
+    for name, df in (("cent", cent), ("books", books), ("codes", codes)):
+        df.write.parquet(str(tmp_path / name))
+        parts[name] = spark.read.parquet(str(tmp_path / name))
+    fresh = similarity.ivf_pq_search(emb, cent, books, codes).collect()
+    loaded = similarity.ivf_pq_search(
+        emb, parts["cent"], parts["books"], parts["codes"]
+    ).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, loaded))
+    assert fresh, "serving returned no rows"
+
+
 def test_weighted_sample_is_deterministic_and_weight_enriched(spark):
     """A-Res weighted sampling: exact-K distinct output, identical across
     runs, and the sampled mean weight strictly exceeds the corpus mean

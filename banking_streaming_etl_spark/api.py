@@ -60,6 +60,9 @@ EAGER_QUERIES = frozenset({
     "payer_pagerank",
     "payer_pagerank_converged",
     "dedup_clusters",
+    # runs brute force + all four ANN paths to collect() the recall
+    # table at BUILD time — minutes of jobs (round-4 advice)
+    "ann_recall_eval",
 })
 
 

@@ -32,6 +32,42 @@ def test_sql_views_match_dataframe_api(spark):
     assert total == 1000
 
 
+def test_non_eager_builders_do_not_run_jobs(spark):
+    """EAGER_QUERIES completeness (round-4 advice): building the PLAN of
+    any non-eager registered query may run at most a handful of small
+    budget jobs (the documented single-count builders: semantic_dedup's
+    sqrt(N), the hierarchical assigner's K) — never a multi-job training
+    or evaluation loop. Catches any future heavy builder missing from
+    the set, which would make register_query_views' default sweep run
+    minutes of Spark jobs at registration time."""
+    from banking_streaming_etl_spark import registry
+
+    sc = spark.sparkContext
+
+    def _jobs() -> int:
+        # DAGScheduler.nextJobId is the monotone job counter (Scala
+        # private[spark] compiles to a public accessor; py4j unwraps
+        # the AtomicInteger to an int)
+        return sc._jsc.sc().dagScheduler().nextJobId()
+
+    offenders = {}
+    for name, q in registry.all_queries().items():
+        if name in api.EAGER_QUERIES:
+            continue
+        before = _jobs()
+        q.fn(spark, SF)
+        delta = _jobs() - before
+        # every parquet open costs one trivial schema/listing job, so a
+        # wide join graph legitimately counts ~#tables (TPC-H Q8 = 8);
+        # real training/eval loops run dozens of DATA jobs
+        if delta > 10:
+            offenders[name] = delta
+    assert offenders == {}, (
+        f"builders running >10 jobs at plan-build time, add to "
+        f"EAGER_QUERIES: {offenders}"
+    )
+
+
 def test_partitioned_history_prunes(spark, tmp_path):
     """The scale-out history layout: date-partitioned parquet, and a dated
     query's scan touches only the matching partition."""

@@ -74,18 +74,14 @@ def test_quality_classifier_enriches_the_target_class(spark):
     assert prec > base + 0.05, (prec, base)
 
 
-def test_bpe_learned_merges_match_python_trainer(spark):
-    """The distributed BPE loop must learn EXACTLY the merge table a
-    pure-Python reference trainer learns on the same corpus (greedy
-    most-frequent pair, (freq DESC, a, b) tie-break, left-to-right
-    non-overlapping application)."""
+def _py_bpe_train(spark, sf: str, n_merges: int):
+    """Pure-Python reference BPE trainer (greedy most-frequent pair,
+    (freq DESC, a, b) tie-break, left-to-right non-overlapping apply)."""
     from collections import Counter
 
     from banking_streaming_etl_spark import datamodel
-    from banking_streaming_etl_spark.plans import text as textplans
 
-    SF = "/root/testdata/sf0.001"
-    docs = datamodel.load_table(spark, SF, "documents").select("text").collect()
+    docs = datamodel.load_table(spark, sf, "documents").select("text").collect()
     vocab = Counter()
     for row in docs:
         for w in row.text.lower().split(" "):
@@ -112,7 +108,7 @@ def test_bpe_learned_merges_match_python_trainer(spark):
             segs[w] = out
 
     want = []
-    for rank in range(1, textplans.BPE_N_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         pc = pair_counts()
         if not pc:
             break
@@ -121,13 +117,43 @@ def test_bpe_learned_merges_match_python_trainer(spark):
         )
         want.append((rank, a, b, f))
         apply(a, b)
+    return want
 
+
+def test_bpe_learned_merges_match_python_trainer(spark):
+    """The distributed BPE loop must learn EXACTLY the merge table the
+    pure-Python reference trainer learns on the same corpus."""
+    from banking_streaming_etl_spark.plans import text as textplans
+
+    SF = "/root/testdata/sf0.001"
+    want = _py_bpe_train(spark, SF, textplans.BPE_N_MERGES)
     got = [
         (r.rank, r.simbolo_a, r.simbolo_b, r.freq)
         for r in textplans.bpe_learned_merges(spark, SF).collect()
     ]
     assert got == want
     assert len(got) == textplans.BPE_N_MERGES
+
+
+def test_bpe_budget_contract_and_checkpoint_cadence(spark):
+    """The BPE_MAX_MERGES contract (round-4 verdict task #8): a budget
+    over the bound raises BEFORE any job runs, and a budget that crosses
+    the BPE_CHECKPOINT_EVERY lineage-truncation cadence still learns
+    exactly the Python trainer's merge table (the checkpoint is a plan
+    barrier, never a semantic change)."""
+    import pytest
+
+    from banking_streaming_etl_spark.plans import text as textplans
+
+    SF = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="BPE_MAX_MERGES"):
+        textplans._bpe_train(spark, SF, n_merges=textplans.BPE_MAX_MERGES + 1)
+
+    deep = textplans.BPE_CHECKPOINT_EVERY + 3
+    merges, base, _ = textplans._bpe_train(spark, SF, n_merges=deep)
+    base.unpersist()
+    assert merges == _py_bpe_train(spark, SF, deep)
+    assert len(merges) == deep
 
 
 def test_bpe_corpus_compression_matches_python(spark):

@@ -63,6 +63,10 @@ EAGER_QUERIES = frozenset({
     # runs brute force + all four ANN paths to collect() the recall
     # table at BUILD time — minutes of jobs (round-4 advice)
     "ann_recall_eval",
+    # greedy MMR selection collects its bounded candidate pool at build
+    # time (driver-held selection, the BPE stance) — caught by the
+    # builder-job guard test
+    "mmr_rerank",
 })
 
 

@@ -314,6 +314,129 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verified_pairs(common, sizes)
 
 
+def row_local_minhash_bands(docs: DataFrame) -> DataFrame:
+    """Per-ROW MinHash-LSH band hashes as pure array expressions over the
+    doc's own text — no explode + groupBy, therefore STREAM-SAFE
+    stateless (the batch pipeline's shuffle-per-signature is the right
+    shape for a corpus scan; at INGEST each document arrives whole in one
+    row, so its signature is a narrow map). Bit-identical to
+    `minhash_signatures` + `_banded_signatures` by construction: the
+    same distinct-shingle xxhash64 ladder, the same per-permutation
+    min, the same band hash (pinned by an equality test).
+
+    Output: one row per (doc, band) with the band hash plus the doc's
+    distinct shingle-hash set and its size carried along — everything a
+    downstream screen needs to verify candidates exactly without
+    re-reading the document."""
+    toked = docs.withColumn("toks", textfns.tokens())
+    h_set = F.array_distinct(
+        F.transform(
+            F.array_distinct(textfns.word_shingles("toks", SHINGLE_N)),
+            lambda s: F.xxhash64(s),
+        )
+    )
+    # docs with no shingles (< SHINGLE_N tokens) have no signature — the
+    # batch pipeline emits nothing for them (no inverted-index rows), so
+    # the row-local form must drop them too for bit-parity
+    def _perm_min(p: int):
+        # closure factory, NOT a `p=p` default arg: PySpark reads a
+        # two-parameter lambda as the (element, index) form and would
+        # silently bind p to the ARRAY INDEX instead of the permutation
+        return F.array_min(
+            F.transform(F.col("h_set"), lambda x: F.xxhash64(F.lit(p), x))
+        )
+
+    sig = toked.withColumn("h_set", h_set).filter(
+        F.size("h_set") > 0
+    ).withColumn(
+        "mh",
+        F.array(*[_perm_min(p) for p in range(MINHASH_PERMS)]),
+    )
+    bands = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[
+                    F.element_at("mh", band * LSH_ROWS + r + 1)
+                    for r in range(LSH_ROWS)
+                ]
+            ).alias("bh"),
+        )
+        for band in range(LSH_BANDS)
+    ]
+    return sig.select(
+        "doc_id",
+        "h_set",
+        F.size("h_set").alias("n_shingles"),
+        F.explode(F.array(*bands)).alias("b"),
+    ).select("doc_id", "h_set", "n_shingles", "b.band", "b.bh")
+
+
+def near_dup_screen_against_index(
+    new_docs: DataFrame, index_banded: DataFrame, index_sets: DataFrame
+) -> DataFrame:
+    """Screen incoming documents against a PREBUILT corpus LSH index —
+    the ingest-time near-dup quarantine router. Works identically on a
+    batch frame and an unbounded stream (batch/stream unification: the
+    body is pure narrow maps + stream-static equi-joins, zero state
+    store):
+
+    1. row-local band hashes for each new doc (see above);
+    2. stream-static INNER equi-join on (band, bh) against the index's
+       banded signatures — candidate generation, never all-pairs;
+    3. exact verify: array_intersect against the indexed doc's shingle
+       set (broadcast/co-partitioned static side), Jaccard threshold.
+
+    A pair agreeing on multiple bands emits one row PER agreeing band
+    (keeping the screen free of dropDuplicates = zero streaming state —
+    the decontamination screen's stance); distinct-pair dedup is one
+    groupBy downstream where exactly-once matters."""
+    s = row_local_minhash_bands(new_docs).withColumnRenamed(
+        "doc_id", "doc_novo"
+    )
+    idx = index_banded.select(
+        F.col("doc_id").alias("doc_indice"), "band", "bh"
+    )
+    cand = s.join(idx, ["band", "bh"]).filter(
+        F.col("doc_novo") != F.col("doc_indice")
+    )
+    verified = cand.join(
+        index_sets.select(
+            F.col("doc_id").alias("doc_indice"),
+            F.col("h_set").alias("h_set_indice"),
+            F.col("n_shingles").alias("n_indice"),
+        ),
+        "doc_indice",
+    )
+    c = F.size(F.array_intersect("h_set", "h_set_indice"))
+    jac = F.round(
+        c.cast("double")
+        / (F.col("n_shingles") + F.col("n_indice") - c).cast("double"),
+        6,
+    )
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_novo", "doc_indice", "band", "jaccard")
+    )
+
+
+def corpus_lsh_index(spark: SparkSession, sf_dir: str, docs: DataFrame):
+    """(banded signatures, shingle sets) of an index corpus — the static
+    side `near_dup_screen_against_index` joins against. Built with the
+    row-local expressions so index and probe signatures share one code
+    path."""
+    b = row_local_minhash_bands(docs)
+    return (
+        b.select("doc_id", "band", "bh"),
+        # one row per doc (band 0 projection — cheaper than a distinct
+        # over array-typed rows)
+        b.filter(F.col("band") == 0).select(
+            "doc_id", "h_set", "n_shingles"
+        ),
+    )
+
+
 # --- SimHash ---------------------------------------------------------------------
 
 

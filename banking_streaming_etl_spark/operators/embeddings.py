@@ -599,3 +599,118 @@ FROM (
     JOIN (SELECT * FROM stats WHERE metade = 'cur') c ON r.pos = c.pos
 )
 """
+
+
+# --- distributed PCA ---------------------------------------------------------
+
+#: principal components reported by `pca_embeddings`.
+PCA_K = 8
+
+
+def covariance_moments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Distributed inputs of the D x D covariance: (upper-triangle raw
+    second moments S_ij = sum_rows x_i * x_j, per-dimension sums+count).
+    One narrow nested-transform explode (D*(D+1)/2 cells per row, 2080 at
+    D=64) feeding a hash aggregate with map-side combine — the shuffle
+    carries at most D^2 groups no matter the corpus size. No join, no
+    window, corpus scanned once per frame."""
+    prods = (
+        emb.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(embedding) - 1), "
+                    "i -> transform(sequence(i, size(embedding) - 1), "
+                    "j -> struct(i AS i, j AS j, "
+                    "CAST(element_at(embedding, i + 1) AS DOUBLE) * "
+                    "CAST(element_at(embedding, j + 1) AS DOUBLE) AS p))))"
+                )
+            ).alias("t")
+        )
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"))
+    )
+    sums = (
+        emb.select(F.posexplode("embedding").alias("i", "xi"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("xi").cast("double")).alias("sx"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    return prods, sums
+
+
+def pca_fit(spark: SparkSession, sf_dir: str) -> tuple:
+    """Fit PCA over the embeddings table: distributed moments -> D x D
+    covariance C = (S - n * mu mu^T) / (n - 1) assembled on the DRIVER
+    (D^2 floats — the MODEL, not the data; same driver-holds-the-model
+    stance as the BPE merge table) -> numpy eigendecomposition. Returns
+    (eigenvalues desc, components [k x D], mean vector, n)."""
+    import numpy as np
+
+    emb = datamodel.load_table(spark, sf_dir, "embeddings")
+    prods, sums = covariance_moments(emb)
+    mrows = {r.i: (r.sx, r.cnt) for r in sums.collect()}
+    d = len(mrows)
+    n = mrows[0][1]
+    mu = np.array([mrows[i][0] / n for i in range(d)])
+    s = np.zeros((d, d))
+    for r in prods.collect():
+        s[r.i, r.j] = r.s
+        s[r.j, r.i] = r.s
+    cov = (s - n * np.outer(mu, mu)) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    return w[order], v[:, order].T, mu, n
+
+
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum report: top-PCA_K eigenvalues and explained-variance
+    ratios of the embedding covariance — the curation diagnostic for
+    effective dimensionality / collapsed-embedding detection (a healthy
+    encoder spreads variance; a collapsed one concentrates it in a few
+    directions).
+
+    Rows-only registration: eigendecomposition has no SQL twin and
+    eigenvector sign/order is LAPACK-determined; the differential test
+    pins eigenvalues and projected variance against a full numpy PCA of
+    the collected corpus."""
+    w, _, _, _ = pca_fit(spark, sf_dir)
+    total = float(w.sum())
+    rows = [
+        (int(i + 1), float(w[i]), float(w[i] / total))
+        for i in range(min(PCA_K, len(w)))
+    ]
+    return spark.createDataFrame(
+        rows, "componente int, autovalor double, razao_variancia double"
+    )
+
+
+def pca_project(emb: DataFrame, components, mean) -> DataFrame:
+    """Project every embedding onto the given components (k x D python
+    lists / numpy rows): centered dot products as zip_with folds against
+    BROADCAST-LITERAL component arrays — a narrow map, no explode, no
+    shuffle; the serving-path shape for whitening / dimensionality
+    reduction at any corpus size."""
+    out = emb
+    mean_arr = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        mean_arr,
+        lambda x, m: x - m,
+    )
+    out = out.withColumn("_centered", centered)
+    for ki, comp in enumerate(components, start=1):
+        carr = F.array(*[F.lit(float(x)) for x in comp])
+        out = out.withColumn(
+            f"pc{ki}",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_centered"), carr, lambda x, c: x * c
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out.drop("_centered")

@@ -284,6 +284,117 @@ def pit_balance_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff(
+    v1: DataFrame, v2: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """CDC snapshot diff between two versions of a keyed table: one row
+    per ADDED / REMOVED / CHANGED key, with the before/after values of
+    every compare column (suffixed `_antes` / `_depois`); unchanged keys
+    are filtered out — at 100 TB you never materialize the unchanged
+    majority, only the delta (the table-versioning diff a lakehouse
+    time-travel DIFF produces, expressed as one plan).
+
+    Scale shape: ONE full-outer equi-join on the key (hash-partitioned
+    both sides, AQE-skew-splittable); the change predicate is a narrow
+    null-safe comparison — no window, no second scan of either version."""
+    a = v1.select(
+        F.col(key), F.lit(True).alias("_in_v1"),
+        *[F.col(c).alias(f"{c}_antes") for c in compare_cols],
+    )
+    b = v2.select(
+        F.col(key), F.lit(True).alias("_in_v2"),
+        *[F.col(c).alias(f"{c}_depois") for c in compare_cols],
+    )
+    j = a.join(b, key, "full_outer")
+    differ = None
+    for c in compare_cols:
+        d = ~F.col(f"{c}_antes").eqNullSafe(F.col(f"{c}_depois"))
+        differ = d if differ is None else (differ | d)
+    status = (
+        F.when(F.col("_in_v1").isNull(), F.lit("added"))
+        .when(F.col("_in_v2").isNull(), F.lit("removed"))
+        .when(differ, F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .drop("_in_v1", "_in_v2")
+        .select(
+            key,
+            "status",
+            *[f"{c}_antes" for c in compare_cols],
+            *[f"{c}_depois" for c in compare_cols],
+        )
+    )
+
+
+#: deterministic evolution for the snapshot-diff fixture query: drops,
+#: changes and inserts that both engines derive identically from `users`.
+DIFF_DROP_MOD = 7   # id % 7 == 3 -> removed in v2
+DIFF_CHANGE_MOD = 10  # id % 10 == 0 -> saldo + 500 in v2
+DIFF_ADD_MOD = 25   # id % 25 == 0 -> new key id + 1_000_000 in v2
+DIFF_ADD_OFFSET = 1000000
+
+
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked snapshot-diff fixture: v1 = the users dim; v2 = a
+    deterministic evolution (every 10th balance +500, every id%7==3
+    dropped, a new id+1e6 row for every 25th user at half balance).
+    All arithmetic is IEEE-exact (+500.0, *0.5), so the change predicate
+    selects identical rows in both engines."""
+    from banking_streaming_etl_spark import datamodel
+
+    users = datamodel.users(spark, sf_dir).select("id_usuario", "saldo")
+    v2 = (
+        users.filter(F.col("id_usuario") % DIFF_DROP_MOD != 3)
+        .select(
+            "id_usuario",
+            F.when(
+                F.col("id_usuario") % DIFF_CHANGE_MOD == 0,
+                F.col("saldo") + 500.0,
+            )
+            .otherwise(F.col("saldo"))
+            .alias("saldo"),
+        )
+        .unionByName(
+            users.filter(F.col("id_usuario") % DIFF_ADD_MOD == 0).select(
+                (F.col("id_usuario") + F.lit(DIFF_ADD_OFFSET)).alias(
+                    "id_usuario"
+                ),
+                (F.col("saldo") * 0.5).alias("saldo"),
+            )
+        )
+    )
+    return snapshot_diff(users, v2, "id_usuario", ["saldo"])
+
+
+def _snapshot_diff_oracle() -> str:
+    from banking_streaming_etl_spark import datamodel
+
+    return datamodel.with_ctes(
+        f"""
+SELECT COALESCE(a.id_usuario, b.id_usuario) AS id_usuario,
+       CASE WHEN a.id_usuario IS NULL THEN 'added'
+            WHEN b.id_usuario IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       a.saldo AS saldo_antes, b.saldo AS saldo_depois
+FROM (SELECT id_usuario, saldo FROM users) a
+FULL OUTER JOIN diff_v2 b ON a.id_usuario = b.id_usuario
+WHERE a.id_usuario IS NULL OR b.id_usuario IS NULL
+   OR a.saldo IS DISTINCT FROM b.saldo""",
+        extra_ctes=f"""
+diff_v2 AS (
+    SELECT id_usuario,
+           CASE WHEN id_usuario % {DIFF_CHANGE_MOD} = 0
+                THEN saldo + 500.0 ELSE saldo END AS saldo
+    FROM users WHERE id_usuario % {DIFF_DROP_MOD} <> 3
+    UNION ALL
+    SELECT id_usuario + {DIFF_ADD_OFFSET}, saldo * 0.5
+    FROM users WHERE id_usuario % {DIFF_ADD_MOD} = 0
+)""",
+    )
+
+
 def _pit_oracle() -> str:
     from banking_streaming_etl_spark import datamodel
 

@@ -554,6 +554,12 @@ def register_all() -> None:
              embeddings.CENTROID_SIMILARITY_SQL,
              "pairwise cosine between label centroids (class-geometry "
              "diagnostic, decimal-exact dots)")
+    register("snapshot_table_diff", scd.snapshot_table_diff,
+             scd._snapshot_diff_oracle(),
+             "CDC snapshot diff: added/removed/changed keys between two "
+             "table versions in one full-outer equi-join (unchanged "
+             "majority never materialized)")
+
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,
              "TPC-H Q5 proper: two-dim equality constraint join")
@@ -622,6 +628,14 @@ def register_all() -> None:
              similarity.centroid_assign_hierarchical, None,
              "two-level sqrt(K) coarse-quantized centroid assignment "
              "(agreement vs exact path in tests)")
+    register("mmr_rerank", text.mmr_rerank, None,
+             "Maximal-Marginal-Relevance diversified rerank of the dense "
+             "retrieval pool (greedy float argmax: rows-only; Python "
+             "differential over the oracle-backed embedding frame)")
+    register("pca_embeddings", embeddings.pca_embeddings, None,
+             "distributed PCA spectrum: D^2-group moment aggregate + "
+             "driver eigendecomposition of the D x D covariance (numpy "
+             "differential; eig has no SQL twin)")
     register("approx_aggregates", batchdev.approx_aggregates, None,
              "HLL++/approx-percentile sketches (tolerance-tested)")
     register("synthetic_transactions", batchdev.synthetic_transactions, None,

@@ -229,6 +229,74 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def psi_against_reference(
+    ref_counts: DataFrame, cur_counts: DataFrame
+) -> DataFrame:
+    """PSI contributions from two independent bucket-count frames —
+    (faixa_valor, n_ref) vs (faixa_valor, n_cur): full-outer join on the
+    bucket, zero-fill, then the IDENTICAL smoothing/ln arithmetic as
+    `psi_value_drift` (whose single-scan form is the batch oracle).
+    This is the read-side fusion the STREAMING drift monitor shares with
+    any scheduled job that keeps a frozen reference table: everything is
+    buckets-sized, the reference never rescans.
+
+    Exactness: the joint bucket set (full outer) equals the batch twin's
+    "buckets with any row" set, counts are integers, and the share/ln
+    expressions are term-identical — so given the same data the output
+    rows are bit-equal to psi_value_drift's (pinned by the streaming
+    differential test)."""
+    from pyspark.sql import Window as W
+
+    j = ref_counts.join(cur_counts, "faixa_valor", "full_outer").select(
+        "faixa_valor",
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
+    )
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    sm = F.lit(PSI_SMOOTH)
+    joined = (
+        j.withColumn("tot_ref", F.sum("n_ref").over(wall))
+        .withColumn("tot_cur", F.sum("n_cur").over(wall))
+        .withColumn("k_buckets", F.count("*").over(wall))
+    )
+    p_ref = (F.col("n_ref").cast("double") + sm) / (
+        F.col("tot_ref").cast("double")
+        + sm * F.col("k_buckets").cast("double")
+    )
+    p_cur = (F.col("n_cur").cast("double") + sm) / (
+        F.col("tot_cur").cast("double")
+        + sm * F.col("k_buckets").cast("double")
+    )
+    return joined.select(
+        "faixa_valor",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            "psi_contrib"
+        ),
+    )
+
+
+def psi_reference_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen reference side (rows before PSI_SPLIT) as a bucket-count
+    table — what a monitoring deployment materializes once and broadcasts
+    against the live stream."""
+    t = datamodel.transactions(spark, sf_dir)
+    return (
+        t.filter(F.col("data_horario") < F.lit(PSI_SPLIT).cast("timestamp"))
+        .withColumn(
+            "faixa_valor",
+            F.floor(F.col("valor_transacao") / F.lit(QI_VALUE_BUCKET)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("faixa_valor")
+        .agg(F.count("*").alias("n_ref"))
+    )
+
+
 PSI_VALUE_DRIFT_SQL = datamodel.with_ctes(
     f"""
 SELECT faixa_valor, n_ref, n_cur,

@@ -1279,6 +1279,36 @@ DENSE_TOP_K = BM25_TOP_K
 HYBRID_TOP_K = 10
 
 
+def _dense_query_vec(spark: SparkSession) -> DataFrame:
+    """The fixed BM25_QUERY term set as an L2-normalized feature-hash
+    vector (pos, qval) — the broadcast side of every dense-retrieval
+    scorer (hybrid RRF, MMR). Lives ONCE per the shared-derivation
+    invariant."""
+    q = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in BM25_QUERY])).alias("termo")
+    )
+    qpos = q.select(F.expr(_EMBED_HASH).alias("pos")).groupBy("pos").agg(
+        F.count("*").alias("qc")
+    )
+    qnorm = qpos.agg(
+        F.sqrt(F.sum(F.col("qc") * F.col("qc")).cast("double")).alias("qn")
+    )
+    return qpos.crossJoin(qnorm).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("qc").cast("double") / F.col("qn"), 6).alias("qval"),
+    )
+
+
+def _dense_query_scores(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+    """Per-doc dense relevance vs the fixed query vector: a broadcast
+    equi-join on the hash position + a decimal-exact dot aggregate."""
+    return (
+        vecs.join(F.broadcast(_dense_query_vec(spark)), "pos")
+        .groupBy("doc_id")
+        .agg(exact.exact_sum(F.col("valor") * F.col("qval"), "cos_dense"))
+    )
+
+
 def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal rank fusion (Cormack et al. 2009):
     the BM25 lexical top-K and a dense top-K (cosine between the
@@ -1304,24 +1334,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vecs = hash_embed_documents(spark, sf_dir)
-    q = spark.range(1).select(
-        F.explode(F.array(*[F.lit(t) for t in BM25_QUERY])).alias("termo")
-    )
-    qpos = q.select(F.expr(_EMBED_HASH).alias("pos")).groupBy("pos").agg(
-        F.count("*").alias("qc")
-    )
-    qnorm = qpos.agg(
-        F.sqrt(F.sum(F.col("qc") * F.col("qc")).cast("double")).alias("qn")
-    )
-    qvec = qpos.crossJoin(qnorm).select(
-        F.col("pos").cast("bigint").alias("pos"),
-        F.round(F.col("qc").cast("double") / F.col("qn"), 6).alias("qval"),
-    )
-    dense = (
-        vecs.join(F.broadcast(qvec), "pos")
-        .groupBy("doc_id")
-        .agg(exact.exact_sum(F.col("valor") * F.col("qval"), "cos_dense"))
-    )
+    dense = _dense_query_scores(spark, vecs)
     wdense = W.orderBy(F.desc("cos_dense"), F.asc("doc_id"))
     dense_ranked = (
         dense.orderBy(F.desc("cos_dense"), F.asc("doc_id"))
@@ -1393,6 +1406,84 @@ LIMIT {HYBRID_TOP_K}
 
 
 HYBRID_RRF_SQL = _hybrid_rrf_sql()
+
+
+# --- MMR diversified rerank ---------------------------------------------------
+
+#: relevance-vs-diversity tradeoff (Carbonell & Goldstein 1998's lambda).
+MMR_LAMBDA = 0.7
+#: candidate pool fed to the greedy selection (TakeOrdered top-N).
+MMR_POOL = 20
+#: documents selected.
+MMR_K = 8
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified selection (Carbonell &
+    Goldstein 1998) over the dense retrieval pool — the diversity-aware
+    rerank a RAG stack (or a near-dup-aware few-shot sampler) runs after
+    retrieval: greedily pick
+    argmax_d  lambda * rel(d) - (1 - lambda) * max_{s in S} cos(d, s),
+    doc-id tiebreak, until MMR_K docs are selected.
+
+    Scale shape: relevance is the same broadcast-query dense scoring as
+    hybrid_retrieval_rrf (corpus-sized, distributed); the candidate POOL
+    is a TakeOrdered top-MMR_POOL (bounded), and the greedy selection is
+    driver-side bookkeeping over that bounded pool — MMR is inherently
+    sequential (step k depends on selection k-1), and at K x POOL scalar
+    dots the driver IS the right executor (the BPE merge-adoption
+    stance: the model/selection is driver-held, the data work is not).
+
+    Rows-only registration: the greedy float argmax has no portable SQL
+    twin; the Python differential over the (oracle-backed)
+    hash-embedding frame pins the whole composition."""
+    vecs = hash_embed_documents(spark, sf_dir)
+    pool = (
+        _dense_query_scores(spark, vecs)
+        .select("doc_id", F.col("cos_dense").cast("double").alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(MMR_POOL)
+    )
+    pv = vecs.join(F.broadcast(pool.select("doc_id")), "doc_id")
+    rel = {r.doc_id: float(r.rel) for r in pool.collect()}
+    vec: dict[int, dict[int, float]] = {}
+    for r in pv.collect():
+        vec.setdefault(r.doc_id, {})[int(r.pos)] = float(r.valor)
+    selected = mmr_select(rel, vec, MMR_LAMBDA, MMR_K)
+    return spark.createDataFrame(
+        [
+            (i + 1, d, round(rel[d], 6), round(s, 6))
+            for i, (d, s) in enumerate(selected)
+        ],
+        "ordem int, doc_id bigint, relevancia double, mmr double",
+    )
+
+
+def mmr_select(
+    rel: dict, vec: dict, lam: float, k: int
+) -> list[tuple[int, float]]:
+    """The greedy MMR loop over a bounded pool (pure function so the
+    differential test can drive it against an independent recompute).
+    Dots iterate positions in sorted order — a fixed operation order, so
+    scores are reproducible bit-for-bit."""
+
+    def dot(a: dict, b: dict) -> float:
+        return sum(a[p] * b[p] for p in sorted(a) if p in b)
+
+    remaining = sorted(rel)
+    chosen: list[tuple[int, float]] = []
+    while remaining and len(chosen) < k:
+        best = None
+        for d in remaining:
+            pen = max(
+                (dot(vec[d], vec[s]) for s, _ in chosen), default=0.0
+            )
+            score = lam * rel[d] - (1.0 - lam) * pen
+            if best is None or score > best[1]:
+                best = (d, score)
+        chosen.append(best)
+        remaining.remove(best[0])
+    return chosen
 
 
 # --- BPE vocabulary induction: the full (small-N) training loop --------------

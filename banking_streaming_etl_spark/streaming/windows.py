@@ -310,6 +310,45 @@ def streaming_decontaminate_hits(
     return exploded.join(test_shingles, "h")
 
 
+def streaming_near_dup_screen(
+    doc_stream: DataFrame, index_banded: DataFrame, index_sets: DataFrame
+) -> DataFrame:
+    """Ingest-time near-dup quarantine: every arriving document is
+    MinHash-banded ROW-LOCALLY (pure array expressions — no shuffle, no
+    state) and screened against the prebuilt corpus LSH index via
+    stream-static equi-joins, with exact Jaccard verification inline
+    (operators/dedup.near_dup_screen_against_index — literally the same
+    body on batch and stream; the differential test pins equality)."""
+    from banking_streaming_etl_spark.operators import dedup
+
+    return dedup.near_dup_screen_against_index(
+        doc_stream, index_banded, index_sets
+    )
+
+
+def streaming_psi_bucket_counts(tx_stream: DataFrame) -> DataFrame:
+    """Live side of the PSI drift monitor: complete-mode bucket counts of
+    the CURRENT window (rows at/after PSI_SPLIT) — the aggregation state
+    is the buckets-sized count table, bounded forever (the same
+    bounded-complete-mode argument as streaming_cms_cells). PSI itself is
+    read-side arithmetic against the frozen reference
+    (plans/governance.psi_against_reference), so the stream holds no
+    reference state and no transcendental ever enters the stateful op;
+    the differential test pins bit-equality with the batch
+    psi_value_drift over the same replayed rows."""
+    from banking_streaming_etl_spark.plans import governance as gov
+
+    cur = tx_stream.filter(
+        F.col("data_horario") >= F.lit(gov.PSI_SPLIT).cast("timestamp")
+    ).withColumn(
+        "faixa_valor",
+        F.floor(
+            F.col("valor_transacao") / F.lit(gov.QI_VALUE_BUCKET)
+        ).cast("bigint"),
+    )
+    return cur.groupBy("faixa_valor").agg(F.count("*").alias("n_cur"))
+
+
 def streaming_distinct_payers(tx_stream: DataFrame) -> DataFrame:
     """Live approximate distinct payers per modality
     (approx_count_distinct = HyperLogLog++ in complete mode: per-group

@@ -55,6 +55,10 @@ EXTENDED = [
     "bpe_pair_counts",
     "source_ngram_overlap",
     "k_anonymity_report",
+    # round-5 additions (the distributed-ranking family + CDC diff)
+    "pareto_share_by_decile",
+    "exact_percentiles_valor",
+    "snapshot_table_diff",
 ]
 
 

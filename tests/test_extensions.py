@@ -1254,6 +1254,53 @@ def test_sketch_and_model_artifacts_roundtrip_parquet(spark, tmp_path):
     )
 
 
+def test_pca_matches_numpy_and_projection_variance(spark):
+    """Distributed PCA differential: (1) the covariance assembled from
+    the distributed moments equals numpy's np.cov of the collected
+    corpus; (2) the reported spectrum equals numpy's eigenvalues;
+    (3) projecting onto component k yields sample variance ~= lambda_k
+    (the defining property of PCA), and the ratios sum to <= 1."""
+    import numpy as np
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.operators import embeddings as embops
+
+    X = np.array(
+        [
+            r.embedding
+            for r in datamodel.load_table(spark, SF, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    want_cov = np.cov(X, rowvar=False)
+    w_np = np.sort(np.linalg.eigvalsh(want_cov))[::-1]
+
+    w, comps, mu, n = embops.pca_fit(spark, SF)
+    assert n == X.shape[0]
+    np.testing.assert_allclose(mu, X.mean(axis=0), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(w, w_np, rtol=1e-7, atol=1e-10)
+
+    report = embops.pca_embeddings(spark, SF).collect()
+    assert len(report) == embops.PCA_K
+    np.testing.assert_allclose(
+        [r.autovalor for r in report], w[: embops.PCA_K], rtol=1e-12
+    )
+    assert sum(r.razao_variancia for r in report) <= 1.0 + 1e-9
+
+    proj = embops.pca_project(
+        datamodel.load_table(spark, SF, "embeddings"),
+        comps[:3],
+        mu,
+    )
+    rows = proj.select("pc1", "pc2", "pc3").collect()
+    P = np.array([[r.pc1, r.pc2, r.pc3] for r in rows])
+    np.testing.assert_allclose(
+        P.var(axis=0, ddof=1), w[:3], rtol=1e-6
+    )
+
+
 def test_ivf_pq_index_artifact_roundtrip(spark, tmp_path):
     """The IVFPQ index artifacts (centroids / residual codebooks / codes)
     survive a parquet round-trip, and SERVING against the loaded index

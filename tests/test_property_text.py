@@ -74,6 +74,60 @@ def test_quality_classifier_enriches_the_target_class(spark):
     assert prec > base + 0.05, (prec, base)
 
 
+def test_mmr_rerank_matches_independent_greedy(spark):
+    """mmr_rerank differential: an INDEPENDENT pool cut + greedy loop
+    over the same (oracle-backed) embedding/relevance frames must select
+    the same docs in the same order with the same rounded scores; rank 1
+    must be the pure-relevance argmax (MMR's k=1 degenerate case)."""
+    from banking_streaming_etl_spark.plans import text as textplans
+
+    SF = "/root/testdata/sf0.001"
+    vecs = textplans.hash_embed_documents(spark, SF)
+    dense = textplans._dense_query_scores(spark, vecs).collect()
+    rel_all = {r.doc_id: float(r.cos_dense) for r in dense}
+    pool_ids = sorted(
+        rel_all, key=lambda d: (-rel_all[d], d)
+    )[: textplans.MMR_POOL]
+    rel = {d: rel_all[d] for d in pool_ids}
+    vec = {}
+    for r in vecs.collect():
+        if r.doc_id in rel:
+            vec.setdefault(r.doc_id, {})[int(r.pos)] = float(r.valor)
+
+    # independent greedy (set-based, reversed scan with >= keep-last on
+    # the ASCENDING id order == strict > keep-first on descending)
+    lam = textplans.MMR_LAMBDA
+    chosen, cand = [], set(pool_ids)
+    while cand and len(chosen) < textplans.MMR_K:
+        scored = []
+        for d in sorted(cand):
+            pen = 0.0
+            for s, _ in chosen:
+                dp = sum(
+                    vec[d][p] * vec[s][p]
+                    for p in sorted(vec[d])
+                    if p in vec[s]
+                )
+                pen = dp if dp > pen else pen
+            scored.append((lam * rel[d] - (1 - lam) * pen, d))
+        best_score = max(s for s, _ in scored)
+        best_doc = min(d for s, d in scored if s == best_score)
+        chosen.append((best_doc, best_score))
+        cand.remove(best_doc)
+
+    got = [
+        (r.ordem, r.doc_id, r.relevancia, r.mmr)
+        for r in textplans.mmr_rerank(spark, SF).collect()
+    ]
+    want = [
+        (i + 1, d, round(rel[d], 6), round(s, 6))
+        for i, (d, s) in enumerate(chosen)
+    ]
+    assert got == want
+    assert got[0][1] == pool_ids[0]
+    assert len(got) == textplans.MMR_K
+
+
 def _py_bpe_train(spark, sf: str, n_merges: int):
     """Pure-Python reference BPE trainer (greedy most-frequent pair,
     (freq DESC, a, b) tie-break, left-to-right non-overlapping apply)."""

@@ -604,6 +604,104 @@ def test_available_now_trigger_drains_backlog_in_bounded_batches(spark, replay_d
     assert got == want
 
 
+def test_streaming_psi_matches_batch_bit_exact(spark, replay_dir):
+    """The live drift monitor (complete-mode current-window bucket counts
+    + read-side fusion against the frozen reference) must reproduce the
+    batch psi_value_drift rows BIT-EXACTLY over the same replayed
+    transactions — counts are integers and the smoothing/ln arithmetic is
+    term-identical by construction."""
+    from banking_streaming_etl_spark.plans import governance as gov
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    counts = swin.streaming_psi_bucket_counts(tx)
+    _run_to_memory(counts, "psi_counts_out", mode="complete")
+
+    ref = gov.psi_reference_counts(spark, SF)
+    got = {
+        (r.faixa_valor, r.n_ref, r.n_cur, r.psi_contrib)
+        for r in gov.psi_against_reference(
+            ref, spark.sql("SELECT * FROM psi_counts_out")
+        ).collect()
+    }
+    want = {
+        (r.faixa_valor, r.n_ref, r.n_cur, r.psi_contrib)
+        for r in gov.psi_value_drift(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_near_dup_screen_matches_batch(spark, tmp_path):
+    """The stateless ingest-time near-dup screen: (1) row-local band
+    hashes equal the batch signature pipeline's bit-for-bit; (2) the
+    streamed screen emits exactly the rows the SAME function emits on the
+    equivalent batch frame; (3) a planted exact copy of an indexed doc is
+    caught at jaccard 1.0."""
+    from banking_streaming_etl_spark.operators import dedup
+
+    docs = datamodel.load_table(spark, SF, "documents")
+
+    # (1) signature parity with the batch shuffle pipeline
+    got_sig = {
+        (r.doc_id, r.band, r.bh)
+        for r in dedup.row_local_minhash_bands(docs)
+        .select("doc_id", "band", "bh")
+        .collect()
+    }
+    want_sig = {
+        (r.doc_id, r.band, r.bh)
+        for r in dedup._banded_signatures(
+            dedup.minhash_signatures(spark, SF)
+        ).collect()
+    }
+    assert got_sig == want_sig
+
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    plant_src = index_docs.orderBy("doc_id").limit(1)
+    planted = plant_src.select(
+        F.lit(999999).cast("long").alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    probe = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(planted)
+
+    bidx, bsets = dedup.corpus_lsh_index(spark, SF, index_docs)
+    bidx, bsets = bidx.cache(), bsets.cache()
+
+    want = {
+        (r.doc_novo, r.doc_indice, r.band, r.jaccard)
+        for r in dedup.near_dup_screen_against_index(
+            probe, bidx, bsets
+        ).collect()
+    }
+
+    d = str(tmp_path / "probe_chunks")
+    probe.select(
+        F.to_json(
+            F.struct(
+                "doc_id", "text", "lang", "source", "n_chars",
+                F.lit("2024-01-01T00:00:00").alias("event_ts"),
+            )
+        ).alias("value")
+    ).repartition(4).write.mode("overwrite").text(d)
+
+    ds = stream_src.read_document_stream(spark, d)
+    out = swin.streaming_near_dup_screen(ds, bidx, bsets)
+    _run_to_memory(out, "near_dup_screen_out")
+    got = {
+        (r.doc_novo, r.doc_indice, r.band, r.jaccard)
+        for r in spark.sql("SELECT * FROM near_dup_screen_out").collect()
+    }
+    assert got == want and len(want) > 0
+
+    plant_target = plant_src.collect()[0].doc_id
+    assert any(
+        n == 999999 and i == plant_target and j == 1.0
+        for n, i, _, j in got
+    )
+    bidx.unpersist(), bsets.unpersist()
+
+
 def test_streaming_value_quantiles_close_to_batch_exact(spark, replay_dir):
     """Complete-mode approx percentiles over the drained stream must sit
     within the sketch tolerance of the exact batch percentiles, with

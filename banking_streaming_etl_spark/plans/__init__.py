@@ -554,6 +554,11 @@ def register_all() -> None:
              embeddings.CENTROID_SIMILARITY_SQL,
              "pairwise cosine between label centroids (class-geometry "
              "diagnostic, decimal-exact dots)")
+    register("rolling_median_value", relational.rolling_median_value,
+             relational.ROLLING_MEDIAN_SQL,
+             "rolling lower-median of the last 5 values per payer (exact "
+             "element selection — no interpolation; robust trailing "
+             "baseline)")
     register("snapshot_table_diff", scd.snapshot_table_diff,
              scd._snapshot_diff_oracle(),
              "CDC snapshot diff: added/removed/changed keys between two "

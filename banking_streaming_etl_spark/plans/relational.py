@@ -271,6 +271,60 @@ FROM transactions"""
 )
 
 
+#: trailing window width of the rolling robust baseline (ROWS frame).
+ROLLING_MEDIAN_W = 5
+
+
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling LOWER median of each payer's last ROLLING_MEDIAN_W
+    transaction values (ROWS frame, total order ts+id) — the robust
+    trailing baseline an anomaly screen compares the next amount against
+    (a single whale transaction shifts a rolling MEAN for W rows; the
+    median shrugs it off).
+
+    Engine-portable exactness: the frame's values are collected per row
+    (bounded: <= W elements), sorted, and the ((n+1) div 2)-th element
+    taken — the LOWER median, an EXACT element selection, never the
+    even-count interpolation whose (a+b)/2 halving the two engines might
+    associate differently. Both dialects express it as the same
+    sort+pick, so doubles are bit-identical.
+
+    Scale shape: one payer-keyed window shuffle; per-row state is the
+    <= W-element list (constant), so the frame collect is O(W) per row —
+    nothing like the unbounded collect_list antipattern."""
+    t = datamodel.transactions(spark, sf_dir)
+    w = (
+        W.partitionBy("id_usuario_pagador")
+        .orderBy("data_horario", "id_transacao")
+        .rowsBetween(-(ROLLING_MEDIAN_W - 1), W.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("valor_transacao").over(w))
+    return t.select(
+        "id_transacao",
+        "id_usuario_pagador",
+        "valor_transacao",
+        F.element_at(
+            arr, ((F.size(arr) + 1) / 2).cast("int")
+        ).alias("mediana_movel"),
+    )
+
+
+ROLLING_MEDIAN_SQL = datamodel.with_ctes(
+    f"""
+SELECT id_transacao, id_usuario_pagador, valor_transacao,
+       lst[CAST((LEN(lst) + 1) // 2 AS BIGINT)] AS mediana_movel
+FROM (
+    SELECT id_transacao, id_usuario_pagador, valor_transacao,
+           list_sort(list(valor_transacao) OVER (
+               PARTITION BY id_usuario_pagador
+               ORDER BY data_horario, id_transacao
+               ROWS BETWEEN {ROLLING_MEDIAN_W - 1} PRECEDING
+                        AND CURRENT ROW)) AS lst
+    FROM transactions
+)"""
+)
+
+
 def lag_lead_per_payer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD + time-since-previous per payer (total order incl. tiebreak)."""
     t = datamodel.transactions(spark, sf_dir)

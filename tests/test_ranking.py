@@ -103,6 +103,45 @@ def test_ntile_closed_form_property():
                 assert closed_form(r, n, k) == sql_ntile(r, n, k), (r, n, k)
 
 
+def test_global_rank_property_arbitrary_frames(spark):
+    """Property test over arbitrary small frames (duplicates, negatives,
+    skewed runs of one value): the distributed rank at an adversarial
+    2-rows-per-bucket granularity equals Python's sorted rank, for both
+    directions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(-50, 50), min_size=1, max_size=40
+        ),
+        desc=st.booleans(),
+    )
+    def run(vals, desc):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+        )
+        got = {
+            r.i: r.r
+            for r in ranking.with_global_row_number(
+                df, "v", "i", out="r", value_desc=desc, rows_per_bucket=2
+            ).collect()
+        }
+        order = sorted(
+            range(len(vals)),
+            key=lambda i: (-vals[i] if desc else vals[i], i),
+        )
+        want = {i: pos + 1 for pos, i in enumerate(order)}
+        assert got == want
+
+    run()
+
+
 def test_global_row_number_survives_empty_sample(spark, monkeypatch):
     """Degenerate boundary sample (thr floored to its minimum selects ~0
     rows — the n > M31 * k_s regime at 100 TB+): ranks must DEGRADE to a

@@ -65,6 +65,13 @@ def _rank_key(df: DataFrame, value_col: str, id_col: str,
     return (-v if value_desc else v), F.col(id_col)
 
 
+def _bjoin(left: DataFrame, right: DataFrame, gcols: list) -> DataFrame:
+    """Broadcast-join a small per-group frame (crossJoin when ungrouped)."""
+    if not gcols:
+        return left.crossJoin(F.broadcast(right))
+    return left.join(F.broadcast(right), gcols)
+
+
 def with_global_row_number(
     df: DataFrame,
     value_col: str,
@@ -72,20 +79,36 @@ def with_global_row_number(
     out: str = "global_rank",
     value_desc: bool = False,
     rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
+    group_cols: list | None = None,
 ) -> DataFrame:
     """Append the exact 1-based global rank of each row under the total
     order (value_col asc|desc, id_col asc) plus a ``_rank_n_total``
     column (the exact row count — NTILE and percentile math need it),
     without ever sorting the frame in one task. `id_col` must be unique
-    (bigint — it feeds the portable-LCG sampler)."""
+    (bigint — it feeds the portable-LCG sampler).
+
+    `group_cols` turns every stage per-group: ranks restart inside each
+    group (the PARTITION BY form), with per-group sampled boundaries, a
+    (group, bucket)-partitioned local window and per-group exact offsets.
+    Intended for FEW, HUGE groups — exactly where Spark's own exact
+    per-group percentile/rank machinery breaks down (its `percentile`
+    aggregate buffers every value of a group in one task, and a
+    group-partitioned row_number makes one task per group). The params /
+    boundary / offset side frames are G x O(B) rows and ride broadcasts,
+    so group cardinality must stay broadcast-sized (thousands, not
+    millions — for high-cardinality groups a plain partitioned window is
+    already parallel and this operator is unnecessary)."""
+    gcols = list(group_cols or [])
     nv, ni = _rank_key(df, value_col, id_col, value_desc)
     keyed = df.withColumn("_rk_v", nv).withColumn("_rk_i", ni)
 
     # -- 1. size-following sample budget (one COUNT job's worth of plan,
     #       broadcast as a one-row frame; greatest(n,1) guards empty input)
     params = (
-        keyed.agg(F.count("*").alias("n_total"))
+        keyed.groupBy(*gcols)
+        .agg(F.count("*").alias("n_total"))
         .select(
+            *gcols,
             "n_total",
             F.least(
                 F.greatest(
@@ -107,6 +130,7 @@ def with_global_row_number(
             ).alias("n_buckets"),
         )
         .select(
+            *gcols,
             "n_buckets",
             # greatest(.., 1): at n > M31 * k_s (~1.4e14 rows) the
             # integer threshold would floor to 0 and sample NOTHING;
@@ -122,11 +146,13 @@ def with_global_row_number(
 
     # -- 2. deterministic sample -> sorted boundary array (ONE bounded
     #       collect_list aggregate, never a Window; the equidepth template)
-    sample = (
-        keyed.select("_rk_v", "_rk_i", portable.lcg_hash(ni).alias("_rk_h"))
-        .crossJoin(F.broadcast(params))
-        .filter(F.col("_rk_h") < F.col("thr"))
-    )
+    sample = _bjoin(
+        keyed.select(
+            *gcols, "_rk_v", "_rk_i", portable.lcg_hash(ni).alias("_rk_h")
+        ),
+        params,
+        gcols,
+    ).filter(F.col("_rk_h") < F.col("thr"))
     # n_buckets == 1 must yield NO boundary positions (sequence(1, 0)
     # would descend under Spark's default step and fabricate cut points)
     seq = F.when(
@@ -150,22 +176,27 @@ def with_global_row_number(
     # groupBy would yield zero rows and the cut crossJoin would wipe the
     # input) — empty sample degrades to a single bucket, never to an
     # empty result
-    bnds = (
-        sample.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_rk_v"), F.col("_rk_i")))
-            ).alias("arr")
-        )
-        .crossJoin(F.broadcast(params))
-        .select(
-            F.filter(
-                F.transform(
-                    positions,
-                    lambda p: F.try_element_at(F.col("arr"), p.cast("int")),
-                ),
-                lambda s: s.isNotNull(),
-            ).alias("_rk_bnds")
-        )
+    samp_agg = sample.groupBy(*gcols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_rk_v"), F.col("_rk_i")))
+        ).alias("arr")
+    )
+    # grouped: LEFT join from params so a group whose sample came up
+    # empty still gets a row (arr NULL -> try_element_at yields nulls ->
+    # the filter leaves an EMPTY boundary set -> single bucket)
+    if gcols:
+        pre = params.join(samp_agg, gcols, "left")
+    else:
+        pre = samp_agg.crossJoin(F.broadcast(params))
+    bnds = pre.select(
+        *gcols,
+        F.filter(
+            F.transform(
+                positions,
+                lambda p: F.try_element_at(F.col("arr"), p.cast("int")),
+            ),
+            lambda s: s.isNotNull(),
+        ).alias("_rk_bnds"),
     )
 
     # -- 3. broadcast cut join: bucket = 1 + #boundaries strictly before
@@ -178,13 +209,13 @@ def with_global_row_number(
         )
     )
     bucketed = (
-        keyed.crossJoin(F.broadcast(bnds))
+        _bjoin(keyed, bnds, gcols)
         .withColumn("rk_bucket", (F.lit(1) + below))
         .drop("_rk_bnds")
     )
 
     # -- 4. local rank per bucket (partitioned window — parallel)
-    wloc = W.partitionBy("rk_bucket").orderBy(
+    wloc = W.partitionBy(*gcols, "rk_bucket").orderBy(
         F.asc("_rk_v"), F.asc("_rk_i")
     )
     local = bucketed.withColumn(
@@ -200,8 +231,9 @@ def with_global_row_number(
         ).alias("acc"),
     )
     offsets = (
-        bucketed.groupBy("rk_bucket")
+        bucketed.groupBy(*gcols, "rk_bucket")
         .agg(F.count("*").alias("_rk_cnt"))
+        .groupBy(*gcols)
         .agg(
             F.array_sort(
                 F.collect_list(
@@ -213,6 +245,7 @@ def with_global_row_number(
             ).alias("arr")
         )
         .select(
+            *gcols,
             F.map_from_entries(
                 F.aggregate(
                     F.col("arr"),
@@ -241,7 +274,7 @@ def with_global_row_number(
     )
 
     return (
-        local.crossJoin(F.broadcast(offsets))
+        _bjoin(local, offsets, gcols)
         .withColumn(
             out,
             F.element_at(F.col("_rk_offs"), F.col("rk_bucket").cast("int"))
@@ -292,12 +325,15 @@ def with_global_ntile(
     out: str = "ntile",
     value_desc: bool = False,
     rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
+    group_cols: list | None = None,
 ) -> DataFrame:
     """Append the exact NTILE(k) bucket under (value_col asc|desc,
     id_col asc) — `with_global_row_number` + the closed form, no
-    single-partition window anywhere in the plan."""
+    single-partition window anywhere in the plan (per-group when
+    `group_cols` is given)."""
     ranked = with_global_row_number(
-        df, value_col, id_col, "_rk_rank", value_desc, rows_per_bucket
+        df, value_col, id_col, "_rk_rank", value_desc, rows_per_bucket,
+        group_cols,
     )
     return ranked.withColumn(
         out,

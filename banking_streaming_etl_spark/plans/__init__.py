@@ -554,6 +554,11 @@ def register_all() -> None:
              embeddings.CENTROID_SIMILARITY_SQL,
              "pairwise cosine between label centroids (class-geometry "
              "diagnostic, decimal-exact dots)")
+    register("exact_percentiles_by_modality",
+             dashboard.exact_percentiles_by_modality,
+             dashboard.EXACT_PCTS_BY_MODALITY_SQL,
+             "exact per-group p50/p90/p99 via the GROUPED distributed "
+             "rank operator (no per-group value buffering)")
     register("rolling_median_value", relational.rolling_median_value,
              relational.ROLLING_MEDIAN_SQL,
              "rolling lower-median of the last 5 values per payer (exact "

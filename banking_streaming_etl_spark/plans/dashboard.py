@@ -1229,6 +1229,56 @@ WHERE r.r = CAST(CEIL(CAST(p.pct AS DOUBLE) * r.n) AS BIGINT)
 )
 
 
+def exact_percentiles_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-modality percentiles at 100 TB scale — the scale twin of
+    perf_stats_by_modality's A2 percentile columns. Spark's exact
+    `percentile` aggregate buffers EVERY value of a group in one task
+    (fine for small groups, fatal when 5 modalities each hold 10^10
+    rows); here each group's rank comes from the grouped distributed
+    ranking operator (per-group sampled boundaries, (group, bucket)
+    windows, exact offsets), and percentile p is the value at per-group
+    rank ceil(p * N_g) — a narrow explode + equality filter.
+
+    The oracle keeps the plain partitioned ROW_NUMBER window form —
+    identical selected ranks, bit-identical rows."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    t = datamodel.transactions(spark, sf_dir).select(
+        F.col("modalidade_pagamento").alias("modalidade"),
+        F.col("valor_transacao").alias("v"),
+        F.col("id_transacao").alias("i"),
+    )
+    ranked = ranking.with_global_row_number(
+        t, "v", "i", out="r", group_cols=["modalidade"]
+    )
+    return (
+        ranked.withColumn(
+            "pct", F.explode(F.array(*[F.lit(p) for p in EXACT_PCTS]))
+        )
+        .filter(
+            F.col("r")
+            == F.ceil(F.col("pct") * F.col("_rank_n_total")).cast("bigint")
+        )
+        .select("modalidade", "pct", F.col("v").alias("valor_percentil"))
+    )
+
+
+EXACT_PCTS_BY_MODALITY_SQL = datamodel.with_ctes(
+    f"""
+SELECT r.modalidade, CAST(p.pct AS DOUBLE) AS pct, r.v AS valor_percentil
+FROM (
+    SELECT modalidade_pagamento AS modalidade, valor_transacao AS v,
+           ROW_NUMBER() OVER (PARTITION BY modalidade_pagamento
+                              ORDER BY valor_transacao ASC,
+                              id_transacao ASC) AS r,
+           COUNT(*) OVER (PARTITION BY modalidade_pagamento) AS n
+    FROM transactions
+) r, (VALUES {', '.join(f'({p})' for p in EXACT_PCTS)}) p(pct)
+WHERE r.r = CAST(CEIL(CAST(p.pct AS DOUBLE) * r.n) AS BIGINT)
+"""
+)
+
+
 PARETO_SHARE_SQL = datamodel.with_ctes(
     """
 SELECT decil, CAST(COUNT(*) AS BIGINT) AS n_pagadores,

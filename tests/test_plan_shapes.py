@@ -469,15 +469,17 @@ def test_pareto_decile_has_no_unpartitioned_window(spark):
 
 
 def test_exact_percentiles_has_no_unpartitioned_window(spark):
-    """exact_percentiles_valor: the global rank must come from the
-    distributed ranking operator (bucket-partitioned window only) — a
-    plain ROW_NUMBER/percentile would single-partition the fact."""
-    plan = _physical_plan(_query(spark, "exact_percentiles_valor"))
-    assert "rk_bucket" in plan, plan
-    # every Window node's spec partitions by the rank bucket
-    for sec in plan.split("\n\n"):
-        if sec.startswith("(") and "Window" in sec.splitlines()[0][:20]:
-            assert "windowspecdefinition(rk_bucket" in sec, sec
+    """exact_percentiles_valor / _by_modality: the rank must come from
+    the distributed ranking operator (bucket-partitioned window only) —
+    a plain ROW_NUMBER/percentile would single-partition the fact (or
+    buffer a whole group's values in one task)."""
+    for name in ("exact_percentiles_valor", "exact_percentiles_by_modality"):
+        plan = _physical_plan(_query(spark, name))
+        assert "rk_bucket" in plan, (name, plan)
+        # every Window node's spec partitions by the rank bucket
+        for sec in plan.split("\n\n"):
+            if sec.startswith("(") and "Window" in sec.splitlines()[0][:20]:
+                assert "rk_bucket" in sec.split("Arguments:")[-1], (name, sec)
 
 
 def test_dataset_card_is_one_scan(spark):

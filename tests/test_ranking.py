@@ -103,6 +103,37 @@ def test_ntile_closed_form_property():
                 assert closed_form(r, n, k) == sql_ntile(r, n, k), (r, n, k)
 
 
+@pytest.mark.parametrize("rows_per_bucket", [3, 10**6])
+def test_grouped_row_number_matches_partitioned_window(
+    spark, rows_per_bucket
+):
+    """group_cols form: per-group rank == row_number over the
+    group-PARTITIONED window, and _rank_n_total == the group size."""
+    from banking_streaming_etl_spark import datamodel
+
+    df = datamodel.transactions(spark, SF).select(
+        F.col("modalidade_pagamento").alias("g"),
+        F.col("id_transacao").alias("i"),
+        F.col("valor_transacao").alias("v"),
+    )
+    got = ranking.with_global_row_number(
+        df, "v", "i", out="r", group_cols=["g"],
+        rows_per_bucket=rows_per_bucket,
+    ).select("g", "i", "r", "_rank_n_total")
+    w = W.partitionBy("g").orderBy(F.asc("v"), F.asc("i"))
+    want = df.select(
+        "g",
+        "i",
+        F.row_number().over(w).cast("bigint").alias("r"),
+        F.count("*")
+        .over(W.partitionBy("g"))
+        .cast("bigint")
+        .alias("_rank_n_total"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_global_rank_property_arbitrary_frames(spark):
     """Property test over arbitrary small frames (duplicates, negatives,
     skewed runs of one value): the distributed rank at an adversarial

@@ -559,6 +559,15 @@ def register_all() -> None:
              dashboard.EXACT_PCTS_BY_MODALITY_SQL,
              "exact per-group p50/p90/p99 via the GROUPED distributed "
              "rank operator (no per-group value buffering)")
+    register("bootstrap_mean_ci", dashboard.bootstrap_mean_ci,
+             dashboard._bootstrap_sql(),
+             "Poisson-bootstrap 95% CI for the mean value: B=64 "
+             "resamples in ONE aggregate pass (integer-threshold "
+             "portable draws, decimal sums, order-statistic bounds)")
+    register("length_bucketed_batches", curation.length_bucketed_batches,
+             curation.LENGTH_BUCKETED_SQL,
+             "length-grouped batch assignment (padding-efficiency "
+             "bucketing; both stages on the distributed rank operator)")
     register("rolling_median_value", relational.rolling_median_value,
              relational.ROLLING_MEDIAN_SQL,
              "rolling lower-median of the last 5 values per payer (exact "

@@ -73,6 +73,93 @@ FROM d
 """
 
 
+#: length-bucketed batching: equal-count length buckets, fixed docs/batch.
+LEN_BUCKETS = 8
+LEN_BATCH_SIZE = 16
+
+
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assignment — the padding-efficiency trick
+    (batching same-length documents together so a batch's pad-to-max
+    waste is small): docs are NTILE'd into LEN_BUCKETS equal-count
+    length buckets, then cut into fixed LEN_BATCH_SIZE batches in
+    (length, id) order within each bucket. Reports one row per batch
+    with its size and length spread — `desperdicio_pad` (the fraction of
+    pad tokens at pad-to-max) is the metric the bucketing exists to
+    minimize.
+
+    Scale shape: BOTH ranking stages ride operators/ranking (the global
+    NTILE and the per-bucket rank) — no unpartitioned window, no
+    per-group value buffering; the final aggregate is batches-sized.
+    Padding-waste arithmetic stays on exact integers until one final
+    rounded division."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    d = datamodel.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    bucketed = ranking.with_global_ntile(
+        d, "n_tokens", "doc_id", LEN_BUCKETS, out="balde"
+    )
+    ranked = ranking.with_global_row_number(
+        bucketed, "n_tokens", "doc_id", out="r", group_cols=["balde"]
+    )
+    batches = ranked.withColumn(
+        "lote", F.expr(f"(r - 1) div {LEN_BATCH_SIZE}")
+    )
+    return (
+        batches.groupBy("balde", "lote")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("tokens_min"),
+            F.max("n_tokens").alias("tokens_max"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        )
+        .select(
+            "balde",
+            "lote",
+            "n_docs",
+            "tokens_min",
+            "tokens_max",
+            "tokens_total",
+            F.round(
+                F.lit(1.0)
+                - F.col("tokens_total").cast("double")
+                / (F.col("n_docs") * F.col("tokens_max")).cast("double"),
+                6,
+            ).alias("desperdicio_pad"),
+        )
+    )
+
+
+LENGTH_BUCKETED_SQL = f"""
+WITH d AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+ranked AS (
+    SELECT doc_id, n_tokens,
+           NTILE({LEN_BUCKETS}) OVER (ORDER BY n_tokens ASC, doc_id ASC)
+               AS balde
+    FROM d
+),
+batched AS (
+    SELECT balde, n_tokens,
+           (ROW_NUMBER() OVER (PARTITION BY balde
+                               ORDER BY n_tokens ASC, doc_id ASC) - 1)
+               // {LEN_BATCH_SIZE} AS lote
+    FROM ranked
+)
+SELECT balde, lote, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_tokens) AS tokens_min, MAX(n_tokens) AS tokens_max,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       ROUND(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                 / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE), 6)
+           AS desperdicio_pad
+FROM batched
+GROUP BY balde, lote
+"""
+
+
 #: decontamination n-gram length. Deliberately larger than the dedup
 #: family's SHINGLE_N=3: on this small-vocabulary corpus 3-grams flag
 #: essentially every document (vacuous), while 8-grams — the length the

@@ -1176,6 +1176,125 @@ def pareto_share_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Poisson-bootstrap confidence interval -----------------------------------
+
+#: bootstrap resamples (means collected into one bounded array; CI = the
+#: 2.5% / 97.5% order statistics -> indices 2 and 63 of the sorted 64).
+BOOT_B = 64
+#: truncated Poisson(1) CDF as INTEGER thresholds on the portable-hash
+#: range [0, 2^31): w = #{k: h >= t_k} reproduces P(w=k) = e^-1/k! for
+#: k <= 5 (tail mass 6e-4 folded into w=6). Integer literals — both
+#: engines compare the identical bigints, so the draws are bit-portable
+#: with NO float literal in either dialect (the DuckDB
+#: literal-through-DECIMAL hazard never arises).
+_POISSON_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+BOOT_THRESHOLDS = tuple(int(c * portable.M31) for c in _POISSON_CUM)
+
+
+def _boot_consts(b: int) -> tuple[int, int]:
+    """Per-resample independent LCG constants: odd multiplier (bijection
+    mod 2^31) + additive offset, derived from Knuth/Murmur mixing primes."""
+    a = (((2 * b + 1) * 2654435761) % portable.M31) | 1
+    bb = (b * 2246822519) % portable.M31
+    return a, bb
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean transaction
+    value — THE distributed bootstrap (each row joins resample b with a
+    Poisson(1) weight, so a resample is one weighted aggregate and all
+    B resamples run in ONE pass; no per-resample shuffling or sampling
+    jobs — the classic trick for bootstrap at terabyte scale).
+
+    Engine-portable determinism: resample weights come from the portable
+    LCG ladder compared against INTEGER-scaled Poisson CDF thresholds
+    (no transcendental, no float literal anywhere in the draw); weighted
+    sums accumulate in DECIMAL; the CI bounds are exact order statistics
+    of the B=64 bootstrap means (sorted-array element selection, no
+    interpolation). Every stage is bit-identical across engines.
+
+    Scale shape: one aggregate pass producing 2B+2 columns; the means
+    array is B elements; output is one row."""
+    from banking_streaming_etl_spark.functions import exact
+
+    t = datamodel.transactions(spark, sf_dir)
+    x = exact._d(F.col("valor_transacao"))
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(x).alias("s_all"),
+    ]
+    for b in range(BOOT_B):
+        a_c, b_c = _boot_consts(b)
+        h = portable.lcg_hash(F.col("id_transacao"), a_c, b_c)
+        w = sum(
+            (h >= F.lit(tk)).cast("int") for tk in BOOT_THRESHOLDS
+        ).cast("bigint")
+        aggs.append(F.sum(w * x).alias(f"bs_{b}"))
+        aggs.append(F.sum(w).alias(f"bc_{b}"))
+    agg = t.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"bs_{b}").cast("double")
+                / F.col(f"bc_{b}").cast("double")
+                for b in range(BOOT_B)
+            ]
+        )
+    )
+    lo_i = max(1, int(0.025 * BOOT_B))
+    hi_i = min(BOOT_B, int(0.975 * BOOT_B) + 1)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("s_all").cast("double") / F.col("n").cast("double"), 6
+        ).alias("media"),
+        F.round(F.element_at(means, lo_i), 6).alias("ic_inferior"),
+        F.round(F.element_at(means, hi_i), 6).alias("ic_superior"),
+    )
+
+
+def _bootstrap_sql() -> str:
+    terms = []
+    for b in range(BOOT_B):
+        a_c, b_c = _boot_consts(b)
+        h = portable.lcg_hash_sql("id_transacao", a_c, b_c)
+        w = " + ".join(
+            f"CASE WHEN ({h}) >= {tk} THEN 1 ELSE 0 END"
+            for tk in BOOT_THRESHOLDS
+        )
+        terms.append(
+            f"SUM(({w}) * CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)))"
+            f" AS bs_{b}, SUM({w}) AS bc_{b}"
+        )
+    means = ", ".join(
+        f"CAST(bs_{b} AS DOUBLE) / CAST(bc_{b} AS DOUBLE)"
+        for b in range(BOOT_B)
+    )
+    lo_i = max(1, int(0.025 * BOOT_B))
+    hi_i = min(BOOT_B, int(0.975 * BOOT_B) + 1)
+    inner = ",\n       ".join(terms)
+    return datamodel.with_ctes(
+        f"""
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE), 6) AS media,
+       ROUND(list_sort([{means}])[{lo_i}], 6) AS ic_inferior,
+       ROUND(list_sort([{means}])[{hi_i}], 6) AS ic_superior
+FROM (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))) AS s_all,
+           {inner}
+    FROM transactions
+)"""
+    )
+
+
 #: percentile points of the exact-distributed-rank percentile query.
 EXACT_PCTS = (0.5, 0.9, 0.99)
 

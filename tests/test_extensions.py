@@ -1254,6 +1254,21 @@ def test_sketch_and_model_artifacts_roundtrip_parquet(spark, tmp_path):
     )
 
 
+def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark):
+    """Statistical sanity of the Poisson bootstrap (parity is covered by
+    the oracle gate): the 95% CI brackets the exact mean at both scales,
+    and the interval NARROWS as N grows 10x (~1/sqrt(N) — assert strictly
+    narrower, the property that matters)."""
+    from banking_streaming_etl_spark.plans import dashboard
+
+    widths = {}
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        r = dashboard.bootstrap_mean_ci(spark, sf).collect()[0]
+        assert r.ic_inferior <= r.media <= r.ic_superior, r
+        widths[sf] = r.ic_superior - r.ic_inferior
+    assert widths["/root/testdata/sf0.01"] < widths["/root/testdata/sf0.001"]
+
+
 def test_pca_matches_numpy_and_projection_variance(spark):
     """Distributed PCA differential: (1) the covariance assembled from
     the distributed moments equals numpy's np.cov of the collected

@@ -468,6 +468,65 @@ def test_pareto_decile_has_no_unpartitioned_window(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+#: queries whose optimized plan is ALLOWED an unpartitioned Window —
+#: each justified by a PROVEN-BOUNDED input (the window sees O(K) rows
+#: no matter the corpus size) or by being a documented single-partition
+#: oracle baseline with a registered scale twin.
+_UNPARTITIONED_WINDOW_WHITELIST = {
+    # bounded inputs (constant-size frames at any scale)
+    "zipf_fit_tokens": "rank over the TakeOrdered top-ZIPF_TOP_N rows",
+    "hybrid_retrieval_rrf": "rank over the two TakeOrdered <= K lists",
+    "ann_pq_topk": "codebook build: rank over K x PQ_K candidate rows",
+    "ann_ivf_pq_topk": "same PQ codebook construction",
+    "psi_value_drift": "totals window over the ~dozen bucket rows "
+                       "(single-fact-scan trick, see docstring)",
+    "seasonal_decompose_hourly": "moving average over the <= 720-hour "
+                                 "aggregated series",
+    "perf_temporal_gapfill_locf": "LOCF over the <= 720-hour series",
+    "benford_digit_screen": "ratios over the 9 digit rows",
+    # documented single-partition oracle baselines with scale twins
+    "equidepth_histogram_valor": "baseline of equidepth_histogram_approx",
+    "value_quartiles": "baseline; approx family + exact_percentiles_* "
+                       "carry the scale story",
+}
+
+
+def test_no_unpartitioned_window_fleet_invariant(spark):
+    """REPO-WIDE scale invariant (the round-5 generalization of the
+    per-query pins): no registered query may plan a Window with an EMPTY
+    partitionSpec over an unbounded input — the single-task global sort
+    is the scale killer this engine's ranking/TakeOrdered/sampled-
+    boundary machinery exists to avoid. Every allowed occurrence is
+    whitelisted above with its boundedness argument, so any FUTURE
+    operator that sneaks in a global window fails here with a name."""
+    from banking_streaming_etl_spark import api, registry
+
+    def _unpartitioned_windows(jplan) -> int:
+        n = 0
+        stack = [jplan]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getSimpleName()
+            if cls == "Window" and node.partitionSpec().isEmpty():
+                n += 1
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return n
+
+    offenders = {}
+    for name, q in registry.all_queries().items():
+        if name in api.EAGER_QUERIES:
+            continue  # driver-built result frames (no distributed windows)
+        df = q.fn(spark, SF)
+        n = _unpartitioned_windows(df._jdf.queryExecution().optimizedPlan())
+        if n and name not in _UNPARTITIONED_WINDOW_WHITELIST:
+            offenders[name] = n
+    assert offenders == {}, (
+        f"unpartitioned Window outside the whitelist: {offenders}"
+    )
+
+
 def test_exact_percentiles_has_no_unpartitioned_window(spark):
     """exact_percentiles_valor / _by_modality: the rank must come from
     the distributed ranking operator (bucket-partitioned window only) —

@@ -32,6 +32,16 @@ bigint arithmetic, engine-portable, so NTILE-based queries stay
 oracle-checkable bit-for-bit against DuckDB's native NTILE (the
 pareto_share_by_decile oracle keeps its plain ``NTILE(10) OVER``).
 
+Cost model (be honest about the trade): the input subtree is referenced
+by the count/sample/bucket/offset stages, so an UNCACHED input is
+scanned ~3-4 times — the classic two-pass distributed-sort trade
+(TeraSort's sample-then-range shape), paying parallel re-scans instead
+of one single-task sort. A 2-narrow-column parquet scan is cheap next
+to moving the frame to one executor; callers ranking an expensive
+derived frame (an aggregate, a join) should pass it pre-cached or rely
+on exchange reuse (an aggregate input ends in its own exchange, which
+Spark dedups across the stages — the pareto case).
+
 Reference parity: the reference ranks in driver-memory pandas
 (dashboard/graficos.py qcut/rank one-liners over SELECT *); this is the
 distributed exact equivalent.

@@ -96,18 +96,22 @@ _CARTESIAN_WHITELIST = {"ann_cosine_topk", "near_dup_embeddings"}
 
 
 def test_no_unexpected_cartesian_products(spark):
-    """Repo-wide scale invariant: no registered query may plan a
-    non-broadcast cartesian join unless it is an explicitly documented
-    brute-force baseline. Catches any future operator that silently
-    regresses to all-pairs."""
+    """Repo-wide scale invariants over every registered physical plan:
+    (1) no non-broadcast cartesian join unless it is an explicitly
+    documented brute-force baseline; (2) no row-at-a-time Python UDF
+    ANYWHERE (BatchEvalPython) — Python is allowed only Arrow-batched
+    (ArrowEvalPython / mapInPandas), per the repo policy. Catches any
+    future operator that silently regresses."""
     offenders = {}
+    pyudf = {}
     for name, q in registry.all_queries().items():
-        if name in _CARTESIAN_WHITELIST:
-            continue
         plan = _physical_plan(q.fn(spark, SF))
-        if "CartesianProduct" in plan:
+        if "CartesianProduct" in plan and name not in _CARTESIAN_WHITELIST:
             offenders[name] = True
+        if "BatchEvalPython" in plan:
+            pyudf[name] = True
     assert offenders == {}, f"cartesian joins outside the whitelist: {offenders}"
+    assert pyudf == {}, f"row-at-a-time Python UDFs: {pyudf}"
 
 
 def test_ivf_centroids_are_broadcast(spark):

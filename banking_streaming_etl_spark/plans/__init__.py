@@ -559,6 +559,10 @@ def register_all() -> None:
              dashboard.EXACT_PCTS_BY_MODALITY_SQL,
              "exact per-group p50/p90/p99 via the GROUPED distributed "
              "rank operator (no per-group value buffering)")
+    register("risk_score_auc", dashboard.risk_score_auc,
+             dashboard.RISK_SCORE_AUC_SQL,
+             "exact distributed ROC-AUC of the risk score (Mann-Whitney "
+             "rank-sum over the distributed global rank)")
     register("bootstrap_mean_ci", dashboard.bootstrap_mean_ci,
              dashboard._bootstrap_sql(),
              "Poisson-bootstrap 95% CI for the mean value: B=64 "

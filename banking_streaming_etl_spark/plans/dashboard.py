@@ -1176,6 +1176,74 @@ def pareto_share_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact ROC-AUC of the risk score ------------------------------------------
+
+
+def risk_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the risk score as a denial predictor — the
+    model-evaluation statistic, computed distributed at any scale via
+    the Mann-Whitney rank-sum identity:
+    AUC = (sum of positive ranks - n_pos(n_pos+1)/2) / (n_pos * n_neg),
+    with the GLOBAL rank from operators/ranking (no single-task sort —
+    sklearn.roc_auc_score's sort simply doesn't exist at 10^12 rows).
+
+    Ties in score_medio break deterministically by id_transacao (both
+    dialects apply the identical total order, so the statistic is
+    bit-identical cross-engine; the tie-broken AUC sits between the
+    standard tie-adjusted bounds). Rank sums accumulate in DECIMAL(38,0)
+    — at 10^12 rows a rank sum is ~5e23, past bigint — and every double
+    conversion/expression is term-identical in both dialects."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    ap = _approved(spark, sf_dir).select(
+        "id_transacao", "score_medio", "transacao_aprovada"
+    )
+    ranked = ranking.with_global_row_number(
+        ap, "score_medio", "id_transacao", out="r"
+    )
+    pos = (~F.col("transacao_aprovada")).cast("int")
+    agg = ranked.agg(
+        F.sum(pos).cast("bigint").alias("n_pos"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(~F.col("transacao_aprovada"), F.col("r")).otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("s_pos"),
+    )
+    npd = F.col("n_pos").cast("double")
+    nnd = (F.col("n") - F.col("n_pos")).cast("double")
+    auc = (
+        F.col("s_pos").cast("double") - npd * (npd + F.lit(1.0)) / F.lit(2.0)
+    ) / (npd * nnd)
+    return agg.select(
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+RISK_SCORE_AUC_SQL = _oracle(
+    """
+SELECT n_pos, n - n_pos AS n_neg,
+       ROUND((CAST(s_pos AS DOUBLE)
+              - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)), 6)
+           AS auc
+FROM (
+    SELECT CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CASE WHEN NOT transacao_aprovada THEN r ELSE 0 END) AS s_pos
+    FROM (
+        SELECT transacao_aprovada,
+               ROW_NUMBER() OVER (ORDER BY score_medio ASC,
+                                  id_transacao ASC) AS r
+        FROM approved
+    )
+)"""
+)
+
+
 # --- Poisson-bootstrap confidence interval -----------------------------------
 
 #: bootstrap resamples (means collected into one bounded array; CI = the

@@ -1254,6 +1254,32 @@ def test_sketch_and_model_artifacts_roundtrip_parquet(spark, tmp_path):
     )
 
 
+def test_risk_score_auc_matches_python_ranksum(spark):
+    """Exact-AUC differential: the distributed Mann-Whitney rank-sum must
+    equal a plain Python sort-and-sum over the collected frame (same
+    (score, id) tie policy), and sit strictly above 0.5 (the score does
+    separate denials — it is one of the three denial conditions)."""
+    from banking_streaming_etl_spark.plans import dashboard
+
+    rows = (
+        dashboard._approved(spark, SF)
+        .select("id_transacao", "score_medio", "transacao_aprovada")
+        .collect()
+    )
+    order = sorted(rows, key=lambda r: (r.score_medio, r.id_transacao))
+    s_pos = sum(
+        i + 1 for i, r in enumerate(order) if not r.transacao_aprovada
+    )
+    n_pos = sum(1 for r in rows if not r.transacao_aprovada)
+    n_neg = len(rows) - n_pos
+    want = round((s_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg), 6)
+
+    got = dashboard.risk_score_auc(spark, SF).collect()[0]
+    assert (got.n_pos, got.n_neg) == (n_pos, n_neg)
+    assert got.auc == want
+    assert got.auc > 0.5
+
+
 def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark):
     """Statistical sanity of the Poisson bootstrap (parity is covered by
     the oracle gate): the 95% CI brackets the exact mean at both scales,

@@ -55,10 +55,13 @@ EXTENDED = [
     "bpe_pair_counts",
     "source_ngram_overlap",
     "k_anonymity_report",
-    # round-5 additions (the distributed-ranking family + CDC diff)
+    # round-5 additions (the distributed-ranking family + CDC diff +
+    # one-pass statistics)
     "pareto_share_by_decile",
     "exact_percentiles_valor",
     "snapshot_table_diff",
+    "risk_score_auc",
+    "bootstrap_mean_ci",
 ]
 
 

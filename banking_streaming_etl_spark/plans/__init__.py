@@ -559,6 +559,11 @@ def register_all() -> None:
              dashboard.EXACT_PCTS_BY_MODALITY_SQL,
              "exact per-group p50/p90/p99 via the GROUPED distributed "
              "rank operator (no per-group value buffering)")
+    register("score_calibration_deciles",
+             dashboard.score_calibration_deciles,
+             dashboard._score_calibration_sql(),
+             "reliability diagram: exact global score deciles x observed "
+             "denial rate (distributed NTILE; AUC's companion eval)")
     register("risk_score_auc", dashboard.risk_score_auc,
              dashboard.RISK_SCORE_AUC_SQL,
              "exact distributed ROC-AUC of the risk score (Mann-Whitney "

@@ -1244,6 +1244,69 @@ FROM (
 )
 
 
+def score_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the risk score: exact global score deciles
+    (the distributed NTILE — no single-task sort) x observed denial rate
+    per decile — AUC's companion evaluation (AUC says the score RANKS
+    denials higher; calibration says WHERE the risk mass actually sits).
+    A well-behaved score shows denial rate rising monotonically across
+    deciles.
+
+    All value columns are exact-integer ratios / decimal-accumulated
+    means rounded once — the usual cross-engine contract."""
+    from banking_streaming_etl_spark.functions import exact
+    from banking_streaming_etl_spark.operators import ranking
+
+    ap = _approved(spark, sf_dir).select(
+        "id_transacao", "score_medio", "transacao_aprovada"
+    )
+    binned = ranking.with_global_ntile(
+        ap, "score_medio", "id_transacao", 10, out="decil"
+    )
+    return (
+        binned.groupBy("decil")
+        .agg(
+            F.count("*").alias("n"),
+            exact.exact_avg("score_medio", "score_medio_decil"),
+            F.sum((~F.col("transacao_aprovada")).cast("int"))
+            .cast("bigint")
+            .alias("n_negadas"),
+        )
+        .select(
+            "decil",
+            "n",
+            "score_medio_decil",
+            "n_negadas",
+            F.round(
+                F.col("n_negadas").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("taxa_negacao"),
+        )
+    )
+
+
+def _score_calibration_sql() -> str:
+    from banking_streaming_etl_spark.functions import exact
+
+    return _oracle(
+        f"""
+SELECT decil, CAST(COUNT(*) AS BIGINT) AS n,
+       {exact.sql_avg('score_medio', 'score_medio_decil')},
+       CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_negadas,
+       ROUND(CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS taxa_negacao
+FROM (
+    SELECT transacao_aprovada, score_medio,
+           NTILE(10) OVER (ORDER BY score_medio ASC, id_transacao ASC)
+               AS decil
+    FROM approved
+)
+GROUP BY decil"""
+    )
+
+
 # --- Poisson-bootstrap confidence interval -----------------------------------
 
 #: bootstrap resamples (means collected into one bounded array; CI = the

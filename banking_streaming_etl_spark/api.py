@@ -67,6 +67,12 @@ EAGER_QUERIES = frozenset({
     # time (driver-held selection, the BPE stance) — caught by the
     # builder-job guard test
     "mmr_rerank",
+    # collects the D^2 covariance moments (two full-corpus aggregate
+    # jobs) at build time for the driver-side eigendecomposition —
+    # registration of the SQL surface must stay zero-full-scan (round-5
+    # verdict task #5; the fit itself is session-memoized in
+    # operators/embeddings.pca_fit)
+    "pca_embeddings",
 })
 
 

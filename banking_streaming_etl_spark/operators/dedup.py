@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
-from banking_streaming_etl_spark.functions import textfns
+from banking_streaming_etl_spark.functions import portable, textfns
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
@@ -68,13 +68,18 @@ def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is fixed-width no matter the shingle size.
 
     Two hashes ride the ONE memoized scan because they serve different
-    contracts: `h` (xxhash64) keys the per-pair dedup joins, where the
-    oracle re-joins raw strings so a collision would be CAUGHT by the
-    parity gate (risk ~(n_shingles^2)/2^64 per doc pair — negligible);
-    `hm` (portable 48-bit md5, functions/portable.md5_48) feeds
-    source_ngram_overlap, whose oracle-compared quantity IS a distinct
-    count — there both engines must count the IDENTICAL key set, which
-    xxhash64 can't give DuckDB (round-4 advice)."""
+    contracts: `h` (xxhash64) keys MinHash CANDIDATE GENERATION only
+    (permutation minima + band hashes — a hash artifact there can only
+    add a candidate, which the exact verify then rejects, or drop one,
+    which is the recall question the planted-pair tests pin — never
+    change a verified value); `hm` (portable 48-bit md5,
+    functions/portable.md5_48) keys every ORACLE-COMPARED quantity —
+    Jaccard intersections, novelty/dup-span/overlap counts — because
+    there both engines must derive the IDENTICAL key set (SHINGLES_CTE
+    hashes the same md5_48 on the DuckDB side), so even a collision is
+    consistent rather than a parity break. Completed in round 6: no
+    engine-specific hash anywhere DuckDB must re-derive, pinned by the
+    tests/test_plan_shapes.py no-xxhash64 sweep."""
     from banking_streaming_etl_spark.functions import portable
 
     return doc_shingles(spark, sf_dir).select(
@@ -120,23 +125,50 @@ def shared_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_shingle_hm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PORTABLE-key projection of the shared scan: distinct
+    (doc_id, hm) rows — the frame every oracle-compared shingle join or
+    count must read (it is the exact Spark twin of SHINGLES_CTE's
+    ``SELECT DISTINCT doc_id, md5_48(s)``: the distinct runs AFTER
+    hashing in both engines, so a within-doc collision dedupes
+    identically)."""
+    return _shared(
+        spark,
+        sf_dir,
+        "hm",
+        lambda: shared_shingle_hashes(spark, sf_dir)
+        .select("doc_id", "hm")
+        .distinct(),
+    )
+
+
 def shared_shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc distinct-shingle counts off the shared scan: (doc_id, n)."""
+    """Per-doc distinct-shingle counts off the portable-key projection:
+    (doc_id, n) — matches SHINGLES_CTE's shingle_sizes bit-for-bit."""
     return _shared(
         spark,
         sf_dir,
         "sizes",
-        lambda: shared_shingle_hashes(spark, sf_dir)
+        lambda: shared_shingle_hm(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n")),
     )
 
 
+#: DuckDB twin of the shared scan's PORTABLE key: `s` is the 48-bit md5
+#: prefix (functions/portable.md5_48_sql), NOT the raw shingle string —
+#: the Spark side joins/counts on the identical bigint (column `hm`), so
+#: every oracle-compared shingle quantity is derived from the same key
+#: set in both engines (round-6 completion of the portable-hash
+#: invariant; a collision is consistent, never a parity break).
 SHINGLES_CTE = f"""
 doc_shingles AS (
-    SELECT DISTINCT doc_id,
-           unnest({textfns.word_shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS s
-    FROM documents
+    SELECT DISTINCT doc_id, {portable.md5_48_sql('s')} AS s
+    FROM (
+        SELECT doc_id,
+               unnest({textfns.word_shingles_sql("string_split(text, ' ')", SHINGLE_N)}) AS s
+        FROM documents
+    )
 ),
 shingle_sizes AS (
     SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id
@@ -194,13 +226,14 @@ def _jaccard_verified_pairs(common: DataFrame, sizes: DataFrame) -> DataFrame:
 
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard near-dup pairs (a < b, J >= threshold),
-    joined on hashed shingles (see doc_shingle_hashes)."""
-    sh = shared_shingle_hashes(spark, sf_dir)
+    joined on the PORTABLE shingle key (see doc_shingle_hashes — the
+    oracle derives the identical md5_48 key set)."""
+    sh = shared_shingle_hm(spark, sf_dir)
     sizes = shared_shingle_sizes(spark, sf_dir)
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.hm") == F.col("b.hm")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -303,11 +336,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = _bucket_join(banded)
     sizes = shared_shingle_sizes(spark, sf_dir)
 
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("h"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("h"))
+    # exact verification joins on the PORTABLE key (hm) so the verified
+    # Jaccard is derived from the same key set as the shared oracle;
+    # xxhash64 (`h`) stays strictly inside candidate generation above
+    hm = shared_shingle_hm(spark, sf_dir)
+    a = hm.select(F.col("doc_id").alias("doc_a"), F.col("hm"))
+    b = hm.select(F.col("doc_id").alias("doc_b"), F.col("hm"))
     common = (
         candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "h"])
+        .join(b, ["doc_b", "hm"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
@@ -707,17 +744,17 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     drives keep/trim decisions where whole-doc dedup is too blunt.
 
     Scale shape: reuses the session-shared shingle-hash scan; one
-    groupBy(h) for first-occurrence, one hash-join back, one per-doc
+    groupBy(hm) for first-occurrence, one hash-join back, one per-doc
     aggregate — shuffle keys are the 8-byte shingle hash and doc_id. The
-    oracle re-derives over raw shingle strings, so a hash collision
-    would surface as a parity failure, not silent skew."""
-    sh = shared_shingle_hashes(spark, sf_dir)
-    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    key is the PORTABLE md5_48 (the oracle derives the identical key
+    set), so the counted quantities are bit-consistent across engines."""
+    sh = shared_shingle_hm(spark, sf_dir)
+    first = sh.groupBy("hm").agg(F.min("doc_id").alias("first_doc"))
     seen = F.sum(
         F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
     ).alias("n_vistos")
     per = (
-        sh.join(first, "h")
+        sh.join(first, "hm")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shingles"), seen)
     )
@@ -768,38 +805,44 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte hash); positional shingles are a narrow map + explode; the
     flag join is an equi-join on the hash; run detection is the
     gaps-and-islands window PARTITIONED BY doc_id (per-doc work, never
-    a global sort). The oracle re-derives duplication over raw shingle
-    strings, so a hash collision surfaces as a parity failure."""
-    sh = shared_shingle_hashes(spark, sf_dir)
+    a global sort). Every hash-keyed quantity rides the PORTABLE md5_48
+    key the oracle re-derives bit-identically."""
+    sh = shared_shingle_hm(spark, sf_dir)
     docs = datamodel.load_table(spark, sf_dir, "documents")
     return dup_span_frame(docs, sh)
 
 
 def dup_span_frame(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """Frame-level core of `dup_span_stats` over any (doc_id, text)
-    frame; `sh` is an optional pre-built distinct (doc_id, h) shingle
+    frame; `sh` is an optional pre-built distinct (doc_id, hm) shingle
     scan (the session memo on the registered path)."""
     from pyspark.sql import Window
 
     docs = docs.withColumn("toks", textfns.tokens())
     if sh is None:
-        sh = docs.select(
-            "doc_id",
-            F.explode(textfns.word_shingles("toks", SHINGLE_N)).alias("s"),
-        ).distinct().select("doc_id", F.xxhash64("s").alias("h"))
+        sh = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    textfns.word_shingles("toks", SHINGLE_N)
+                ).alias("s"),
+            )
+            .select("doc_id", portable.md5_48(F.col("s")).alias("hm"))
+            .distinct()
+        )
     dup = (
-        sh.groupBy("h")
+        sh.groupBy("hm")
         .agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("h")
+        .select("hm")
     )
     pos = docs.select(
         "doc_id",
         F.posexplode(textfns.word_shingles("toks", SHINGLE_N)).alias(
             "pos", "s"
         ),
-    ).select("doc_id", "pos", F.xxhash64("s").alias("h"))
-    flagged = pos.join(dup, "h").select("doc_id", "pos")
+    ).select("doc_id", "pos", portable.md5_48(F.col("s")).alias("hm"))
+    flagged = pos.join(dup, "hm").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
     per_dup = (
@@ -827,13 +870,16 @@ dupset AS (
     SELECT s FROM doc_shingles GROUP BY s HAVING COUNT(*) >= 2
 ),
 pos AS (
-    SELECT doc_id,
-           unnest(range(1, len(string_split(text, ' ')) - {SHINGLE_N - 2}))
-               AS pos,
-           unnest({textfns.word_shingles_sql("string_split(text, ' ')", SHINGLE_N)})
-               AS s
-    FROM documents
-    WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+    SELECT doc_id, pos, {portable.md5_48_sql('s')} AS s
+    FROM (
+        SELECT doc_id,
+               unnest(range(1, len(string_split(text, ' ')) - {SHINGLE_N - 2}))
+                   AS pos,
+               unnest({textfns.word_shingles_sql("string_split(text, ' ')", SHINGLE_N)})
+                   AS s
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_N}
+    )
 ),
 flagged AS (
     SELECT doc_id, pos FROM pos JOIN dupset USING (s)
@@ -906,16 +952,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dup_exata", F.lit(True))
     )
 
-    sh = shared_shingle_hashes(spark, sf_dir)
+    sh = shared_shingle_hm(spark, sf_dir)
     sizes = shared_shingle_sizes(spark, sf_dir)
     new_sh = sh.filter(is_new).select(
-        F.col("doc_id").alias("doc_novo"), "h"
+        F.col("doc_id").alias("doc_novo"), "hm"
     )
     idx_sh = sh.filter(~is_new).select(
-        F.col("doc_id").alias("doc_indice"), "h"
+        F.col("doc_id").alias("doc_indice"), "hm"
     )
     common = (
-        new_sh.join(idx_sh, "h")
+        new_sh.join(idx_sh, "hm")
         .groupBy("doc_novo", "doc_indice")
         .agg(F.count("*").alias("c"))
     )

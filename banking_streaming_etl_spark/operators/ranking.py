@@ -90,12 +90,21 @@ def with_global_row_number(
     value_desc: bool = False,
     rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
     group_cols: list | None = None,
+    max_groups: int = RANK_BUCKET_CAP,
 ) -> DataFrame:
     """Append the exact 1-based global rank of each row under the total
     order (value_col asc|desc, id_col asc) plus a ``_rank_n_total``
     column (the exact row count — NTILE and percentile math need it),
     without ever sorting the frame in one task. `id_col` must be unique
-    (bigint — it feeds the portable-LCG sampler).
+    (bigint, ANY sign — it feeds the portable-LCG sampler through pmod,
+    so negative ids hash into the same bounded [0, 2^31) range and the
+    sample-size guarantee holds; round-5 advice fix, negative-id case in
+    test_ranking.py). NULL `value_col` rows are deterministic but sort
+    FIRST under BOTH asc and desc (the boundary compares are
+    null-rejecting, so null-value rows land in bucket 1 and the local
+    window's default nulls-first order ranks them ahead) — that matches
+    SQL `ORDER BY v ASC` but NOT `ORDER BY v DESC` (nulls last); callers
+    needing SQL desc semantics must pre-filter or coalesce nulls.
 
     `group_cols` turns every stage per-group: ranks restart inside each
     group (the PARTITION BY form), with per-group sampled boundaries, a
@@ -105,9 +114,11 @@ def with_global_row_number(
     aggregate buffers every value of a group in one task, and a
     group-partitioned row_number makes one task per group). The params /
     boundary / offset side frames are G x O(B) rows and ride broadcasts,
-    so group cardinality must stay broadcast-sized (thousands, not
-    millions — for high-cardinality groups a plain partitioned window is
-    already parallel and this operator is unnecessary)."""
+    so group cardinality must stay broadcast-sized — ENFORCED: the plan
+    carries an assert_true guard that fails the job if the observed
+    group count exceeds `max_groups` (default RANK_BUCKET_CAP; for
+    high-cardinality groups a plain partitioned window is already
+    parallel and this operator is unnecessary)."""
     gcols = list(group_cols or [])
     nv, ni = _rank_key(df, value_col, id_col, value_desc)
     keyed = df.withColumn("_rk_v", nv).withColumn("_rk_i", ni)
@@ -153,12 +164,55 @@ def with_global_row_number(
             ).alias("thr"),
         )
     )
+    # machine-enforced grouped-form precondition (round-5 verdict task
+    # #4): the per-group side frames must stay broadcast-sized. The guard
+    # rides the params frame as a plan-level assert_true (no job at plan
+    # BUILD time — it fires at execution, failing loudly instead of
+    # silently building G x O(B) broadcast frames for millions of groups).
+    # assert_true yields NULL when the bound holds, so the filter is a
+    # no-op row-wise but cannot be pruned away.
+    if gcols:
+        ng = params.select(F.count("*").alias("_rk_ng"))
+        params = (
+            params.crossJoin(F.broadcast(ng))
+            .filter(
+                F.assert_true(
+                    F.col("_rk_ng") <= F.lit(max_groups),
+                    F.concat(
+                        F.lit(
+                            "with_global_row_number(group_cols=...): "
+                            "observed group cardinality "
+                        ),
+                        F.col("_rk_ng").cast("string"),
+                        F.lit(
+                            f" exceeds max_groups={max_groups}; the "
+                            "grouped form is for FEW huge groups — use a "
+                            "plain partitioned window (already parallel) "
+                            "for high-cardinality groups, or raise "
+                            "max_groups consciously"
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("_rk_ng")
+        )
 
     # -- 2. deterministic sample -> sorted boundary array (ONE bounded
     #       collect_list aggregate, never a Window; the equidepth template)
+    # pmod maps the signed LCG output into [0, 2^31) so NEGATIVE ids
+    # still face the bounded threshold (Spark's % is sign-following: the
+    # raw hash of a negative id is negative and would pass `< thr`
+    # unconditionally, collecting an unbounded boundary sample — the
+    # round-5 advice bug). Boundary PLACEMENT is sample-dependent but the
+    # answer is not (see module docstring), so this touches no oracle.
     sample = _bjoin(
         keyed.select(
-            *gcols, "_rk_v", "_rk_i", portable.lcg_hash(ni).alias("_rk_h")
+            *gcols,
+            "_rk_v",
+            "_rk_i",
+            F.pmod(
+                portable.lcg_hash(ni), F.lit(portable.M31)
+            ).alias("_rk_h"),
         ),
         params,
         gcols,
@@ -336,14 +390,15 @@ def with_global_ntile(
     value_desc: bool = False,
     rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
     group_cols: list | None = None,
+    max_groups: int = RANK_BUCKET_CAP,
 ) -> DataFrame:
     """Append the exact NTILE(k) bucket under (value_col asc|desc,
     id_col asc) — `with_global_row_number` + the closed form, no
     single-partition window anywhere in the plan (per-group when
-    `group_cols` is given)."""
+    `group_cols` is given; same enforced `max_groups` contract)."""
     ranked = with_global_row_number(
         df, value_col, id_col, "_rk_rank", value_desc, rows_per_bucket,
-        group_cols,
+        group_cols, max_groups,
     )
     return ranked.withColumn(
         out,

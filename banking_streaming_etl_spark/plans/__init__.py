@@ -183,20 +183,35 @@ def register_all() -> None:
              "from merged bottom-K sketches + exact witnesses")
     register("rollup_modality_region", relational.rollup_modality_region,
              relational.ROLLUP_SQL, "rollup subtotals")
-    register("unpivot_user_limits", relational.unpivot_user_limits,
-             relational.UNPIVOT_SQL, "unpivot/melt wide->long")
     register("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL,
              "TPC-H Q2 shape: correlated min-equality + 4-way dim join")
     register("seasonal_decompose_hourly", behavior.seasonal_decompose_hourly,
              behavior.SEASONAL_DECOMPOSE_SQL,
              "classical additive seasonal decomposition of the hourly "
              "series (trend / hour-of-day seasonal / residual)")
-    register("top3_tx_per_region", relational.top3_tx_per_region,
-             relational.TOP3_PER_REGION_SQL, "top-K per group")
+    # Round-6 rotation (round-5 verdict task #2): the distributed-ranking
+    # family — round 5's flagship operator — had zero driver-green rows;
+    # its three strongest shapes take the slots of their most redundant
+    # in-window siblings: top3_tx_per_region (top-K-per-group re-proven by
+    # in-window top_k_recent's TakeOrdered shape + the local parity gate),
+    # unpivot_user_limits (Expand-node cousin of in-window
+    # rollup_modality_region), and json_envelope_roundtrip (cast/roundtrip
+    # surface re-proven by in-window coerced_casts). The displaced three
+    # re-register right after the window (still parity-gated every run).
+    register("pareto_share_by_decile", dashboard.pareto_share_by_decile,
+             dashboard.PARETO_SHARE_SQL,
+             "payer-decile volume concentration (exact distributed NTILE "
+             "via operators/ranking — no single-partition window)")
     register("sessionize_events", relational.sessionize_events,
              relational.SESSIONIZE_SQL, "sessionization (lag+cumsum)")
-    register("json_envelope_roundtrip", relational.json_envelope_roundtrip,
-             relational.JSON_ROUNDTRIP_SQL, "to_json/from_json roundtrip (F1/F22)")
+    register("exact_percentiles_valor", dashboard.exact_percentiles_valor,
+             dashboard.EXACT_PERCENTILES_SQL,
+             "exact global p50/p90/p99 via the distributed rank operator "
+             "(the scale path for A2/A12-class exact percentiles)")
+    register("risk_score_auc", dashboard.risk_score_auc,
+             dashboard.RISK_SCORE_AUC_SQL,
+             "exact distributed ROC-AUC of the risk score (Mann-Whitney "
+             "rank-sum over the distributed global rank)")
 
     # scale extensions: dedup
     register("dedup_exact_documents", dedup.dedup_exact,
@@ -279,8 +294,14 @@ def register_all() -> None:
              groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
-    # round-3/4/5 rotations' displacees) — still in the local
+    # round-3/4/5/6 rotations' displacees) — still in the local
     # parity gate every pytest run
+    register("top3_tx_per_region", relational.top3_tx_per_region,
+             relational.TOP3_PER_REGION_SQL, "top-K per group")
+    register("unpivot_user_limits", relational.unpivot_user_limits,
+             relational.UNPIVOT_SQL, "unpivot/melt wide->long")
+    register("json_envelope_roundtrip", relational.json_envelope_roundtrip,
+             relational.JSON_ROUNDTRIP_SQL, "to_json/from_json roundtrip (F1/F22)")
     register("value_histogram", dashboard.value_histogram,
              dashboard.VALUE_HISTOGRAM_SQL, "p99 trim + histogram (P9+A13)")
     register("freq_per_payer_hour", dashboard.freq_per_payer_hour,
@@ -461,6 +482,11 @@ def register_all() -> None:
              dedup.NEAR_DUP_JACCARD_SQL,
              "exact 3-gram Jaccard pairs (brute-force twin of the "
              "in-window MinHash-LSH slot, which shares its oracle)")
+    register("dsir_importance_weights", curation.dsir_importance_weights,
+             curation.DSIR_IMPORTANCE_SQL,
+             "DSIR domain-matching importance weights: hashed-unigram "
+             "target-vs-raw log-ratio per doc (bucket-sized model, "
+             "portable md5_48 features)")
     register("temperature_mix_weights", curation.temperature_mix_weights,
              curation.TEMPERATURE_MIX_SQL,
              "sqrt-temperature data-mixing weights per source")
@@ -479,14 +505,6 @@ def register_all() -> None:
              dashboard.GEO_DISTANCE_SQL,
              "haversine tx-to-payer distance stats per region (F18 with "
              "a DuckDB oracle)")
-    register("pareto_share_by_decile", dashboard.pareto_share_by_decile,
-             dashboard.PARETO_SHARE_SQL,
-             "payer-decile volume concentration (exact distributed NTILE "
-             "via operators/ranking — no single-partition window)")
-    register("exact_percentiles_valor", dashboard.exact_percentiles_valor,
-             dashboard.EXACT_PERCENTILES_SQL,
-             "exact global p50/p90/p99 via the distributed rank operator "
-             "(the scale path for A2/A12-class exact percentiles)")
     register("doc_novelty", dedup.doc_novelty, dedup.DOC_NOVELTY_SQL,
              "per-doc shingle novelty vs earlier docs (substring-level "
              "dedup signal, shares the session shingle scan)")
@@ -564,10 +582,16 @@ def register_all() -> None:
              dashboard._score_calibration_sql(),
              "reliability diagram: exact global score deciles x observed "
              "denial rate (distributed NTILE; AUC's companion eval)")
-    register("risk_score_auc", dashboard.risk_score_auc,
-             dashboard.RISK_SCORE_AUC_SQL,
-             "exact distributed ROC-AUC of the risk score (Mann-Whitney "
-             "rank-sum over the distributed global rank)")
+    register("precision_recall_at_k", dashboard.precision_recall_at_k,
+             dashboard.PRECISION_AT_K_SQL,
+             "precision@K review-budget table over the distributed "
+             "score rank (AUC's ops-facing companion; exact integers + "
+             "safe-denominator ratios only)")
+    register("mi_modality_approval", dashboard.mi_modality_approval,
+             dashboard.MI_MODALITY_SQL,
+             "mutual-information contingency screen modality x approval "
+             "(per-cell nats contributions; margins re-aggregated from "
+             "the cells, one corpus scan)")
     register("bootstrap_mean_ci", dashboard.bootstrap_mean_ci,
              dashboard._bootstrap_sql(),
              "Poisson-bootstrap 95% CI for the mean value: B=64 "

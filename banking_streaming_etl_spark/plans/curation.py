@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from banking_streaming_etl_spark import datamodel
-from banking_streaming_etl_spark.functions import portable, textfns
+from banking_streaming_etl_spark.functions import exact, portable, textfns
 from banking_streaming_etl_spark.operators import sampling
 from banking_streaming_etl_spark.plans import text
 
@@ -84,15 +84,20 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     waste is small): docs are NTILE'd into LEN_BUCKETS equal-count
     length buckets, then cut into fixed LEN_BATCH_SIZE batches in
     (length, id) order within each bucket. Reports one row per batch
-    with its size and length spread — `desperdicio_pad` (the fraction of
-    pad tokens at pad-to-max) is the metric the bucketing exists to
-    minimize.
+    with its size and length spread — `tokens_pad` (the EXACT count of
+    pad tokens at pad-to-max, n_docs*tokens_max - tokens_total) is the
+    metric the bucketing exists to minimize.
 
     Scale shape: BOTH ranking stages ride operators/ranking (the global
     NTILE and the per-bucket rank) — no unpartitioned window, no
     per-group value buffering; the final aggregate is batches-sized.
-    Padding-waste arithmetic stays on exact integers until one final
-    rounded division."""
+    Padding waste is emitted as the exact integer, never a rounded
+    ratio: the old ROUND(1 - total/(n*max), 6) was an exact-rational
+    ratio of integer counts whose denominator (16 * tokens_max, a power
+    of two times a small int) structurally lands on the .5-at-digit-7
+    rounding boundary where Spark's BigDecimal and DuckDB's x*1e6
+    multiply disagree (round-5 advice; CLAUDE.md invariant — readers
+    wanting the fraction divide two exact columns themselves)."""
     from banking_streaming_etl_spark.operators import ranking
 
     d = datamodel.load_table(spark, sf_dir, "documents").select(
@@ -122,12 +127,10 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_min",
             "tokens_max",
             "tokens_total",
-            F.round(
-                F.lit(1.0)
-                - F.col("tokens_total").cast("double")
-                / (F.col("n_docs") * F.col("tokens_max")).cast("double"),
-                6,
-            ).alias("desperdicio_pad"),
+            (
+                F.col("n_docs") * F.col("tokens_max")
+                - F.col("tokens_total")
+            ).cast("bigint").alias("tokens_pad"),
         )
     )
 
@@ -152,9 +155,8 @@ batched AS (
 SELECT balde, lote, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(n_tokens) AS tokens_min, MAX(n_tokens) AS tokens_max,
        CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
-       ROUND(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
-                 / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE), 6)
-           AS desperdicio_pad
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+           AS tokens_pad
 FROM batched
 GROUP BY balde, lote
 """
@@ -173,12 +175,17 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     word DECON_SHINGLE_N-gram with the held-out test split, with the
     shared-shingle count and contamination ratio per flagged doc.
 
-    The overlap join runs on 8-byte xxhash64 shingle keys (fixed-width
-    shuffle, same rationale as dedup.doc_shingle_hashes); the oracle
-    joins the raw shingle strings, so a hash collision would fail the
-    gate rather than hide. Scale shape: the test-side distinct shingle
-    set shuffles once and the contaminated-count agg is keyed by doc_id
-    — no step is ever all-pairs."""
+    The overlap join runs on PORTABLE 48-bit md5-prefix shingle keys
+    (functions/portable.md5_48 — fixed-width shuffle, same rationale as
+    dedup.doc_shingle_hashes), which the oracle re-derives bit-identically:
+    both engines count the exact same key set, so even a hash collision
+    is consistent rather than a parity break (the round-4-advice
+    invariant source_ngram_overlap adopted in round 5, completed here —
+    no oracle-compared quantity anywhere rides an engine-specific hash,
+    pinned by tests/test_plan_shapes.py's no-xxhash64 sweep). Scale
+    shape: the test-side distinct shingle set shuffles once and the
+    contaminated-count agg is keyed by doc_id — no step is ever
+    all-pairs."""
     split = sampling.train_test_split_docs(spark, sf_dir).select(
         "doc_id", "split"
     )
@@ -192,8 +199,8 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 textfns.word_shingles("toks", DECON_SHINGLE_N)
             ).alias("s"),
         )
+        .select("doc_id", portable.md5_48(F.col("s")).alias("h"))
         .distinct()
-        .select("doc_id", F.xxhash64("s").alias("h"))
         .join(split, "doc_id")
     )
     test_sh = sh.filter(F.col("split") == "test").select("h").distinct()
@@ -219,10 +226,13 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_SQL = f"""
 WITH sh AS (
-    SELECT DISTINCT doc_id,
-           unnest({textfns.word_shingles_sql("string_split(text, ' ')",
-                                             DECON_SHINGLE_N)}) AS s
-    FROM documents
+    SELECT DISTINCT doc_id, {portable.md5_48_sql('s')} AS s
+    FROM (
+        SELECT doc_id,
+               unnest({textfns.word_shingles_sql("string_split(text, ' ')",
+                                                 DECON_SHINGLE_N)}) AS s
+        FROM documents
+    )
 ),
 split AS ({sampling.TRAIN_TEST_SPLIT_SQL}),
 test_sh AS (
@@ -294,6 +304,111 @@ FROM documents
 JOIN quality ON documents.doc_id = quality.doc_id
 JOIN fp ON documents.doc_id = fp.doc_id
 GROUP BY source
+"""
+
+
+#: DSIR hashed-feature space size (buckets of the unigram distributions).
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) score:
+    per-document log importance weight ln p_target(doc) - ln p_raw(doc)
+    under hashed-unigram bag-of-words models — the domain-matching
+    signal that upweights raw-pool documents resembling a target domain
+    (here: the alphabetically-first source plays the target, a
+    data-derived deterministic choice). Laplace-smoothed bucket
+    probabilities; the per-token log-ratio is 6-rounded then
+    decimal-summed per doc (the unigram_logprob recipe — order-
+    independent, bit-identical cross-engine; the ratio itself is
+    transcendental so the rounding is unambiguous).
+
+    Scale shape: token explode -> ONE groupBy over DSIR_BUCKETS hashed
+    buckets (the model is bucket-sized, not vocabulary-sized — that is
+    DSIR's point); the bucket table and the scalar totals broadcast back
+    onto the exploded terms; per-doc aggregate keyed by doc_id. The
+    bucket key is the portable md5_48 % DSIR_BUCKETS — identical in the
+    oracle."""
+    docs = datamodel.load_table(spark, sf_dir, "documents")
+    alvo = docs.agg(F.min("source").alias("alvo"))
+    tb = (
+        docs.select(
+            "doc_id", "source", F.explode(textfns.tokens()).alias("termo")
+        )
+        .select(
+            "doc_id",
+            "source",
+            (portable.md5_48(F.col("termo")) % F.lit(DSIR_BUCKETS)).alias("b"),
+        )
+    )
+    raw = tb.groupBy("b").agg(F.count("*").cast("bigint").alias("c_raw"))
+    tgt = (
+        tb.crossJoin(F.broadcast(alvo))
+        .filter(F.col("source") == F.col("alvo"))
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("c_tgt"))
+    )
+    tot = raw.agg(F.sum("c_raw").cast("bigint").alias("t_raw"))
+    ttot = tgt.agg(
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("bigint").alias("t_tgt")
+    )
+    bd = F.lit(float(DSIR_BUCKETS))
+    lr = F.round(
+        F.log(
+            (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("t_tgt").cast("double") + bd)
+        )
+        - F.log(
+            (F.col("c_raw") + F.lit(1)).cast("double")
+            / (F.col("t_raw").cast("double") + bd)
+        ),
+        6,
+    )
+    bt = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttot))
+        .select("b", lr.alias("lr"))
+    )
+    return (
+        tb.join(F.broadcast(bt), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            exact.exact_sum("lr", "dsir_logratio"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH tb AS (
+    SELECT doc_id, source, ({portable.md5_48_sql('termo')}) % {DSIR_BUCKETS} AS b
+    FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS termo
+        FROM documents
+    )
+),
+alvo AS (SELECT MIN(source) AS alvo FROM documents),
+raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw FROM tb GROUP BY b),
+tgt AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS c_tgt
+    FROM tb, alvo WHERE source = alvo GROUP BY b
+),
+tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw FROM raw),
+ttot AS (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS BIGINT) AS t_tgt FROM tgt),
+bt AS (
+    SELECT raw.b,
+           ROUND(LN(CAST(COALESCE(c_tgt, 0) + 1 AS DOUBLE)
+                    / (CAST(t_tgt AS DOUBLE) + {float(DSIR_BUCKETS)}))
+               - LN(CAST(c_raw + 1 AS DOUBLE)
+                    / (CAST(t_raw AS DOUBLE) + {float(DSIR_BUCKETS)})), 6)
+               AS lr
+    FROM raw LEFT JOIN tgt USING (b), tot, ttot
+)
+SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       {exact.sql_sum('lr', 'dsir_logratio')}
+FROM tb JOIN bt USING (b)
+GROUP BY doc_id, source
 """
 
 

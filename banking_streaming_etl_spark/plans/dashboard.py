@@ -9,6 +9,8 @@ the shared scored/flagged/approved CTEs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -1244,6 +1246,158 @@ FROM (
 )
 
 
+#: top-K cutoffs for the precision@K table. Every K has a <= 3-digit
+#: decimal reciprocal, so ROUND(n/K, 6) is exact and unambiguous in both
+#: engines (never the .5-at-digit-7 exact-rational hazard).
+PR_AT_KS = (10, 25, 50, 100, 250)
+
+
+def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@K table for the risk score as a denial detector — the
+    ops-facing companion of `risk_score_auc` (AUC summarizes the whole
+    ranking; a fraud-review queue only reads the TOP of it): for each
+    review budget K, how many of the K highest-scoring transactions were
+    actually denied. One distributed-rank pass (value_desc — no
+    single-task sort) + ONE aggregate emitting every K via conditional
+    sums, exploded to one row per K.
+
+    Cross-engine contract: precision_at_k = ROUND(n/K, 6) is safe
+    because every K's reciprocal terminates well before digit 7 (see
+    PR_AT_KS); recall is NOT emitted as a rounded ratio — its
+    denominator n_pos_total is data-dependent and could land on the
+    exact-rational rounding boundary (the round-5-advice hazard class) —
+    readers divide the two exact integer columns themselves."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    ap = _approved(spark, sf_dir).select(
+        "id_transacao", "score_medio", "transacao_aprovada"
+    )
+    ranked = ranking.with_global_row_number(
+        ap, "score_medio", "id_transacao", out="r", value_desc=True
+    )
+    pos = (~F.col("transacao_aprovada")).cast("int")
+    aggs = [F.sum(pos).cast("bigint").alias("n_pos_total")]
+    for k in PR_AT_KS:
+        aggs.append(
+            F.sum(F.when(F.col("r") <= k, pos).otherwise(0))
+            .cast("bigint")
+            .alias(f"p_{k}")
+        )
+    agg = ranked.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("k"),
+                F.col(f"p_{k}").alias("n_pos_topk"),
+            )
+            for k in PR_AT_KS
+        ]
+    )
+    return agg.select(
+        F.explode(entries).alias("e"), "n_pos_total"
+    ).select(
+        F.col("e.k").alias("k"),
+        F.col("e.n_pos_topk").alias("n_pos_topk"),
+        "n_pos_total",
+        F.round(
+            F.col("e.n_pos_topk").cast("double") / F.col("e.k").cast("double"),
+            6,
+        ).alias("precision_at_k"),
+    )
+
+
+PRECISION_AT_K_SQL = _oracle(
+    f"""
+SELECT k, n_pos_topk, n_pos_total,
+       ROUND(CAST(n_pos_topk AS DOUBLE) / CAST(k AS DOUBLE), 6)
+           AS precision_at_k
+FROM (
+    SELECT u.k,
+           CAST(SUM(CASE WHEN r <= u.k AND NOT transacao_aprovada
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_topk,
+           CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos_total
+    FROM (
+        SELECT transacao_aprovada,
+               ROW_NUMBER() OVER (ORDER BY score_medio DESC,
+                                  id_transacao ASC) AS r
+        FROM approved
+    ), (SELECT unnest([{", ".join(str(k) for k in PR_AT_KS)}]) AS k) u
+    GROUP BY u.k
+)"""
+)
+
+
+def mi_modality_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information contingency screen between payment modality
+    and the approval outcome: per-cell joint count plus its contribution
+    (n_ij/N) * ln(n_ij*N / (n_i*n_j)) to I(modality; approval) in nats —
+    the feature-relevance statistic a model-audit reads (sums of the
+    6-rounded contributions give the total MI, on-grid by composition).
+
+    Cross-engine contract: the contribution is TRANSCENDENTAL (ln of a
+    non-unit rational) so ROUND(.,6) is unambiguous (BM25 precedent);
+    the ln argument is exactly 1 only when the cell is exactly
+    independent, where the contribution is exactly 0 in both engines.
+    GROUP keys are the raw categorical columns — no derived-key hazard.
+    Scale shape: one cells aggregate (|modalities| x 2 groups), margins
+    re-aggregated from the cells (never a second corpus scan), broadcast
+    back — the contingency table is model-sized at any corpus size."""
+    cells = (
+        _approved(spark, sf_dir)
+        .groupBy("modalidade_pagamento", "transacao_aprovada")
+        .agg(F.count("*").cast("bigint").alias("n_celula"))
+    )
+    rows = cells.groupBy("modalidade_pagamento").agg(
+        F.sum("n_celula").cast("bigint").alias("n_modalidade")
+    )
+    cols = cells.groupBy("transacao_aprovada").agg(
+        F.sum("n_celula").cast("bigint").alias("n_resultado")
+    )
+    total = cells.agg(F.sum("n_celula").cast("bigint").alias("n_total"))
+    nij = F.col("n_celula").cast("double")
+    ni = F.col("n_modalidade").cast("double")
+    nj = F.col("n_resultado").cast("double")
+    nn = F.col("n_total").cast("double")
+    contrib = (nij / nn) * F.log(nij * nn / (ni * nj))
+    return (
+        cells.join(F.broadcast(rows), "modalidade_pagamento")
+        .join(F.broadcast(cols), "transacao_aprovada")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "modalidade_pagamento",
+            "transacao_aprovada",
+            "n_celula",
+            "n_modalidade",
+            "n_resultado",
+            F.round(contrib, 6).alias("mi_contrib_nats"),
+        )
+    )
+
+
+MI_MODALITY_SQL = _oracle(
+    """
+SELECT modalidade_pagamento, transacao_aprovada, n_celula,
+       n_modalidade, n_resultado,
+       ROUND((CAST(n_celula AS DOUBLE) / CAST(n_total AS DOUBLE))
+             * LN(CAST(n_celula AS DOUBLE) * CAST(n_total AS DOUBLE)
+                  / (CAST(n_modalidade AS DOUBLE)
+                     * CAST(n_resultado AS DOUBLE))), 6)
+           AS mi_contrib_nats
+FROM (
+    SELECT modalidade_pagamento, transacao_aprovada,
+           CAST(COUNT(*) AS BIGINT) AS n_celula,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY modalidade_pagamento)
+                AS BIGINT) AS n_modalidade,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY transacao_aprovada)
+                AS BIGINT) AS n_resultado,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+    FROM approved
+    GROUP BY modalidade_pagamento, transacao_aprovada
+)"""
+)
+
+
 def score_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the risk score: exact global score deciles
     (the distributed NTILE — no single-task sort) x observed denial rate
@@ -1379,7 +1533,11 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    lo_i = max(1, int(0.025 * BOOT_B))
+    # ceil for the LOWER order statistic (round-5 advice fix): with
+    # B=64, ceil(0.025*64)=2 and int(0.975*64)+1=63 — the documented
+    # symmetric (2, 63) 95% CI convention; int() alone floored the lower
+    # index to 1 (a ~1.5th-percentile, asymmetrically wide lower tail)
+    lo_i = max(1, math.ceil(0.025 * BOOT_B))
     hi_i = min(BOOT_B, int(0.975 * BOOT_B) + 1)
     return agg.select(
         F.col("n").cast("bigint").alias("n"),
@@ -1408,7 +1566,7 @@ def _bootstrap_sql() -> str:
         f"CAST(bs_{b} AS DOUBLE) / CAST(bc_{b} AS DOUBLE)"
         for b in range(BOOT_B)
     )
-    lo_i = max(1, int(0.025 * BOOT_B))
+    lo_i = max(1, math.ceil(0.025 * BOOT_B))  # same (2, 63) convention
     hi_i = min(BOOT_B, int(0.975 * BOOT_B) + 1)
     inner = ",\n       ".join(terms)
     return datamodel.with_ctes(

@@ -1569,12 +1569,16 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int | None = None):
+def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int | None = None,
+               on_iter=None):
     """Shared training loop: returns (merge list, cached base vocabulary,
     final re-segmented vocabulary frame). Caller unpersists `base`.
     `n_merges` (default BPE_N_MERGES) must respect the BPE_MAX_MERGES
     contract; the fold-expression chain is localCheckpoint-truncated
-    every BPE_CHECKPOINT_EVERY merges (see the constants' docstring)."""
+    every BPE_CHECKPOINT_EVERY merges (see the constants' docstring).
+    `on_iter(rank, wf)`, if given, observes the live vocabulary frame
+    after each adopted merge — the cadence test instruments plan depth
+    and per-merge wall time through it."""
     n = BPE_N_MERGES if n_merges is None else n_merges
     if n > BPE_MAX_MERGES:
         raise ValueError(
@@ -1612,6 +1616,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int | None = None):
             # eager lineage truncation: keep <= BPE_CHECKPOINT_EVERY
             # nested fold expressions in the live plan at any budget
             wf = wf.localCheckpoint(eager=True)
+        if on_iter is not None:
+            on_iter(rank, wf)
     return merges, base, wf
 
 

@@ -1,0 +1,82 @@
+"""Driver-contract pin for bench.py's ONE stdout JSON line.
+
+Round 5 lost its comparable bench metric: the line outgrew the verify
+driver's ~2,000-char stdout-tail capture and BENCH_r05.json recorded
+"parsed": null. These tests pin the compact-line contract so the class
+cannot recur: the worst-case payload bench.py can emit stays under
+JSON_LINE_BUDGET, and the emitter degrades (drops the per-query map,
+keeps every scalar) rather than overflow if a future edit fattens it.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _worst_case_payload() -> dict:
+    # every HEADLINE query (plus streaming_replay) at a 4-digit-seconds
+    # timing — far beyond any observed value — and maximal-width scalars
+    queries = {name: 9999.99 for name in bench.HEADLINE}
+    queries["streaming_replay"] = 9999.99
+    return {
+        "metric": "headline_queries_total",
+        "value": 99999.9999,
+        "unit": "sec",
+        "sf": 0.1,
+        "timing": "median_of_3",
+        "queries": queries,
+        "streaming_tx_per_s": 999999.9,
+        "streaming_batch_ms_p50": 99999,
+        "streaming_batch_ms_p95": 99999,
+        "headline_sf001_total": 99999.9999,
+        "extended_total": 99999.9999,
+        "ann_ivf_pq_build": 9999.9999,
+        "ann_ivf_pq_search": 9999.9999,
+    }
+
+
+def test_json_line_fits_driver_tail_capture():
+    line = bench.emit_json_line(_worst_case_payload())
+    assert len(line) < bench.JSON_LINE_BUDGET, (len(line), line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert "queries" in parsed  # compact form keeps the per-query map
+
+
+def test_emitter_degrades_instead_of_overflowing():
+    payload = _worst_case_payload()
+    # simulate a future fattening: a per-query map far past the budget
+    payload["queries"] = {f"query_with_a_long_name_{i}": 9999.99
+                          for i in range(200)}
+    line = bench.emit_json_line(payload)
+    assert len(line) < bench.JSON_LINE_BUDGET
+    parsed = json.loads(line)
+    assert "queries" not in parsed
+    assert parsed["value"] == payload["value"]
+    assert parsed["streaming_tx_per_s"] == payload["streaming_tx_per_s"]
+
+
+def test_headline_list_is_stable():
+    """CLAUDE.md invariant: the HEADLINE set (and so the comparable
+    headline total) must not drift between rounds; extensions go to
+    EXTENDED/EXTRA."""
+    assert bench.HEADLINE == [
+        "approval_pipeline",
+        "q1_pricing_summary",
+        "revenue_by_nation",
+        "perf_stats_by_modality",
+        "perf_temporal_hourly",
+        "order_enrichment",
+        "zscore_per_payer",
+        "sessionize_events",
+        "top_k_recent",
+        "asof_balance_at_tx",
+        "dedup_exact_documents",
+        "near_dup_jaccard",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "text_quality_scores",
+        "tfidf_terms",
+    ]

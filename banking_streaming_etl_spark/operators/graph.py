@@ -147,6 +147,137 @@ pr0 AS (
 PAGERANK_SQL = _pagerank_sql()
 
 
+#: HITS iterations (each is two join+aggregate passes; the unrolled SQL
+#: oracle grows two CTE blocks per iteration, so keep the fixed budget
+#: modest — convergence on this graph is fast and the plan shape, not
+#: the fixpoint, is what the operator demonstrates).
+HITS_ITERS = 4
+
+
+def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the payment
+    graph: authority(v) = normalized sum of hub scores paying INTO v,
+    hub(u) = normalized sum of authority scores u pays OUT to — the
+    directed complement of PageRank (PageRank finds globally central
+    nodes; HITS separates money CONCENTRATORS (authorities) from money
+    DISTRIBUTORS (hubs), the mule-network signature).
+
+    Determinism recipe = payer_pagerank's: per-node incoming terms are
+    9-rounded then DECIMAL-summed (order-independent); normalization is
+    L1 (divide by the exact decimal total — rational-friendly, unlike
+    the classic L2's sqrt) with the quotient 9-rounded; the SQL twin
+    unrolls the iterations term-for-term. Scale shape per iteration: two
+    node-keyed shuffle aggregates + one broadcast scalar each, lineage
+    truncated per round with an eager localCheckpoint (EAGER_QUERIES
+    membership, like the other iterative builders)."""
+    edges, nodes = _graph(spark, sf_dir)
+    n = nodes.agg(F.count("*").alias("n"))
+    init = F.round(F.lit(1.0) / F.col("n").cast("double"), 9)
+    scores = (
+        nodes.crossJoin(F.broadcast(n))
+        .select("u", init.alias("a"), init.alias("h"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _push(src_col: str, dst_col: str, val) -> DataFrame:
+        """One propagation: sum 9-rounded `val` over edges grouped by
+        the far endpoint, L1-normalize by the exact decimal total."""
+        raw = (
+            edges.join(
+                scores.select(F.col("u").alias(src_col), val.alias("_v")),
+                src_col,
+            )
+            .select(
+                F.col(dst_col).alias("u"),
+                F.round(F.col("_v"), 9).cast(DEC9).alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").alias("s"))
+        )
+        tot = raw.agg(F.sum("s").alias("tot"))
+        return nodes.join(raw, "u", "left").crossJoin(F.broadcast(tot)).select(
+            "u",
+            F.round(
+                F.coalesce(F.col("s"), F.lit(0).cast(DEC9)).cast("double")
+                / F.col("tot").cast("double"),
+                9,
+            ).alias("_new"),
+        )
+
+    for _ in range(HITS_ITERS):
+        auth = _push("src", "dst", F.col("h"))
+        scores = (
+            scores.drop("a")
+            .join(auth.withColumnRenamed("_new", "a"), "u")
+        )
+        hub = _push("dst", "src", F.col("a"))
+        scores = (
+            scores.drop("h")
+            .join(hub.withColumnRenamed("_new", "h"), "u")
+            .localCheckpoint(eager=True)
+        )
+    return scores.select(
+        F.col("u").alias("id_usuario"),
+        F.round("a", 6).alias("autoridade"),
+        F.round("h", 6).alias("hub"),
+    )
+
+
+def _hits_sql() -> str:
+    norm = (
+        "ROUND(CAST(COALESCE(s.s, CAST(0 AS DECIMAL(28,9))) AS DOUBLE)"
+        " / CAST(t.tot AS DOUBLE), 9)"
+    )
+    iters = []
+    for i in range(1, HITS_ITERS + 1):
+        iters.append(f"""
+ar{i} AS (
+    SELECT e.dst AS u, SUM(CAST(ROUND(p.h, 9) AS DECIMAL(28,9))) AS s
+    FROM edges e JOIN h{i - 1} p ON e.src = p.u GROUP BY e.dst
+),
+at{i} AS (SELECT SUM(s) AS tot FROM ar{i}),
+a{i} AS (
+    SELECT nodes.u, {norm} AS a
+    FROM nodes LEFT JOIN ar{i} s ON nodes.u = s.u CROSS JOIN at{i} t
+),
+hr{i} AS (
+    SELECT e.src AS u, SUM(CAST(ROUND(p.a, 9) AS DECIMAL(28,9))) AS s
+    FROM edges e JOIN a{i} p ON e.dst = p.u GROUP BY e.src
+),
+ht{i} AS (SELECT SUM(s) AS tot FROM hr{i}),
+h{i} AS (
+    SELECT nodes.u, {norm} AS h
+    FROM nodes LEFT JOIN hr{i} s ON nodes.u = s.u CROSS JOIN ht{i} t
+)""")
+    ctes = (
+        """
+edges AS (
+    SELECT DISTINCT id_usuario_pagador AS src, id_usuario_recebedor AS dst
+    FROM transactions
+    WHERE id_usuario_recebedor IS NOT NULL
+),
+nodes AS (
+    SELECT DISTINCT u FROM (
+        SELECT src AS u FROM edges UNION ALL SELECT dst AS u FROM edges)
+),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+h0 AS (
+    SELECT u, ROUND(1.0 / CAST(n.n AS DOUBLE), 9) AS h
+    FROM nodes CROSS JOIN n
+),"""
+        + ",".join(iters)
+    )
+    return datamodel.with_ctes(
+        f"SELECT a.u AS id_usuario, ROUND(a.a, 6) AS autoridade,"
+        f" ROUND(h.h, 6) AS hub"
+        f" FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON a.u = h.u",
+        extra_ctes=ctes,
+    )
+
+
+HITS_SQL = _hits_sql()
+
+
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the undirected payment graph — the clustering
     signal behind fraud-ring detection (dense money-cycling cliques).

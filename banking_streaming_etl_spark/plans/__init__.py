@@ -482,6 +482,15 @@ def register_all() -> None:
              dedup.NEAR_DUP_JACCARD_SQL,
              "exact 3-gram Jaccard pairs (brute-force twin of the "
              "in-window MinHash-LSH slot, which shares its oracle)")
+    register("conformal_risk_thresholds", dashboard.conformal_risk_thresholds,
+             dashboard.CONFORMAL_SQL,
+             "split-conformal threshold calibration: exact order-"
+             "statistic thresholds per miscoverage level + observed "
+             "eval-split coverage (all-integer rank arithmetic)")
+    register("payer_hits", graph.payer_hits, graph.HITS_SQL,
+             "HITS hubs/authorities over the payment graph (4 unrolled "
+             "iterations, L1-normalized, decimal-exact propagation — "
+             "concentrators vs distributors, the mule-network signature)")
     register("dsir_importance_weights", curation.dsir_importance_weights,
              curation.DSIR_IMPORTANCE_SQL,
              "DSIR domain-matching importance weights: hashed-unigram "

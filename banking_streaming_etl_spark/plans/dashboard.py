@@ -1398,6 +1398,100 @@ FROM (
 )
 
 
+#: conformal miscoverage levels, in permille (integer keys — never a
+#: float-literal group key).
+CONF_ALPHAS_PERMILLE = (100, 50, 10)
+#: deterministic calibration split: ids with id % CONF_SPLIT_MOD == 0
+#: play the calibration set (the dedup_incremental convention — a
+#: data-derived rule keeps the operator oracle-checkable).
+CONF_SPLIT_MOD = 5
+
+
+def conformal_risk_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the risk score (Vovk et al.; the
+    distribution-free coverage guarantee): on a deterministic
+    calibration split, take the ceil((1-alpha)(n_cal+1))-th smallest
+    score as the threshold for each miscoverage level alpha, then count
+    how many evaluation-split transactions fall at or under it — the
+    observed-coverage audit of the guarantee. The threshold rank is the
+    textbook finite-sample-corrected order statistic.
+
+    Exactness: the threshold is a SELECTED value (the distributed rank
+    operator picks the exact order statistic — no quantile
+    interpolation, no single-task sort) and every other output is an
+    integer; the target rank is pure bigint arithmetic
+    ((1000 - alpha) * (n+1) + 999) DIV 1000 clamped to [1, n] — no
+    float in any key or count. Scale shape: one rank pass over the
+    calibration split; the <= |alphas| threshold rows broadcast onto
+    one conditional-count aggregate of the evaluation split."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    ap = _approved(spark, sf_dir).select("id_transacao", "score_medio")
+    is_cal = F.col("id_transacao") % CONF_SPLIT_MOD == 0
+    ranked = ranking.with_global_row_number(
+        ap.filter(is_cal), "score_medio", "id_transacao", out="r"
+    )
+    alphas = F.explode(
+        F.array(*[F.lit(a).cast("int") for a in CONF_ALPHAS_PERMILLE])
+    ).alias("alpha_permille")
+    tgt_rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(
+            F.col("_rank_n_total"),
+            F.expr(
+                "((1000 - alpha_permille) * (_rank_n_total + 1) + 999) "
+                "DIV 1000"
+            ),
+        ),
+    )
+    thresholds = (
+        ranked.select("r", "_rank_n_total", "score_medio")
+        .crossJoin(F.broadcast(ranked.sparkSession.range(1).select(alphas)))
+        .filter(F.col("r") == tgt_rank)
+        .select(
+            "alpha_permille",
+            F.col("_rank_n_total").alias("n_cal"),
+            F.col("score_medio").alias("limiar"),
+        )
+    )
+    ev = ap.filter(~is_cal)
+    return (
+        ev.crossJoin(F.broadcast(thresholds))
+        .groupBy("alpha_permille", "n_cal", "limiar")
+        .agg(
+            F.count("*").cast("bigint").alias("n_aval"),
+            F.sum((F.col("score_medio") <= F.col("limiar")).cast("int"))
+            .cast("bigint")
+            .alias("n_coberto"),
+        )
+    )
+
+
+CONFORMAL_SQL = _oracle(
+    f"""
+SELECT t.alpha_permille, t.n_cal, t.limiar,
+       CAST(COUNT(*) AS BIGINT) AS n_aval,
+       CAST(SUM(CASE WHEN e.score_medio <= t.limiar THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_coberto
+FROM (SELECT score_medio
+      FROM approved WHERE id_transacao % {CONF_SPLIT_MOD} <> 0) e
+CROSS JOIN (
+    SELECT alpha_permille, n_cal, score_medio AS limiar
+    FROM (
+        SELECT score_medio,
+               ROW_NUMBER() OVER (ORDER BY score_medio ASC,
+                                  id_transacao ASC) AS r,
+               COUNT(*) OVER () AS n_cal
+        FROM approved WHERE id_transacao % {CONF_SPLIT_MOD} = 0
+    ), (SELECT unnest([{", ".join(str(a) for a in CONF_ALPHAS_PERMILLE)}])
+            AS alpha_permille)
+    WHERE r = GREATEST(1, LEAST(n_cal,
+              ((1000 - alpha_permille) * (n_cal + 1) + 999) // 1000))
+) t
+GROUP BY t.alpha_permille, t.n_cal, t.limiar"""
+)
+
+
 def score_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the risk score: exact global score deciles
     (the distributed NTILE — no single-task sort) x observed denial rate

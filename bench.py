@@ -77,6 +77,8 @@ EXTRA = [
     "precision_recall_at_k",
     "mi_modality_approval",
     "dsir_importance_weights",
+    "conformal_risk_thresholds",
+    "payer_hits",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -169,8 +169,19 @@ def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the iterations term-for-term. Scale shape per iteration: two
     node-keyed shuffle aggregates + one broadcast scalar each, lineage
     truncated per round with an eager localCheckpoint (EAGER_QUERIES
-    membership, like the other iterative builders)."""
+    membership, like the other iterative builders).
+
+    Materialization budget (round-6 verdict task #3): the distinct edge /
+    node frames are persisted for the loop's lifetime and each push's
+    node-keyed aggregate is persisted until its iteration's checkpoint —
+    without those barriers every `tot` broadcast job and every rejoin
+    re-derives the edge join + aggregate from scratch (the auth push ran
+    3x and the hub push 2x per iteration), which made this the slowest
+    bench entry. All cached frames are node-/edge-sized (spill-safe) and
+    unpersisted as soon as the checkpoint owns the data."""
     edges, nodes = _graph(spark, sf_dir)
+    edges = edges.persist()
+    nodes = nodes.persist()
     n = nodes.agg(F.count("*").alias("n"))
     init = F.round(F.lit(1.0) / F.col("n").cast("double"), 9)
     scores = (
@@ -179,12 +190,17 @@ def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def _push(src_col: str, dst_col: str, val) -> DataFrame:
-        """One propagation: sum 9-rounded `val` over edges grouped by
-        the far endpoint, L1-normalize by the exact decimal total."""
+    def _push(src_col: str, dst_col: str, frame: DataFrame,
+              val_col: str) -> tuple[DataFrame, DataFrame]:
+        """One propagation: sum 9-rounded `frame.val_col` over edges
+        grouped by the far endpoint, L1-normalize by the exact decimal
+        total. Returns (nodes-keyed result, the persisted aggregate —
+        caller unpersists after its checkpoint)."""
         raw = (
             edges.join(
-                scores.select(F.col("u").alias(src_col), val.alias("_v")),
+                frame.select(
+                    F.col("u").alias(src_col), F.col(val_col).alias("_v")
+                ),
                 src_col,
             )
             .select(
@@ -193,9 +209,10 @@ def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("u")
             .agg(F.sum("c").alias("s"))
+            .persist()
         )
         tot = raw.agg(F.sum("s").alias("tot"))
-        return nodes.join(raw, "u", "left").crossJoin(F.broadcast(tot)).select(
+        out = nodes.join(raw, "u", "left").crossJoin(F.broadcast(tot)).select(
             "u",
             F.round(
                 F.coalesce(F.col("s"), F.lit(0).cast(DEC9)).cast("double")
@@ -203,19 +220,20 @@ def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("_new"),
         )
+        return out, raw
 
     for _ in range(HITS_ITERS):
-        auth = _push("src", "dst", F.col("h"))
+        auth, raw_a = _push("src", "dst", scores, "h")
+        hub, raw_h = _push("dst", "src", auth, "_new")
         scores = (
-            scores.drop("a")
-            .join(auth.withColumnRenamed("_new", "a"), "u")
-        )
-        hub = _push("dst", "src", F.col("a"))
-        scores = (
-            scores.drop("h")
+            auth.withColumnRenamed("_new", "a")
             .join(hub.withColumnRenamed("_new", "h"), "u")
             .localCheckpoint(eager=True)
         )
+        raw_a.unpersist()
+        raw_h.unpersist()
+    edges.unpersist()
+    nodes.unpersist()
     return scores.select(
         F.col("u").alias("id_usuario"),
         F.round("a", 6).alias("autoridade"),

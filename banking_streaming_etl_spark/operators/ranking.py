@@ -91,6 +91,7 @@ def with_global_row_number(
     rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
     group_cols: list | None = None,
     max_groups: int = RANK_BUCKET_CAP,
+    nulls: str = "first",
 ) -> DataFrame:
     """Append the exact 1-based global rank of each row under the total
     order (value_col asc|desc, id_col asc) plus a ``_rank_n_total``
@@ -99,12 +100,31 @@ def with_global_row_number(
     (bigint, ANY sign — it feeds the portable-LCG sampler through pmod,
     so negative ids hash into the same bounded [0, 2^31) range and the
     sample-size guarantee holds; round-5 advice fix, negative-id case in
-    test_ranking.py). NULL `value_col` rows are deterministic but sort
-    FIRST under BOTH asc and desc (the boundary compares are
-    null-rejecting, so null-value rows land in bucket 1 and the local
-    window's default nulls-first order ranks them ahead) — that matches
-    SQL `ORDER BY v ASC` but NOT `ORDER BY v DESC` (nulls last); callers
-    needing SQL desc semantics must pre-filter or coalesce nulls.
+    test_ranking.py).
+
+    NULL `value_col` rows are governed by `nulls` (round-6 verdict task
+    #6 — the old implicit behavior was nulls-FIRST under BOTH asc and
+    desc, which silently diverges from SQL `ORDER BY v DESC` where
+    nulls sort last):
+
+    - ``"first"`` (default — unchanged behavior): null-value rows rank
+      ahead of every non-null row, tiebroken by id. Matches Spark SQL
+      `ORDER BY v ASC` (nulls first) but NOT `ORDER BY v DESC`.
+    - ``"last"``: null-value rows rank after every non-null row.
+      Matches Spark SQL `ORDER BY v DESC` (nulls last).
+    - ``"reject"``: plan-level assert_true fails the job on the first
+      null value — the right contract for desc-ranked score queries
+      where a null landing at rank 1 (or rank N) would silently skew
+      top-K / AUC / threshold math. No behavior change on null-free
+      data beyond the row-wise guard expression.
+
+    Mechanically the null policy rides a leading null-flag key column
+    (``_rk_nf``): the total order is (nf asc, value, id), the sampled
+    boundary structs carry the flag, and the cut-join compare treats
+    both-null values via a null-safe equality (so the id tiebreak still
+    applies inside the all-null flag group). Bucket assignment stays
+    monotone in the total order, so the exact-offset recovery is
+    untouched.
 
     `group_cols` turns every stage per-group: ranks restart inside each
     group (the PARTITION BY form), with per-group sampled boundaries, a
@@ -119,9 +139,39 @@ def with_global_row_number(
     group count exceeds `max_groups` (default RANK_BUCKET_CAP; for
     high-cardinality groups a plain partitioned window is already
     parallel and this operator is unnecessary)."""
+    if nulls not in ("first", "last", "reject"):
+        raise ValueError(
+            f"nulls must be 'first' | 'last' | 'reject', got {nulls!r}"
+        )
     gcols = list(group_cols or [])
     nv, ni = _rank_key(df, value_col, id_col, value_desc)
-    keyed = df.withColumn("_rk_v", nv).withColumn("_rk_i", ni)
+    is_null = F.col(value_col).isNull()
+    if nulls == "reject":
+        # execution-time guard, same assert_true-filter pattern as
+        # max_groups (a filter predicate can't be boolean-simplified
+        # away): yields NULL -> isNull() true (row kept) on every
+        # non-null value, raises on the first null.
+        df = df.filter(
+            F.assert_true(
+                ~is_null,
+                F.lit(
+                    "with_global_row_number(nulls='reject'): NULL value "
+                    f"in rank column {value_col!r}"
+                ),
+            ).isNull()
+        )
+        nf = F.lit(0)
+    else:
+        # the flag sorts ASC ahead of the value: null rows get the
+        # smaller flag under "first", the larger under "last".
+        nf = F.when(is_null, F.lit(1 if nulls == "last" else 0)).otherwise(
+            F.lit(0 if nulls == "last" else 1)
+        )
+    keyed = (
+        df.withColumn("_rk_nf", nf)
+        .withColumn("_rk_v", nv)
+        .withColumn("_rk_i", ni)
+    )
 
     # -- 1. size-following sample budget (one COUNT job's worth of plan,
     #       broadcast as a one-row frame; greatest(n,1) guards empty input)
@@ -219,6 +269,7 @@ def with_global_row_number(
     sample = _bjoin(
         keyed.select(
             *gcols,
+            "_rk_nf",
             "_rk_v",
             "_rk_i",
             F.pmod(
@@ -253,7 +304,9 @@ def with_global_row_number(
     # empty result
     samp_agg = sample.groupBy(*gcols).agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("_rk_v"), F.col("_rk_i")))
+            F.collect_list(
+                F.struct(F.col("_rk_nf"), F.col("_rk_v"), F.col("_rk_i"))
+            )
         ).alias("arr")
     )
     # grouped: LEFT join from params so a group whose sample came up
@@ -276,11 +329,25 @@ def with_global_row_number(
 
     # -- 3. broadcast cut join: bucket = 1 + #boundaries strictly before
     #       the row in the lexicographic total order (narrow map)
+    # lexicographic (nf, v, i) compare; the value leg uses a null-safe
+    # equality so two null values (possible only inside the null flag
+    # group) fall through to the id tiebreak, and `v < null` evaluating
+    # to NULL reads as false under F.filter — bucket assignment stays
+    # monotone in the total order either way.
     below = F.size(
         F.filter(
             F.col("_rk_bnds"),
-            lambda s: (s["_rk_v"] < F.col("_rk_v"))
-            | ((s["_rk_v"] == F.col("_rk_v")) & (s["_rk_i"] < F.col("_rk_i"))),
+            lambda s: (s["_rk_nf"] < F.col("_rk_nf"))
+            | (
+                (s["_rk_nf"] == F.col("_rk_nf"))
+                & (
+                    (s["_rk_v"] < F.col("_rk_v"))
+                    | (
+                        s["_rk_v"].eqNullSafe(F.col("_rk_v"))
+                        & (s["_rk_i"] < F.col("_rk_i"))
+                    )
+                )
+            ),
         )
     )
     bucketed = (
@@ -291,7 +358,7 @@ def with_global_row_number(
 
     # -- 4. local rank per bucket (partitioned window — parallel)
     wloc = W.partitionBy(*gcols, "rk_bucket").orderBy(
-        F.asc("_rk_v"), F.asc("_rk_i")
+        F.asc("_rk_nf"), F.asc_nulls_first("_rk_v"), F.asc("_rk_i")
     )
     local = bucketed.withColumn(
         "_rk_local", F.row_number().over(wloc).cast("bigint")
@@ -355,7 +422,8 @@ def with_global_row_number(
             F.element_at(F.col("_rk_offs"), F.col("rk_bucket").cast("int"))
             + F.col("_rk_local"),
         )
-        .drop("_rk_v", "_rk_i", "_rk_local", "_rk_offs", "rk_bucket")
+        .drop("_rk_nf", "_rk_v", "_rk_i", "_rk_local", "_rk_offs",
+              "rk_bucket")
     )
 
 
@@ -402,14 +470,16 @@ def with_global_ntile(
     rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
     group_cols: list | None = None,
     max_groups: int = RANK_BUCKET_CAP,
+    nulls: str = "first",
 ) -> DataFrame:
     """Append the exact NTILE(k) bucket under (value_col asc|desc,
     id_col asc) — `with_global_row_number` + the closed form, no
     single-partition window anywhere in the plan (per-group when
-    `group_cols` is given; same enforced `max_groups` contract)."""
+    `group_cols` is given; same enforced `max_groups` and `nulls`
+    contracts)."""
     ranked = with_global_row_number(
         df, value_col, id_col, "_rk_rank", value_desc, rows_per_bucket,
-        group_cols, max_groups,
+        group_cols, max_groups, nulls,
     )
     return ranked.withColumn(
         out,

@@ -1158,6 +1158,11 @@ def pareto_share_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
             out="decil",
             value_desc=True,
+            # desc rank: a NULL total would land at rank 1 under the
+            # old implicit nulls-first order and skew decile 1 — the
+            # SUM aggregate can't produce one, so fail loudly if it
+            # ever does (round-6 verdict task #6 audit).
+            nulls="reject",
         )
         .groupBy("decil")
         .agg(
@@ -1273,7 +1278,11 @@ def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_transacao", "score_medio", "transacao_aprovada"
     )
     ranked = ranking.with_global_row_number(
-        ap, "score_medio", "id_transacao", out="r", value_desc=True
+        ap, "score_medio", "id_transacao", out="r", value_desc=True,
+        # desc rank: a NULL score at rank 1 would pollute every top-K
+        # precision cell; scores are non-null by construction — enforce
+        # it (round-6 verdict task #6 audit).
+        nulls="reject",
     )
     pos = (~F.col("transacao_aprovada")).cast("int")
     aggs = [F.sum(pos).cast("bigint").alias("n_pos_total")]

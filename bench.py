@@ -212,15 +212,20 @@ def _warm(spark, queries, sf_dir: str) -> None:
 
 def _time_headline(
     spark, queries, names, sf_dir: str, repeats: int = 1
-) -> tuple[dict[str, float], dict[str, float]]:
-    """Time each query `repeats` times; return (median, min) per query.
+) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
+    """Time each query `repeats` times; return (median, min, raw samples)
+    per query.
 
     One sample per query cannot distinguish a plan regression from
     sandbox noise (the round-4 +28% headline mystery) — the comparable
     number is the MEDIAN of N runs, with the per-query MIN kept in the
-    JSON so run-to-run variance stays visible."""
+    JSON so run-to-run variance stays visible. The RAW in-order samples
+    go to BENCH_DETAIL.md (round-6 verdict task #8) so the next drift
+    diagnosis can separate variance (spread within a query's samples)
+    from level shifts (all samples moved) without re-running."""
     med: dict[str, float] = {}
     mins: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in names:
         fn = queries[name].fn
         samples: list[float] = []
@@ -230,6 +235,7 @@ def _time_headline(
             df = fn(spark, sf_dir)
             n = df.count()
             samples.append(time.perf_counter() - t0)
+        raw[name] = [round(s, 4) for s in samples]
         samples.sort()
         med[name] = round(samples[len(samples) // 2], 4)
         mins[name] = round(samples[0], 4)
@@ -238,7 +244,7 @@ def _time_headline(
             f"{repeats} run(s) (min {mins[name]:.3f}s)",
             file=sys.stderr,
         )
-    return med, mins
+    return med, mins, raw
 
 
 def bench_ivf_pq_split(spark, sf_dir: str) -> tuple[float, float]:
@@ -321,7 +327,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
 
     _warm(spark, queries, sf_dir)
-    timings, timings_min = _time_headline(
+    timings, timings_min, timings_raw = _time_headline(
         spark, queries, names, sf_dir, repeats=3
     )
 
@@ -344,18 +350,18 @@ def main() -> None:
     ):
         print(f"# scale curve: re-running headline at {sf001_dir}", file=sys.stderr)
         _warm(spark, queries, sf001_dir)
-        timings_sf001, _ = _time_headline(spark, queries, names, sf001_dir)
+        timings_sf001, _, _ = _time_headline(spark, queries, names, sf001_dir)
         sf001_total = round(sum(timings_sf001.values()), 4)
 
     # extension families LAST: headline totals and the streaming replay
     # keep their round-over-round session state untouched.
     ext_names = [n for n in EXTENDED if n in queries]
     print("# extension families", file=sys.stderr)
-    ext_timings, _ = _time_headline(spark, queries, ext_names, sf_dir)
+    ext_timings, _, _ = _time_headline(spark, queries, ext_names, sf_dir)
     ext_total = round(sum(ext_timings.values()), 4)
     extra_names = [n for n in EXTRA if n in queries]
     print("# extra group (stderr/detail-file only)", file=sys.stderr)
-    extra_timings, _ = _time_headline(spark, queries, extra_names, sf_dir)
+    extra_timings, _, _ = _time_headline(spark, queries, extra_names, sf_dir)
     ivf_build, ivf_search = bench_ivf_pq_split(spark, sf_dir)
     bpe_note = bench_bpe_cadence(spark, sf_dir)
     batch_sorted = sorted(batch_ms)
@@ -404,6 +410,7 @@ def main() -> None:
     _write_detail(
         payload,
         timings_min=timings_min,
+        timings_raw_samples=timings_raw,
         queries_sf001=timings_sf001,
         queries_extended=ext_timings,
         queries_extra=extra_timings,

@@ -247,3 +247,76 @@ def test_grouped_form_enforces_max_groups(spark):
         df, "v", "i", out="r", group_cols=["g"], max_groups=10
     )
     assert ok.count() == 100
+
+@pytest.mark.parametrize("nulls", ["first", "last"])
+@pytest.mark.parametrize("value_desc", [True, False])
+def test_null_policy_matches_window(spark, nulls, value_desc):
+    """Round-6 verdict task #6: explicit NULL semantics. `nulls="first"`
+    must equal the window with nulls-first value ordering, `"last"` the
+    nulls-last one — for BOTH directions, at a forced multi-bucket
+    granularity, with several null rows competing on the id tiebreak."""
+    rows = [
+        (i, None if i % 5 == 0 else float((i * 13) % 23)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = ranking.with_global_row_number(
+        df, "v", "i", out="r", value_desc=value_desc,
+        rows_per_bucket=4, nulls=nulls,
+    ).select("i", "r")
+    vcol = {
+        (False, "first"): F.asc_nulls_first("v"),
+        (False, "last"): F.asc_nulls_last("v"),
+        (True, "first"): F.desc_nulls_first("v"),
+        (True, "last"): F.desc_nulls_last("v"),
+    }[(value_desc, nulls)]
+    want = df.select(
+        "i",
+        F.row_number()
+        .over(W.orderBy(vcol, F.asc("i")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_null_policy_reject_fails_loudly_and_passes_clean(spark):
+    """`nulls="reject"` raises on the first NULL rank value (assert_true
+    guard — no silent rank-1 null) and is a no-op on null-free input."""
+    dirty = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "i long, v double"
+    )
+    with pytest.raises(Exception, match="NULL value in rank column"):
+        ranking.with_global_row_number(
+            dirty, "v", "i", out="r", nulls="reject"
+        ).count()
+    clean = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "i long, v double"
+    )
+    got = ranking.with_global_row_number(
+        clean, "v", "i", out="r", nulls="reject"
+    )
+    assert sorted((r.i, r.r) for r in got.collect()) == [
+        (1, 1), (2, 2), (3, 3)
+    ]
+    with pytest.raises(ValueError, match="nulls must be"):
+        ranking.with_global_row_number(clean, "v", "i", nulls="bogus")
+
+
+def test_null_policy_grouped_form(spark):
+    """Null policy composes with group_cols: per-group nulls-last ranks
+    match the group-partitioned nulls-last window."""
+    rows = []
+    for i in range(80):
+        rows.append((i % 4, i, None if i % 7 == 0 else float(i % 11)))
+    df = spark.createDataFrame(rows, "g int, i long, v double")
+    got = ranking.with_global_row_number(
+        df, "v", "i", out="r", group_cols=["g"], rows_per_bucket=5,
+        nulls="last",
+    ).select("g", "i", "r")
+    w = W.partitionBy("g").orderBy(F.asc_nulls_last("v"), F.asc("i"))
+    want = df.select(
+        "g", "i", F.row_number().over(w).cast("bigint").alias("r")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -171,36 +171,52 @@ def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated per round with an eager localCheckpoint (EAGER_QUERIES
     membership, like the other iterative builders).
 
-    Materialization budget (round-6 verdict task #3): the distinct edge /
-    node frames are persisted for the loop's lifetime and each push's
-    node-keyed aggregate is persisted until its iteration's checkpoint —
-    without those barriers every `tot` broadcast job and every rejoin
-    re-derives the edge join + aggregate from scratch (the auth push ran
-    3x and the hub push 2x per iteration), which made this the slowest
-    bench entry. All cached frames are node-/edge-sized (spill-safe) and
-    unpersisted as soon as the checkpoint owns the data."""
+    Materialization budget (round-6 verdict task #3): the loop runs on
+    SPARSE score frames. A node absent from a push's aggregate has score
+    exactly 0, and a 0 input contributes ROUND(0, 9) = 0 to the next
+    push's decimal sum and 0 to the L1 total — so dropping zero rows
+    changes no value, and the dense nodes-LEFT-join the old shape paid
+    TWICE per iteration (once per push, re-derived again by the
+    iteration checkpoint) disappears from the loop entirely. Per
+    iteration: two edge-join node-keyed aggregates (the HITS work, each
+    persisted just long enough for its total + checkpoint) and two
+    node-sized normalization checkpoints. Densification (nodes LEFT
+    JOIN, COALESCE 0) happens exactly once, on the final frames. The
+    distinct edge frame is persisted for the loop's lifetime;
+    everything cached is node-/edge-sized (spill-safe) and unpersisted
+    as soon as a checkpoint owns the data."""
     edges, nodes = _graph(spark, sf_dir)
     edges = edges.persist()
-    nodes = nodes.persist()
+    # node frame checkpointed once: the final densifying join runs
+    # AFTER the loop unpersists edges, and must not re-derive the
+    # distinct-union pipeline from the raw table
+    nodes = nodes.localCheckpoint(eager=True)
     n = nodes.agg(F.count("*").alias("n"))
     init = F.round(F.lit(1.0) / F.col("n").cast("double"), 9)
-    scores = (
+    # iteration 0: every node starts at 1/N, so the first auth push's
+    # input is the (dense) node frame — sparse from then on
+    h_frame = (
         nodes.crossJoin(F.broadcast(n))
-        .select("u", init.alias("a"), init.alias("h"))
+        .select("u", init.alias("v"))
         .localCheckpoint(eager=True)
     )
 
-    def _push(src_col: str, dst_col: str, frame: DataFrame,
-              val_col: str) -> tuple[DataFrame, DataFrame]:
-        """One propagation: sum 9-rounded `frame.val_col` over edges
-        grouped by the far endpoint, L1-normalize by the exact decimal
-        total. Returns (nodes-keyed result, the persisted aggregate —
-        caller unpersists after its checkpoint)."""
+    raws: list[DataFrame] = []
+
+    def _push(src_col: str, dst_col: str, frame: DataFrame) -> DataFrame:
+        """One propagation: sum 9-rounded `frame.v` over edges grouped
+        by the far endpoint, L1-normalize by the exact decimal total.
+        Returns the SPARSE normalized frame (nodes with score 0 are
+        simply absent). The ONLY job a push launches is its broadcast
+        L1-total (which materializes the persisted aggregate and, via
+        the cache chain, the previous push's output); the normalized
+        frame itself is a NON-eager localCheckpoint — the plan is
+        truncated immediately (no doubling lineage), but materialization
+        folds into the next consumer's job instead of paying a
+        dedicated one. Net: one job per push instead of two."""
         raw = (
             edges.join(
-                frame.select(
-                    F.col("u").alias(src_col), F.col(val_col).alias("_v")
-                ),
+                frame.select(F.col("u").alias(src_col), F.col("v").alias("_v")),
                 src_col,
             )
             .select(
@@ -211,33 +227,40 @@ def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("s"))
             .persist()
         )
+        raws.append(raw)
         tot = raw.agg(F.sum("s").alias("tot"))
-        out = nodes.join(raw, "u", "left").crossJoin(F.broadcast(tot)).select(
-            "u",
-            F.round(
-                F.coalesce(F.col("s"), F.lit(0).cast(DEC9)).cast("double")
-                / F.col("tot").cast("double"),
-                9,
-            ).alias("_new"),
+        return (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "u",
+                F.round(
+                    F.col("s").cast("double") / F.col("tot").cast("double"),
+                    9,
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=False)
         )
-        return out, raw
 
+    a_frame = h_frame
     for _ in range(HITS_ITERS):
-        auth, raw_a = _push("src", "dst", scores, "h")
-        hub, raw_h = _push("dst", "src", auth, "_new")
-        scores = (
-            auth.withColumnRenamed("_new", "a")
-            .join(hub.withColumnRenamed("_new", "h"), "u")
-            .localCheckpoint(eager=True)
-        )
-        raw_a.unpersist()
-        raw_h.unpersist()
+        a_frame = _push("src", "dst", h_frame)
+        h_frame = _push("dst", "src", a_frame)
+    # force the two final (lazy-checkpointed) frames while the raw
+    # caches are still live, then release every loop cache: the returned
+    # plan reads only checkpointed RDDs + the checkpointed node frame
+    for fin in (a_frame, h_frame):
+        fin.count()
+    for raw in raws:
+        raw.unpersist()
     edges.unpersist()
-    nodes.unpersist()
-    return scores.select(
-        F.col("u").alias("id_usuario"),
-        F.round("a", 6).alias("autoridade"),
-        F.round("h", 6).alias("hub"),
+    return (
+        nodes.join(a_frame.withColumnRenamed("v", "a"), "u", "left")
+        .join(h_frame.withColumnRenamed("v", "h"), "u", "left")
+        .select(
+            F.col("u").alias("id_usuario"),
+            F.round(F.coalesce(F.col("a"), F.lit(0.0)), 6).alias("autoridade"),
+            F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6).alias("hub"),
+        )
     )
 
 

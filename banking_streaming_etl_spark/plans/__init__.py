@@ -81,8 +81,16 @@ def register_all() -> None:
              tpch.REVENUE_BY_NATION_SQL, "fact-fact join + agg (TPC-H Q5 shape)")
     register("q3_shipping_priority", tpch.q3_shipping_priority,
              tpch.Q3_SQL, "TPC-H Q3 shape: filter-join-agg-topK")
-    register("q6_revenue_forecast", tpch.q6_revenue_forecast,
-             tpch.Q6_SQL, "TPC-H Q6 shape: pure pushdown filter-agg")
+    # Round-7 rotation: split-conformal calibration takes the slot of
+    # q6_revenue_forecast (its pure pushdown filter-agg shape is
+    # re-proven in-window by q1_pricing_summary's scan-agg and every
+    # filtered aggregate) so the eval-calibration family gets its first
+    # driver-green row. Displaced query re-registers after the window.
+    register("conformal_risk_thresholds", dashboard.conformal_risk_thresholds,
+             dashboard.CONFORMAL_SQL,
+             "split-conformal threshold calibration: exact order-"
+             "statistic thresholds per miscoverage level + observed "
+             "eval-split coverage (all-integer rank arithmetic)")
 
     # the two Postgres views (A1-A3)
     register("perf_stats_by_modality", views.perf_stats_by_modality,
@@ -177,10 +185,15 @@ def register_all() -> None:
     # the sketch adds a driver-green proof of the oracle-checkable
     # approximate-op family. The displaced query re-registers right after
     # the window.
-    register("kmv_modality_overlap", relational.kmv_modality_overlap,
-             relational.KMV_OVERLAP_SQL,
-             "KMV set-op sketch: union/intersection cardinality estimates "
-             "from merged bottom-K sketches + exact witnesses")
+    # Round-7 rotation: HITS takes the slot of kmv_modality_overlap (the
+    # oracle-checkable-sketch family stays driver-proven in-window by
+    # cms_heavy_hitters) — the iteration-unrolled CTE oracle is exactly
+    # the class the driver gate exists to prove. Displaced query
+    # re-registers after the window.
+    register("payer_hits", graph.payer_hits, graph.HITS_SQL,
+             "HITS hubs/authorities over the payment graph (4 unrolled "
+             "iterations, L1-normalized, decimal-exact propagation — "
+             "concentrators vs distributors, the mule-network signature)")
     register("rollup_modality_region", relational.rollup_modality_region,
              relational.ROLLUP_SQL, "rollup subtotals")
     register("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL,
@@ -294,8 +307,14 @@ def register_all() -> None:
              groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
-    # round-3/4/5/6 rotations' displacees) — still in the local
+    # round-3/4/5/6/7 rotations' displacees) — still in the local
     # parity gate every pytest run
+    register("q6_revenue_forecast", tpch.q6_revenue_forecast,
+             tpch.Q6_SQL, "TPC-H Q6 shape: pure pushdown filter-agg")
+    register("kmv_modality_overlap", relational.kmv_modality_overlap,
+             relational.KMV_OVERLAP_SQL,
+             "KMV set-op sketch: union/intersection cardinality estimates "
+             "from merged bottom-K sketches + exact witnesses")
     register("top3_tx_per_region", relational.top3_tx_per_region,
              relational.TOP3_PER_REGION_SQL, "top-K per group")
     register("unpivot_user_limits", relational.unpivot_user_limits,
@@ -482,15 +501,11 @@ def register_all() -> None:
              dedup.NEAR_DUP_JACCARD_SQL,
              "exact 3-gram Jaccard pairs (brute-force twin of the "
              "in-window MinHash-LSH slot, which shares its oracle)")
-    register("conformal_risk_thresholds", dashboard.conformal_risk_thresholds,
-             dashboard.CONFORMAL_SQL,
-             "split-conformal threshold calibration: exact order-"
-             "statistic thresholds per miscoverage level + observed "
-             "eval-split coverage (all-integer rank arithmetic)")
-    register("payer_hits", graph.payer_hits, graph.HITS_SQL,
-             "HITS hubs/authorities over the payment graph (4 unrolled "
-             "iterations, L1-normalized, decimal-exact propagation — "
-             "concentrators vs distributors, the mule-network signature)")
+    register("conformal_by_modality", dashboard.conformal_by_modality,
+             dashboard.CONFORMAL_BY_MODALITY_SQL,
+             "Mondrian (group-conditional) conformal calibration: exact "
+             "per-modality order-statistic thresholds via the GROUPED "
+             "distributed-ranking form (max_groups guard driver-visible)")
     register("dsir_importance_weights", curation.dsir_importance_weights,
              curation.DSIR_IMPORTANCE_SQL,
              "DSIR domain-matching importance weights: hashed-unigram "

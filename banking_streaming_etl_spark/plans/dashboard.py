@@ -1476,6 +1476,101 @@ def conformal_risk_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conformal_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian (group-conditional) split-conformal calibration: the
+    coverage guarantee of `conformal_risk_thresholds` holds only
+    MARGINALLY over the whole population — a score that under-covers PIX
+    and over-covers boleto still passes the marginal audit. The Mondrian
+    variant (Vovk's taxonomy-conditional conformal) calibrates one
+    threshold PER PAYMENT MODALITY at each miscoverage level, restoring
+    the guarantee within every group a policy would act on.
+
+    Exactness: same all-integer rank arithmetic as the marginal twin,
+    but the order statistic is selected per group by the GROUPED
+    distributed-ranking form (operators/ranking.py group_cols — per-group
+    sampled boundaries, (group, bucket)-partitioned local windows,
+    per-group exact offsets; the broadcast-sized group-cardinality
+    precondition is ENFORCED by the plan-level max_groups assert_true
+    guard, which this query makes driver-visible). Scale shape: one
+    grouped rank pass over the calibration split; the <= G x |alphas|
+    threshold rows broadcast onto one equi-join + conditional-count
+    aggregate of the evaluation split."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    ap = _approved(spark, sf_dir).select(
+        "id_transacao", "modalidade_pagamento", "score_medio"
+    )
+    is_cal = F.col("id_transacao") % CONF_SPLIT_MOD == 0
+    ranked = ranking.with_global_row_number(
+        ap.filter(is_cal), "score_medio", "id_transacao", out="r",
+        group_cols=["modalidade_pagamento"],
+    )
+    alphas = F.explode(
+        F.array(*[F.lit(a).cast("int") for a in CONF_ALPHAS_PERMILLE])
+    ).alias("alpha_permille")
+    tgt_rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(
+            F.col("_rank_n_total"),
+            F.expr(
+                "((1000 - alpha_permille) * (_rank_n_total + 1) + 999) "
+                "DIV 1000"
+            ),
+        ),
+    )
+    thresholds = (
+        ranked.select(
+            "modalidade_pagamento", "r", "_rank_n_total", "score_medio"
+        )
+        .crossJoin(F.broadcast(ranked.sparkSession.range(1).select(alphas)))
+        .filter(F.col("r") == tgt_rank)
+        .select(
+            "modalidade_pagamento",
+            "alpha_permille",
+            F.col("_rank_n_total").alias("n_cal"),
+            F.col("score_medio").alias("limiar"),
+        )
+    )
+    ev = ap.filter(~is_cal)
+    return (
+        ev.join(F.broadcast(thresholds), "modalidade_pagamento")
+        .groupBy("modalidade_pagamento", "alpha_permille", "n_cal", "limiar")
+        .agg(
+            F.count("*").cast("bigint").alias("n_aval"),
+            F.sum((F.col("score_medio") <= F.col("limiar")).cast("int"))
+            .cast("bigint")
+            .alias("n_coberto"),
+        )
+    )
+
+
+CONFORMAL_BY_MODALITY_SQL = _oracle(
+    f"""
+SELECT e.modalidade_pagamento, t.alpha_permille, t.n_cal, t.limiar,
+       CAST(COUNT(*) AS BIGINT) AS n_aval,
+       CAST(SUM(CASE WHEN e.score_medio <= t.limiar THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_coberto
+FROM (SELECT modalidade_pagamento, score_medio
+      FROM approved WHERE id_transacao % {CONF_SPLIT_MOD} <> 0) e
+JOIN (
+    SELECT modalidade_pagamento, alpha_permille, n_cal,
+           score_medio AS limiar
+    FROM (
+        SELECT modalidade_pagamento, score_medio,
+               ROW_NUMBER() OVER (PARTITION BY modalidade_pagamento
+                                  ORDER BY score_medio ASC,
+                                  id_transacao ASC) AS r,
+               COUNT(*) OVER (PARTITION BY modalidade_pagamento) AS n_cal
+        FROM approved WHERE id_transacao % {CONF_SPLIT_MOD} = 0
+    ), (SELECT unnest([{", ".join(str(a) for a in CONF_ALPHAS_PERMILLE)}])
+            AS alpha_permille)
+    WHERE r = GREATEST(1, LEAST(n_cal,
+              ((1000 - alpha_permille) * (n_cal + 1) + 999) // 1000))
+) t ON e.modalidade_pagamento = t.modalidade_pagamento
+GROUP BY e.modalidade_pagamento, t.alpha_permille, t.n_cal, t.limiar"""
+)
+
+
 CONFORMAL_SQL = _oracle(
     f"""
 SELECT t.alpha_permille, t.n_cal, t.limiar,

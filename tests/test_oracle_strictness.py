@@ -156,6 +156,12 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "pareto_share_by_decile",
         "exact_percentiles_valor",
         "risk_score_auc",
+        # round-7 rotation: the eval-calibration family and the
+        # iteration-unrolled HITS oracle must be driver-proven (they
+        # displaced q6_revenue_forecast and kmv_modality_overlap —
+        # re-proven by in-window siblings and the local parity gate)
+        "conformal_risk_thresholds",
+        "payer_hits",
         "scd2_user_history",
         "tfidf_terms",
         "train_test_split_docs",

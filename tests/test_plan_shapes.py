@@ -591,6 +591,24 @@ def test_exact_percentiles_has_no_unpartitioned_window(spark):
                 assert "rk_bucket" in sec.split("Arguments:")[-1], (name, sec)
 
 
+def test_conformal_by_modality_plan_carries_max_groups_guard(spark):
+    """conformal_by_modality (the driver-visible user of the GROUPED
+    ranking form): the optimized plan must still contain the max_groups
+    assert_true guard (round-5 task #4's enforced broadcast-sized
+    precondition) — Catalyst must not have pruned it — and the rank must
+    ride the bucket-partitioned window, never an unpartitioned one."""
+    df = _query(spark, "conformal_by_modality")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # assert_true lowers to `if(cond) ... else raise_error(...)` in the
+    # optimized plan — match the lowered form + the named bound
+    assert "raise_error" in opt and "max_groups" in opt, opt[:2000]
+    plan = _physical_plan(df)
+    assert "rk_bucket" in plan, plan
+    for sec in plan.split("\n\n"):
+        if sec.startswith("(") and "Window" in sec.splitlines()[0][:20]:
+            assert "rk_bucket" in sec.split("Arguments:")[-1], sec
+
+
 def test_dataset_card_is_one_scan(spark):
     """dataset_card: all statistics in one aggregate over one scan."""
     import re

@@ -139,6 +139,31 @@ def with_global_row_number(
     group count exceeds `max_groups` (default RANK_BUCKET_CAP; for
     high-cardinality groups a plain partitioned window is already
     parallel and this operator is unnecessary)."""
+    bucketed, gcols = _bucketize(
+        df, value_col, id_col, value_desc, rows_per_bucket, group_cols,
+        max_groups, nulls, "with_global_row_number",
+    )
+    return _rank_from_buckets(bucketed, gcols, out)
+
+
+def _bucketize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    value_desc: bool,
+    rows_per_bucket: int,
+    group_cols: list | None,
+    max_groups: int,
+    nulls: str,
+    caller: str,
+) -> tuple[DataFrame, list]:
+    """Shared front half of the distributed-ranking family (steps 1-3 of
+    the module recipe): null-policy keying, size-following sampled
+    boundaries, and the broadcast cut join. Returns the input frame with
+    (_rk_nf, _rk_v, _rk_i, rk_bucket) appended — bucket i holds a
+    contiguous slice of the total order — plus the resolved group-col
+    list. `with_global_row_number` layers exact rank offsets on top;
+    `with_global_cumsum` layers exact weight-prefix offsets."""
     if nulls not in ("first", "last", "reject"):
         raise ValueError(
             f"nulls must be 'first' | 'last' | 'reject', got {nulls!r}"
@@ -155,7 +180,7 @@ def with_global_row_number(
             F.assert_true(
                 ~is_null,
                 F.lit(
-                    "with_global_row_number(nulls='reject'): NULL value "
+                    f"{caller}(nulls='reject'): NULL value "
                     f"in rank column {value_col!r}"
                 ),
             ).isNull()
@@ -355,11 +380,20 @@ def with_global_row_number(
         .withColumn("rk_bucket", (F.lit(1) + below))
         .drop("_rk_bnds")
     )
+    return bucketed, gcols
 
-    # -- 4. local rank per bucket (partitioned window — parallel)
-    wloc = W.partitionBy(*gcols, "rk_bucket").orderBy(
+
+def _bucket_window(gcols: list):
+    """The (group, bucket)-PARTITIONED local window over the total
+    order — parallel, each task sorts ~rows_per_bucket rows."""
+    return W.partitionBy(*gcols, "rk_bucket").orderBy(
         F.asc("_rk_nf"), F.asc_nulls_first("_rk_v"), F.asc("_rk_i")
     )
+
+
+def _rank_from_buckets(bucketed: DataFrame, gcols: list, out: str) -> DataFrame:
+    # -- 4. local rank per bucket (partitioned window — parallel)
+    wloc = _bucket_window(gcols)
     local = bucketed.withColumn(
         "_rk_local", F.row_number().over(wloc).cast("bigint")
     )
@@ -424,6 +458,142 @@ def with_global_row_number(
         )
         .drop("_rk_nf", "_rk_v", "_rk_i", "_rk_local", "_rk_offs",
               "rk_bucket")
+    )
+
+
+#: exact accumulator type for distributed prefix sums — 29 integral
+#: digits of headroom; every partial is re-cast so Spark's precision
+#: widening can't silently change the type mid-fold.
+DEC38 = "decimal(38,9)"
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    weight_col: str,
+    out: str = "cum",
+    rank_out: str | None = None,
+    value_desc: bool = False,
+    rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
+    group_cols: list | None = None,
+    max_groups: int = RANK_BUCKET_CAP,
+    nulls: str = "first",
+) -> DataFrame:
+    """Exact distributed PREFIX SUM: append the running total of
+    `weight_col` over the global total order (value_col asc|desc,
+    id_col asc) — ``SUM(w) OVER (ORDER BY v, id)`` — without ever
+    moving the frame to one task, plus ``_rank_n_total`` (exact row
+    count) and ``_cumsum_total`` (exact grand total; Lorenz/coverage
+    shares divide by it without a second pass). Optional `rank_out`
+    emits the global row number from the same local window for free.
+
+    Same recipe as `with_global_row_number` (shared `_bucketize` front
+    half), with step 4 a bucket-partitioned RUNNING-sum window and step
+    5 folding per-bucket (count, weight-sum) pairs into exact prefix
+    offsets: cum = bucket_weight_offset + local running sum. Weights
+    accumulate in DECIMAL(38,9) end to end — order-independent, so the
+    result is bit-identical to the single-partition window form and
+    oracle-checkable against DuckDB's ``SUM(CAST(w AS DECIMAL(38,9)))
+    OVER (ORDER BY ...)``. All `with_global_row_number` contracts apply
+    (unique bigint id tiebreak, `nulls` policy on the SORT column,
+    enforced `max_groups` for the grouped form). NULL weights follow
+    SQL window-SUM semantics: skipped by the running sum (a prefix of
+    all-null weights is NULL in both engines).
+
+    Unlocks the global-order analytics a partitioned window can't
+    reach: Lorenz curves / Gini, top-K coverage curves (vocabulary
+    coverage, traffic concentration), exact ECDF values, cumulative
+    budget cutoffs — each previously only safe per-group."""
+    bucketed, gcols = _bucketize(
+        df, value_col, id_col, value_desc, rows_per_bucket, group_cols,
+        max_groups, nulls, "with_global_cumsum",
+    )
+    wdec = F.col(weight_col).cast(DEC38)
+    wloc = _bucket_window(gcols)
+    running = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = bucketed.withColumn("_rk_lcum", F.sum(wdec).over(running))
+    if rank_out:
+        local = local.withColumn(
+            "_rk_local", F.row_number().over(wloc).cast("bigint")
+        )
+
+    # per-bucket (count, weight-sum) -> exact prefix offsets, ONE bounded
+    # fold over <= RANK_BUCKET_CAP structs (no Window node); weight sums
+    # re-cast at every step so decimal widening can't drift the type
+    acc0 = F.struct(
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast(DEC38).alias("wrun"),
+        F.expr(
+            "CAST(array() AS array<struct<bucket:int,"
+            "val:struct<off:bigint,woff:decimal(38,9)>>>)"
+        ).alias("acc"),
+    )
+    offsets = (
+        bucketed.groupBy(*gcols, "rk_bucket")
+        .agg(
+            F.count("*").alias("_rk_cnt"),
+            F.coalesce(F.sum(wdec), F.lit(0).cast(DEC38)).alias("_rk_wsum"),
+        )
+        .groupBy(*gcols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rk_bucket").cast("int").alias("bucket"),
+                        F.col("_rk_cnt").alias("cnt"),
+                        F.col("_rk_wsum").alias("wsum"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(
+            *gcols,
+            F.map_from_entries(
+                F.aggregate(
+                    F.col("arr"),
+                    acc0,
+                    lambda a, x: F.struct(
+                        (a["run"] + x["cnt"]).alias("run"),
+                        (a["wrun"] + x["wsum"]).cast(DEC38).alias("wrun"),
+                        F.concat(
+                            a["acc"],
+                            F.array(
+                                F.struct(
+                                    x["bucket"].alias("bucket"),
+                                    F.struct(
+                                        a["run"].alias("off"),
+                                        a["wrun"].cast(DEC38).alias("woff"),
+                                    ).alias("val"),
+                                )
+                            ),
+                        ).alias("acc"),
+                    ),
+                    lambda a: a["acc"],
+                )
+            ).alias("_rk_offs"),
+            F.aggregate(
+                F.col("arr"),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x["cnt"],
+            ).alias("_rank_n_total"),
+            F.aggregate(
+                F.col("arr"),
+                F.lit(0).cast(DEC38),
+                lambda a, x: (a + x["wsum"]).cast(DEC38),
+            ).alias("_cumsum_total"),
+        )
+    )
+
+    ent = F.element_at(F.col("_rk_offs"), F.col("rk_bucket").cast("int"))
+    res = _bjoin(local, offsets, gcols).withColumn(
+        out, (ent["woff"] + F.col("_rk_lcum")).cast(DEC38)
+    )
+    if rank_out:
+        res = res.withColumn(rank_out, ent["off"] + F.col("_rk_local"))
+    return res.drop(
+        "_rk_nf", "_rk_v", "_rk_i", "_rk_lcum", "_rk_local", "_rk_offs",
+        "rk_bucket",
     )
 
 

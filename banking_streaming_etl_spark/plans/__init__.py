@@ -501,6 +501,15 @@ def register_all() -> None:
              dedup.NEAR_DUP_JACCARD_SQL,
              "exact 3-gram Jaccard pairs (brute-force twin of the "
              "in-window MinHash-LSH slot, which shares its oracle)")
+    register("gini_value_concentration", dashboard.gini_value_concentration,
+             dashboard.GINI_SQL,
+             "Gini coefficient of payer spend via the exact distributed "
+             "prefix-sum (Lorenz identity; no unpartitioned window)")
+    register("vocab_coverage_topk", text.vocab_coverage_topk,
+             text.VOCAB_COVERAGE_SQL,
+             "top-K vocabulary coverage curve: exact cumulative token "
+             "counts at each vocab budget (distributed prefix-sum over "
+             "descending term frequency, portable md5_48 tiebreak)")
     register("conformal_by_modality", dashboard.conformal_by_modality,
              dashboard.CONFORMAL_BY_MODALITY_SQL,
              "Mondrian (group-conditional) conformal calibration: exact "

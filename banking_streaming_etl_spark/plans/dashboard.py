@@ -1906,3 +1906,73 @@ FROM (
 GROUP BY decil, grand_dec
 """
 )
+
+
+def gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of payer spend concentration — the scalar
+    inequality companion of `pareto_share_by_decile`'s decile table,
+    via the discrete Lorenz identity G = 1 - (2*S - T) / (n*T) where
+    S = sum of the ascending cumulative totals (the area under the
+    Lorenz curve, up to scale) and T the grand total.
+
+    Scale shape: the cumulative totals come from the exact distributed
+    prefix-sum (operators/ranking.with_global_cumsum — sampled
+    boundaries, bucket-partitioned running windows, exact per-bucket
+    weight offsets; NO unpartitioned window), so the classic
+    sort-then-scan Gini recipe survives any input size. All
+    accumulation is DECIMAL; the single double expression is
+    term-identical in the DuckDB twin (pareto's convention)."""
+    from banking_streaming_etl_spark.functions import exact
+    from banking_streaming_etl_spark.operators import ranking
+
+    t = datamodel.transactions(spark, sf_dir)
+    totals = t.groupBy("id_usuario_pagador").agg(
+        F.sum(exact._d(F.col("valor_transacao"))).alias("total_dec")
+    )
+    cum = ranking.with_global_cumsum(
+        totals, "total_dec", "id_usuario_pagador", "total_dec",
+        out="cum", nulls="reject",
+    )
+    agg = cum.agg(
+        F.count("*").cast("bigint").alias("n_pagadores"),
+        F.sum("cum").cast(ranking.DEC38).alias("s_dec"),
+        F.max("_cumsum_total").alias("t_dec"),
+    )
+    n_d = F.col("n_pagadores").cast("double")
+    s_d = F.col("s_dec").cast("double")
+    t_d = F.col("t_dec").cast("double")
+    return agg.select(
+        "n_pagadores",
+        t_d.alias("valor_total"),
+        F.round(
+            F.lit(1.0) - (F.lit(2.0) * s_d - t_d) / (n_d * t_d), 6
+        ).alias("gini"),
+    )
+
+
+GINI_SQL = datamodel.with_ctes(
+    """
+SELECT CAST(n AS BIGINT) AS n_pagadores,
+       CAST(t AS DOUBLE) AS valor_total,
+       ROUND(1.0 - (2.0 * CAST(s AS DOUBLE) - CAST(t AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini
+FROM (
+    SELECT COUNT(*) AS n,
+           SUM(cum) AS s,
+           MAX(t_dec) AS t
+    FROM (
+        SELECT SUM(CAST(total_dec AS DECIMAL(38,9))) OVER (
+                   ORDER BY total_dec ASC, id_usuario_pagador ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               SUM(CAST(total_dec AS DECIMAL(38,9))) OVER () AS t_dec
+        FROM (
+            SELECT id_usuario_pagador,
+                   SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)))
+                       AS total_dec
+            FROM transactions GROUP BY 1
+        )
+    )
+)
+"""
+)

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
-from banking_streaming_etl_spark.functions import exact, textfns
+from banking_streaming_etl_spark.functions import exact, portable, textfns
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +225,80 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.exact_avg(F.round(logp, 6), "logprob_medio"),
         )
     )
+
+
+#: top-K vocabulary sizes audited by vocab_coverage_topk
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: how many corpus tokens the top-K most
+    frequent terms cover, for K in VOCAB_COVERAGE_KS — the tokenizer /
+    vocabulary-size design datapoint (a Zipfian corpus saturates fast;
+    a flat curve says the vocab budget is underpowered).
+
+    Scale shape: one term-frequency aggregate, then the exact
+    distributed prefix-sum (operators/ranking.with_global_cumsum) over
+    descending frequency — NO unpartitioned window, so the curve
+    survives a 10^9-term vocabulary. The tiebreak id is the portable
+    md5_48 of the term (both dialects hash identically), and the output
+    carries only counts: a true 48-bit collision between equal-count
+    terms could swap their ranks but never changes any emitted value
+    (the multiset of top-K counts is tie-order-invariant). Outputs are
+    exact BIGINTs — numerator and denominator, never a rounded ratio
+    (the exact-rational ROUND(.,6) boundary hazard)."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    d = _docs(spark, sf_dir)
+    terms = d.select(F.explode("toks").alias("termo"))
+    freq = (
+        terms.groupBy("termo")
+        .agg(F.count("*").alias("c"))
+        .withColumn("tid", portable.md5_48(F.col("termo")))
+    )
+    cum = ranking.with_global_cumsum(
+        freq, "c", "tid", "c", out="cum", rank_out="r",
+        value_desc=True, nulls="reject",
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k).cast("bigint") for k in VOCAB_COVERAGE_KS])
+    ).alias("k")
+    return (
+        cum.crossJoin(F.broadcast(cum.sparkSession.range(1).select(ks)))
+        .filter(F.col("r") == F.col("k"))
+        .select(
+            "k",
+            F.col("_rank_n_total").alias("termos_total"),
+            F.col("cum").cast("bigint").alias("tokens_cobertos"),
+            F.col("_cumsum_total").cast("bigint").alias("tokens_total"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH terms AS (
+    SELECT unnest(string_split(text, ' ')) AS termo FROM documents
+),
+freq AS (SELECT termo, COUNT(*) AS c FROM terms GROUP BY termo),
+ranked AS (
+    SELECT ROW_NUMBER() OVER (
+               ORDER BY c DESC, {portable.md5_48_sql('termo')} ASC
+           ) AS r,
+           SUM(CAST(c AS DECIMAL(38,9))) OVER (
+               ORDER BY c DESC, {portable.md5_48_sql('termo')} ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum,
+           COUNT(*) OVER () AS termos_total,
+           SUM(CAST(c AS DECIMAL(38,9))) OVER () AS tokens_total
+    FROM freq
+)
+SELECT k, CAST(termos_total AS BIGINT) AS termos_total,
+       CAST(cum AS BIGINT) AS tokens_cobertos,
+       CAST(tokens_total AS BIGINT) AS tokens_total
+FROM ranked,
+     (SELECT unnest([{", ".join(str(k) for k in VOCAB_COVERAGE_KS)}]) AS k)
+WHERE r = k
+"""
 
 
 UNIGRAM_LOGPROB_SQL = f"""

@@ -79,6 +79,11 @@ EXTRA = [
     "dsir_importance_weights",
     "conformal_risk_thresholds",
     "payer_hits",
+    # round-7 registrees (the distributed prefix-sum family + the
+    # Mondrian grouped-conformal capstone)
+    "conformal_by_modality",
+    "gini_value_concentration",
+    "vocab_coverage_topk",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -320,3 +320,66 @@ def test_null_policy_grouped_form(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+@pytest.mark.parametrize("value_desc", [True, False])
+@pytest.mark.parametrize("rows_per_bucket", [4, 10**6])
+def test_global_cumsum_matches_window(spark, value_desc, rows_per_bucket):
+    """with_global_cumsum == SUM OVER (ORDER BY v, i ROWS UNBOUNDED
+    PRECEDING) + row_number, bit-identical decimals, at forced
+    multi-bucket granularity AND the degenerate single bucket."""
+    from decimal import Decimal
+
+    rows = [
+        (i, float((i * 13) % 23), Decimal(str((i * 7) % 11)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "i long, v double, w decimal(10,2)")
+    got = ranking.with_global_cumsum(
+        df, "v", "i", "w", out="c", rank_out="r",
+        value_desc=value_desc, rows_per_bucket=rows_per_bucket,
+    ).select("i", "r", "c")
+    order = [F.desc("v"), F.asc("i")] if value_desc else [
+        F.asc("v"), F.asc("i")
+    ]
+    w = W.orderBy(*order)
+    want = df.select(
+        "i",
+        F.row_number().over(w).cast("bigint").alias("r"),
+        F.sum(F.col("w").cast(ranking.DEC38))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("c"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_global_cumsum_grouped_and_totals(spark):
+    """group_cols form: per-group running sums match the partitioned
+    window, _cumsum_total is the exact per-group grand total and
+    _rank_n_total the group size."""
+    from decimal import Decimal
+
+    rows = [
+        (i % 3, i, float(i % 7), Decimal(str(i % 5)))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "g int, i long, v double, w decimal(10,2)"
+    )
+    got = ranking.with_global_cumsum(
+        df, "v", "i", "w", out="c", group_cols=["g"], rows_per_bucket=5,
+    ).select("g", "i", "c", "_cumsum_total", "_rank_n_total")
+    w = W.partitionBy("g").orderBy(F.asc("v"), F.asc("i"))
+    wg = W.partitionBy("g")
+    want = df.select(
+        "g",
+        "i",
+        F.sum(F.col("w").cast(ranking.DEC38))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("c"),
+        F.sum(F.col("w").cast(ranking.DEC38)).over(wg)
+        .cast(ranking.DEC38).alias("_cumsum_total"),
+        F.count("*").over(wg).cast("bigint").alias("_rank_n_total"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -501,6 +501,20 @@ def register_all() -> None:
              dedup.NEAR_DUP_JACCARD_SQL,
              "exact 3-gram Jaccard pairs (brute-force twin of the "
              "in-window MinHash-LSH slot, which shares its oracle)")
+    register("trimmed_mean_value", dashboard.trimmed_mean_value,
+             dashboard.TRIMMED_MEAN_SQL,
+             "exact trimmed + winsorized means: one distributed-rank "
+             "pass, one conditional aggregate (robust statistics)")
+    register("roc_curve_deciles", dashboard.roc_curve_deciles,
+             dashboard.ROC_CURVE_SQL,
+             "ROC operating points at score-decile thresholds: "
+             "cumulative TP/FP integer counts (distributed NTILE + "
+             "broadcast triangular roll-up)")
+    register("pack_sequences_global", curation.pack_sequences_global,
+             curation.PACK_GLOBAL_SQL,
+             "global (un-sharded) sequence-packing summary via the exact "
+             "distributed prefix-sum: per-pack doc count, token payload, "
+             "boundary overflow")
     register("gini_value_concentration", dashboard.gini_value_concentration,
              dashboard.GINI_SQL,
              "Gini coefficient of payer spend via the exact distributed "

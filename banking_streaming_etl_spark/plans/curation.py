@@ -73,6 +73,69 @@ FROM d
 """
 
 
+def pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL sequence-packing summary: documents laid end-to-end in one
+    corpus-wide doc_id order (no shard key at all) and cut into
+    PACK_BUDGET-token packs; one row per pack with its document count,
+    token payload and boundary overflow (tokens a straddling document
+    carries past the pack edge — the padding/truncation budget a writer
+    must absorb).
+
+    `pack_sequences` shards by source because a partitioned window was
+    the only scale-safe prefix sum; this is the UN-sharded form the
+    exact distributed prefix-sum (operators/ranking.with_global_cumsum)
+    unlocks — bit-identical to the single-order window packing at any
+    corpus size, with no unpartitioned window in the plan. Integer
+    arithmetic end to end (counts ride DECIMAL through the cumsum and
+    come back as exact BIGINTs)."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    d = datamodel.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    cum = ranking.with_global_cumsum(
+        d, "doc_id", "doc_id", "n_tokens", out="cum_dec", nulls="reject"
+    ).withColumn("cum", F.col("cum_dec").cast("bigint"))
+    packed = cum.withColumn(
+        "pack_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_pack"),
+        F.greatest(
+            F.max("cum")
+            - (F.col("pack_id") + F.lit(1)) * F.lit(PACK_BUDGET).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).cast("bigint").alias("transbordo"),
+    )
+
+
+PACK_GLOBAL_SQL = f"""
+WITH d AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+    SELECT n_tokens,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(38,9))) OVER (
+               ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum
+    FROM d
+)
+SELECT pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_pack,
+       CAST(GREATEST(MAX(cum) - (pack_id + 1) * {PACK_BUDGET}, 0)
+            AS BIGINT) AS transbordo
+FROM (
+    SELECT n_tokens, cum,
+           (cum - n_tokens) // {PACK_BUDGET} AS pack_id
+    FROM c
+)
+GROUP BY pack_id
+"""
+
+
 #: length-bucketed batching: equal-count length buckets, fixed docs/batch.
 LEN_BUCKETS = 8
 LEN_BATCH_SIZE = 16

@@ -1820,6 +1820,180 @@ def exact_percentiles_valor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def roc_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating points of the risk score at its ten decile
+    thresholds — the curve behind `risk_score_auc`'s scalar: for each
+    score decile (1 = highest risk), the CUMULATIVE true positives
+    (denials caught at-or-above the threshold) and false positives
+    (approvals swept in). Completes the evaluation triptych: AUC
+    (ranking quality), calibration deciles (probability quality), ROC
+    points (threshold choice).
+
+    Exactness: integer counts only — TPR/FPR divisions are left to the
+    consumer (the exact-rational ROUND(.,6) boundary hazard). Scale
+    shape: ONE distributed-NTILE pass (no single-task sort), a 10-row
+    per-decile aggregate, and the cumulative roll-up as a broadcast
+    triangular self-join of that 10-row table — never a second corpus
+    scan, never an unpartitioned window."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    ap = _approved(spark, sf_dir).select(
+        "id_transacao", "score_medio", "transacao_aprovada"
+    )
+    binned = ranking.with_global_ntile(
+        ap, "score_medio", "id_transacao", 10, out="decil",
+        value_desc=True, nulls="reject",
+    )
+    per = binned.groupBy("decil").agg(
+        F.count("*").cast("bigint").alias("n_decil"),
+        F.sum((~F.col("transacao_aprovada")).cast("int"))
+        .cast("bigint")
+        .alias("pos_decil"),
+    )
+    upto = per.select(
+        F.col("decil").alias("d2"),
+        F.col("n_decil").alias("n2"),
+        F.col("pos_decil").alias("p2"),
+    )
+    return (
+        per.join(F.broadcast(upto), F.col("d2") <= F.col("decil"))
+        .groupBy("decil", "n_decil", "pos_decil")
+        .agg(
+            F.sum("p2").cast("bigint").alias("vp_acum"),
+            F.sum(F.col("n2") - F.col("p2")).cast("bigint").alias("fp_acum"),
+        )
+    )
+
+
+ROC_CURVE_SQL = _oracle(
+    """
+SELECT a.decil, a.n_decil, a.pos_decil,
+       CAST(SUM(b.pos_decil) AS BIGINT) AS vp_acum,
+       CAST(SUM(b.n_decil - b.pos_decil) AS BIGINT) AS fp_acum
+FROM (
+    SELECT decil, CAST(COUNT(*) AS BIGINT) AS n_decil,
+           CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos_decil
+    FROM (
+        SELECT transacao_aprovada,
+               NTILE(10) OVER (ORDER BY score_medio DESC,
+                               id_transacao ASC) AS decil
+        FROM approved
+    )
+    GROUP BY decil
+) a
+JOIN (
+    SELECT decil, CAST(COUNT(*) AS BIGINT) AS n_decil,
+           CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos_decil
+    FROM (
+        SELECT transacao_aprovada,
+               NTILE(10) OVER (ORDER BY score_medio DESC,
+                               id_transacao ASC) AS decil
+        FROM approved
+    )
+    GROUP BY decil
+) b ON b.decil <= a.decil
+GROUP BY a.decil, a.n_decil, a.pos_decil
+"""
+)
+
+
+#: symmetric trim fraction for the robust-mean pair (5% per tail)
+TRIM_PCT = 0.05
+
+
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trimmed and winsorized means of the transaction value —
+    the robust-statistics pair (outlier-resistant central tendency;
+    the winsorized form keeps the tails' mass at the clamp values
+    instead of discarding it). Trim rule: drop ranks <= lo and
+    > n - lo with lo = CEIL(TRIM_PCT * n); winsorize clamps those
+    tails to the values at ranks lo+1 and n-lo.
+
+    Scale shape: ONE distributed-rank pass (no single-task sort — a
+    sort-based trimmed mean simply doesn't exist at 10^12 rows), then
+    ONE conditional aggregate: kept-range decimal sum/count plus the
+    two clamp values selected by rank equality — no second scan, no
+    join. All accumulation decimal; the double division and the CEIL
+    ladder are term-identical in the DuckDB twin."""
+    from banking_streaming_etl_spark.functions import exact
+    from banking_streaming_etl_spark.operators import ranking
+
+    t = datamodel.transactions(spark, sf_dir).select(
+        F.col("valor_transacao").alias("v"),
+        F.col("id_transacao").alias("i"),
+    )
+    ranked = ranking.with_global_row_number(t, "v", "i", out="r")
+    lo = F.ceil(
+        F.lit(TRIM_PCT) * F.col("_rank_n_total").cast("double")
+    ).cast("bigint")
+    hi = F.col("_rank_n_total") - lo
+    kept = (F.col("r") > lo) & (F.col("r") <= hi)
+    agg = ranked.agg(
+        F.max("_rank_n_total").alias("n"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, exact._d(F.col("v")))).alias("s_kept"),
+        F.max(F.when(F.col("r") == lo + 1, F.col("v"))).alias("v_lo"),
+        F.max(F.when(F.col("r") == hi, F.col("v"))).alias("v_hi"),
+    )
+    lo_n = F.ceil(
+        F.lit(TRIM_PCT) * F.col("n").cast("double")
+    ).cast("bigint")
+    wsum = (
+        F.col("s_kept")
+        + lo_n * exact._d(F.col("v_lo"))
+        + lo_n * exact._d(F.col("v_hi"))
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("n_kept").cast("bigint").alias("n_aparado"),
+        (
+            F.col("s_kept").cast("double") / F.col("n_kept").cast("double")
+        ).alias("media_aparada"),
+        (wsum.cast("double") / F.col("n").cast("double")).alias(
+            "media_winsorizada"
+        ),
+    )
+
+
+TRIMMED_MEAN_SQL = datamodel.with_ctes(
+    f"""
+SELECT CAST(n AS BIGINT) AS n_total,
+       CAST(n_kept AS BIGINT) AS n_aparado,
+       CAST(s_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) AS media_aparada,
+       CAST(s_kept
+            + CAST(CEIL({TRIM_PCT} * CAST(n AS DOUBLE)) AS BIGINT)
+              * CAST(ROUND(v_lo, 6) AS DECIMAL(28,6))
+            + CAST(CEIL({TRIM_PCT} * CAST(n AS DOUBLE)) AS BIGINT)
+              * CAST(ROUND(v_hi, 6) AS DECIMAL(28,6)) AS DOUBLE)
+       / CAST(n AS DOUBLE) AS media_winsorizada
+FROM (
+    SELECT MAX(n) AS n,
+           SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN kept
+               THEN CAST(ROUND(v, 6) AS DECIMAL(28,6)) END) AS s_kept,
+           MAX(CASE WHEN r = lo + 1 THEN v END) AS v_lo,
+           MAX(CASE WHEN r = n - lo THEN v END) AS v_hi
+    FROM (
+        SELECT v, r, n,
+               CAST(CEIL({TRIM_PCT} * CAST(n AS DOUBLE)) AS BIGINT) AS lo,
+               r > CAST(CEIL({TRIM_PCT} * CAST(n AS DOUBLE)) AS BIGINT)
+               AND r <= n - CAST(CEIL({TRIM_PCT} * CAST(n AS DOUBLE))
+                               AS BIGINT) AS kept
+        FROM (
+            SELECT valor_transacao AS v,
+                   ROW_NUMBER() OVER (ORDER BY valor_transacao ASC,
+                                      id_transacao ASC) AS r,
+                   COUNT(*) OVER () AS n
+            FROM transactions
+        )
+    )
+)
+"""
+)
+
+
 EXACT_PERCENTILES_SQL = datamodel.with_ctes(
     f"""
 SELECT CAST(p.pct AS DOUBLE) AS pct, r.v AS valor_percentil

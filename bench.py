@@ -84,6 +84,9 @@ EXTRA = [
     "conformal_by_modality",
     "gini_value_concentration",
     "vocab_coverage_topk",
+    "trimmed_mean_value",
+    "roc_curve_deciles",
+    "pack_sequences_global",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -463,3 +463,46 @@ def payer_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rank", 6).alias("rank"),
         F.lit(iters_run).alias("iteracoes"),
     )
+
+
+def payer_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the payment graph: how many users have
+    out-degree (distinct recipients paid) / in-degree (distinct payers
+    received from) equal to g — the first diagnostic of any graph
+    workload (a heavy tail here is what makes PageRank/HITS worth
+    running, and what the skew-handling paths exist for).
+
+    Integer counts end to end. Scale shape: two node-keyed aggregates
+    over the distinct-edge frame, then two tiny degree-keyed
+    re-aggregates; the union is degrees-sized."""
+    edges, _ = _graph(spark, sf_dir)
+
+    def _hist(key: str, label: str) -> DataFrame:
+        return (
+            edges.groupBy(key)
+            .agg(F.count("*").alias("grau"))
+            .groupBy("grau")
+            .agg(F.count("*").cast("bigint").alias("n_usuarios"))
+            .select(F.lit(label).alias("direcao"), "grau", "n_usuarios")
+        )
+
+    return _hist("src", "saida").unionAll(_hist("dst", "entrada"))
+
+
+DEGREE_DIST_SQL = datamodel.with_ctes(
+    """
+SELECT 'saida' AS direcao, grau, CAST(COUNT(*) AS BIGINT) AS n_usuarios
+FROM (SELECT src, COUNT(*) AS grau FROM edges GROUP BY src)
+GROUP BY grau
+UNION ALL
+SELECT 'entrada' AS direcao, grau, CAST(COUNT(*) AS BIGINT) AS n_usuarios
+FROM (SELECT dst, COUNT(*) AS grau FROM edges GROUP BY dst)
+GROUP BY grau
+""",
+    extra_ctes="""
+edges AS (
+    SELECT DISTINCT id_usuario_pagador AS src, id_usuario_recebedor AS dst
+    FROM transactions
+    WHERE id_usuario_recebedor IS NOT NULL
+)""",
+)

@@ -501,6 +501,13 @@ def register_all() -> None:
              dedup.NEAR_DUP_JACCARD_SQL,
              "exact 3-gram Jaccard pairs (brute-force twin of the "
              "in-window MinHash-LSH slot, which shares its oracle)")
+    register("hourly_acf", behavior.hourly_acf, behavior.HOURLY_ACF_SQL,
+             "hourly-series autocorrelation at standard lags: lagged "
+             "equi-join + exact decimal-moment Pearson (no window)")
+    register("payer_degree_distribution", graph.payer_degree_distribution,
+             graph.DEGREE_DIST_SQL,
+             "in/out degree histograms of the payment graph (integer "
+             "counts; node-keyed then degree-keyed aggregates)")
     register("trimmed_mean_value", dashboard.trimmed_mean_value,
              dashboard.TRIMMED_MEAN_SQL,
              "exact trimmed + winsorized means: one distributed-rank "

@@ -436,3 +436,79 @@ seasonal AS (
 
 
 SEASONAL_DECOMPOSE_SQL = _seasonal_sql()
+
+
+#: autocorrelation lags audited by hourly_acf (hours)
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly transaction-count series
+    at the standard diagnostic lags — seasonal_decompose_hourly's
+    companion (a spike at lag 24 CONFIRMS the daily rhythm the
+    decomposition assumes; a flat ACF says don't bother deseasonalizing).
+
+    Determinism: counts are integers keyed by the integer epoch-hour
+    (unix_micros div — floor in both dialects, per the epoch-seconds
+    invariant); each lag's Pearson r uses the exact decimal-moment
+    correlation (functions/exact.py), rounded once.
+
+    Scale shape: the fact table collapses to the hours-sized series in
+    one aggregate; lagged pairs come from an equi-join on hour+lag (a
+    keyed shuffle join, NO window of any kind), then one tiny per-lag
+    aggregate — survives a series of any length, unlike the
+    shift-and-buffer pandas acf."""
+    from banking_streaming_etl_spark.functions import exact
+
+    t = datamodel.transactions(spark, sf_dir)
+    hourly = t.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('hour', data_horario))"
+            " div 3600000000"
+        ).alias("hk")
+    ).agg(F.count("*").alias("total"))
+    lag = F.explode(
+        F.array(*[F.lit(l).cast("bigint") for l in ACF_LAGS])
+    ).alias("lag")
+    left = hourly.select("hk", F.col("total").alias("x")).crossJoin(
+        F.broadcast(hourly.sparkSession.range(1).select(lag))
+    )
+    right = hourly.select(
+        F.col("hk").alias("hk_r"), F.col("total").alias("y")
+    )
+    pairs = left.join(right, left.hk + F.col("lag") == right.hk_r)
+    return pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pares"),
+        F.round(exact.exact_corr("x", "y", "raw"), 6).alias("acf"),
+    )
+
+
+def _hourly_acf_sql() -> str:
+    from banking_streaming_etl_spark.functions import exact
+
+    return datamodel.with_ctes(
+        f"""
+SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pares,
+       ROUND(({exact.sql_corr('x', 'y', 'raw').rsplit(' AS ', 1)[0]}), 6) AS acf
+FROM (
+    SELECT al.lag, al.x, b.total AS y
+    FROM (
+        SELECT a.hk, a.total AS x, l.lag
+        FROM hourly a,
+             (SELECT unnest([{', '.join(str(l) for l in ACF_LAGS)}])
+                  AS lag) l
+    ) al
+    JOIN hourly b ON al.hk + al.lag = b.hk
+)
+GROUP BY lag""",
+        extra_ctes="""
+hourly AS (
+    SELECT epoch_us(CAST(date_trunc('hour', data_horario) AS TIMESTAMP))
+               // 3600000000 AS hk,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM transactions GROUP BY 1
+)""",
+    )
+
+
+HOURLY_ACF_SQL = _hourly_acf_sql()

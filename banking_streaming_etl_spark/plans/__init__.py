@@ -501,6 +501,16 @@ def register_all() -> None:
              dedup.NEAR_DUP_JACCARD_SQL,
              "exact 3-gram Jaccard pairs (brute-force twin of the "
              "in-window MinHash-LSH slot, which shares its oracle)")
+    register("heaps_vocab_growth", text.heaps_vocab_growth,
+             text.HEAPS_GROWTH_SQL,
+             "Heaps'-law vocabulary growth checkpoints: cumulative tokens "
+             "+ cumulative distinct terms at corpus deciles (first-"
+             "occurrence trick + two exact prefix-sums, integer outputs)")
+    register("payer_modality_entropy", behavior.payer_modality_entropy,
+             behavior.PAYER_ENTROPY_SQL,
+             "Shannon entropy of each payer's modality mix via the "
+             "H = ln n - (sum c ln c)/n aggregation identity "
+             "(decimal-summed 6-rounded terms)")
     register("hourly_acf", behavior.hourly_acf, behavior.HOURLY_ACF_SQL,
              "hourly-series autocorrelation at standard lags: lagged "
              "equi-join + exact decimal-moment Pearson (no window)")

@@ -512,3 +512,59 @@ hourly AS (
 
 
 HOURLY_ACF_SQL = _hourly_acf_sql()
+
+
+def payer_modality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each payer's payment-modality mix — the
+    behavioral-diversity feature (a mule account cycling every rail
+    scores high; a salary account scores ~0). Uses the aggregation
+    identity H = ln(n) - (sum c*ln c)/n so the per-modality terms are
+    summable: each c*ln(c) is 6-rounded then DECIMAL-summed
+    (order-independent), and the outer expression is term-identical in
+    the DuckDB twin — the same transcendental-value recipe as BM25.
+
+    Scale shape: one (payer, modality) aggregate, one payer-keyed
+    re-aggregate — no window, no second scan."""
+    from banking_streaming_etl_spark.functions import exact
+
+    t = datamodel.transactions(spark, sf_dir)
+    cells = t.groupBy("id_usuario_pagador", "modalidade_pagamento").agg(
+        F.count("*").alias("c")
+    )
+    per = cells.groupBy("id_usuario_pagador").agg(
+        F.sum("c").cast("bigint").alias("n_tx"),
+        F.count("*").cast("bigint").alias("n_modalidades"),
+        F.sum(
+            exact._d(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        ).alias("s_dec"),
+    )
+    ent = F.log(F.col("n_tx").cast("double")) - F.col("s_dec").cast(
+        "double"
+    ) / F.col("n_tx").cast("double")
+    return per.select(
+        "id_usuario_pagador",
+        "n_tx",
+        "n_modalidades",
+        F.round(ent, 6).alias("entropia"),
+    )
+
+
+PAYER_ENTROPY_SQL = datamodel.with_ctes(
+    """
+SELECT id_usuario_pagador, n_tx, n_modalidades,
+       ROUND(LN(CAST(n_tx AS DOUBLE))
+             - CAST(s_dec AS DOUBLE) / CAST(n_tx AS DOUBLE), 6) AS entropia
+FROM (
+    SELECT id_usuario_pagador,
+           CAST(SUM(c) AS BIGINT) AS n_tx,
+           CAST(COUNT(*) AS BIGINT) AS n_modalidades,
+           SUM(CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)), 6)
+                    AS DECIMAL(28,6))) AS s_dec
+    FROM (
+        SELECT id_usuario_pagador, modalidade_pagamento, COUNT(*) AS c
+        FROM transactions GROUP BY 1, 2
+    )
+    GROUP BY id_usuario_pagador
+)
+"""
+)

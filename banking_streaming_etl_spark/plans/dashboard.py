@@ -1849,7 +1849,12 @@ def roc_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("transacao_aprovada")).cast("int"))
         .cast("bigint")
         .alias("pos_decil"),
-    )
+    # the 10-row table feeds BOTH sides of the triangular join — without
+    # a barrier the broadcast side re-derives the whole NTILE pass. The
+    # barrier must be persist(), NOT localCheckpoint(eager=False): under
+    # AQE the checkpoint's .rdd forces every adaptive stage at BUILD
+    # time (the cache()-as-barrier pattern, plans/text.py winnowing)
+    ).persist()
     upto = per.select(
         F.col("decil").alias("d2"),
         F.col("n_decil").alias("n2"),

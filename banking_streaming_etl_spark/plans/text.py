@@ -301,6 +301,114 @@ WHERE r = k
 """
 
 
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth checkpoints: cumulative token count
+    and cumulative DISTINCT-term count at each decile of the corpus
+    (docs laid in doc_id order) — `zipf_fit_tokens`' companion (Zipf
+    describes the frequency profile; Heaps V(n) ~ K·n^beta predicts how
+    much new vocabulary the next shard of data buys).
+
+    The exact cumulative-distinct trick: a term is counted once, at the
+    doc where it FIRST appears (min doc_id per term — one shuffle), so
+    cumulative vocabulary is just a prefix sum of per-doc new-term
+    counts — two runs of the exact distributed prefix-sum over the same
+    doc order, never a giant distinct-state window. Integer outputs
+    only. Checkpoint docs are the exact decile ranks CEIL(d/10 * n)."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size("toks").alias("n_tokens"), "toks"
+    )
+    first = (
+        d.select("doc_id", F.explode("toks").alias("termo"))
+        .groupBy("termo")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").alias("novos_termos"))
+    )
+    base = (
+        d.select("doc_id", "n_tokens")
+        .join(first.withColumnRenamed("first_doc", "doc_id"), "doc_id", "left")
+        .withColumn(
+            "novos_termos", F.coalesce("novos_termos", F.lit(0).cast("bigint"))
+        )
+    )
+    tok = ranking.with_global_cumsum(
+        base, "doc_id", "doc_id", "n_tokens", out="tok_cum", rank_out="r",
+        nulls="reject",
+    ).select(
+        "doc_id", "r", "_rank_n_total",
+        F.col("tok_cum").cast("bigint").alias("tokens_acum"),
+    )
+    voc = ranking.with_global_cumsum(
+        base, "doc_id", "doc_id", "novos_termos", out="voc_cum",
+        nulls="reject",
+    ).select("doc_id", F.col("voc_cum").cast("bigint").alias("vocab_acum"))
+    dec = F.explode(
+        F.array(*[F.lit(x).cast("int") for x in range(1, 11)])
+    ).alias("decil")
+    return (
+        tok.join(voc, "doc_id")
+        .crossJoin(F.broadcast(tok.sparkSession.range(1).select(dec)))
+        .filter(
+            F.col("r")
+            == F.ceil(
+                F.col("decil").cast("double")
+                / F.lit(10.0)
+                * F.col("_rank_n_total").cast("double")
+            ).cast("bigint")
+        )
+        .select(
+            "decil",
+            F.col("r").alias("docs_acum"),
+            "tokens_acum",
+            "vocab_acum",
+        )
+    )
+
+
+HEAPS_GROWTH_SQL = """
+WITH d AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+first AS (
+    SELECT first_doc, COUNT(*) AS novos_termos
+    FROM (
+        SELECT termo, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(toks) AS termo FROM d)
+        GROUP BY termo
+    )
+    GROUP BY first_doc
+),
+base AS (
+    SELECT d.doc_id, d.n_tokens,
+           COALESCE(f.novos_termos, 0) AS novos_termos
+    FROM d LEFT JOIN first f ON d.doc_id = f.first_doc
+),
+cums AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS r,
+           COUNT(*) OVER () AS n,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(38,9))) OVER (
+               ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS tokens_acum,
+           CAST(SUM(CAST(novos_termos AS DECIMAL(38,9))) OVER (
+               ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS vocab_acum
+    FROM base
+)
+SELECT decil, r AS docs_acum, tokens_acum, vocab_acum
+FROM cums,
+     (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS decil)
+WHERE r = CAST(CEIL(CAST(decil AS DOUBLE) / 10.0 * CAST(n AS DOUBLE))
+               AS BIGINT)
+"""
+
+
 UNIGRAM_LOGPROB_SQL = f"""
 WITH terms AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS termo FROM documents

@@ -501,6 +501,12 @@ def register_all() -> None:
              dedup.NEAR_DUP_JACCARD_SQL,
              "exact 3-gram Jaccard pairs (brute-force twin of the "
              "in-window MinHash-LSH slot, which shares its oracle)")
+    register("volume_weighted_percentiles",
+             dashboard.volume_weighted_percentiles,
+             dashboard.VOLUME_PCT_SQL,
+             "volume-weighted value percentiles: the crossing rows of "
+             "the exact cumulative-value curve (prefix-sum selection, "
+             "no interpolation)")
     register("heaps_vocab_growth", text.heaps_vocab_growth,
              text.HEAPS_GROWTH_SQL,
              "Heaps'-law vocabulary growth checkpoints: cumulative tokens "

@@ -1416,23 +1416,13 @@ CONF_ALPHAS_PERMILLE = (100, 50, 10)
 CONF_SPLIT_MOD = 5
 
 
-def conformal_risk_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-conformal calibration of the risk score (Vovk et al.; the
-    distribution-free coverage guarantee): on a deterministic
-    calibration split, take the ceil((1-alpha)(n_cal+1))-th smallest
-    score as the threshold for each miscoverage level alpha, then count
-    how many evaluation-split transactions fall at or under it — the
-    observed-coverage audit of the guarantee. The threshold rank is the
-    textbook finite-sample-corrected order statistic.
-
-    Exactness: the threshold is a SELECTED value (the distributed rank
-    operator picks the exact order statistic — no quantile
-    interpolation, no single-task sort) and every other output is an
-    integer; the target rank is pure bigint arithmetic
-    ((1000 - alpha) * (n+1) + 999) DIV 1000 clamped to [1, n] — no
-    float in any key or count. Scale shape: one rank pass over the
-    calibration split; the <= |alphas| threshold rows broadcast onto
-    one conditional-count aggregate of the evaluation split."""
+def conformal_thresholds_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen conformal threshold table (alpha_permille, n_cal,
+    limiar): exact order statistics of the calibration split, one rank
+    pass — shared by the batch coverage audit
+    (`conformal_risk_thresholds`) and the live one
+    (streaming/windows.streaming_conformal_coverage), so the two can
+    never drift."""
     from banking_streaming_etl_spark.operators import ranking
 
     ap = _approved(spark, sf_dir).select("id_transacao", "score_medio")
@@ -1453,7 +1443,7 @@ def conformal_risk_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    thresholds = (
+    return (
         ranked.select("r", "_rank_n_total", "score_medio")
         .crossJoin(F.broadcast(ranked.sparkSession.range(1).select(alphas)))
         .filter(F.col("r") == tgt_rank)
@@ -1463,7 +1453,28 @@ def conformal_risk_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_medio").alias("limiar"),
         )
     )
-    ev = ap.filter(~is_cal)
+
+
+def conformal_risk_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the risk score (Vovk et al.; the
+    distribution-free coverage guarantee): on a deterministic
+    calibration split, take the ceil((1-alpha)(n_cal+1))-th smallest
+    score as the threshold for each miscoverage level alpha, then count
+    how many evaluation-split transactions fall at or under it — the
+    observed-coverage audit of the guarantee. The threshold rank is the
+    textbook finite-sample-corrected order statistic.
+
+    Exactness: the threshold is a SELECTED value (the distributed rank
+    operator picks the exact order statistic — no quantile
+    interpolation, no single-task sort) and every other output is an
+    integer; the target rank is pure bigint arithmetic
+    ((1000 - alpha) * (n+1) + 999) DIV 1000 clamped to [1, n] — no
+    float in any key or count. Scale shape: one rank pass over the
+    calibration split; the <= |alphas| threshold rows broadcast onto
+    one conditional-count aggregate of the evaluation split."""
+    ap = _approved(spark, sf_dir).select("id_transacao", "score_medio")
+    thresholds = conformal_thresholds_frame(spark, sf_dir)
+    ev = ap.filter(~(F.col("id_transacao") % CONF_SPLIT_MOD == 0))
     return (
         ev.crossJoin(F.broadcast(thresholds))
         .groupBy("alpha_permille", "n_cal", "limiar")
@@ -1900,6 +1911,74 @@ JOIN (
     GROUP BY decil
 ) b ON b.decil <= a.decil
 GROUP BY a.decil, a.n_decil, a.pos_decil
+"""
+)
+
+
+#: volume quantiles audited by volume_weighted_percentiles
+VOLUME_PCTS = (0.5, 0.9, 0.99)
+
+
+def volume_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME-weighted percentiles of the transaction value: the value
+    level below which p of all MONEY (not p of all transactions) sits —
+    the risk-exposure quantile (`exact_percentiles_valor` answers "what
+    does a typical transaction look like"; this answers "where does the
+    actual volume concentrate"). For each p, the crossing row of the
+    cumulative-value curve: the unique row where the running total
+    first reaches p * grand_total.
+
+    Exactness: the cumulative totals are exact decimals from the
+    distributed prefix-sum; the crossing test (cum >= p*T AND
+    cum - w < p*T) is a pair of IEEE double compares on term-identical
+    operands in both dialects — a selection, never an interpolation.
+    Scale shape: one prefix-sum pass + a narrow |p|-explode filter."""
+    from banking_streaming_etl_spark.functions import exact
+    from banking_streaming_etl_spark.operators import ranking
+
+    t = datamodel.transactions(spark, sf_dir).select(
+        F.col("id_transacao").alias("i"),
+        exact._d(F.col("valor_transacao")).alias("w"),
+    )
+    cum = ranking.with_global_cumsum(t, "w", "i", "w", out="cum",
+                                     nulls="reject")
+    pct = F.explode(
+        F.array(*[F.lit(p) for p in VOLUME_PCTS])
+    ).alias("pct")
+    target = F.col("pct") * F.col("_cumsum_total").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(cum.sparkSession.range(1).select(pct)))
+        .filter(
+            (F.col("cum").cast("double") >= target)
+            & ((F.col("cum") - F.col("w")).cast("double") < target)
+        )
+        .select(
+            "pct",
+            F.col("w").cast("double").alias("valor_percentil_volume"),
+            F.col("cum").cast("double").alias("volume_acumulado"),
+        )
+    )
+
+
+VOLUME_PCT_SQL = datamodel.with_ctes(
+    f"""
+SELECT pct, CAST(w AS DOUBLE) AS valor_percentil_volume,
+       CAST(cum AS DOUBLE) AS volume_acumulado
+FROM (
+    SELECT CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)) AS w,
+           SUM(CAST(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))
+                    AS DECIMAL(38,9))) OVER (
+               ORDER BY CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)) ASC,
+                        id_transacao ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum,
+           SUM(CAST(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))
+                    AS DECIMAL(38,9))) OVER () AS t
+    FROM transactions
+),
+(SELECT unnest([{", ".join(str(p) for p in VOLUME_PCTS)}]) AS pct)
+WHERE CAST(cum AS DOUBLE) >= pct * CAST(t AS DOUBLE)
+  AND CAST(cum - w AS DOUBLE) < pct * CAST(t AS DOUBLE)
 """
 )
 

@@ -362,3 +362,32 @@ def streaming_distinct_payers(tx_stream: DataFrame) -> DataFrame:
         ),
         F.count("*").alias("total"),
     )
+
+
+def streaming_conformal_coverage(
+    scored_stream: DataFrame, thresholds: DataFrame
+) -> DataFrame:
+    """Live observed-coverage audit of FROZEN split-conformal thresholds
+    (the deploy-side half of plans/dashboard.conformal_risk_thresholds:
+    calibrate offline, monitor coverage online — the distribution-free
+    guarantee only holds while the data distribution does, so the
+    monitor IS the alarm). Evaluation-split rows join the broadcast
+    threshold table and feed a complete-mode conditional-count
+    aggregate; state is bounded at |alphas| rows forever. Counts are
+    integers, so the differential test pins bit-equality against the
+    batch audit over the same replayed rows."""
+    from banking_streaming_etl_spark.plans import dashboard
+
+    ev = scored_stream.filter(
+        ~(F.col("id_transacao") % dashboard.CONF_SPLIT_MOD == 0)
+    )
+    return (
+        ev.crossJoin(F.broadcast(thresholds))
+        .groupBy("alpha_permille", "n_cal", "limiar")
+        .agg(
+            F.count("*").cast("bigint").alias("n_aval"),
+            F.sum((F.col("score_medio") <= F.col("limiar")).cast("int"))
+            .cast("bigint")
+            .alias("n_coberto"),
+        )
+    )

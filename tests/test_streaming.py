@@ -876,3 +876,36 @@ def test_sliding_window_matches_batch(spark, replay_dir):
         assert got[k][0] == want[k][0], k  # counts exact
         # sums tolerate aggregation-order float noise only
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_streaming_conformal_coverage_matches_batch(spark, replay_dir):
+    """The live conformal coverage monitor (frozen thresholds broadcast
+    onto the scored stream, complete-mode conditional counts) must
+    reproduce the batch conformal_risk_thresholds rows BIT-EXACTLY over
+    the same replayed transactions — thresholds come from the shared
+    builder, scores from the shared enrich+score graph, and every
+    output is an integer or a selected value."""
+    from banking_streaming_etl_spark.plans import dashboard
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    scored = spipe.approval_stream(
+        tx,
+        datamodel.users(spark, SF),
+        datamodel.regions(spark, SF),
+    )
+    thresholds = dashboard.conformal_thresholds_frame(spark, SF)
+    cov = swin.streaming_conformal_coverage(scored, thresholds)
+    _run_to_memory(cov, "conformal_cov_out", mode="complete")
+
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT alpha_permille, n_cal, limiar, n_aval, n_coberto "
+            "FROM conformal_cov_out"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in dashboard.conformal_risk_thresholds(spark, SF).collect()
+    }
+    assert got == want and len(want) == len(dashboard.CONF_ALPHAS_PERMILLE)

@@ -1205,8 +1205,10 @@ def risk_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = _approved(spark, sf_dir).select(
         "id_transacao", "score_medio", "transacao_aprovada"
     )
+    # cache the narrow scored frame: the rank stages scan it ~3x and
+    # must not re-derive the enrich+score graph each time (lazy persist)
     ranked = ranking.with_global_row_number(
-        ap, "score_medio", "id_transacao", out="r"
+        ap.persist(), "score_medio", "id_transacao", out="r"
     )
     pos = (~F.col("transacao_aprovada")).cast("int")
     agg = ranked.agg(
@@ -1277,8 +1279,10 @@ def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = _approved(spark, sf_dir).select(
         "id_transacao", "score_medio", "transacao_aprovada"
     )
+    # lazy persist: the rank stages scan the narrow scored frame ~3x
     ranked = ranking.with_global_row_number(
-        ap, "score_medio", "id_transacao", out="r", value_desc=True,
+        ap.persist(), "score_medio", "id_transacao", out="r",
+        value_desc=True,
         # desc rank: a NULL score at rank 1 would pollute every top-K
         # precision cell; scores are non-null by construction — enforce
         # it (round-6 verdict task #6 audit).
@@ -1427,8 +1431,13 @@ def conformal_thresholds_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ap = _approved(spark, sf_dir).select("id_transacao", "score_medio")
     is_cal = F.col("id_transacao") % CONF_SPLIT_MOD == 0
+    # the rank pipeline's count/sample/bucket stages scan their input
+    # ~3x (the documented exactness trade) — cache the NARROW filtered
+    # calibration split so those scans hit an InMemoryRelation instead
+    # of re-deriving the enrich+score graph each time (lazy: no job at
+    # build; the cache()-as-barrier pattern)
     ranked = ranking.with_global_row_number(
-        ap.filter(is_cal), "score_medio", "id_transacao", out="r"
+        ap.filter(is_cal).persist(), "score_medio", "id_transacao", out="r"
     )
     alphas = F.explode(
         F.array(*[F.lit(a).cast("int") for a in CONF_ALPHAS_PERMILLE])
@@ -1512,9 +1521,11 @@ def conformal_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_transacao", "modalidade_pagamento", "score_medio"
     )
     is_cal = F.col("id_transacao") % CONF_SPLIT_MOD == 0
+    # cache the narrow calibration split: the grouped rank stages scan
+    # it ~3x and must not re-derive the enrich+score graph each time
     ranked = ranking.with_global_row_number(
-        ap.filter(is_cal), "score_medio", "id_transacao", out="r",
-        group_cols=["modalidade_pagamento"],
+        ap.filter(is_cal).persist(), "score_medio", "id_transacao",
+        out="r", group_cols=["modalidade_pagamento"],
     )
     alphas = F.explode(
         F.array(*[F.lit(a).cast("int") for a in CONF_ALPHAS_PERMILLE])
@@ -1623,8 +1634,9 @@ def score_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = _approved(spark, sf_dir).select(
         "id_transacao", "score_medio", "transacao_aprovada"
     )
+    # lazy persist: the NTILE stages scan the narrow scored frame ~3x
     binned = ranking.with_global_ntile(
-        ap, "score_medio", "id_transacao", 10, out="decil"
+        ap.persist(), "score_medio", "id_transacao", 10, out="decil"
     )
     return (
         binned.groupBy("decil")
@@ -1851,8 +1863,9 @@ def roc_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = _approved(spark, sf_dir).select(
         "id_transacao", "score_medio", "transacao_aprovada"
     )
+    # lazy persist: the NTILE stages scan the narrow scored frame ~3x
     binned = ranking.with_global_ntile(
-        ap, "score_medio", "id_transacao", 10, out="decil",
+        ap.persist(), "score_medio", "id_transacao", 10, out="decil",
         value_desc=True, nulls="reject",
     )
     per = binned.groupBy("decil").agg(

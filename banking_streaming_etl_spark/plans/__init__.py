@@ -54,6 +54,7 @@ def register_all() -> None:
         dashboard,
         governance,
         relational,
+        stats,
         text,
         tpch,
         tpch2,
@@ -217,10 +218,19 @@ def register_all() -> None:
              "via operators/ranking — no single-partition window)")
     register("sessionize_events", relational.sessionize_events,
              relational.SESSIONIZE_SQL, "sessionization (lag+cumsum)")
-    register("exact_percentiles_valor", dashboard.exact_percentiles_valor,
-             dashboard.EXACT_PERCENTILES_SQL,
-             "exact global p50/p90/p99 via the distributed rank operator "
-             "(the scale path for A2/A12-class exact percentiles)")
+    # Round-7 rotation: the two-sample KS test takes the slot of
+    # exact_percentiles_valor (driver-green in r6; the global-order
+    # family stays represented in-window by pareto_share_by_decile and
+    # risk_score_auc, and the percentile query re-registers right after
+    # the window, parity-gated every run). KS gives the distributed
+    # PREFIX-SUM operator (with_global_cumsum) its first driver-green
+    # row — pareto rides NTILE, AUC rides row_number; the cumsum path
+    # had none.
+    register("ks_test_value_by_approval", stats.ks_test_value_by_approval,
+             stats.KS_TEST_SQL,
+             "exact two-sample Kolmogorov-Smirnov (approved vs denied "
+             "value mix) via the distributed prefix sum — integer "
+             "numerator, no rounding")
     register("risk_score_auc", dashboard.risk_score_auc,
              dashboard.RISK_SCORE_AUC_SQL,
              "exact distributed ROC-AUC of the risk score (Mann-Whitney "
@@ -306,9 +316,40 @@ def register_all() -> None:
     register("minmax_normalize_window", groupedmap.minmax_normalize_window,
              groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
 
+    # round-7 statistical-tests family (plans/stats.py): exact classical
+    # two-sample / association statistics, all oracle-backed; KS holds
+    # the in-window slot, these stay parity-gated every pytest run
+    register("spearman_value_score", stats.spearman_value_score,
+             stats.SPEARMAN_SQL,
+             "global Spearman rank correlation (value vs risk score): "
+             "exact average ranks via the distributed prefix sum")
+    register("chi2_cells_modality_approval",
+             stats.chi2_cells_modality_approval,
+             stats.CHI2_CELLS_SQL,
+             "chi-squared contingency cells + Pearson residuals "
+             "(modality x approval; frequentist twin of the MI screen)")
+    register("cohens_kappa_flags", stats.cohens_kappa_flags,
+             stats.COHENS_KAPPA_SQL,
+             "Cohen's kappa agreement between the balance and limit "
+             "approval gates (exact integer-ratio statistic)")
+    register("js_divergence_value_by_approval",
+             stats.js_divergence_value_by_approval,
+             stats.JS_DIVERGENCE_SQL,
+             "per-bin Jensen-Shannon divergence of the approved vs "
+             "denied value mix over fixed 25-unit bins")
+    register("group_holdout_split_docs", curation.group_holdout_split_docs,
+             curation.GROUP_HOLDOUT_SQL,
+             "leakage-safe group-holdout split: whole sources assigned "
+             "to train/val/test by portable hash (contamination-proof "
+             "eval boundary)")
+
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local
     # parity gate every pytest run
+    register("exact_percentiles_valor", dashboard.exact_percentiles_valor,
+             dashboard.EXACT_PERCENTILES_SQL,
+             "exact global p50/p90/p99 via the distributed rank operator "
+             "(the scale path for A2/A12-class exact percentiles)")
     register("q6_revenue_forecast", tpch.q6_revenue_forecast,
              tpch.Q6_SQL, "TPC-H Q6 shape: pure pushdown filter-agg")
     register("kmv_modality_overlap", relational.kmv_modality_overlap,

@@ -853,3 +853,58 @@ FROM (
     FROM documents
 )
 """
+
+
+# --- group-holdout (leakage-safe) split ------------------------------------
+
+#: md5_48 % 10 buckets: 0-7 train, 8 val, 9 test.
+HOLDOUT_BUCKETS = 10
+HOLDOUT_TRAIN_LT = 8
+HOLDOUT_VAL_LT = 9
+
+
+def group_holdout_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-holdout split: every document of one SOURCE
+    lands in the same train/val/test split (near-duplicates and style
+    siblings cluster within a source, so a doc-level split like
+    train_test_split_docs leaks them across the eval boundary — the
+    standard contamination failure this split exists to prevent).
+
+    The split is a pure function of the group key (portable 48-bit md5
+    bucket — engine-identical, partition-independent, reproducible on
+    any engine that can md5), so membership never changes as the corpus
+    grows within a source. One narrow map + one low-cardinality groupBy;
+    no shuffle wider than the report itself at any corpus size."""
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    bucket = portable.md5_48(F.col("source")) % HOLDOUT_BUCKETS
+    split = (
+        F.when(bucket < HOLDOUT_TRAIN_LT, F.lit("train"))
+        .when(bucket < HOLDOUT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_fontes"),
+            F.countDistinct("lang").cast("bigint").alias("n_idiomas"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("menor_doc_id"),
+        )
+    )
+
+
+_HOLDOUT_BUCKET_SQL = f"({portable.md5_48_sql('source')}) % {HOLDOUT_BUCKETS}"
+
+GROUP_HOLDOUT_SQL = f"""
+SELECT CASE WHEN {_HOLDOUT_BUCKET_SQL} < {HOLDOUT_TRAIN_LT} THEN 'train'
+            WHEN {_HOLDOUT_BUCKET_SQL} < {HOLDOUT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_fontes,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_idiomas,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS menor_doc_id
+FROM documents
+GROUP BY 1
+"""

@@ -1,0 +1,506 @@
+"""Distribution-level statistical tests over the approval pipeline.
+
+The reference dashboard stops at per-group means/histograms
+(containers/dashboard/dashboard.py:329-631); a model-audit layer on the
+same frame needs the classical two-sample / association statistics too.
+Each query here is exact (no sampling, no sketch) and scale-shaped: the
+only global-order work rides the distributed prefix-sum operator
+(operators/ranking.with_global_cumsum — sampled boundaries + bucketed
+running windows, never a single-task sort), everything else is one hash
+aggregate plus broadcast scalars.
+
+Cross-engine contract (see CLAUDE.md): every statistic that is an exact
+RATIONAL (KS, kappa, Spearman rho, chi-squared cells) is emitted as an
+UNROUNDED double computed from exact integer/decimal aggregates through
+a term-for-term identical expression in both dialects — identical IEEE
+ops on identical operands are bit-identical, while ROUND(.,6) on a
+rational risks the .5-at-digit-7 boundary. Transcendental outputs (JS
+divergence contributions) are ROUND(.,6) per the BM25/MI precedent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import scores
+from banking_streaming_etl_spark.operators import ranking
+from banking_streaming_etl_spark.plans.dashboard import _approved
+
+
+def _oracle_with(extra_ctes: str, body: str) -> str:
+    return datamodel.with_ctes(body, extra_ctes=scores.SCORED_CTE + extra_ctes)
+
+
+# --- two-sample Kolmogorov-Smirnov: value | approved vs denied -------------
+
+
+def ks_test_value_by_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between the transaction
+    value distributions of approved vs denied traffic — the standard
+    audit for "does the approval rule distort the value mix".
+
+    D = max_v |F_ap(v) - F_den(v)| evaluated at every distinct value,
+    computed entirely in integers: with the signed per-value weight
+    w(v) = n_ap(v)*N_den - n_den(v)*N_ap, the prefix sum of w over the
+    value order equals N_ap*N_den*(F_ap - F_den), so D's numerator is
+    max|cumsum(w)| (an exact integer in DECIMAL) and the statistic is
+    ONE integer division — bit-identical cross-engine, no rounding.
+    `ks_em_valor` is the smallest value attaining the max (deterministic
+    argmax under ties).
+
+    Scale shape: groupBy distinct value (shuffle ~ |distinct|), one
+    distributed prefix sum (operators/ranking.with_global_cumsum — no
+    unpartitioned window), then two broadcast-scalar passes over the
+    cached cum frame. The classic sort-then-scan KS recipe with no
+    single-task sort anywhere."""
+    t = _approved(spark, sf_dir).select(
+        "id_transacao", "valor_transacao", "transacao_aprovada"
+    )
+    # cache the |distinct values|-sized grouped frame: the totals scalar
+    # and the prefix-sum stages all re-scan it (lazy persist barrier)
+    counts = (
+        t.groupBy("valor_transacao")
+        .agg(
+            F.sum(F.when(F.col("transacao_aprovada"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ap"),
+            F.sum(F.when(F.col("transacao_aprovada"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_den"),
+            F.min("id_transacao").alias("_vid"),
+        )
+        .persist()
+    )
+    tot = counts.agg(
+        F.sum("n_ap").cast("bigint").alias("na"),
+        F.sum("n_den").cast("bigint").alias("nd"),
+    )
+    w = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w_dif",
+        (F.col("n_ap") * F.col("nd") - F.col("n_den") * F.col("na")).cast(
+            ranking.DEC38
+        ),
+    )
+    cum = ranking.with_global_cumsum(
+        w, "valor_transacao", "_vid", "w_dif", out="c", nulls="reject"
+    ).persist()
+    mx = cum.agg(F.max(F.abs(F.col("c"))).alias("m"))
+    agg = (
+        cum.crossJoin(F.broadcast(mx))
+        .filter(F.abs(F.col("c")) == F.col("m"))
+        .agg(
+            F.max("na").alias("n_aprovadas"),
+            F.max("nd").alias("n_negadas"),
+            F.max("m").alias("_m_dec"),
+            F.min("valor_transacao").alias("ks_em_valor"),
+        )
+    )
+    return agg.select(
+        "n_aprovadas",
+        "n_negadas",
+        F.col("_m_dec").cast("bigint").alias("ks_num"),
+        (
+            F.col("_m_dec").cast("double")
+            / (
+                F.col("n_aprovadas").cast("double")
+                * F.col("n_negadas").cast("double")
+            )
+        ).alias("ks_stat"),
+        "ks_em_valor",
+    )
+
+
+_KS_CTES = """,
+ks_counts AS (
+    SELECT valor_transacao,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ap,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_den
+    FROM approved GROUP BY valor_transacao
+),
+ks_tot AS (
+    SELECT CAST(SUM(n_ap) AS BIGINT) AS na,
+           CAST(SUM(n_den) AS BIGINT) AS nd
+    FROM ks_counts
+),
+ks_cum AS (
+    SELECT valor_transacao, na, nd,
+           SUM(CAST(n_ap * nd - n_den * na AS DECIMAL(38,9)))
+               OVER (ORDER BY valor_transacao ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+    FROM ks_counts, ks_tot
+),
+ks_mx AS (SELECT MAX(ABS(c)) AS m FROM ks_cum)"""
+
+KS_TEST_SQL = _oracle_with(
+    _KS_CTES,
+    """
+SELECT MAX(na) AS n_aprovadas, MAX(nd) AS n_negadas,
+       CAST(MAX(m) AS BIGINT) AS ks_num,
+       CAST(MAX(m) AS DOUBLE)
+           / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nd) AS DOUBLE)) AS ks_stat,
+       MIN(valor_transacao) AS ks_em_valor
+FROM ks_cum, ks_mx
+WHERE ABS(c) = m""",
+)
+
+
+# --- global Spearman rank correlation: value vs risk score -----------------
+
+
+def _avg2_rank_table(df: DataFrame, col: str, out: str) -> DataFrame:
+    """(value -> 2x average rank) lookup for one column: group by the
+    distinct value, distributed prefix sum of the tie-group counts, then
+    avg-rank identity 2*r(v) = 2*cum(v) - cnt(v) + 1 (an exact integer —
+    doubling keeps the .5-multiple average ranks in bigint)."""
+    g = df.groupBy(col).agg(
+        F.count("*").cast("bigint").alias("_cnt"),
+        F.min("id_transacao").alias("_vid"),
+    )
+    cum = ranking.with_global_cumsum(
+        g, col, "_vid", "_cnt", out="_cumc", nulls="reject"
+    )
+    return cum.select(
+        F.col(col),
+        (
+            F.lit(2).cast(ranking.DEC38) * F.col("_cumc")
+            - F.col("_cnt")
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias(out),
+    )
+
+
+def spearman_value_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Spearman rank correlation between transaction value and
+    the risk score — the monotone-association companion of the Pearson
+    `valor_score_correlation`: Pearson over AVERAGE ranks (proper tie
+    handling, not row_number tie-breaking), with both rank tables built
+    from the distributed prefix sum so no single-task sort exists.
+
+    All moment sums accumulate doubled ranks (exact integers) in
+    DECIMAL(38,0); rho is then a fixed 13-op double expression on the
+    six exact aggregates, term-identical in the DuckDB twin — doubling
+    both rank vectors leaves the correlation invariant. Scale: two
+    value-keyed groupBys + prefix sums, two shuffle joins back to the
+    fact, one final aggregate."""
+    ap = (
+        _approved(spark, sf_dir)
+        .select("id_transacao", "valor_transacao", "score_medio")
+        .persist()
+    )
+    rx = _avg2_rank_table(ap, "valor_transacao", "ax")
+    ry = _avg2_rank_table(ap, "score_medio", "ay")
+    j = ap.join(rx, "valor_transacao").join(ry, "score_medio")
+    dec0 = "decimal(38,0)"
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_linhas"),
+        F.sum(F.col("ax").cast(dec0)).alias("_sx"),
+        F.sum(F.col("ay").cast(dec0)).alias("_sy"),
+        F.sum((F.col("ax").cast(dec0) * F.col("ay").cast(dec0))).alias("_sxy"),
+        F.sum((F.col("ax").cast(dec0) * F.col("ax").cast(dec0))).alias("_sxx"),
+        F.sum((F.col("ay").cast(dec0) * F.col("ay").cast(dec0))).alias("_syy"),
+    )
+    n_d = F.col("n_linhas").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    rho = (n_d * sxy - sx * sy) / (
+        F.sqrt(n_d * sxx - sx * sx) * F.sqrt(n_d * syy - sy * sy)
+    )
+    return agg.select("n_linhas", rho.alias("rho_spearman"))
+
+
+_SPEARMAN_CTES = """,
+sp_vx AS (
+    SELECT valor_transacao, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM approved GROUP BY valor_transacao
+),
+sp_rx AS (
+    SELECT valor_transacao,
+           2 * SUM(cnt) OVER (ORDER BY valor_transacao ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - cnt + 1 AS ax
+    FROM sp_vx
+),
+sp_vy AS (
+    SELECT score_medio, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM approved GROUP BY score_medio
+),
+sp_ry AS (
+    SELECT score_medio,
+           2 * SUM(cnt) OVER (ORDER BY score_medio ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - cnt + 1 AS ay
+    FROM sp_vy
+),
+sp_moments AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_linhas,
+           CAST(COUNT(*) AS DOUBLE) AS n_d,
+           CAST(SUM(ax) AS DOUBLE) AS sx,
+           CAST(SUM(ay) AS DOUBLE) AS sy,
+           CAST(SUM(ax * ay) AS DOUBLE) AS sxy,
+           CAST(SUM(ax * ax) AS DOUBLE) AS sxx,
+           CAST(SUM(ay * ay) AS DOUBLE) AS syy
+    FROM approved a
+    JOIN sp_rx USING (valor_transacao)
+    JOIN sp_ry USING (score_medio)
+)"""
+
+SPEARMAN_SQL = _oracle_with(
+    _SPEARMAN_CTES,
+    """
+SELECT n_linhas,
+       (n_d * sxy - sx * sy)
+           / (SQRT(n_d * sxx - sx * sx) * SQRT(n_d * syy - sy * sy))
+           AS rho_spearman
+FROM sp_moments""",
+)
+
+
+# --- chi-squared contingency cells: modality x approval --------------------
+
+
+def chi2_cells_modality_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence screen between payment modality and the
+    approval outcome, per contingency cell: observed count, expected
+    count under independence, the cell's chi2 contribution and its
+    Pearson residual (the signed root-contribution a model-audit reads
+    to see WHICH cells drive the dependence) — the frequentist companion
+    of `mi_modality_approval`'s information-theoretic screen.
+
+    All margins are exact integers from ONE cells aggregate (margins
+    re-aggregated from the cells, never a second corpus scan); expected
+    / contribution / residual are unrounded doubles from term-identical
+    expressions (exact rationals — ROUND would risk the .5 boundary).
+    The contingency table is model-sized at any corpus size."""
+    cells = (
+        _approved(spark, sf_dir)
+        .groupBy("modalidade_pagamento", "transacao_aprovada")
+        .agg(F.count("*").cast("bigint").alias("n_celula"))
+    )
+    rows = cells.groupBy("modalidade_pagamento").agg(
+        F.sum("n_celula").cast("bigint").alias("n_modalidade")
+    )
+    cols = cells.groupBy("transacao_aprovada").agg(
+        F.sum("n_celula").cast("bigint").alias("n_resultado")
+    )
+    total = cells.agg(F.sum("n_celula").cast("bigint").alias("n_total"))
+    esperado = (F.col("n_modalidade") * F.col("n_resultado")).cast(
+        "double"
+    ) / F.col("n_total").cast("double")
+    desvio = F.col("n_celula").cast("double") - F.col("_esp")
+    return (
+        cells.join(F.broadcast(rows), "modalidade_pagamento")
+        .join(F.broadcast(cols), "transacao_aprovada")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_esp", esperado)
+        .select(
+            "modalidade_pagamento",
+            "transacao_aprovada",
+            "n_celula",
+            F.col("_esp").alias("esperado"),
+            (desvio * desvio / F.col("_esp")).alias("qui2_contrib"),
+            (desvio / F.sqrt(F.col("_esp"))).alias("residuo_pearson"),
+        )
+    )
+
+
+_CHI2_CTES = """,
+chi_cells AS (
+    SELECT modalidade_pagamento, transacao_aprovada,
+           CAST(COUNT(*) AS BIGINT) AS n_celula,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY modalidade_pagamento)
+                AS BIGINT) AS n_modalidade,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY transacao_aprovada)
+                AS BIGINT) AS n_resultado,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+    FROM approved
+    GROUP BY modalidade_pagamento, transacao_aprovada
+)"""
+
+CHI2_CELLS_SQL = _oracle_with(
+    _CHI2_CTES,
+    """
+SELECT modalidade_pagamento, transacao_aprovada, n_celula,
+       esp AS esperado,
+       (CAST(n_celula AS DOUBLE) - esp) * (CAST(n_celula AS DOUBLE) - esp)
+           / esp AS qui2_contrib,
+       (CAST(n_celula AS DOUBLE) - esp) / SQRT(esp) AS residuo_pearson
+FROM (
+    SELECT modalidade_pagamento, transacao_aprovada, n_celula,
+           CAST(n_modalidade * n_resultado AS DOUBLE)
+               / CAST(n_total AS DOUBLE) AS esp
+    FROM chi_cells
+)""",
+)
+
+
+# --- Cohen's kappa: balance flag vs limit flag -----------------------------
+
+
+def cohens_kappa_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between the two money-side approval
+    sub-rules (balance check vs per-modality limit check) — the
+    chance-corrected agreement a rules audit reads to see whether the
+    two gates are redundant raters or independent controls.
+
+    kappa = (N*agree - (a1*b1 + a0*b0)) / (N*N - (a1*b1 + a0*b0)) with
+    every term an exact bigint from ONE aggregate pass; the statistic is
+    a single integer-ratio double, unrounded and term-identical in the
+    oracle (exact rational). At >~3e9 rows the bigint products need a
+    DECIMAL(38,0) widening — the tested scales fit bigint exactly."""
+    ap = _approved(spark, sf_dir)
+    agg = ap.agg(
+        F.count("*").cast("bigint").alias("n_linhas"),
+        F.sum(
+            F.when(
+                F.col("saldo_aprovado") == F.col("limite_aprovado"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("concordancia"),
+        F.sum(F.when(F.col("saldo_aprovado"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_a1"),
+        F.sum(F.when(F.col("limite_aprovado"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_b1"),
+    )
+    n = F.col("n_linhas")
+    agree = F.col("concordancia")
+    pe_num = F.col("_a1") * F.col("_b1") + (n - F.col("_a1")) * (
+        n - F.col("_b1")
+    )
+    kappa = (n * agree - pe_num).cast("double") / (n * n - pe_num).cast(
+        "double"
+    )
+    return agg.select("n_linhas", "concordancia", kappa.alias("kappa"))
+
+
+COHENS_KAPPA_SQL = _oracle_with(
+    "",
+    """
+SELECT n_linhas, concordancia,
+       CAST(n_linhas * concordancia - (a1 * b1 + (n_linhas - a1) * (n_linhas - b1))
+            AS DOUBLE)
+           / CAST(n_linhas * n_linhas
+                  - (a1 * b1 + (n_linhas - a1) * (n_linhas - b1))
+                  AS DOUBLE) AS kappa
+FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_linhas,
+           CAST(SUM(CASE WHEN saldo_aprovado = limite_aprovado
+                    THEN 1 ELSE 0 END) AS BIGINT) AS concordancia,
+           CAST(SUM(CASE WHEN saldo_aprovado THEN 1 ELSE 0 END)
+                AS BIGINT) AS a1,
+           CAST(SUM(CASE WHEN limite_aprovado THEN 1 ELSE 0 END)
+                AS BIGINT) AS b1
+    FROM approved
+)""",
+)
+
+
+# --- Jensen-Shannon divergence: value mix, approved vs denied --------------
+
+JS_BIN_WIDTH = 25.0  # the dashboard histogram's bin width (A13 precedent)
+
+
+def js_divergence_value_by_approval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-bin Jensen-Shannon divergence contributions between the
+    approved and denied value distributions over the dashboard's fixed
+    25-unit bins — the bounded symmetric drift statistic (PSI's
+    log2-free cousin; psi_value_drift is the time-sliced sibling).
+    Summing the on-grid contributions gives total JS in nats.
+
+    The bin key is an IEEE-exact divide+floor ladder on the raw value
+    column (never a transcendental — CLAUDE.md group-key rule); the
+    contribution 0.5*p*ln(p/m) + 0.5*q*ln(q/m) with m=(p+q)/2 is
+    transcendental except at p=q where it is exactly 0 in both engines,
+    so ROUND(.,6) is unambiguous. One bin aggregate + broadcast totals —
+    the bin table is model-sized at any corpus size."""
+    t = _approved(spark, sf_dir).select(
+        "valor_transacao", "transacao_aprovada"
+    )
+    g = (
+        t.groupBy(
+            F.floor(F.col("valor_transacao") / F.lit(JS_BIN_WIDTH))
+            .cast("bigint")
+            .alias("balde")
+        )
+        .agg(
+            F.sum(F.when(F.col("transacao_aprovada"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_aprovadas"),
+            F.sum(F.when(F.col("transacao_aprovada"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_negadas"),
+        )
+        .persist()
+    )
+    tot = g.agg(
+        F.sum("n_aprovadas").cast("bigint").alias("na"),
+        F.sum("n_negadas").cast("bigint").alias("nd"),
+    )
+    p = F.col("n_aprovadas").cast("double") / F.col("na").cast("double")
+    q = F.col("n_negadas").cast("double") / F.col("nd").cast("double")
+    m = (p + q) / F.lit(2.0)
+    contrib = F.lit(0.5) * F.when(
+        F.col("n_aprovadas") > 0, p * F.log(p / m)
+    ).otherwise(F.lit(0.0)) + F.lit(0.5) * F.when(
+        F.col("n_negadas") > 0, q * F.log(q / m)
+    ).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "balde",
+            "n_aprovadas",
+            "n_negadas",
+            F.round(contrib, 6).alias("js_contrib"),
+        )
+    )
+
+
+_JS_CTES = f""",
+js_bins AS (
+    SELECT CAST(FLOOR(valor_transacao / {JS_BIN_WIDTH}) AS BIGINT) AS balde,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_aprovadas,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_negadas
+    FROM approved
+    GROUP BY 1
+),
+js_tot AS (
+    SELECT CAST(SUM(n_aprovadas) AS BIGINT) AS na,
+           CAST(SUM(n_negadas) AS BIGINT) AS nd
+    FROM js_bins
+)"""
+
+JS_DIVERGENCE_SQL = _oracle_with(
+    _JS_CTES,
+    """
+SELECT balde, n_aprovadas, n_negadas,
+       ROUND(
+           0.5 * (CASE WHEN n_aprovadas > 0
+                       THEN p * LN(p / ((p + q) / 2.0)) ELSE 0.0 END)
+           + 0.5 * (CASE WHEN n_negadas > 0
+                         THEN q * LN(q / ((p + q) / 2.0)) ELSE 0.0 END),
+           6) AS js_contrib
+FROM (
+    SELECT balde, n_aprovadas, n_negadas,
+           CAST(n_aprovadas AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+           CAST(n_negadas AS DOUBLE) / CAST(nd AS DOUBLE) AS q
+    FROM js_bins, js_tot
+)""",
+)

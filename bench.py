@@ -87,6 +87,13 @@ EXTRA = [
     "trimmed_mean_value",
     "roc_curve_deciles",
     "pack_sequences_global",
+    # round-7 statistical-tests family (plans/stats.py) + group holdout
+    "ks_test_value_by_approval",
+    "spearman_value_score",
+    "chi2_cells_modality_approval",
+    "cohens_kappa_flags",
+    "js_divergence_value_by_approval",
+    "group_holdout_split_docs",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -154,8 +154,13 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # unpivot_user_limits, json_envelope_roundtrip — all re-proven
         # by in-window siblings and the local parity gate)
         "pareto_share_by_decile",
-        "exact_percentiles_valor",
         "risk_score_auc",
+        # round-7 rotation: the KS test gives the distributed PREFIX-SUM
+        # form (with_global_cumsum) its first driver-green row; it
+        # displaced exact_percentiles_valor (driver-green in r6, same
+        # global-order family as in-window pareto + AUC, re-registered
+        # right after the window and parity-gated every run)
+        "ks_test_value_by_approval",
         # round-7 rotation: the eval-calibration family and the
         # iteration-unrolled HITS oracle must be driver-proven (they
         # displaced q6_revenue_forecast and kmv_modality_overlap —

@@ -342,6 +342,14 @@ def register_all() -> None:
              "leakage-safe group-holdout split: whole sources assigned "
              "to train/val/test by portable hash (contamination-proof "
              "eval boundary)")
+    register("cv_fold_metrics", stats.cv_fold_metrics,
+             stats.CV_FOLD_SQL,
+             "deterministic k-fold CV assignment + per-fold audit with "
+             "leave-one-fold-out means (portable-hash folds, one pass)")
+    register("loo_target_encode_modality", stats.loo_target_encode_modality,
+             stats.LOO_TARGET_SQL,
+             "leave-one-out target encoding of modality vs approval "
+             "(+ m-smoothed variant) — leakage-safe tabular ML feature")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

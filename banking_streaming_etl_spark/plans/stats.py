@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
-from banking_streaming_etl_spark.functions import scores
+from banking_streaming_etl_spark.functions import exact, portable, scores
 from banking_streaming_etl_spark.operators import ranking
 from banking_streaming_etl_spark.plans.dashboard import _approved
 
@@ -503,4 +503,172 @@ FROM (
            CAST(n_negadas AS DOUBLE) / CAST(nd AS DOUBLE) AS q
     FROM js_bins, js_tot
 )""",
+)
+
+
+# --- k-fold cross-validation folds + leave-one-fold-out metrics ------------
+
+CV_FOLDS = 5
+
+
+def cv_fold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment + per-fold audit:
+    fold membership is a pure function of the row id (portable LCG hash
+    % k — partition-independent, engine-reproducible, the train/test
+    split convention), and each fold row reports its size, approval
+    count, exact mean value, and the LEAVE-ONE-FOLD-OUT mean (the
+    training-side statistic a CV loop would fit against).
+
+    One corpus aggregate; totals re-aggregated from the k fold rows
+    (margins-from-cells, never a second scan) and broadcast back. The
+    LOO mean is (total_dec - fold_dec)/(n_total - n_fold): exact decimal
+    subtraction, ONE double division, unrounded and term-identical."""
+
+
+    t = _approved(spark, sf_dir)
+    folds = (
+        t.groupBy(
+            (portable.lcg_hash(F.col("id_transacao")) % CV_FOLDS).alias(
+                "fold"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_linhas"),
+            F.sum(F.when(F.col("transacao_aprovada"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_aprovadas"),
+            F.sum(exact._d(F.col("valor_transacao"))).alias("_soma_dec"),
+        )
+    )
+    tot = folds.agg(
+        F.sum("n_linhas").cast("bigint").alias("_n_tot"),
+        F.sum("_soma_dec").cast(exact.DEC).alias("_soma_tot"),
+    )
+    loo = (F.col("_soma_tot") - F.col("_soma_dec")).cast("double") / (
+        F.col("_n_tot") - F.col("n_linhas")
+    ).cast("double")
+    return (
+        folds.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_linhas",
+            "n_aprovadas",
+            (F.col("_soma_dec").cast("double") / F.col("n_linhas").cast("double"))
+            .alias("valor_medio"),
+            loo.alias("valor_medio_loo"),
+        )
+    )
+
+
+CV_FOLD_SQL = _oracle_with(
+    f""",
+cv_folds AS (
+    SELECT ({portable.lcg_hash_sql('id_transacao')}) % {CV_FOLDS} AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_linhas,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_aprovadas,
+           SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))) AS soma_dec
+    FROM approved
+    GROUP BY 1
+),
+cv_tot AS (
+    SELECT CAST(SUM(n_linhas) AS BIGINT) AS n_tot,
+           CAST(SUM(soma_dec) AS DECIMAL(28,6)) AS soma_tot
+    FROM cv_folds
+)""",
+    """
+SELECT fold, n_linhas, n_aprovadas,
+       CAST(soma_dec AS DOUBLE) / CAST(n_linhas AS DOUBLE) AS valor_medio,
+       CAST(soma_tot - soma_dec AS DOUBLE)
+           / CAST(n_tot - n_linhas AS DOUBLE) AS valor_medio_loo
+FROM cv_folds, cv_tot""",
+)
+
+
+# --- leave-one-out target encoding (tabular ML feature) --------------------
+
+TARGET_SMOOTH_M = 100
+
+
+def loo_target_encode_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the payment modality against the
+    approval outcome — the standard high-cardinality categorical feature
+    for tabular models, in its leakage-safe form: each row's encoding
+    excludes ITS OWN label ((n_ap_g - y_i)/(n_g - 1)), plus the
+    m-smoothed variant shrunk toward the global prior — so the feature
+    can be joined straight into a training frame without target leakage.
+
+    Scale shape: one group aggregate (|modalities| rows) broadcast back
+    onto the fact — a narrow map per row, no second shuffle. Both
+    encodings are exact integer ratios emitted as unrounded doubles
+    through term-identical expressions."""
+    t = _approved(spark, sf_dir).select(
+        "id_transacao",
+        "modalidade_pagamento",
+        F.when(F.col("transacao_aprovada"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("aprovada"),
+    )
+    g = t.groupBy("modalidade_pagamento").agg(
+        F.count("*").cast("bigint").alias("_n_g"),
+        F.sum("aprovada").cast("bigint").alias("_n_ap_g"),
+    )
+    tot = g.agg(
+        F.sum("_n_g").cast("bigint").alias("_n_tot"),
+        F.sum("_n_ap_g").cast("bigint").alias("_n_ap_tot"),
+    )
+    loo = (F.col("_n_ap_g") - F.col("aprovada")).cast("double") / (
+        F.col("_n_g") - F.lit(1)
+    ).cast("double")
+    prior = F.col("_n_ap_tot").cast("double") / F.col("_n_tot").cast("double")
+    suave = (
+        (F.col("_n_ap_g") - F.col("aprovada")).cast("double")
+        + F.lit(float(TARGET_SMOOTH_M)) * prior
+    ) / (
+        (F.col("_n_g") - F.lit(1)).cast("double")
+        + F.lit(float(TARGET_SMOOTH_M))
+    )
+    return (
+        t.join(F.broadcast(g), "modalidade_pagamento")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id_transacao",
+            "modalidade_pagamento",
+            "aprovada",
+            loo.alias("codif_loo"),
+            suave.alias("codif_loo_suave"),
+        )
+    )
+
+
+LOO_TARGET_SQL = _oracle_with(
+    """,
+te_g AS (
+    SELECT modalidade_pagamento,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ap_g
+    FROM approved
+    GROUP BY modalidade_pagamento
+),
+te_tot AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+           CAST(SUM(n_ap_g) AS BIGINT) AS n_ap_tot
+    FROM te_g
+)""",
+    f"""
+SELECT id_transacao, modalidade_pagamento,
+       CAST(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END AS BIGINT)
+           AS aprovada,
+       CAST(n_ap_g - (CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(n_g - 1 AS DOUBLE) AS codif_loo,
+       (CAST(n_ap_g - (CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+             AS DOUBLE)
+        + {float(TARGET_SMOOTH_M)} * (CAST(n_ap_tot AS DOUBLE)
+                                      / CAST(n_tot AS DOUBLE)))
+           / (CAST(n_g - 1 AS DOUBLE) + {float(TARGET_SMOOTH_M)})
+           AS codif_loo_suave
+FROM approved
+JOIN te_g USING (modalidade_pagamento), te_tot""",
 )

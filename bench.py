@@ -94,6 +94,8 @@ EXTRA = [
     "cohens_kappa_flags",
     "js_divergence_value_by_approval",
     "group_holdout_split_docs",
+    "cv_fold_metrics",
+    "loo_target_encode_modality",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

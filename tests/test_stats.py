@@ -1,0 +1,236 @@
+"""Independent differentials for the statistical-tests family.
+
+The DuckDB oracle twins (tests/test_oracle_parity.py) prove cross-engine
+parity; these tests prove the STATISTICS themselves — each query result
+is re-derived with a brute-force numpy/pure-Python computation over the
+collected sf0.001 approved frame (~6k rows), the reference style scipy
+would use, with no shared code path."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def approved_rows(spark, sf_dir):
+    from banking_streaming_etl_spark.plans.dashboard import _approved
+
+    rows = (
+        _approved(spark, sf_dir)
+        .select(
+            "id_transacao",
+            "valor_transacao",
+            "score_medio",
+            "transacao_aprovada",
+            "saldo_aprovado",
+            "limite_aprovado",
+            "modalidade_pagamento",
+        )
+        .collect()
+    )
+    assert len(rows) >= 1000
+    return rows
+
+
+def _brute_ks(values_a, values_b):
+    """Two-sample KS by literal ECDF evaluation at every distinct value."""
+    xs = sorted(set(values_a) | set(values_b))
+    a = sorted(values_a)
+    b = sorted(values_b)
+    import bisect
+
+    best = 0.0
+    for x in xs:
+        fa = bisect.bisect_right(a, x) / len(a)
+        fb = bisect.bisect_right(b, x) / len(b)
+        best = max(best, abs(fa - fb))
+    return best
+
+
+def test_ks_matches_bruteforce(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+
+    out = stats.ks_test_value_by_approval(spark, sf_dir).collect()[0]
+    va = [r.valor_transacao for r in approved_rows if r.transacao_aprovada]
+    vd = [r.valor_transacao for r in approved_rows if not r.transacao_aprovada]
+    assert out.n_aprovadas == len(va) and out.n_negadas == len(vd)
+    assert out.ks_stat == pytest.approx(_brute_ks(va, vd), abs=1e-12)
+    # the integer numerator reproduces the statistic exactly
+    assert out.ks_stat == out.ks_num / (len(va) * len(vd))
+
+
+def _avg_ranks(values):
+    """scipy.stats.rankdata(method='average') reimplemented."""
+    order = np.argsort(np.asarray(values), kind="stable")
+    ranks = np.empty(len(values), dtype=float)
+    sv = np.asarray(values)[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j + 2) / 2.0  # 1-based average rank
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_bruteforce(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+
+    out = stats.spearman_value_score(spark, sf_dir).collect()[0]
+    rx = _avg_ranks([r.valor_transacao for r in approved_rows])
+    ry = _avg_ranks([r.score_medio for r in approved_rows])
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert out.n_linhas == len(approved_rows)
+    assert out.rho_spearman == pytest.approx(rho, abs=1e-9)
+
+
+def test_chi2_cells_match_bruteforce(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+
+    cells = {}
+    for r in approved_rows:
+        k = (r.modalidade_pagamento, r.transacao_aprovada)
+        cells[k] = cells.get(k, 0) + 1
+    n = len(approved_rows)
+    row_m = {}
+    col_m = {}
+    for (mod, ap), c in cells.items():
+        row_m[mod] = row_m.get(mod, 0) + c
+        col_m[ap] = col_m.get(ap, 0) + c
+    out = stats.chi2_cells_modality_approval(spark, sf_dir).collect()
+    assert len(out) == len(cells)
+    for r in out:
+        k = (r.modalidade_pagamento, r.transacao_aprovada)
+        e = row_m[k[0]] * col_m[k[1]] / n
+        assert r.n_celula == cells[k]
+        assert r.esperado == pytest.approx(e, rel=1e-12)
+        assert r.qui2_contrib == pytest.approx(
+            (cells[k] - e) ** 2 / e, rel=1e-9
+        )
+        assert r.residuo_pearson == pytest.approx(
+            (cells[k] - e) / math.sqrt(e), rel=1e-9
+        )
+
+
+def test_kappa_matches_bruteforce(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+
+    s = [bool(r.saldo_aprovado) for r in approved_rows]
+    l = [bool(r.limite_aprovado) for r in approved_rows]
+    n = len(s)
+    po = sum(a == b for a, b in zip(s, l)) / n
+    pa1, pb1 = sum(s) / n, sum(l) / n
+    pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+    out = stats.cohens_kappa_flags(spark, sf_dir).collect()[0]
+    assert out.n_linhas == n
+    assert out.kappa == pytest.approx((po - pe) / (1 - pe), rel=1e-9)
+
+
+def test_js_divergence_properties(spark, sf_dir, approved_rows):
+    """JS total is symmetric-bounded: 0 <= JS <= ln 2, and the per-bin
+    counts reproduce the collected histogram."""
+    from banking_streaming_etl_spark.plans import stats
+
+    out = stats.js_divergence_value_by_approval(spark, sf_dir).collect()
+    na = sum(r.n_aprovadas for r in out)
+    nd = sum(r.n_negadas for r in out)
+    assert na == sum(1 for r in approved_rows if r.transacao_aprovada)
+    assert nd == sum(1 for r in approved_rows if not r.transacao_aprovada)
+    total = sum(r.js_contrib for r in out)
+    assert -1e-9 <= total <= math.log(2) + 1e-9
+    # brute-force the contributions
+    bins_a, bins_d = {}, {}
+    for r in approved_rows:
+        b = math.floor(r.valor_transacao / stats.JS_BIN_WIDTH)
+        (bins_a if r.transacao_aprovada else bins_d)[b] = (
+            (bins_a if r.transacao_aprovada else bins_d).get(b, 0) + 1
+        )
+    for r in out:
+        p = bins_a.get(r.balde, 0) / na
+        q = bins_d.get(r.balde, 0) / nd
+        m = (p + q) / 2
+        expect = 0.5 * (p * math.log(p / m) if p > 0 else 0.0) + 0.5 * (
+            q * math.log(q / m) if q > 0 else 0.0
+        )
+        assert r.js_contrib == pytest.approx(expect, abs=5e-7)
+
+
+def test_cv_folds_partition_and_loo(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+
+    out = stats.cv_fold_metrics(spark, sf_dir).collect()
+    assert sorted(r.fold for r in out) == list(range(stats.CV_FOLDS))
+    assert sum(r.n_linhas for r in out) == len(approved_rows)
+    # LOO mean complements the fold mean against the global totals
+    tot = sum(r.n_linhas * r.valor_medio for r in out)
+    n = sum(r.n_linhas for r in out)
+    for r in out:
+        expect = (tot - r.n_linhas * r.valor_medio) / (n - r.n_linhas)
+        assert r.valor_medio_loo == pytest.approx(expect, rel=1e-9)
+
+
+def test_loo_target_encode_is_leak_free(spark, sf_dir, approved_rows):
+    """Each row's encoding equals the group's approval rate EXCLUDING
+    that row — verified against collected group stats; and the smoothed
+    variant sits between the LOO rate and the global prior."""
+    from banking_streaming_etl_spark.plans import stats
+
+    grp_n, grp_ap, n_tot, ap_tot = {}, {}, 0, 0
+    for r in approved_rows:
+        grp_n[r.modalidade_pagamento] = grp_n.get(r.modalidade_pagamento, 0) + 1
+        grp_ap[r.modalidade_pagamento] = grp_ap.get(
+            r.modalidade_pagamento, 0
+        ) + int(r.transacao_aprovada)
+        n_tot += 1
+        ap_tot += int(r.transacao_aprovada)
+    prior = ap_tot / n_tot
+    out = stats.loo_target_encode_modality(spark, sf_dir).collect()
+    assert len(out) == len(approved_rows)
+    for r in out[:500]:
+        g = r.modalidade_pagamento
+        loo = (grp_ap[g] - r.aprovada) / (grp_n[g] - 1)
+        assert r.codif_loo == pytest.approx(loo, rel=1e-12)
+        lo, hi = sorted((loo, prior))
+        assert lo - 1e-12 <= r.codif_loo_suave <= hi + 1e-12
+
+
+def test_group_holdout_no_source_straddles_splits(spark, sf_dir):
+    """The leakage guarantee itself: every source maps to exactly one
+    split, and the split sizes cover the corpus."""
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.functions import portable
+    from banking_streaming_etl_spark.plans import curation
+    from pyspark.sql import functions as F
+
+    d = datamodel.load_table(spark, sf_dir, "documents")
+    per_source = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "bucket",
+            portable.md5_48(F.col("source")) % curation.HOLDOUT_BUCKETS,
+        )
+        .collect()
+    )
+    out = {
+        r.split: r
+        for r in curation.group_holdout_split_docs(spark, sf_dir).collect()
+    }
+    expect = {"train": 0, "val": 0, "test": 0}
+    fontes = {"train": 0, "val": 0, "test": 0}
+    for r in per_source:
+        s = (
+            "train"
+            if r.bucket < curation.HOLDOUT_TRAIN_LT
+            else ("val" if r.bucket < curation.HOLDOUT_VAL_LT else "test")
+        )
+        expect[s] += r.n
+        fontes[s] += 1
+    for s, row in out.items():
+        assert row.n_docs == expect[s]
+        assert row.n_fontes == fontes[s]
+    assert sum(expect.values()) == d.count()

@@ -350,6 +350,10 @@ def register_all() -> None:
              stats.LOO_TARGET_SQL,
              "leave-one-out target encoding of modality vs approval "
              "(+ m-smoothed variant) — leakage-safe tabular ML feature")
+    register("isotonic_calibration_bins", stats.isotonic_calibration_bins,
+             stats.ISOTONIC_SQL,
+             "exact isotonic (PAV) score calibration via the minimax "
+             "identity — declarative, oracle-checkable, no iteration")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

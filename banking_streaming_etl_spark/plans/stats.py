@@ -672,3 +672,140 @@ SELECT id_transacao, modalidade_pagamento,
 FROM approved
 JOIN te_g USING (modalidade_pagamento), te_tot""",
 )
+
+
+# --- exact isotonic (PAV) calibration over score bins ----------------------
+
+ISO_BINS = 20
+
+
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic regression calibration of the risk score — the
+    monotone score->P(denial) map (sklearn's IsotonicRegression /
+    Zadrozny-Elkan calibration), fitted on equal-count score bins and
+    solved DECLARATIVELY via the minimax identity of pool-adjacent-
+    violators: iso(i) = max_{j<=i} min_{k>=i} avg(denial over bins j..k)
+    (Robertson-Wright-Dykstra). No driver-side loop, no iteration — the
+    whole PAV solve is three tiny joins, so the fit is oracle-checkable
+    SQL, which an iterative pooling implementation would not be.
+
+    Scale shape: the only corpus-scale work is the distributed NTILE
+    pass + ONE bin aggregate; the K=20 bin table then goes through
+    K^2/K^3-row broadcast joins (model-sized at any corpus size — the
+    PCA/BPE "model, not data" pattern, but still fully distributed and
+    declarative). The calibrated rates are interval means of exact
+    integers picked by MIN/MAX — identical doubles in both engines, no
+    rounding. `taxa_isotonica` is non-decreasing in `faixa` by
+    construction (pinned by the brute-force PAV differential test)."""
+    ap = (
+        _approved(spark, sf_dir)
+        .select("id_transacao", "score_medio", "transacao_aprovada")
+        .persist()
+    )
+    binned = ranking.with_global_ntile(
+        ap, "score_medio", "id_transacao", ISO_BINS, out="faixa"
+    )
+    bins = binned.groupBy("faixa").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((~F.col("transacao_aprovada")).cast("int"))
+        .cast("bigint")
+        .alias("n_negadas"),
+    ).persist()
+    # interval sums A(j,k) = denial mean over bins j..k (K^2/2 pairs,
+    # each summing its members: the triangle join is K^3/6 rows total)
+    # every join below is K-row x K-row: broadcast hints pin the plan to
+    # BroadcastNestedLoopJoin (the bounded-model-state class) — without
+    # them Spark's unknown size estimate falls back to CartesianProduct
+    pairs = bins.select(F.col("faixa").alias("j")).join(
+        F.broadcast(bins.select(F.col("faixa").alias("k"))),
+        F.col("j") <= F.col("k"),
+    )
+    interval = (
+        pairs.join(
+            F.broadcast(
+                bins.select(
+                    F.col("faixa").alias("b"),
+                    F.col("n").alias("_n_b"),
+                    F.col("n_negadas").alias("_neg_b"),
+                )
+            ),
+            (F.col("b") >= F.col("j")) & (F.col("b") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            F.sum("_n_b").cast("bigint").alias("n_jk"),
+            F.sum("_neg_b").cast("bigint").alias("neg_jk"),
+        )
+        .withColumn(
+            "media_jk",
+            F.col("neg_jk").cast("double") / F.col("n_jk").cast("double"),
+        )
+    )
+    # minimax: iso(i) = max over j<=i of (min over k>=i of A(j,k))
+    iso = (
+        bins.select(F.col("faixa").alias("i"))
+        .join(
+            F.broadcast(interval),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("media_jk").alias("_min_k"))
+        .groupBy("i")
+        .agg(F.max("_min_k").alias("taxa_isotonica"))
+    )
+    return (
+        bins.join(F.broadcast(iso), bins["faixa"] == iso["i"])
+        .select(
+            "faixa",
+            "n",
+            "n_negadas",
+            (
+                F.col("n_negadas").cast("double") / F.col("n").cast("double")
+            ).alias("taxa_bruta"),
+            "taxa_isotonica",
+        )
+    )
+
+
+_ISO_CTES = f""",
+iso_binned AS (
+    SELECT transacao_aprovada,
+           NTILE({ISO_BINS}) OVER (ORDER BY score_medio ASC,
+                                   id_transacao ASC) AS faixa
+    FROM approved
+),
+iso_bins AS (
+    SELECT faixa, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_negadas
+    FROM iso_binned GROUP BY faixa
+),
+iso_interval AS (
+    SELECT j.faixa AS j, k.faixa AS k,
+           CAST(SUM(b.n) AS BIGINT) AS n_jk,
+           CAST(SUM(b.n_negadas) AS BIGINT) AS neg_jk
+    FROM iso_bins j
+    JOIN iso_bins k ON j.faixa <= k.faixa
+    JOIN iso_bins b ON b.faixa >= j.faixa AND b.faixa <= k.faixa
+    GROUP BY 1, 2
+),
+iso_minmax AS (
+    SELECT i.faixa AS faixa, a.j AS j,
+           MIN(CAST(a.neg_jk AS DOUBLE) / CAST(a.n_jk AS DOUBLE)) AS min_k
+    FROM iso_bins i
+    JOIN iso_interval a ON a.j <= i.faixa AND a.k >= i.faixa
+    GROUP BY 1, 2
+),
+iso_fit AS (
+    SELECT faixa, MAX(min_k) AS taxa_isotonica
+    FROM iso_minmax GROUP BY faixa
+)"""
+
+ISOTONIC_SQL = _oracle_with(
+    _ISO_CTES,
+    """
+SELECT b.faixa, b.n, b.n_negadas,
+       CAST(b.n_negadas AS DOUBLE) / CAST(b.n AS DOUBLE) AS taxa_bruta,
+       f.taxa_isotonica
+FROM iso_bins b JOIN iso_fit f USING (faixa)""",
+)

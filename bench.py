@@ -96,6 +96,7 @@ EXTRA = [
     "group_holdout_split_docs",
     "cv_fold_metrics",
     "loo_target_encode_modality",
+    "isotonic_calibration_bins",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

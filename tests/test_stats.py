@@ -234,3 +234,46 @@ def test_group_holdout_no_source_straddles_splits(spark, sf_dir):
         assert row.n_docs == expect[s]
         assert row.n_fontes == fontes[s]
     assert sum(expect.values()) == d.count()
+
+
+def test_isotonic_matches_sequential_pav(spark, sf_dir):
+    """The declarative minimax fit equals the classic sequential PAV
+    (weights = bin sizes), and is non-decreasing across bins."""
+    from banking_streaming_etl_spark.plans import stats
+
+    out = sorted(
+        stats.isotonic_calibration_bins(spark, sf_dir).collect(),
+        key=lambda r: r.faixa,
+    )
+    assert [r.faixa for r in out] == list(range(1, stats.ISO_BINS + 1))
+    # brute-force PAV per BIN (weight = n): expand one value per bin
+    blocks = [[r.n, r.n_negadas / r.n] for r in out]
+    fitted = []
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] > blocks[i + 1][1] + 1e-15:
+            w = blocks[i][0] + blocks[i + 1][0]
+            m = (
+                blocks[i][0] * blocks[i][1]
+                + blocks[i + 1][0] * blocks[i + 1][1]
+            ) / w
+            blocks[i] = [w, m]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # map pooled blocks back onto bins
+    expect = []
+    bi = 0
+    for w, m in blocks:
+        consumed = 0
+        while consumed < w:
+            consumed += out[bi].n
+            expect.append(m)
+            bi += 1
+    assert len(expect) == len(out)
+    for r, e in zip(out, expect):
+        assert r.taxa_isotonica == pytest.approx(e, abs=1e-12)
+    # monotone non-decreasing
+    for a, b in zip(out, out[1:]):
+        assert a.taxa_isotonica <= b.taxa_isotonica + 1e-15

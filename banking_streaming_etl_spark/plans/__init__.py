@@ -354,6 +354,19 @@ def register_all() -> None:
              stats.ISOTONIC_SQL,
              "exact isotonic (PAV) score calibration via the minimax "
              "identity — declarative, oracle-checkable, no iteration")
+    register("mannwhitney_value_by_approval",
+             stats.mannwhitney_value_by_approval,
+             stats.MANNWHITNEY_SQL,
+             "exact Mann-Whitney U / rank-sum test (approved vs denied "
+             "value): tie-corrected z from the distributed prefix sum")
+    register("kruskal_value_by_modality", stats.kruskal_value_by_modality,
+             stats.KRUSKAL_SQL,
+             "exact Kruskal-Wallis H across modalities (tie-corrected) — "
+             "k-sample rank test, deterministic cross-group fold")
+    register("anova_value_by_modality", stats.anova_value_by_modality,
+             stats.ANOVA_SQL,
+             "one-way ANOVA F + eta^2 across modalities from exact "
+             "decimal moments, deterministic cross-group fold")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

@@ -809,3 +809,462 @@ SELECT b.faixa, b.n, b.n_negadas,
        f.taxa_isotonica
 FROM iso_bins b JOIN iso_fit f USING (faixa)""",
 )
+
+
+# --- Mann-Whitney U: value | approved vs denied ----------------------------
+
+
+def mannwhitney_value_by_approval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) test between the
+    transaction-value distributions of approved vs denied traffic — the
+    rank-based companion of the KS test above (sensitive to location
+    shift where KS is sensitive to any CDF gap).
+
+    Everything reduces to exact integers: pooled AVERAGE ranks ride the
+    doubled-rank identity over the distributed prefix sum (2*r(v) =
+    2*cum(v) - cnt(v) + 1, a bigint), so the doubled rank sum of the
+    approved group 2*R_ap = sum n_ap(v) * a2(v) is an exact DECIMAL, and
+    U = R - n1(n1+1)/2 is a dyadic rational — exact in double. The
+    tie-corrected normal approximation sigma^2 = (n1*n2/12) * ((N+1) -
+    T/(N(N-1))) with T = sum(t^3 - t) over tie groups is a fixed double
+    ladder on exact integer aggregates, term-identical in the DuckDB
+    twin (sqrt is IEEE-correctly-rounded, so z is bit-identical).
+
+    Scale: one value-keyed groupBy (shuffle ~ |distinct values|), ONE
+    distributed prefix sum (no single-task sort), one bounded aggregate.
+    n1*n2 exceeds 2^53 only past ~10^8 rows per class; at that scale the
+    z-statistic is what matters and U's last-ulp is irrelevant."""
+    t = _approved(spark, sf_dir).select(
+        "id_transacao", "valor_transacao", "transacao_aprovada"
+    )
+    counts = t.groupBy("valor_transacao").agg(
+        F.sum(F.when(F.col("transacao_aprovada"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ap"),
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("id_transacao").alias("_vid"),
+    )
+    cum = ranking.with_global_cumsum(
+        counts, "valor_transacao", "_vid", "cnt", out="_cumc",
+        nulls="reject",
+    )
+    dec0 = "decimal(38,0)"
+    a2 = (
+        F.lit(2).cast(ranking.DEC38) * F.col("_cumc")
+        - F.col("cnt")
+        + F.lit(1)
+    ).cast("bigint")
+    agg = cum.agg(
+        F.sum("n_ap").cast("bigint").alias("_n1"),
+        F.sum(F.col("cnt") - F.col("n_ap")).cast("bigint").alias("_n2"),
+        F.sum(F.col("n_ap").cast(dec0) * a2.cast(dec0)).alias("_r2"),
+        F.sum(
+            F.col("cnt").cast(dec0) * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("_tt"),
+    )
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    nd = n1 + n2
+    u_ap = (F.col("_r2").cast("double") - n1 * (n1 + F.lit(1.0))) / F.lit(
+        2.0
+    )
+    mu = n1 * n2 / F.lit(2.0)
+    sig2 = (n1 * n2 / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("_tt").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    return agg.select(
+        F.col("_n1").alias("n_aprovadas"),
+        F.col("_n2").alias("n_negadas"),
+        u_ap.alias("u_aprovadas"),
+        (n1 * n2 - u_ap).alias("u_negadas"),
+        (u_ap / (n1 * n2)).alias("cles_aprovadas"),
+        ((u_ap - mu) / F.sqrt(sig2)).alias("z_u"),
+    )
+
+
+_MW_CTES = """,
+mw_counts AS (
+    SELECT valor_transacao,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ap,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM approved GROUP BY valor_transacao
+),
+mw_rank AS (
+    SELECT n_ap, cnt,
+           2 * CAST(SUM(cnt) OVER (ORDER BY valor_transacao ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - cnt + 1 AS a2
+    FROM mw_counts
+),
+mw_agg AS (
+    SELECT CAST(SUM(n_ap) AS BIGINT) AS n1,
+           CAST(SUM(cnt - n_ap) AS BIGINT) AS n2,
+           CAST(SUM(CAST(n_ap AS DECIMAL(38,0)) * a2) AS DECIMAL(38,0))
+               AS r2,
+           CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
+               AS DECIMAL(38,0)) AS tt
+    FROM mw_rank
+)"""
+
+MANNWHITNEY_SQL = _oracle_with(
+    _MW_CTES,
+    """
+SELECT n1 AS n_aprovadas, n2 AS n_negadas,
+       (CAST(r2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+           / 2.0 AS u_aprovadas,
+       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           - (CAST(r2 AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+           AS u_negadas,
+       ((CAST(r2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+           / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           AS cles_aprovadas,
+       ((CAST(r2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+            / 2.0
+        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+       / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+              * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                 - CAST(tt AS DOUBLE)
+                   / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))))
+           AS z_u
+FROM mw_agg""",
+)
+
+
+# --- deterministic cross-group double fold ---------------------------------
+#
+# A SUM over k per-group DOUBLE terms is order-dependent in the last ulp
+# and both engines aggregate in nondeterministic order — the one float
+# hazard the per-group-rows pattern (chi2 cells, JS bins) dodges by never
+# summing across rows. When a statistic genuinely needs the cross-group
+# sum (ANOVA's SSB, Kruskal-Wallis' sum R_g^2/n_g), both engines fold the
+# SAME terms in the SAME sorted-key order instead: Spark F.aggregate over
+# an array_sort'ed collect_list, DuckDB list_reduce over list(... ORDER
+# BY key) — identical operand order => bit-identical IEEE result. The
+# fold is over k <= a few dozen group rows (model-sized), never the corpus.
+
+
+def _fold_terms(grp: DataFrame, key_col: str, term: Column) -> DataFrame:
+    """One-row frame with `_fold` = left-fold sum of `term` over the
+    group rows in ascending `key_col` order (init 0.0; 0.0 + x == x
+    bit-exact for the non-negative terms this family folds)."""
+    return grp.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(key_col).alias("k"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda a, s: a + s["t"],
+        ).alias("_fold")
+    )
+
+
+def _sql_fold(term: str, key: str) -> str:
+    # CAST the init: a bare 0.0 literal parses as DECIMAL in DuckDB and
+    # would silently pull the whole fold out of IEEE double arithmetic
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list({term} ORDER BY {key} ASC)), (a, b) -> a + b)"
+    )
+
+
+# --- Kruskal-Wallis H: value across payment modalities ---------------------
+
+
+def kruskal_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kruskal-Wallis H test — does the transaction-value
+    distribution differ across payment modalities? The k-sample
+    generalization of the Mann-Whitney query: pooled average ranks from
+    the distributed prefix sum (doubled-rank identity, exact bigints),
+    per-modality doubled rank sums 2*R_g as exact DECIMAL, then
+
+        H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1),
+        H_corrected = H / (1 - sum(t^3 - t)/(N^3 - N)).
+
+    The only cross-group double sum (sum R_g^2/n_g) rides the
+    deterministic sorted fold (`_fold_terms` / list_reduce twin) so both
+    engines add the identical k terms in identical order. Output is one
+    row per modality (n, exact dyadic rank sum, mean rank) with the H
+    scalars broadcast onto every row.
+
+    Scale: value-keyed groupBy + ONE distributed prefix sum for the rank
+    table, a (modality, value) groupBy joined against it (shuffle ~
+    |distinct pairs|), then k-row folds and broadcasts."""
+    t = _approved(spark, sf_dir).select(
+        "id_transacao",
+        "valor_transacao",
+        "modalidade_pagamento",
+        "transacao_aprovada",
+    )
+    pooled = t.groupBy("valor_transacao").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("id_transacao").alias("_vid"),
+    )
+    cum = ranking.with_global_cumsum(
+        pooled, "valor_transacao", "_vid", "cnt", out="_cumc",
+        nulls="reject",
+    )
+    dec0 = "decimal(38,0)"
+    rank_tbl = cum.select(
+        "valor_transacao",
+        "cnt",
+        (
+            F.lit(2).cast(ranking.DEC38) * F.col("_cumc")
+            - F.col("cnt")
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("a2"),
+    ).persist()
+    tot = rank_tbl.agg(
+        F.sum("cnt").cast("bigint").alias("_n_tot"),
+        F.sum(
+            F.col("cnt").cast(dec0) * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("_tt"),
+    )
+    gv = t.groupBy("modalidade_pagamento", "valor_transacao").agg(
+        F.count("*").cast("bigint").alias("n_gv")
+    )
+    grp = (
+        gv.join(rank_tbl.drop("cnt"), "valor_transacao")
+        .groupBy("modalidade_pagamento")
+        .agg(
+            F.sum("n_gv").cast("bigint").alias("n"),
+            F.sum(F.col("n_gv").cast(dec0) * F.col("a2").cast(dec0))
+            .alias("_r2g"),
+        )
+        .persist()
+    )
+    # per-group H term: R_g^2/n_g = (2R_g)^2 / (4 n_g), exact operands
+    term = (F.col("_r2g").cast("double") * F.col("_r2g").cast("double")) / (
+        F.lit(4.0) * F.col("n").cast("double")
+    )
+    folded = _fold_terms(grp, "modalidade_pagamento", term)
+    nd = F.col("_n_tot").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("_fold")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    tie_c = F.lit(1.0) - F.col("_tt").cast("double") / (nd * nd * nd - nd)
+    scal = (
+        folded.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_n_tot").alias("n_total"),
+            h.alias("h_stat"),
+            (h / tie_c).alias("h_corrigido"),
+        )
+    )
+    return grp.crossJoin(F.broadcast(scal)).select(
+        "modalidade_pagamento",
+        "n",
+        (F.col("_r2g").cast("double") / F.lit(2.0)).alias("soma_postos"),
+        (
+            F.col("_r2g").cast("double")
+            / (F.lit(2.0) * F.col("n").cast("double"))
+        ).alias("posto_medio"),
+        "n_total",
+        "h_stat",
+        "h_corrigido",
+    )
+
+
+_KW_CTES = f""",
+kw_pooled AS (
+    SELECT valor_transacao, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM approved GROUP BY valor_transacao
+),
+kw_rank AS (
+    SELECT valor_transacao, cnt,
+           2 * CAST(SUM(cnt) OVER (ORDER BY valor_transacao ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - cnt + 1 AS a2
+    FROM kw_pooled
+),
+kw_tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot,
+           CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
+               AS DECIMAL(38,0)) AS tt
+    FROM kw_rank
+),
+kw_gv AS (
+    SELECT modalidade_pagamento, valor_transacao,
+           CAST(COUNT(*) AS BIGINT) AS n_gv
+    FROM approved GROUP BY 1, 2
+),
+kw_grp AS (
+    SELECT g.modalidade_pagamento,
+           CAST(SUM(g.n_gv) AS BIGINT) AS n,
+           CAST(SUM(CAST(g.n_gv AS DECIMAL(38,0)) * r.a2)
+               AS DECIMAL(38,0)) AS r2g
+    FROM kw_gv g JOIN kw_rank r USING (valor_transacao)
+    GROUP BY 1
+),
+kw_fold AS (
+    SELECT {_sql_fold('(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)) '
+                      '/ (4.0 * CAST(n AS DOUBLE))',
+                      'modalidade_pagamento')} AS s
+    FROM kw_grp
+),
+kw_scal AS (
+    SELECT n_tot AS n_total,
+           12.0 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0)) * s
+               - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0) AS h_stat,
+           (12.0 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0)) * s
+               - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0))
+           / (1.0 - CAST(tt AS DOUBLE)
+                    / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                       * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE)))
+               AS h_corrigido
+    FROM kw_fold, kw_tot
+)"""
+
+KRUSKAL_SQL = _oracle_with(
+    _KW_CTES,
+    """
+SELECT g.modalidade_pagamento, g.n,
+       CAST(g.r2g AS DOUBLE) / 2.0 AS soma_postos,
+       CAST(g.r2g AS DOUBLE) / (2.0 * CAST(g.n AS DOUBLE)) AS posto_medio,
+       s.n_total, s.h_stat, s.h_corrigido
+FROM kw_grp g, kw_scal s""",
+)
+
+
+# --- one-way ANOVA: value across payment modalities ------------------------
+
+
+def anova_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of transaction value across payment modalities —
+    the parametric companion of the Kruskal-Wallis query: F = (SSB/(k-1))
+    / (SSW/(N-k)) plus the eta-squared effect size SSB/SST.
+
+    Determinism recipe: per-group first/second moments accumulate in
+    DECIMAL through the 6-rounding `functions/exact` pattern (exact,
+    order-independent); grand moments re-aggregate FROM THE k GROUP ROWS
+    (decimal sums — never a second corpus scan); the per-group between
+    term n_g*(mean_g - mean)^2 is a fixed double ladder on those exact
+    scalars; and the one cross-group double sum (SSB) rides the
+    deterministic sorted fold, so F and eta^2 are bit-identical in the
+    DuckDB twin. Output: one row per modality (n, mean, between term)
+    with the ANOVA scalars broadcast onto every row.
+
+    Scale: ONE modality-keyed hash aggregate over the corpus; everything
+    after is k-row arithmetic on broadcasts."""
+    t = _approved(spark, sf_dir).select(
+        "modalidade_pagamento", "valor_transacao"
+    )
+    grp = (
+        t.groupBy("modalidade_pagamento")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(exact._d("valor_transacao")).alias("_s"),
+            F.sum(
+                exact._d(
+                    F.round("valor_transacao", 6)
+                    * F.round("valor_transacao", 6)
+                )
+            ).alias("_q"),
+        )
+        .persist()
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("_n_tot"),
+        F.sum("_s").alias("_s_tot"),
+        F.sum("_q").alias("_q_tot"),
+        F.count("*").cast("bigint").alias("_k"),
+    )
+    ndt = F.col("_n_tot").cast("double")
+    gmean = F.col("_s_tot").cast("double") / ndt
+    # between term per group: n_g * (mean_g - grand_mean)^2
+    ng = F.col("n").cast("double")
+    dmean = F.col("_s").cast("double") / ng - F.col("_gmean")
+    gt = grp.crossJoin(
+        F.broadcast(tot.select(gmean.alias("_gmean"), "_n_tot", "_s_tot",
+                               "_q_tot", "_k"))
+    ).withColumn("termo_entre", ng * dmean * dmean)
+    folded = _fold_terms(gt, "modalidade_pagamento", F.col("termo_entre"))
+    ssb = F.col("_fold")
+    sst = F.col("_q_tot").cast("double") - (
+        F.col("_s_tot").cast("double") * F.col("_s_tot").cast("double")
+    ) / ndt
+    kd = F.col("_k").cast("double")
+    f_stat = (ssb / (kd - F.lit(1.0))) / (
+        (sst - ssb) / (ndt - kd)
+    )
+    scal = folded.crossJoin(F.broadcast(tot)).select(
+        ssb.alias("ssb"),
+        sst.alias("sst"),
+        f_stat.alias("f_stat"),
+        (ssb / sst).alias("eta_sq"),
+    )
+    return gt.crossJoin(F.broadcast(scal)).select(
+        "modalidade_pagamento",
+        "n",
+        (F.col("_s").cast("double") / ng).alias("media"),
+        "termo_entre",
+        "ssb",
+        "sst",
+        "f_stat",
+        "eta_sq",
+    )
+
+
+_AOV_S = exact._sql_s("valor_transacao")
+_AOV_Q = exact._sql_sp("valor_transacao", "valor_transacao")
+
+_AOV_CTES = f""",
+aov_grp AS (
+    SELECT modalidade_pagamento, CAST(COUNT(*) AS BIGINT) AS n,
+           {_AOV_S} AS s, {_AOV_Q} AS q,
+           CAST(SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)))
+               AS DECIMAL(28,6)) AS s_dec,
+           CAST(SUM(CAST(ROUND(ROUND(valor_transacao, 6)
+                               * ROUND(valor_transacao, 6), 6)
+                         AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS q_dec
+    FROM approved GROUP BY 1
+),
+aov_tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+           CAST(SUM(s_dec) AS DOUBLE) AS s_tot,
+           CAST(SUM(q_dec) AS DOUBLE) AS q_tot,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM aov_grp
+),
+aov_gt AS (
+    SELECT g.modalidade_pagamento, g.n, g.s, g.q,
+           CAST(g.n AS DOUBLE)
+           * (g.s / CAST(g.n AS DOUBLE) - t.s_tot / CAST(t.n_tot AS DOUBLE))
+           * (g.s / CAST(g.n AS DOUBLE) - t.s_tot / CAST(t.n_tot AS DOUBLE))
+               AS termo_entre
+    FROM aov_grp g, aov_tot t
+),
+aov_fold AS (
+    SELECT {_sql_fold('termo_entre', 'modalidade_pagamento')} AS ssb
+    FROM aov_gt
+),
+aov_scal AS (
+    SELECT f.ssb,
+           t.q_tot - (t.s_tot * t.s_tot) / CAST(t.n_tot AS DOUBLE) AS sst,
+           (f.ssb / (CAST(t.k AS DOUBLE) - 1.0))
+           / (((t.q_tot - (t.s_tot * t.s_tot) / CAST(t.n_tot AS DOUBLE))
+               - f.ssb)
+              / (CAST(t.n_tot AS DOUBLE) - CAST(t.k AS DOUBLE))) AS f_stat,
+           f.ssb / (t.q_tot - (t.s_tot * t.s_tot)
+                    / CAST(t.n_tot AS DOUBLE)) AS eta_sq
+    FROM aov_fold f, aov_tot t
+)"""
+
+ANOVA_SQL = _oracle_with(
+    _AOV_CTES,
+    """
+SELECT g.modalidade_pagamento, g.n,
+       g.s / CAST(g.n AS DOUBLE) AS media,
+       g.termo_entre, s.ssb, s.sst, s.f_stat, s.eta_sq
+FROM aov_gt g, aov_scal s""",
+)

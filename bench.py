@@ -97,6 +97,9 @@ EXTRA = [
     "cv_fold_metrics",
     "loo_target_encode_modality",
     "isotonic_calibration_bins",
+    "mannwhitney_value_by_approval",
+    "kruskal_value_by_modality",
+    "anova_value_by_modality",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -277,3 +277,110 @@ def test_isotonic_matches_sequential_pav(spark, sf_dir):
     # monotone non-decreasing
     for a, b in zip(out, out[1:]):
         assert a.taxa_isotonica <= b.taxa_isotonica + 1e-15
+
+
+def _rank_map(values):
+    """value -> average 1-based rank over the pooled list (tie-average)."""
+    s = sorted(values)
+    ranks = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return ranks
+
+
+def test_mannwhitney_matches_bruteforce(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+
+    out = stats.mannwhitney_value_by_approval(spark, sf_dir).collect()[0]
+    va = [r.valor_transacao for r in approved_rows if r.transacao_aprovada]
+    vd = [r.valor_transacao for r in approved_rows if not r.transacao_aprovada]
+    pooled = va + vd
+    ranks = _rank_map(pooled)
+    n1, n2 = len(va), len(vd)
+    r_ap = sum(ranks[v] for v in va)
+    u_ap = r_ap - n1 * (n1 + 1) / 2.0
+    assert out.n_aprovadas == n1 and out.n_negadas == n2
+    assert out.u_aprovadas == pytest.approx(u_ap, abs=1e-6)
+    assert out.u_negadas == pytest.approx(n1 * n2 - u_ap, rel=1e-12)
+    assert out.cles_aprovadas == pytest.approx(u_ap / (n1 * n2), rel=1e-12)
+    # tie-corrected normal approximation
+    from collections import Counter
+
+    tt = sum(t**3 - t for t in Counter(pooled).values())
+    n = n1 + n2
+    mu = n1 * n2 / 2.0
+    sig2 = (n1 * n2 / 12.0) * ((n + 1) - tt / (n * (n - 1)))
+    assert out.z_u == pytest.approx((u_ap - mu) / math.sqrt(sig2), rel=1e-10)
+    # U identity: U_ap + U_den = n1*n2
+    assert out.u_aprovadas + out.u_negadas == pytest.approx(n1 * n2)
+
+
+def test_kruskal_matches_bruteforce(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+    from collections import Counter, defaultdict
+
+    rows = sorted(
+        stats.kruskal_value_by_modality(spark, sf_dir).collect(),
+        key=lambda r: r.modalidade_pagamento,
+    )
+    pooled = [r.valor_transacao for r in approved_rows]
+    ranks = _rank_map(pooled)
+    groups = defaultdict(list)
+    for r in approved_rows:
+        groups[r.modalidade_pagamento].append(r.valor_transacao)
+    n = len(pooled)
+    s = 0.0
+    for g in sorted(groups):
+        rg = sum(ranks[v] for v in groups[g])
+        s += rg * rg / len(groups[g])
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    tt = sum(t**3 - t for t in Counter(pooled).values())
+    h_corr = h / (1.0 - tt / (n**3 - n))
+    assert [r.modalidade_pagamento for r in rows] == sorted(groups)
+    for r in rows:
+        rg = sum(ranks[v] for v in groups[r.modalidade_pagamento])
+        assert r.n == len(groups[r.modalidade_pagamento])
+        assert r.soma_postos == pytest.approx(rg, abs=1e-6)
+        assert r.posto_medio == pytest.approx(rg / r.n, rel=1e-12)
+        assert r.n_total == n
+        assert r.h_stat == pytest.approx(h, rel=1e-9)
+        assert r.h_corrigido == pytest.approx(h_corr, rel=1e-9)
+
+
+def test_anova_matches_bruteforce(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+    from collections import defaultdict
+
+    rows = sorted(
+        stats.anova_value_by_modality(spark, sf_dir).collect(),
+        key=lambda r: r.modalidade_pagamento,
+    )
+    groups = defaultdict(list)
+    for r in approved_rows:
+        groups[r.modalidade_pagamento].append(round(r.valor_transacao, 6))
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    gmean = sum(allv) / n
+    ssb = sum(
+        len(vs) * (sum(vs) / len(vs) - gmean) ** 2 for vs in groups.values()
+    )
+    ssw = sum(
+        sum((v - sum(vs) / len(vs)) ** 2 for v in vs)
+        for vs in groups.values()
+    )
+    sst = ssb + ssw
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert [r.modalidade_pagamento for r in rows] == sorted(groups)
+    for r in rows:
+        vs = groups[r.modalidade_pagamento]
+        assert r.n == len(vs)
+        assert r.media == pytest.approx(sum(vs) / len(vs), rel=1e-9)
+        assert r.ssb == pytest.approx(ssb, rel=1e-6)
+        assert r.sst == pytest.approx(sst, rel=1e-6)
+        assert r.f_stat == pytest.approx(f, rel=1e-6)
+        assert r.eta_sq == pytest.approx(ssb / sst, rel=1e-6)

@@ -367,6 +367,12 @@ def register_all() -> None:
              stats.ANOVA_SQL,
              "one-way ANOVA F + eta^2 across modalities from exact "
              "decimal moments, deterministic cross-group fold")
+    register("channel_attribution", behavior.channel_attribution,
+             behavior.ATTRIBUTION_SQL,
+             "multi-touch conversion attribution: first/last-touch, "
+             "exact linear + U-shaped positional credits, and the exact "
+             "Shapley value of the conversion-rate coalition game over "
+             "bitmask journey sets")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

@@ -568,3 +568,437 @@ FROM (
 )
 """
 )
+
+
+# --- multi-touch channel attribution (first/last/linear/position/Shapley) ---
+
+#: conversion event; every other modality is an attributable channel.
+CONVERSION_CHANNEL = "purchase"
+#: credit scale: LCM-friendly 12600 = 2^3*3^2*5^2*7 keeps BOTH the
+#: linear credit 1/k (k <= 8) AND the U-shaped positional credits
+#: (0.4 ends, 0.2 split over k-2 middles, so denominators 5*(k-2) with
+#: k-2 <= 6) exact INTEGERS — per-channel credits accumulate in bigint
+#: and divide back out once, so the doubles are exact integer ratios.
+ATTRIB_SCALE = 12600
+#: hard cap on the channel universe: the subset lattice is 2^M rows and
+#: the credit integrality above needs k <= 8.
+ATTRIB_MAX_CHANNELS = 8
+#: a conversion is a HIGH-VALUE purchase (plain purchases are routine
+#: in this stream — nearly every payer has one, which degenerates every
+#: subset conversion rate to 1.0 and zeroes all Shapley marginals).
+ATTRIB_CONVERSION_MIN_VALUE = 150.0
+
+
+def channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution of conversions ('purchase') across the
+    non-purchase modalities, at the distinct-channel level: for each
+    channel, conversions credited by FIRST-touch, LAST-touch, LINEAR
+    (1/k to each of the journey's k distinct channels), U-shaped
+    POSITIONAL (40% first, 40% last, 20% split over middles, ordered by
+    first occurrence), and the exact SHAPLEY value of the coalition
+    game v(S) = conversions of journeys whose touched-channel set is
+    contained in S (Zhao et al. 2018's characteristic function — v is
+    monotone and the Shapley credits sum to v(all channels) - v(empty),
+    i.e. attribution distributes exactly the conversions that had at
+    least one prior touch; pinned by the efficiency test).
+
+    A journey = one payer: conversion instant is the FIRST purchase
+    under the (timestamp, id) total order; touches are strictly-earlier
+    non-purchase events. Journey channel sets ride BITMASKS (bit_or of
+    1<<channel_index), so the whole model layer — the 2^M subset
+    lattice, subset-containment sums, Shapley marginals — is integer
+    arithmetic on a broadcast-sized table (M <= 8 ENFORCED by a
+    plan-level assert_true; the testdata universe is 4).
+
+    Determinism: all credits are exact integers (ATTRIB_SCALE) or exact
+    integer ratios; the only double reduction — the factorial-weighted
+    Shapley sum of 2^(M-1) marginals per channel — folds in ascending
+    subset-mask order in BOTH engines (the stats-family deterministic
+    fold), so every output double is bit-identical cross-engine.
+
+    Scale: one shuffle keyed by payer (journey build), one tiny mask
+    aggregate; everything downstream is O(4^M) rows of broadcast
+    arithmetic, independent of corpus size."""
+    t = datamodel.transactions(spark, sf_dir).select(
+        "id_usuario_pagador",
+        "modalidade_pagamento",
+        "data_horario",
+        "id_transacao",
+        "valor_transacao",
+    )
+    conv = (
+        t.filter(
+            (F.col("modalidade_pagamento") == CONVERSION_CHANNEL)
+            & (F.col("valor_transacao") > ATTRIB_CONVERSION_MIN_VALUE)
+        )
+        .groupBy("id_usuario_pagador")
+        .agg(
+            F.min(F.struct("data_horario", "id_transacao")).alias("_conv")
+        )
+    )
+    touches = (
+        t.filter(F.col("modalidade_pagamento") != CONVERSION_CHANNEL)
+        .join(conv, "id_usuario_pagador", "left")
+        .filter(
+            F.col("_conv").isNull()
+            | (F.struct("data_horario", "id_transacao") < F.col("_conv"))
+        )
+    )
+    universe = touches.agg(
+        F.array_sort(F.collect_set("modalidade_pagamento")).alias("chs")
+    ).filter(
+        F.assert_true(
+            F.size("chs") <= F.lit(ATTRIB_MAX_CHANNELS),
+            F.lit(
+                f"channel_attribution: channel universe exceeds "
+                f"{ATTRIB_MAX_CHANNELS}; the 2^M subset lattice and the "
+                f"ATTRIB_SCALE credit integrality both need M <= 8"
+            ),
+        ).isNull()
+    )
+    channels = universe.select(
+        F.posexplode("chs").alias("idx", "canal"), F.size("chs").alias("m")
+    ).persist()
+
+    tch = touches.crossJoin(F.broadcast(universe)).withColumn(
+        "idx",
+        (F.array_position(F.col("chs"), F.col("modalidade_pagamento")) - 1)
+        .cast("int"),
+    )
+    jour_touch = tch.groupBy("id_usuario_pagador").agg(
+        F.bit_or(F.expr("shiftleft(1L, idx)")).alias("mask"),
+        F.min_by(
+            "modalidade_pagamento", F.struct("data_horario", "id_transacao")
+        ).alias("primeiro_canal"),
+        F.max_by(
+            "modalidade_pagamento", F.struct("data_horario", "id_transacao")
+        ).alias("ultimo_canal"),
+        F.max(F.col("_conv").isNotNull()).alias("_has_conv"),
+    )
+    # journeys = users with >= 1 touch, plus touchless converters (mask 0
+    # — they anchor v(empty), which every Shapley marginal cancels)
+    jour = (
+        jour_touch.join(
+            conv.select("id_usuario_pagador", F.lit(True).alias("_c2")),
+            "id_usuario_pagador",
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("mask"), F.lit(0).cast("bigint")).alias("mask"),
+            "primeiro_canal",
+            "ultimo_canal",
+            F.coalesce(F.col("_c2"), F.lit(False)).alias("convertida"),
+            "id_usuario_pagador",
+        )
+        .persist()
+    )
+    set_tbl = jour.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n_jour"),
+        F.sum(F.col("convertida").cast("int")).cast("bigint").alias("n_conv"),
+    )
+
+    # -- subset lattice + monotone characteristic v(S) = sum of exact-set
+    #    conversions over contained sets (bit containment on masks)
+    subsets = channels.agg(F.max("m").alias("m")).select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr("shiftleft(1L, m)") - 1,
+            )
+        ).alias("smask")
+    )
+    # v(S) = conversion RATE among journeys confined to S (touched-set
+    # contained in S). The count-valued alternative v(S) = contained
+    # CONVERSIONS decomposes into unanimity games, whose Shapley value
+    # IS the linear rule — redundant; the rate game is non-additive, so
+    # its Shapley credit genuinely differs from linear (it rewards
+    # channels whose presence lifts the conversion rate, not just
+    # channels present in many conversions).
+    v_tbl = (
+        subsets.join(
+            F.broadcast(set_tbl),
+            F.col("mask").bitwiseAND(F.col("smask")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("smask")
+        .agg(
+            F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint").alias("_c"),
+            F.coalesce(F.sum("n_jour"), F.lit(0)).cast("bigint").alias("_j"),
+        )
+        .select(
+            "smask",
+            F.when(
+                F.col("_j") > 0,
+                F.col("_c").cast("double") / F.col("_j").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v"),
+        )
+        .persist()
+    )
+
+    # -- exact Shapley: for each channel c, fold the factorial-weighted
+    #    marginals over subsets NOT containing c, ascending mask order
+    pairs = (
+        channels.join(
+            F.broadcast(v_tbl.withColumnRenamed("v", "v0")),
+            F.expr("(smask & shiftleft(1L, idx)) = 0"),
+        )
+        .join(
+            F.broadcast(
+                v_tbl.select(
+                    F.col("smask").alias("smask1"), F.col("v").alias("v1")
+                )
+            ),
+            F.expr("(smask | shiftleft(1L, idx)) = smask1"),
+        )
+        .withColumn(
+            "_term",
+            (
+                F.factorial(F.bit_count("smask")).cast("double")
+                * F.factorial(
+                    F.col("m") - 1 - F.bit_count("smask")
+                ).cast("double")
+                / F.factorial(F.col("m")).cast("double")
+            )
+            * (F.col("v1") - F.col("v0")),
+        )
+    )
+    shapley = pairs.groupBy("canal").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("smask"), F.col("_term")))
+            ),
+            F.lit(0.0),
+            lambda a, s: a + s["_term"],
+        ).alias("credito_shapley")
+    )
+
+    # -- heuristic credits: exact bigint accumulation at ATTRIB_SCALE
+    per_uc = (
+        tch.groupBy("id_usuario_pagador", "modalidade_pagamento")
+        .agg(
+            F.min(F.struct("data_horario", "id_transacao")).alias("_occ")
+        )
+        .join(
+            jour.filter("convertida").select(
+                "id_usuario_pagador", F.bit_count("mask").alias("k")
+            ),
+            "id_usuario_pagador",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    pos = per_uc.withColumn(
+        "p",
+        F.row_number().over(
+            W.partitionBy("id_usuario_pagador").orderBy("_occ")
+        ),
+    )
+    s = F.lit(ATTRIB_SCALE).cast("bigint")
+    k = F.col("k").cast("bigint")
+    # every branch is an exact bigint (integer DIV, divisors proven to
+    # divide ATTRIB_SCALE's factors for k <= 8); k == 2 has no middle,
+    # so the U-shape degenerates to an exact 50/50 split
+    pos_credit = (
+        F.when(k == 1, s)
+        .when(k == 2, F.lit(ATTRIB_SCALE // 2).cast("bigint"))
+        .when(
+            (F.col("p") == 1) | (F.col("p") == k),
+            F.lit(ATTRIB_SCALE * 2 // 5).cast("bigint"),
+        )
+        .otherwise(
+            F.expr(f"CAST({ATTRIB_SCALE // 5} AS BIGINT) DIV (k - 2)")
+        )
+    )
+    heur = pos.groupBy(F.col("modalidade_pagamento").alias("canal")).agg(
+        F.sum(F.expr(f"CAST({ATTRIB_SCALE} AS BIGINT) DIV k")).alias("_lin"),
+        F.sum(pos_credit).alias("_pos"),
+    )
+    firsts = (
+        jour.filter(F.col("convertida") & (F.col("mask") > 0))
+        .groupBy(F.col("primeiro_canal").alias("canal"))
+        .agg(F.count("*").cast("bigint").alias("conv_primeiro_toque"))
+    )
+    lasts = (
+        jour.filter(F.col("convertida") & (F.col("mask") > 0))
+        .groupBy(F.col("ultimo_canal").alias("canal"))
+        .agg(F.count("*").cast("bigint").alias("conv_ultimo_toque"))
+    )
+    n_per_ch = channels.join(
+        F.broadcast(set_tbl),
+        F.expr("(mask & shiftleft(1L, idx)) <> 0"),
+        "left",
+    ).groupBy("canal").agg(
+        F.coalesce(F.sum("n_jour"), F.lit(0)).cast("bigint").alias("n_jornadas"),
+        F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint")
+        .alias("n_conversoes"),
+    )
+
+    sd = F.lit(float(ATTRIB_SCALE))
+    return (
+        n_per_ch.join(F.broadcast(firsts), "canal", "left")
+        .join(F.broadcast(lasts), "canal", "left")
+        .join(F.broadcast(heur), "canal", "left")
+        .join(F.broadcast(shapley), "canal", "left")
+        .select(
+            "canal",
+            "n_jornadas",
+            "n_conversoes",
+            F.coalesce("conv_primeiro_toque", F.lit(0)).cast("bigint")
+            .alias("conv_primeiro_toque"),
+            F.coalesce("conv_ultimo_toque", F.lit(0)).cast("bigint")
+            .alias("conv_ultimo_toque"),
+            (F.coalesce("_lin", F.lit(0)).cast("double") / sd)
+            .alias("credito_linear"),
+            (F.coalesce("_pos", F.lit(0)).cast("double") / sd)
+            .alias("credito_posicional"),
+            "credito_shapley",
+        )
+    )
+
+
+_ATTRIB_CTES = f"""
+conv AS (
+    SELECT id_usuario_pagador,
+           first(data_horario ORDER BY data_horario, id_transacao) AS cts,
+           first(id_transacao ORDER BY data_horario, id_transacao) AS cid
+    FROM transactions
+    WHERE modalidade_pagamento = 'purchase'
+      AND valor_transacao > {ATTRIB_CONVERSION_MIN_VALUE}
+    GROUP BY 1
+),
+touches AS (
+    SELECT t.id_usuario_pagador, t.modalidade_pagamento,
+           t.data_horario, t.id_transacao
+    FROM transactions t LEFT JOIN conv c USING (id_usuario_pagador)
+    WHERE t.modalidade_pagamento <> 'purchase'
+      AND (c.cts IS NULL
+           OR t.data_horario < c.cts
+           OR (t.data_horario = c.cts AND t.id_transacao < c.cid))
+),
+chans AS (
+    SELECT modalidade_pagamento AS canal,
+           CAST(ROW_NUMBER() OVER (ORDER BY modalidade_pagamento) - 1
+                AS INTEGER) AS idx,
+           CAST(COUNT(*) OVER () AS INTEGER) AS m
+    FROM (SELECT DISTINCT modalidade_pagamento FROM touches)
+),
+jt AS (
+    SELECT t.id_usuario_pagador,
+           CAST(bit_or(1::BIGINT << ch.idx) AS BIGINT) AS mask,
+           first(t.modalidade_pagamento
+                 ORDER BY t.data_horario, t.id_transacao) AS primeiro_canal,
+           last(t.modalidade_pagamento
+                ORDER BY t.data_horario, t.id_transacao) AS ultimo_canal
+    FROM touches t JOIN chans ch ON t.modalidade_pagamento = ch.canal
+    GROUP BY 1
+),
+jour AS (
+    SELECT COALESCE(jt.mask, 0) AS mask, jt.primeiro_canal,
+           jt.ultimo_canal,
+           (c.id_usuario_pagador IS NOT NULL) AS convertida,
+           COALESCE(jt.id_usuario_pagador, c.id_usuario_pagador)
+               AS id_usuario_pagador
+    FROM jt FULL OUTER JOIN conv c USING (id_usuario_pagador)
+),
+set_tbl AS (
+    SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_jour,
+           CAST(SUM(CASE WHEN convertida THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conv
+    FROM jour GROUP BY 1
+),
+subsets AS (
+    -- list-returning generate_series + unnest: the table-function form
+    -- can't take a lateral column argument in DuckDB
+    SELECT CAST(unnest(generate_series(0, (1::BIGINT << mm.m) - 1))
+                AS BIGINT) AS smask
+    FROM (SELECT DISTINCT m FROM chans) mm
+),
+v_tbl AS (
+    SELECT s.smask,
+           CASE WHEN COALESCE(SUM(t.n_jour), 0) > 0
+                THEN CAST(COALESCE(SUM(t.n_conv), 0) AS DOUBLE)
+                     / CAST(COALESCE(SUM(t.n_jour), 0) AS DOUBLE)
+                ELSE 0.0 END AS v
+    FROM subsets s LEFT JOIN set_tbl t ON (t.mask & s.smask) = t.mask
+    GROUP BY 1
+),
+shap AS (
+    SELECT c.canal,
+           list_reduce(
+               list_prepend(
+                   CAST(0.0 AS DOUBLE),
+                   list((CAST(factorial(bit_count(v0.smask)) AS DOUBLE)
+                         * CAST(factorial(c.m - 1 - bit_count(v0.smask))
+                                AS DOUBLE)
+                         / CAST(factorial(c.m) AS DOUBLE))
+                        * (v1.v - v0.v)
+                        ORDER BY v0.smask ASC)),
+               (a, b) -> a + b) AS credito_shapley
+    FROM chans c
+    JOIN v_tbl v0 ON (v0.smask & (1::BIGINT << c.idx)) = 0
+    JOIN v_tbl v1 ON (v0.smask | (1::BIGINT << c.idx)) = v1.smask
+    GROUP BY 1
+),
+per_uc AS (
+    SELECT t.id_usuario_pagador, t.modalidade_pagamento,
+           min(t.data_horario) AS _occ_ts,
+           first(t.id_transacao
+                 ORDER BY t.data_horario, t.id_transacao) AS _occ_id
+    FROM touches t
+    GROUP BY 1, 2
+),
+pos AS (
+    SELECT p.modalidade_pagamento AS canal,
+           CAST(bit_count(j.mask) AS BIGINT) AS k,
+           ROW_NUMBER() OVER (PARTITION BY p.id_usuario_pagador
+                              ORDER BY p._occ_ts, p._occ_id) AS p
+    FROM per_uc p
+    JOIN jour j USING (id_usuario_pagador)
+    WHERE j.convertida
+),
+heur AS (
+    SELECT canal,
+           CAST(SUM({ATTRIB_SCALE} // k) AS BIGINT) AS lin,
+           CAST(SUM(CASE WHEN k = 1 THEN {ATTRIB_SCALE}
+                         WHEN k = 2 THEN {ATTRIB_SCALE // 2}
+                         WHEN p = 1 OR p = k THEN {ATTRIB_SCALE * 2 // 5}
+                         ELSE {ATTRIB_SCALE // 5} // (k - 2) END) AS BIGINT)
+               AS pos
+    FROM pos GROUP BY 1
+),
+firsts AS (
+    SELECT primeiro_canal AS canal, CAST(COUNT(*) AS BIGINT) AS n_first
+    FROM jour WHERE convertida AND mask > 0 GROUP BY 1
+),
+lasts AS (
+    SELECT ultimo_canal AS canal, CAST(COUNT(*) AS BIGINT) AS n_last
+    FROM jour WHERE convertida AND mask > 0 GROUP BY 1
+),
+n_per_ch AS (
+    SELECT c.canal,
+           CAST(COALESCE(SUM(t.n_jour), 0) AS BIGINT) AS n_jornadas,
+           CAST(COALESCE(SUM(t.n_conv), 0) AS BIGINT) AS n_conversoes
+    FROM chans c
+    LEFT JOIN set_tbl t ON (t.mask & (1::BIGINT << c.idx)) <> 0
+    GROUP BY 1
+)"""
+
+ATTRIBUTION_SQL = datamodel.with_ctes(
+    f"""
+SELECT n.canal, n.n_jornadas, n.n_conversoes,
+       CAST(COALESCE(f.n_first, 0) AS BIGINT) AS conv_primeiro_toque,
+       CAST(COALESCE(l.n_last, 0) AS BIGINT) AS conv_ultimo_toque,
+       CAST(COALESCE(h.lin, 0) AS DOUBLE) / {float(ATTRIB_SCALE)}
+           AS credito_linear,
+       CAST(COALESCE(h.pos, 0) AS DOUBLE) / {float(ATTRIB_SCALE)}
+           AS credito_posicional,
+       s.credito_shapley
+FROM n_per_ch n
+LEFT JOIN firsts f USING (canal)
+LEFT JOIN lasts l USING (canal)
+LEFT JOIN heur h USING (canal)
+JOIN shap s USING (canal)""",
+    extra_ctes=_ATTRIB_CTES,
+)

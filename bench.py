@@ -100,6 +100,7 @@ EXTRA = [
     "mannwhitney_value_by_approval",
     "kruskal_value_by_modality",
     "anova_value_by_modality",
+    "channel_attribution",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

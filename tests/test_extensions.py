@@ -1404,3 +1404,107 @@ def test_weighted_sample_is_deterministic_and_weight_enriched(spark):
         )[: sampling.WEIGHTED_K]
     }
     assert {r.doc_id for r in out1} == want
+
+
+def test_channel_attribution_matches_bruteforce(spark):
+    """Full independent re-derivation of every attribution model from
+    the collected transactions: journeys by literal sorting, linear /
+    positional credits as Python fractions, and the Shapley value via
+    the explicit permutation-free subset formula over the conversion-
+    rate game. Also pins the efficiency axiom sum(phi) = v(N) - v(0)."""
+    import itertools
+    from fractions import Fraction
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.behavior import (
+        ATTRIB_CONVERSION_MIN_VALUE,
+        channel_attribution,
+    )
+
+    out = {r.canal: r for r in channel_attribution(spark, SF).collect()}
+    t = datamodel.transactions(spark, SF).select(
+        "id_usuario_pagador", "modalidade_pagamento", "data_horario",
+        "id_transacao", "valor_transacao",
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in t:
+        by_user.setdefault(r.id_usuario_pagador, []).append(r)
+    jours = []  # (touch list sorted, converted)
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r.data_horario, r.id_transacao))
+        conv_i = next(
+            (i for i, r in enumerate(rows)
+             if r.modalidade_pagamento == "purchase"
+             and r.valor_transacao > ATTRIB_CONVERSION_MIN_VALUE),
+            None,
+        )
+        pre = rows if conv_i is None else rows[:conv_i]
+        touches = [r.modalidade_pagamento for r in pre
+                   if r.modalidade_pagamento != "purchase"]
+        if touches or conv_i is not None:
+            jours.append((touches, conv_i is not None))
+    chans = sorted({c for ts, _ in jours for c in ts})
+    m = len(chans)
+    # exact-set table on frozensets
+    from collections import Counter, defaultdict
+
+    n_jour: Counter = Counter()
+    n_conv: Counter = Counter()
+    for ts, conv in jours:
+        s = frozenset(ts)
+        n_jour[s] += 1
+        n_conv[s] += conv
+    def v(S: frozenset) -> float:
+        j = sum(n for t_, n in n_jour.items() if t_ <= S)
+        c = sum(n for t_, n in n_conv.items() if t_ <= S)
+        return c / j if j else 0.0
+    fact = [1] * (m + 1)
+    for i in range(1, m + 1):
+        fact[i] = fact[i - 1] * i
+    for c in chans:
+        others = [x for x in chans if x != c]
+        phi = 0.0
+        for r_ in range(m):
+            for S in itertools.combinations(others, r_):
+                Sf = frozenset(S)
+                w = fact[len(S)] * fact[m - 1 - len(S)] / fact[m]
+                phi += w * (v(Sf | {c}) - v(Sf))
+        assert out[c].credito_shapley == pytest.approx(phi, abs=1e-10), c
+    # efficiency: credits distribute v(all) - v(empty)
+    tot = sum(out[c].credito_shapley for c in chans)
+    assert tot == pytest.approx(
+        v(frozenset(chans)) - v(frozenset()), abs=1e-10
+    )
+    # heuristic credits as exact fractions
+    lin: dict[str, Fraction] = defaultdict(Fraction)
+    pos: dict[str, Fraction] = defaultdict(Fraction)
+    first: Counter = Counter()
+    last: Counter = Counter()
+    for ts, conv in jours:
+        if not conv or not ts:
+            continue
+        first[ts[0]] += 1
+        last[ts[-1]] += 1
+        distinct = list(dict.fromkeys(ts))  # first-occurrence order
+        k = len(distinct)
+        for i, c in enumerate(distinct):
+            lin[c] += Fraction(1, k)
+            if k == 1:
+                pos[c] += 1
+            elif k == 2:
+                pos[c] += Fraction(1, 2)
+            elif i in (0, k - 1):
+                pos[c] += Fraction(2, 5)
+            else:
+                pos[c] += Fraction(1, 5 * (k - 2))
+    for c in chans:
+        assert out[c].conv_primeiro_toque == first[c], c
+        assert out[c].conv_ultimo_toque == last[c], c
+        assert out[c].credito_linear == pytest.approx(float(lin[c]), abs=1e-12), c
+        assert out[c].credito_posicional == pytest.approx(float(pos[c]), abs=1e-12), c
+        # journey membership counts
+        nj = sum(n for s, n in n_jour.items() if c in s)
+        nc = sum(n for s, n in n_conv.items() if c in s)
+        assert out[c].n_jornadas == nj and out[c].n_conversoes == nc, c

@@ -373,6 +373,11 @@ def register_all() -> None:
              "exact linear + U-shaped positional credits, and the exact "
              "Shapley value of the conversion-rate coalition game over "
              "bitmask journey sets")
+    register("kaplan_meier_conversion", behavior.kaplan_meier_conversion,
+             behavior.KAPLAN_MEIER_SQL,
+             "Kaplan-Meier product-limit survival of time-to-conversion "
+             "with right censoring — risk table via the distributed "
+             "prefix sum, log-space product with pinned rounding")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

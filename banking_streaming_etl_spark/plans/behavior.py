@@ -1002,3 +1002,175 @@ LEFT JOIN heur h USING (canal)
 JOIN shap s USING (canal)""",
     extra_ctes=_ATTRIB_CTES,
 )
+
+
+# --- Kaplan-Meier survival: time to first high-value purchase ---------------
+
+
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of the time from a payer's
+    FIRST activity to their first high-value purchase (the
+    channel_attribution conversion), right-CENSORED at the last observed
+    activity for payers who never convert — the survival/churn curve a
+    lifecycle team reads next to the cohort triangle.
+
+    Exact-and-portable recipe: durations are integer epoch seconds
+    (unix_micros div / epoch_us // — floor in both dialects); the risk
+    table (n at risk, events d_t, censorings c_t per distinct duration)
+    comes from ONE distributed prefix sum over the duration-grouped
+    frame (n_risk = N - cum + (d+c), all exact bigints). The survival
+    product rides log space — S(t) = exp(sum ln(1 - d/n)) — with each
+    transcendental ln term ROUND(.,6)-pinned (the BM25 precedent), the
+    running sum accumulated exactly in DECIMAL by a SECOND prefix-sum
+    pass over the same risk table, and the final exp ROUND(.,6) again;
+    a -1e6 sentinel when d = n_risk underflows exp to an exact 0.0 in
+    both engines (the S=0 tail after the last at-risk subject). Two
+    passes over a |distinct durations|-sized frame — bounded by the
+    observation window in seconds, never by corpus size.
+
+    Reference parity: the reference has no survival layer; this is the
+    standard product-limit estimator (Kaplan & Meier 1958) over the
+    stream the reference's dashboard already materializes."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    t = datamodel.transactions(spark, sf_dir).select(
+        "id_usuario_pagador",
+        "modalidade_pagamento",
+        "data_horario",
+        "id_transacao",
+        "valor_transacao",
+    )
+    conv_cond = (
+        F.col("modalidade_pagamento") == CONVERSION_CHANNEL
+    ) & (F.col("valor_transacao") > ATTRIB_CONVERSION_MIN_VALUE)
+    per_user = t.groupBy("id_usuario_pagador").agg(
+        F.min("data_horario").alias("_t0"),
+        F.max("data_horario").alias("_tl"),
+        F.min(
+            F.when(conv_cond, F.struct("data_horario", "id_transacao"))
+        ).alias("_conv"),
+    )
+    ep = lambda c: F.expr(f"unix_micros({c}) div 1000000")  # noqa: E731
+    dur = per_user.select(
+        F.when(
+            F.col("_conv").isNotNull(),
+            F.expr("unix_micros(_conv.data_horario) div 1000000")
+            - ep("_t0"),
+        )
+        .otherwise(ep("_tl") - ep("_t0"))
+        .cast("bigint")
+        .alias("t_segundos"),
+        F.col("_conv").isNotNull().alias("_evento"),
+    )
+    g = dur.groupBy("t_segundos").agg(
+        F.sum(F.col("_evento").cast("int")).cast("bigint").alias("n_eventos"),
+        F.sum((~F.col("_evento")).cast("int"))
+        .cast("bigint")
+        .alias("n_censuras"),
+    )
+    cum1 = ranking.with_global_cumsum(
+        g.withColumn(
+            "_w", (F.col("n_eventos") + F.col("n_censuras")).cast("bigint")
+        ),
+        "t_segundos",
+        "t_segundos",
+        "_w",
+        out="_cumn",
+        nulls="reject",
+    )
+    base = cum1.select(
+        "t_segundos",
+        "n_eventos",
+        "n_censuras",
+        (
+            F.col("_cumsum_total").cast("bigint")
+            - F.col("_cumn").cast("bigint")
+            + F.col("_w")
+        ).alias("n_risco"),
+    ).persist()
+    d = F.col("n_eventos").cast("double")
+    n = F.col("n_risco").cast("double")
+    lnterm = (
+        F.when(F.col("n_eventos") == 0, F.lit(0.0))
+        .when(
+            F.col("n_eventos") < F.col("n_risco"),
+            F.round(F.log(F.lit(1.0) - d / n), 6),
+        )
+        .otherwise(F.lit(-1000000.0))
+    )
+    cum2 = ranking.with_global_cumsum(
+        base.withColumn("_lt", lnterm),
+        "t_segundos",
+        "t_segundos",
+        "_lt",
+        out="_cumln",
+        nulls="reject",
+    )
+    return cum2.select(
+        "t_segundos",
+        "n_risco",
+        "n_eventos",
+        "n_censuras",
+        F.round(F.exp(F.col("_cumln").cast("double")), 6).alias("s_km"),
+    )
+
+
+_KM_CTES = f"""
+km_user AS (
+    SELECT id_usuario_pagador,
+           min(data_horario) AS t0, max(data_horario) AS tl,
+           first(data_horario ORDER BY data_horario, id_transacao)
+               FILTER (WHERE modalidade_pagamento = 'purchase'
+                         AND valor_transacao
+                             > {ATTRIB_CONVERSION_MIN_VALUE}) AS cts
+    FROM transactions GROUP BY 1
+),
+km_dur AS (
+    SELECT CAST(CASE WHEN cts IS NOT NULL
+                THEN epoch_us(CAST(cts AS TIMESTAMP)) // 1000000
+                     - epoch_us(CAST(t0 AS TIMESTAMP)) // 1000000
+                ELSE epoch_us(CAST(tl AS TIMESTAMP)) // 1000000
+                     - epoch_us(CAST(t0 AS TIMESTAMP)) // 1000000 END
+                AS BIGINT) AS t_segundos,
+           (cts IS NOT NULL) AS evento
+    FROM km_user
+),
+km_g AS (
+    SELECT t_segundos,
+           CAST(SUM(CASE WHEN evento THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eventos,
+           CAST(SUM(CASE WHEN evento THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_censuras
+    FROM km_dur GROUP BY 1
+),
+km_cum AS (
+    SELECT *,
+           CAST(SUM(n_eventos + n_censuras) OVER () AS BIGINT)
+             - CAST(SUM(n_eventos + n_censuras)
+                    OVER (ORDER BY t_segundos ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)
+             + (n_eventos + n_censuras) AS n_risco
+    FROM km_g
+),
+km_ln AS (
+    SELECT *,
+           CASE WHEN n_eventos = 0 THEN 0.0
+                WHEN n_eventos < n_risco
+                THEN ROUND(LN(1.0 - CAST(n_eventos AS DOUBLE)
+                                    / CAST(n_risco AS DOUBLE)), 6)
+                ELSE -1000000.0 END AS lt
+    FROM km_cum
+)"""
+
+KAPLAN_MEIER_SQL = datamodel.with_ctes(
+    """
+SELECT t_segundos, n_risco, n_eventos, n_censuras,
+       ROUND(EXP(CAST(SUM(CAST(lt AS DECIMAL(38,9)))
+                      OVER (ORDER BY t_segundos ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS DOUBLE)), 6)
+           AS s_km
+FROM km_ln""",
+    extra_ctes=_KM_CTES,
+)

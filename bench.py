@@ -101,6 +101,7 @@ EXTRA = [
     "kruskal_value_by_modality",
     "anova_value_by_modality",
     "channel_attribution",
+    "kaplan_meier_conversion",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

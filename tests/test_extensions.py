@@ -1508,3 +1508,65 @@ def test_channel_attribution_matches_bruteforce(spark):
         nj = sum(n for s, n in n_jour.items() if c in s)
         nc = sum(n for s, n in n_conv.items() if c in s)
         assert out[c].n_jornadas == nj and out[c].n_conversoes == nc, c
+
+
+def test_kaplan_meier_matches_bruteforce(spark):
+    """Independent product-limit re-derivation (the lifelines recipe):
+    literal per-user durations, sequential risk-set bookkeeping, and the
+    running product of (1 - d/n) — compared within the rounding pinned
+    by the query (each ln term and the final S are ROUND(.,6))."""
+    import math
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.behavior import (
+        ATTRIB_CONVERSION_MIN_VALUE,
+        kaplan_meier_conversion,
+    )
+
+    rows = sorted(
+        kaplan_meier_conversion(spark, SF).collect(),
+        key=lambda r: r.t_segundos,
+    )
+    t = datamodel.transactions(spark, SF).select(
+        "id_usuario_pagador", "modalidade_pagamento", "data_horario",
+        "id_transacao", "valor_transacao",
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in t:
+        by_user.setdefault(r.id_usuario_pagador, []).append(r)
+    durs = []
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r.data_horario, r.id_transacao))
+        t0 = int(rs[0].data_horario.timestamp())
+        conv = next(
+            (r for r in rs if r.modalidade_pagamento == "purchase"
+             and r.valor_transacao > ATTRIB_CONVERSION_MIN_VALUE),
+            None,
+        )
+        if conv is not None:
+            durs.append((int(conv.data_horario.timestamp()) - t0, True))
+        else:
+            tl = int(max(r.data_horario for r in rs).timestamp())
+            durs.append((tl - t0, False))
+    from collections import Counter
+
+    d_cnt = Counter(t_ for t_, e in durs if e)
+    c_cnt = Counter(t_ for t_, e in durs if not e)
+    times = sorted(set(d_cnt) | set(c_cnt))
+    assert [r.t_segundos for r in rows] == times
+    n = len(durs)
+    at_risk = n
+    s = 1.0
+    for r, t_ in zip(rows, times):
+        d, c = d_cnt.get(t_, 0), c_cnt.get(t_, 0)
+        assert (r.n_risco, r.n_eventos, r.n_censuras) == (at_risk, d, c), t_
+        if d:
+            s *= 1.0 - d / at_risk
+        assert r.s_km == pytest.approx(s, abs=5e-6), t_
+        at_risk -= d + c
+    # survival is non-increasing and ends within [0, 1]
+    for a, b in zip(rows, rows[1:]):
+        assert a.s_km >= b.s_km - 1e-12
+    assert 0.0 <= rows[-1].s_km <= 1.0

@@ -378,6 +378,18 @@ def register_all() -> None:
              "Kaplan-Meier product-limit survival of time-to-conversion "
              "with right censoring — risk table via the distributed "
              "prefix sum, log-space product with pinned rounding")
+    register("stratified_ate_balance_gate",
+             stats.stratified_ate_balance_gate,
+             stats.STRATIFIED_ATE_SQL,
+             "causal adjustment: standardization (g-formula) + IPW ATE "
+             "of the balance gate on the score gate over modality x "
+             "value strata, positivity-trimmed")
+    register("two_proportion_approval_test",
+             stats.two_proportion_approval_test,
+             stats.TWO_PROPORTION_SQL,
+             "two-proportion z-test + Wilson 95% score intervals "
+             "(high- vs low-value approval rate) — sqrt-only exact "
+             "ladder, bit-identical cross-engine")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

@@ -1268,3 +1268,326 @@ SELECT g.modalidade_pagamento, g.n,
        g.termo_entre, s.ssb, s.sst, s.f_stat, s.eta_sq
 FROM aov_gt g, aov_scal s""",
 )
+
+
+# --- causal adjustment: stratified standardization + IPW ATE ---------------
+
+#: value strata edges for the causal adjustment (IEEE-exact compare
+#: ladder — never a transcendental-derived key, per the Benford rule).
+ATE_VALUE_EDGES = (50.0, 150.0, 300.0)
+
+
+def _faixa_valor() -> "Column":
+    v = F.col("valor_transacao")
+    return (
+        F.when(v < ATE_VALUE_EDGES[0], "baixo")
+        .when(v < ATE_VALUE_EDGES[1], "medio")
+        .when(v < ATE_VALUE_EDGES[2], "alto")
+        .otherwise("muito_alto")
+    )
+
+
+_FAIXA_VALOR_SQL = f"""CASE
+    WHEN valor_transacao < {ATE_VALUE_EDGES[0]} THEN 'baixo'
+    WHEN valor_transacao < {ATE_VALUE_EDGES[1]} THEN 'medio'
+    WHEN valor_transacao < {ATE_VALUE_EDGES[2]} THEN 'alto'
+    ELSE 'muito_alto' END"""
+
+
+def stratified_ate_balance_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Observational causal adjustment: the effect of the BALANCE gate
+    (treatment T = saldo_aprovado) on passing the SCORE gate (outcome
+    Y = score_aprovado), adjusted for the (modality x value-band)
+    confounding strata — both gates are driven by transaction value, so
+    the crude difference is confounded and the adjusted estimators are
+    the meaningful ones. Two classical estimators from ONE stratified
+    aggregate:
+
+    - standardization (g-formula): ATE = sum_s P(s) * (E[Y|T=1,s] -
+      E[Y|T=0,s]);
+    - inverse-propensity weighting with the stratum propensity
+      e_s = n1_s/n_s, which algebraically reduces to the same per-
+      stratum means weighted by P(s) only through the Horvitz-Thompson
+      form (1/N) sum_s (sy1_s/e_s - sy0_s/(1-e_s)).
+
+    Strata violating positivity (no treated or no control units) are
+    EXCLUDED from both sums and counted in `estratos_sem_posicao` — the
+    honest version of the estimand (trimmed ATE). Per-stratum terms are
+    exact integer ratios; the cross-stratum sums ride the deterministic
+    sorted fold, so both ATEs are bit-identical cross-engine.
+
+    Scale: ONE hash aggregate over the corpus onto <= |modalities| x 4
+    strata; everything after is broadcast arithmetic on the tiny
+    stratum table."""
+    ap = _approved(spark, sf_dir).select(
+        "modalidade_pagamento",
+        _faixa_valor().alias("faixa_valor"),
+        F.col("saldo_aprovado").cast("int").alias("t"),
+        F.col("score_aprovado").cast("int").alias("y"),
+    )
+    grp = (
+        ap.groupBy("modalidade_pagamento", "faixa_valor")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("t").cast("bigint").alias("n1"),
+            F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sy1"),
+            F.sum((1 - F.col("t")) * F.col("y")).cast("bigint").alias("sy0"),
+        )
+        .withColumn("_chave", F.concat_ws("|", "modalidade_pagamento",
+                                          "faixa_valor"))
+        .persist()
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("_n_tot"),
+        F.sum(
+            F.when((F.col("n1") > 0) & (F.col("n1") < F.col("n")), 0)
+            .otherwise(1)
+        ).cast("bigint").alias("estratos_sem_posicao"),
+    )
+    ok = (F.col("n1") > 0) & (F.col("n1") < F.col("n"))
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    n0d = (F.col("n") - F.col("n1")).cast("double")
+    y1 = F.col("sy1").cast("double") / n1d
+    y0 = F.col("sy0").cast("double") / n0d
+    # weighted by the stratum share among POSITIVITY-OK strata
+    gt = grp.withColumn(
+        "_std_num", F.when(ok, nd * (y1 - y0)).otherwise(F.lit(0.0))
+    ).withColumn(
+        "_ipw_num",
+        F.when(
+            ok,
+            F.col("sy1").cast("double") / (n1d / nd)
+            - F.col("sy0").cast("double") / (n0d / nd),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn("_n_ok", F.when(ok, F.col("n")).otherwise(F.lit(0)))
+    nok = gt.agg(F.sum("_n_ok").cast("bigint").alias("_n_ok_tot"))
+    f_std = _fold_terms(gt, "_chave", F.col("_std_num")).withColumnRenamed(
+        "_fold", "_f_std"
+    )
+    f_ipw = _fold_terms(gt, "_chave", F.col("_ipw_num")).withColumnRenamed(
+        "_fold", "_f_ipw"
+    )
+    scal = (
+        f_std.crossJoin(F.broadcast(f_ipw))
+        .crossJoin(F.broadcast(nok))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("_f_std") / F.col("_n_ok_tot").cast("double")).alias(
+                "ate_padronizacao"
+            ),
+            (F.col("_f_ipw") / F.col("_n_ok_tot").cast("double")).alias(
+                "ate_ipw"
+            ),
+            "estratos_sem_posicao",
+        )
+    )
+    return grp.crossJoin(F.broadcast(scal)).select(
+        "modalidade_pagamento",
+        "faixa_valor",
+        "n",
+        "n1",
+        F.when(F.col("n1") > 0, F.col("sy1").cast("double") / n1d)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("y_media_tratados"),
+        F.when(F.col("n") > F.col("n1"), F.col("sy0").cast("double") / n0d)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("y_media_controles"),
+        (n1d / nd).alias("propensao"),
+        "ate_padronizacao",
+        "ate_ipw",
+        "estratos_sem_posicao",
+    )
+
+
+_ATE_CTES = f""",
+ate_grp AS (
+    SELECT modalidade_pagamento, {_FAIXA_VALOR_SQL} AS faixa_valor,
+           modalidade_pagamento || '|' || ({_FAIXA_VALOR_SQL}) AS chave,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN saldo_aprovado THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+           CAST(SUM(CASE WHEN saldo_aprovado AND score_aprovado
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sy1,
+           CAST(SUM(CASE WHEN (NOT saldo_aprovado) AND score_aprovado
+                         THEN 1 ELSE 0 END) AS BIGINT) AS sy0
+    FROM approved GROUP BY 1, 2
+),
+ate_gt AS (
+    SELECT *,
+           (n1 > 0 AND n1 < n) AS ok,
+           CASE WHEN n1 > 0 AND n1 < n
+                THEN CAST(n AS DOUBLE)
+                     * (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(sy0 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+                ELSE 0.0 END AS std_num,
+           CASE WHEN n1 > 0 AND n1 < n
+                THEN CAST(sy1 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     - CAST(sy0 AS DOUBLE)
+                       / (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                ELSE 0.0 END AS ipw_num
+    FROM ate_grp
+),
+ate_scal AS (
+    SELECT {_sql_fold('std_num', 'chave')}
+               / CAST(SUM(CASE WHEN ok THEN n ELSE 0 END) AS DOUBLE)
+               AS ate_padronizacao,
+           {_sql_fold('ipw_num', 'chave')}
+               / CAST(SUM(CASE WHEN ok THEN n ELSE 0 END) AS DOUBLE)
+               AS ate_ipw,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+               AS estratos_sem_posicao
+    FROM ate_gt
+)"""
+
+STRATIFIED_ATE_SQL = _oracle_with(
+    _ATE_CTES,
+    """
+SELECT g.modalidade_pagamento, g.faixa_valor, g.n, g.n1,
+       CASE WHEN g.n1 > 0
+            THEN CAST(g.sy1 AS DOUBLE) / CAST(g.n1 AS DOUBLE) END
+           AS y_media_tratados,
+       CASE WHEN g.n > g.n1
+            THEN CAST(g.sy0 AS DOUBLE) / CAST(g.n - g.n1 AS DOUBLE) END
+           AS y_media_controles,
+       CAST(g.n1 AS DOUBLE) / CAST(g.n AS DOUBLE) AS propensao,
+       s.ate_padronizacao, s.ate_ipw, s.estratos_sem_posicao
+FROM ate_grp g, ate_scal s""",
+)
+
+
+# --- two-proportion z-test + Wilson intervals ------------------------------
+
+#: fixed normal quantile for the Wilson 95% interval (a CONSTANT, not a
+#: computed transcendental — identical literal text in both dialects).
+#: The SQL twin must CAST the literal: DuckDB parses a bare long float
+#: literal through DECIMAL (CLAUDE.md), which would move the whole
+#: ladder out of IEEE double arithmetic.
+WILSON_Z = 1.959963984540054
+_WZ = f"CAST({WILSON_Z!r} AS DOUBLE)"
+
+
+def two_proportion_approval_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion z-test: does the approval RATE differ between
+    high-value (valor > ATE_VALUE_EDGES[1]) and low-value traffic? The
+    pooled-variance z statistic plus a Wilson 95% score interval per
+    group — the standard A/B-test readout. Every output is an exact
+    integer ratio pushed through a fixed compare/multiply/divide/sqrt
+    ladder (sqrt is IEEE-correctly-rounded), so all doubles are
+    bit-identical cross-engine with no rounding. ONE corpus aggregate;
+    the z scalar re-aggregates from the 2-row group table."""
+    ap = _approved(spark, sf_dir).select(
+        F.when(
+            F.col("valor_transacao") > ATE_VALUE_EDGES[1], "alto_valor"
+        )
+        .otherwise("baixo_valor")
+        .alias("grupo"),
+        F.col("transacao_aprovada").cast("int").alias("y"),
+    )
+    grp = ap.groupBy("grupo").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("aprovadas"),
+    ).persist()
+    z = F.lit(WILSON_Z)
+    nd = F.col("n").cast("double")
+    p = F.col("aprovadas").cast("double") / nd
+    denom = F.lit(1.0) + z * z / nd
+    center = p + z * z / (F.lit(2.0) * nd)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd
+        + z * z / (F.lit(4.0) * nd * nd)
+    )
+    wide = grp.select(
+        "grupo",
+        "n",
+        "aprovadas",
+        p.alias("taxa"),
+        ((center - half) / denom).alias("wilson_inf"),
+        ((center + half) / denom).alias("wilson_sup"),
+    )
+    # pooled two-proportion z across the two rows (exact integer sums)
+    agg = grp.agg(
+        F.sum(F.when(F.col("grupo") == "alto_valor", F.col("aprovadas")))
+        .cast("bigint").alias("_a1"),
+        F.sum(F.when(F.col("grupo") == "alto_valor", F.col("n")))
+        .cast("bigint").alias("_m1"),
+        F.sum(F.when(F.col("grupo") == "baixo_valor", F.col("aprovadas")))
+        .cast("bigint").alias("_a2"),
+        F.sum(F.when(F.col("grupo") == "baixo_valor", F.col("n")))
+        .cast("bigint").alias("_m2"),
+    )
+    a1 = F.col("_a1").cast("double")
+    m1 = F.col("_m1").cast("double")
+    a2 = F.col("_a2").cast("double")
+    m2 = F.col("_m2").cast("double")
+    pp = (a1 + a2) / (m1 + m2)
+    zstat = (a1 / m1 - a2 / m2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / m1 + F.lit(1.0) / m2)
+    )
+    return wide.crossJoin(
+        F.broadcast(agg.select(zstat.alias("z_duas_proporcoes")))
+    )
+
+
+_TPZ = f"""
+SELECT CASE WHEN valor_transacao > {ATE_VALUE_EDGES[1]}
+            THEN 'alto_valor' ELSE 'baixo_valor' END AS grupo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END) AS BIGINT)
+           AS aprovadas
+FROM approved GROUP BY 1"""
+
+TWO_PROPORTION_SQL = _oracle_with(
+    f""",
+tp_grp AS ({_TPZ}),
+tp_z AS (
+    SELECT ((CAST(MAX(CASE WHEN grupo = 'alto_valor' THEN aprovadas END)
+                  AS DOUBLE)
+             / CAST(MAX(CASE WHEN grupo = 'alto_valor' THEN n END)
+                    AS DOUBLE))
+            - (CAST(MAX(CASE WHEN grupo = 'baixo_valor' THEN aprovadas END)
+                    AS DOUBLE)
+               / CAST(MAX(CASE WHEN grupo = 'baixo_valor' THEN n END)
+                      AS DOUBLE)))
+           / SQRT(
+               (CAST(SUM(aprovadas) AS DOUBLE) / CAST(SUM(n) AS DOUBLE))
+               * (1.0 - CAST(SUM(aprovadas) AS DOUBLE)
+                        / CAST(SUM(n) AS DOUBLE))
+               * (1.0 / CAST(MAX(CASE WHEN grupo = 'alto_valor'
+                                      THEN n END) AS DOUBLE)
+                  + 1.0 / CAST(MAX(CASE WHEN grupo = 'baixo_valor'
+                                        THEN n END) AS DOUBLE)))
+           AS z_duas_proporcoes
+    FROM tp_grp
+)""",
+    f"""
+SELECT g.grupo, g.n, g.aprovadas,
+       CAST(g.aprovadas AS DOUBLE) / CAST(g.n AS DOUBLE) AS taxa,
+       ((CAST(g.aprovadas AS DOUBLE) / CAST(g.n AS DOUBLE)
+         + {_WZ} * {_WZ} / (2.0 * CAST(g.n AS DOUBLE)))
+        - {_WZ} * SQRT(
+            (CAST(g.aprovadas AS DOUBLE) / CAST(g.n AS DOUBLE))
+            * (1.0 - CAST(g.aprovadas AS DOUBLE) / CAST(g.n AS DOUBLE))
+            / CAST(g.n AS DOUBLE)
+            + {_WZ} * {_WZ}
+              / (4.0 * CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE))))
+       / (1.0 + {_WZ} * {_WZ} / CAST(g.n AS DOUBLE))
+           AS wilson_inf,
+       ((CAST(g.aprovadas AS DOUBLE) / CAST(g.n AS DOUBLE)
+         + {_WZ} * {_WZ} / (2.0 * CAST(g.n AS DOUBLE)))
+        + {_WZ} * SQRT(
+            (CAST(g.aprovadas AS DOUBLE) / CAST(g.n AS DOUBLE))
+            * (1.0 - CAST(g.aprovadas AS DOUBLE) / CAST(g.n AS DOUBLE))
+            / CAST(g.n AS DOUBLE)
+            + {_WZ} * {_WZ}
+              / (4.0 * CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE))))
+       / (1.0 + {_WZ} * {_WZ} / CAST(g.n AS DOUBLE))
+           AS wilson_sup,
+       z.z_duas_proporcoes
+FROM tp_grp g, tp_z z""",
+)

@@ -102,6 +102,8 @@ EXTRA = [
     "anova_value_by_modality",
     "channel_attribution",
     "kaplan_meier_conversion",
+    "stratified_ate_balance_gate",
+    "two_proportion_approval_test",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

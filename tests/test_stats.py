@@ -384,3 +384,102 @@ def test_anova_matches_bruteforce(spark, sf_dir, approved_rows):
         assert r.sst == pytest.approx(sst, rel=1e-6)
         assert r.f_stat == pytest.approx(f, rel=1e-6)
         assert r.eta_sq == pytest.approx(ssb / sst, rel=1e-6)
+
+
+def test_stratified_ate_matches_bruteforce(spark, sf_dir, approved_rows):
+    """Textbook re-derivation: group rows into (modality, value band)
+    strata, compute standardization and Horvitz-Thompson IPW estimates
+    with literal per-unit weights, trimming non-positivity strata."""
+    from collections import defaultdict
+
+    from banking_streaming_etl_spark.plans import stats
+
+    out = stats.stratified_ate_balance_gate(spark, sf_dir).collect()
+
+    def band(v):
+        e = stats.ATE_VALUE_EDGES
+        return ("baixo" if v < e[0] else "medio" if v < e[1]
+                else "alto" if v < e[2] else "muito_alto")
+
+    strata = defaultdict(list)
+    for r in approved_rows:
+        # score gate: score_medio-based flag is not collected; re-derive
+        # from the collected columns via the approval identity
+        # transacao_aprovada = score & saldo & limite is NOT invertible,
+        # so pull the flag directly from the frame instead
+        pass
+    from banking_streaming_etl_spark.plans.dashboard import _approved
+
+    rows = (
+        _approved(spark, sf_dir)
+        .select("modalidade_pagamento", "valor_transacao",
+                "saldo_aprovado", "score_aprovado")
+        .collect()
+    )
+    for r in rows:
+        strata[(r.modalidade_pagamento, band(r.valor_transacao))].append(
+            (int(r.saldo_aprovado), int(r.score_aprovado))
+        )
+    std_num = ipw_num = 0.0
+    n_ok = 0
+    n_bad = 0
+    for key in sorted(strata):
+        units = strata[key]
+        n = len(units)
+        n1 = sum(t for t, _ in units)
+        if n1 == 0 or n1 == n:
+            n_bad += 1
+            continue
+        n_ok += n
+        y1 = sum(y for t, y in units if t) / n1
+        y0 = sum(y for t, y in units if not t) / (n - n1)
+        std_num += n * (y1 - y0)
+        e = n1 / n
+        ipw_num += (
+            sum(y for t, y in units if t) / e
+            - sum(y for t, y in units if not t) / (1 - e)
+        )
+    ate_std = std_num / n_ok
+    ate_ipw = ipw_num / n_ok
+    seen = set()
+    for r in out:
+        assert r.ate_padronizacao == pytest.approx(ate_std, rel=1e-9)
+        assert r.ate_ipw == pytest.approx(ate_ipw, rel=1e-9)
+        assert r.estratos_sem_posicao == n_bad
+        key = (r.modalidade_pagamento, r.faixa_valor)
+        assert key in strata
+        seen.add(key)
+        units = strata[key]
+        assert r.n == len(units) and r.n1 == sum(t for t, _ in units)
+    assert seen == set(strata)
+
+
+def test_two_proportion_matches_bruteforce(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+
+    out = {r.grupo: r for r in
+           stats.two_proportion_approval_test(spark, sf_dir).collect()}
+    hi = [r for r in approved_rows
+          if r.valor_transacao > stats.ATE_VALUE_EDGES[1]]
+    lo = [r for r in approved_rows
+          if not r.valor_transacao > stats.ATE_VALUE_EDGES[1]]
+    a1 = sum(r.transacao_aprovada for r in hi)
+    a2 = sum(r.transacao_aprovada for r in lo)
+    n1, n2 = len(hi), len(lo)
+    pp = (a1 + a2) / (n1 + n2)
+    z = (a1 / n1 - a2 / n2) / math.sqrt(
+        pp * (1 - pp) * (1 / n1 + 1 / n2)
+    )
+    zq = stats.WILSON_Z
+    for grupo, n, a in (("alto_valor", n1, a1), ("baixo_valor", n2, a2)):
+        r = out[grupo]
+        assert (r.n, r.aprovadas) == (n, a)
+        p = a / n
+        assert r.taxa == pytest.approx(p, rel=1e-12)
+        denom = 1 + zq * zq / n
+        center = p + zq * zq / (2 * n)
+        half = zq * math.sqrt(p * (1 - p) / n + zq * zq / (4 * n * n))
+        assert r.wilson_inf == pytest.approx((center - half) / denom, rel=1e-10)
+        assert r.wilson_sup == pytest.approx((center + half) / denom, rel=1e-10)
+        assert r.z_duas_proporcoes == pytest.approx(z, rel=1e-10)
+        assert r.wilson_inf <= p <= r.wilson_sup

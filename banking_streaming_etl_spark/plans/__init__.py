@@ -390,6 +390,19 @@ def register_all() -> None:
              "two-proportion z-test + Wilson 95% score intervals "
              "(high- vs low-value approval rate) — sqrt-only exact "
              "ladder, bit-identical cross-engine")
+    register("ucb1_modality_ranking", stats.ucb1_modality_ranking,
+             stats.UCB1_SQL,
+             "UCB1 bandit ranking of modalities by approval reward "
+             "(pinned-ln exploration bonus, exact mean ratios)")
+    register("class_rebalance_downsample",
+             stats.class_rebalance_downsample,
+             stats.CLASS_REBALANCE_SQL,
+             "exact majority-class downsampling to min class size via "
+             "portable-hash order + grouped distributed ranking")
+    register("l_diversity_report", governance.l_diversity_report,
+             governance.L_DIVERSITY_SQL,
+             "l-diversity homogeneity-attack audit per QI class "
+             "(companion of the k-anonymity report)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

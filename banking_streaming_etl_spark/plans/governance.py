@@ -334,3 +334,96 @@ halves AS (
     GROUP BY 1
 )""",
 )
+
+
+# --- l-diversity audit ------------------------------------------------------
+
+#: l thresholds reported (classes whose sensitive attribute shows fewer
+#: than l distinct values are homogeneity-attack risk).
+L_THRESHOLDS = (2, 3)
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the homogeneity-attack companion of the
+    k-anonymity report: within each quasi-identifier class (region x
+    value bucket), how many DISTINCT values of the sensitive attribute
+    (payment modality) appear? A class can be k-anonymous yet leak the
+    sensitive value outright if all its rows share one modality. For
+    each threshold l: classes and rows failing l-diversity, plus the
+    minimum observed diversity.
+
+    Scale: ONE groupBy on (QI, sensitive) then a re-aggregate to the QI
+    class — both hash aggregates with map-side partials; the threshold
+    report is a broadcast cross join over the tiny class table."""
+    t = datamodel.transactions(spark, sf_dir)
+    cells = t.groupBy(
+        "id_regiao",
+        F.floor(F.col("valor_transacao") / F.lit(QI_VALUE_BUCKET))
+        .cast("bigint")
+        .alias("faixa_valor"),
+        "modalidade_pagamento",
+    ).agg(F.count("*").cast("bigint").alias("_n"))
+    classes = cells.groupBy("id_regiao", "faixa_valor").agg(
+        F.count("*").cast("bigint").alias("l_observado"),
+        F.sum("_n").cast("bigint").alias("tam"),
+    )
+    ls = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in L_THRESHOLDS])).alias("l")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("l_observado") < F.col("l"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_em_risco"),
+            F.sum(
+                F.when(F.col("l_observado") < F.col("l"), F.col("tam"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("linhas_em_risco"),
+            F.min("l_observado").cast("bigint").alias("l_minimo"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l_observado") < F.col("l"), F.col("tam"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum("tam").cast("double"),
+                6,
+            ).alias("fracao_em_risco"),
+        )
+    )
+
+
+L_DIVERSITY_SQL = datamodel.with_ctes(
+    f"""
+SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN l_observado < l THEN 1 ELSE 0 END) AS BIGINT)
+           AS classes_em_risco,
+       CAST(SUM(CASE WHEN l_observado < l THEN tam ELSE 0 END) AS BIGINT)
+           AS linhas_em_risco,
+       CAST(MIN(l_observado) AS BIGINT) AS l_minimo,
+       ROUND(CAST(SUM(CASE WHEN l_observado < l THEN tam ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(tam) AS DOUBLE), 6) AS fracao_em_risco
+FROM ld_classes
+CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in L_THRESHOLDS)}]) AS l)
+GROUP BY l""",
+    extra_ctes=f"""
+ld_classes AS (
+    SELECT id_regiao, faixa_valor,
+           CAST(COUNT(*) AS BIGINT) AS l_observado,
+           CAST(SUM(n) AS BIGINT) AS tam
+    FROM (
+        SELECT id_regiao,
+               CAST(FLOOR(valor_transacao / {QI_VALUE_BUCKET!r}) AS BIGINT)
+                   AS faixa_valor,
+               modalidade_pagamento, COUNT(*) AS n
+        FROM transactions
+        GROUP BY 1, 2, 3
+    )
+    GROUP BY 1, 2
+)""",
+)

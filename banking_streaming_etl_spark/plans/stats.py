@@ -1591,3 +1591,155 @@ SELECT g.grupo, g.n, g.aprovadas,
        z.z_duas_proporcoes
 FROM tp_grp g, tp_z z""",
 )
+
+
+# --- UCB1 bandit ranking of modalities -------------------------------------
+
+
+def ucb1_modality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 upper-confidence-bound ranking of payment modalities by
+    approval reward — the exploration/exploitation readout a routing
+    policy consumes (which modality to steer marginal traffic toward):
+    ucb = mean_reward + sqrt(2 ln N / n_arm).
+
+    Determinism: mean is an exact integer ratio; the transcendental
+    ln(N) is computed once, ROUND(.,6)-pinned, and COMPOSED into the
+    bonus (sqrt is IEEE-correctly-rounded on the identical operand), so
+    `ucb_score` is bit-identical cross-engine without a final rounding.
+    ONE hash aggregate onto the modality table; N re-aggregates from
+    the group rows."""
+    ap = _approved(spark, sf_dir).select(
+        "modalidade_pagamento",
+        F.col("transacao_aprovada").cast("int").alias("y"),
+    )
+    grp = ap.groupBy("modalidade_pagamento").agg(
+        F.count("*").cast("bigint").alias("n_puxadas"),
+        F.sum("y").cast("bigint").alias("recompensas"),
+    ).persist()
+    tot = grp.agg(
+        F.round(F.log(F.sum("n_puxadas").cast("double")), 6).alias("_ln_n")
+    )
+    nd = F.col("n_puxadas").cast("double")
+    mean = F.col("recompensas").cast("double") / nd
+    bonus = F.sqrt(F.lit(2.0) * F.col("_ln_n") / nd)
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "modalidade_pagamento",
+        "n_puxadas",
+        "recompensas",
+        mean.alias("recompensa_media"),
+        bonus.alias("bonus_exploracao"),
+        (mean + bonus).alias("ucb_score"),
+    )
+
+
+UCB1_SQL = _oracle_with(
+    """,
+ucb_grp AS (
+    SELECT modalidade_pagamento,
+           CAST(COUNT(*) AS BIGINT) AS n_puxadas,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS recompensas
+    FROM approved GROUP BY 1
+),
+ucb_tot AS (
+    SELECT ROUND(LN(CAST(SUM(n_puxadas) AS DOUBLE)), 6) AS ln_n
+    FROM ucb_grp
+)""",
+    """
+SELECT g.modalidade_pagamento, g.n_puxadas, g.recompensas,
+       CAST(g.recompensas AS DOUBLE) / CAST(g.n_puxadas AS DOUBLE)
+           AS recompensa_media,
+       SQRT(2.0 * t.ln_n / CAST(g.n_puxadas AS DOUBLE))
+           AS bonus_exploracao,
+       CAST(g.recompensas AS DOUBLE) / CAST(g.n_puxadas AS DOUBLE)
+       + SQRT(2.0 * t.ln_n / CAST(g.n_puxadas AS DOUBLE)) AS ucb_score
+FROM ucb_grp g, ucb_tot t""",
+)
+
+
+# --- exact class-rebalanced downsampling -----------------------------------
+
+
+def class_rebalance_downsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact majority-class downsampling for a balanced training set:
+    every approval class keeps exactly m = min(class size) rows, chosen
+    deterministically by the portable-LCG order over transaction ids —
+    partition-independent, reproducible in both engines, and unbiased
+    w.r.t. any feature (the hash is independent of the row content).
+
+    The per-class "first m in hash order" selection is an order
+    statistic over FEW HUGE groups — exactly the grouped distributed-
+    ranking form (operators/ranking, sampled boundaries + bucketed
+    windows + exact offsets; the max_groups guard is plan-enforced), so
+    no task ever sorts a whole class. Output: the kept-set composition
+    per (class, modality) plus the before/after class sizes — the audit
+    a training job logs before fitting."""
+    ap = _approved(spark, sf_dir).select(
+        "id_transacao",
+        "modalidade_pagamento",
+        F.col("transacao_aprovada").alias("classe"),
+    )
+    h = portable.lcg_hash(F.col("id_transacao")).alias("_h")
+    keyed = ap.withColumn("_h", h)
+    m = ap.groupBy("classe").agg(F.count("*").cast("bigint").alias("_nc"))
+    m_min = m.agg(F.min("_nc").alias("_m"))
+    ranked = ranking.with_global_row_number(
+        keyed,
+        "_h",
+        "id_transacao",
+        out="_rk",
+        group_cols=["classe"],
+        nulls="reject",
+    )
+    kept = ranked.crossJoin(F.broadcast(m_min)).filter(
+        F.col("_rk") <= F.col("_m")
+    )
+    return (
+        kept.groupBy("classe", "modalidade_pagamento")
+        .agg(F.count("*").cast("bigint").alias("n_mantidas"))
+        .join(F.broadcast(m), "classe")
+        .crossJoin(F.broadcast(m_min))
+        .select(
+            "classe",
+            "modalidade_pagamento",
+            F.col("_nc").alias("n_antes_classe"),
+            F.col("_m").alias("n_depois_classe"),
+            "n_mantidas",
+        )
+    )
+
+
+_REB_CTES = f""",
+reb_base AS (
+    SELECT id_transacao, modalidade_pagamento,
+           transacao_aprovada AS classe,
+           {portable.lcg_hash_sql('id_transacao')} AS h
+    FROM approved
+),
+reb_m AS (
+    SELECT classe, CAST(COUNT(*) AS BIGINT) AS nc
+    FROM reb_base GROUP BY 1
+),
+reb_min AS (SELECT CAST(MIN(nc) AS BIGINT) AS m FROM reb_m),
+reb_kept AS (
+    SELECT classe, modalidade_pagamento
+    FROM (
+        SELECT classe, modalidade_pagamento,
+               ROW_NUMBER() OVER (PARTITION BY classe
+                                  ORDER BY h ASC, id_transacao ASC) AS rk
+        FROM reb_base
+    ), reb_min
+    WHERE rk <= m
+)"""
+
+CLASS_REBALANCE_SQL = _oracle_with(
+    _REB_CTES,
+    """
+SELECT k.classe, k.modalidade_pagamento,
+       m.nc AS n_antes_classe, mn.m AS n_depois_classe,
+       CAST(COUNT(*) AS BIGINT) AS n_mantidas
+FROM reb_kept k JOIN reb_m m USING (classe), reb_min mn
+GROUP BY 1, 2, 3, 4""",
+)

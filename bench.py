@@ -104,6 +104,9 @@ EXTRA = [
     "kaplan_meier_conversion",
     "stratified_ate_balance_gate",
     "two_proportion_approval_test",
+    "ucb1_modality_ranking",
+    "class_rebalance_downsample",
+    "l_diversity_report",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -152,3 +152,39 @@ def test_cli_list_and_run(capsys):
     out = capsys.readouterr().out
     assert "cms_heavy_hitters" in out and "[oracle]" in out
     assert main(["definitely_not_a_query"]) == 2
+
+
+def test_l_diversity_matches_bruteforce(spark):
+    """Literal recomputation of per-QI-class distinct-modality counts."""
+    import math
+    from collections import defaultdict
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.governance import (
+        L_THRESHOLDS,
+        QI_VALUE_BUCKET,
+        l_diversity_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.l: r for r in l_diversity_report(spark, sf).collect()}
+    rows = datamodel.transactions(spark, sf).select(
+        "id_regiao", "valor_transacao", "modalidade_pagamento"
+    ).collect()
+    classes = defaultdict(lambda: [set(), 0])
+    for r in rows:
+        key = (r.id_regiao, math.floor(r.valor_transacao / QI_VALUE_BUCKET))
+        classes[key][0].add(r.modalidade_pagamento)
+        classes[key][1] += 1
+    for l in L_THRESHOLDS:
+        r = out[l]
+        bad = [(s, n) for s, n in classes.values() if len(s) < l]
+        assert r.n_classes == len(classes)
+        assert r.classes_em_risco == len(bad)
+        assert r.linhas_em_risco == sum(n for _, n in bad)
+        assert r.l_minimo == min(len(s) for s, _ in classes.values())
+        assert r.fracao_em_risco == pytest.approx(
+            round(sum(n for _, n in bad) / len(rows), 6), abs=1e-9
+        )

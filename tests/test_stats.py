@@ -483,3 +483,68 @@ def test_two_proportion_matches_bruteforce(spark, sf_dir, approved_rows):
         assert r.wilson_sup == pytest.approx((center + half) / denom, rel=1e-10)
         assert r.z_duas_proporcoes == pytest.approx(z, rel=1e-10)
         assert r.wilson_inf <= p <= r.wilson_sup
+
+
+def test_ucb1_matches_bruteforce(spark, sf_dir, approved_rows):
+    from banking_streaming_etl_spark.plans import stats
+
+    out = {r.modalidade_pagamento: r
+           for r in stats.ucb1_modality_ranking(spark, sf_dir).collect()}
+    from collections import defaultdict
+
+    arms = defaultdict(lambda: [0, 0])
+    for r in approved_rows:
+        a = arms[r.modalidade_pagamento]
+        a[0] += 1
+        a[1] += int(r.transacao_aprovada)
+    n_tot = sum(a[0] for a in arms.values())
+    ln6 = round(math.log(n_tot), 6)
+    for m, (n, s) in arms.items():
+        r = out[m]
+        assert (r.n_puxadas, r.recompensas) == (n, s)
+        assert r.recompensa_media == pytest.approx(s / n, rel=1e-12)
+        assert r.bonus_exploracao == pytest.approx(
+            math.sqrt(2 * ln6 / n), rel=1e-12
+        )
+        assert r.ucb_score == pytest.approx(
+            s / n + math.sqrt(2 * ln6 / n), rel=1e-12
+        )
+    # a less-pulled arm gets a strictly larger bonus
+    rows = sorted(out.values(), key=lambda r: r.n_puxadas)
+    for a, b in zip(rows, rows[1:]):
+        if a.n_puxadas < b.n_puxadas:
+            assert a.bonus_exploracao > b.bonus_exploracao
+
+
+def test_class_rebalance_matches_bruteforce(spark, sf_dir, approved_rows):
+    """The kept set is exactly the first-m-per-class in portable-hash
+    order, and both classes end at m = min class size."""
+    from collections import Counter
+
+    from banking_streaming_etl_spark.functions import portable
+    from banking_streaming_etl_spark.plans import stats
+
+    out = stats.class_rebalance_downsample(spark, sf_dir).collect()
+    by_class: dict[bool, list] = {}
+    for r in approved_rows:
+        h = ((r.id_transacao % portable.M31) * portable.LCG_A
+             + portable.LCG_B) % portable.M31
+        by_class.setdefault(r.transacao_aprovada, []).append(
+            (h, r.id_transacao, r.modalidade_pagamento)
+        )
+    m = min(len(v) for v in by_class.values())
+    expect: Counter = Counter()
+    for cls, rows in by_class.items():
+        rows.sort()
+        for h, i, mod in rows[:m]:
+            expect[(cls, mod)] += 1
+    got = Counter()
+    for r in out:
+        assert r.n_antes_classe == len(by_class[r.classe])
+        assert r.n_depois_classe == m
+        got[(r.classe, r.modalidade_pagamento)] = r.n_mantidas
+    assert got == expect
+    per_class: Counter = Counter()
+    for (cls, _), n in got.items():
+        per_class[cls] += n
+    assert all(v == m for v in per_class.values())

@@ -403,6 +403,22 @@ def register_all() -> None:
              governance.L_DIVERSITY_SQL,
              "l-diversity homogeneity-attack audit per QI class "
              "(companion of the k-anonymity report)")
+    register("cramers_v_modality_approval",
+             stats.cramers_v_modality_approval,
+             stats.CRAMERS_V_SQL,
+             "Cramer's V + Bergsma bias-corrected effect size for "
+             "modality x approval (chi2 total via deterministic fold)")
+    register("brown_forsythe_value_by_modality",
+             stats.brown_forsythe_value_by_modality,
+             stats.BROWN_FORSYTHE_SQL,
+             "Brown-Forsythe variance-homogeneity F across modalities: "
+             "exact grouped medians via distributed ranking + the "
+             "exact-decimal ANOVA ladder on absolute deviations")
+    register("cusum_hourly_drift", stats.cusum_hourly_drift,
+             stats.CUSUM_SQL,
+             "two-sided CUSUM drift monitor on the hourly approval "
+             "rate via the prefix-sum-minus-running-min closed form, "
+             "exact integer count units")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

@@ -1743,3 +1743,460 @@ SELECT k.classe, k.modalidade_pagamento,
 FROM reb_kept k JOIN reb_m m USING (classe), reb_min mn
 GROUP BY 1, 2, 3, 4""",
 )
+
+
+# --- Cramer's V association strength ---------------------------------------
+
+
+def cramers_v_modality_approval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cramer's V (plus the Bergsma bias-corrected variant) for the
+    modality x approval contingency table — the bounded [0,1] effect
+    size the chi-squared cell screen doesn't give. The chi2 TOTAL is a
+    cross-cell sum of double terms, so it rides the deterministic
+    sorted fold (cell key = modality|outcome) — the same pattern that
+    unlocked ANOVA's SSB; margins re-aggregate from the cells table,
+    never a second corpus scan."""
+    cells = (
+        _approved(spark, sf_dir)
+        .groupBy("modalidade_pagamento", "transacao_aprovada")
+        .agg(F.count("*").cast("bigint").alias("n_celula"))
+    )
+    rows = cells.groupBy("modalidade_pagamento").agg(
+        F.sum("n_celula").cast("bigint").alias("n_modalidade")
+    )
+    cols = cells.groupBy("transacao_aprovada").agg(
+        F.sum("n_celula").cast("bigint").alias("n_resultado")
+    )
+    total = cells.agg(
+        F.sum("n_celula").cast("bigint").alias("n_total"),
+        F.count_distinct("modalidade_pagamento").cast("bigint").alias("r"),
+        F.count_distinct("transacao_aprovada").cast("bigint").alias("c"),
+    )
+    joined = (
+        cells.join(F.broadcast(rows), "modalidade_pagamento")
+        .join(F.broadcast(cols), "transacao_aprovada")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_esp",
+            (F.col("n_modalidade") * F.col("n_resultado")).cast("double")
+            / F.col("n_total").cast("double"),
+        )
+        .withColumn(
+            "_chave",
+            F.concat_ws(
+                "|",
+                F.col("modalidade_pagamento"),
+                F.col("transacao_aprovada").cast("string"),
+            ),
+        )
+        .withColumn(
+            "_term",
+            (F.col("n_celula").cast("double") - F.col("_esp"))
+            * (F.col("n_celula").cast("double") - F.col("_esp"))
+            / F.col("_esp"),
+        )
+    )
+    chi2 = _fold_terms(joined, "_chave", F.col("_term"))
+    nd = F.col("n_total").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    q = F.col("_fold")
+    phi2 = q / nd
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (rd - 1) * (cd - 1) / (nd - 1)
+    )
+    rc = rd - (rd - 1) * (rd - 1) / (nd - 1)
+    cc = cd - (cd - 1) * (cd - 1) / (nd - 1)
+    return chi2.crossJoin(F.broadcast(total)).select(
+        "n_total",
+        "r",
+        "c",
+        q.alias("qui2"),
+        F.sqrt(phi2 / F.least(rd - 1, cd - 1)).alias("v_cramer"),
+        F.sqrt(phi2c / F.least(rc - 1, cc - 1)).alias("v_corrigido"),
+    )
+
+
+_CRAMER_CTES = f""",
+cv_cells AS (
+    SELECT modalidade_pagamento, transacao_aprovada,
+           modalidade_pagamento || '|'
+               || CAST(transacao_aprovada AS VARCHAR) AS chave,
+           CAST(COUNT(*) AS BIGINT) AS n_celula,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY modalidade_pagamento)
+                AS BIGINT) AS n_modalidade,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY transacao_aprovada)
+                AS BIGINT) AS n_resultado,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+    FROM approved
+    GROUP BY modalidade_pagamento, transacao_aprovada
+),
+cv_tot AS (
+    SELECT CAST(MAX(n_total) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT modalidade_pagamento) AS BIGINT) AS r,
+           CAST(COUNT(DISTINCT transacao_aprovada) AS BIGINT) AS c
+    FROM cv_cells
+),
+cv_chi AS (
+    SELECT {_sql_fold(
+        '(CAST(n_celula AS DOUBLE)'
+        ' - CAST(n_modalidade * n_resultado AS DOUBLE)'
+        '   / CAST(n_total AS DOUBLE))'
+        ' * (CAST(n_celula AS DOUBLE)'
+        '    - CAST(n_modalidade * n_resultado AS DOUBLE)'
+        '      / CAST(n_total AS DOUBLE))'
+        ' / (CAST(n_modalidade * n_resultado AS DOUBLE)'
+        '    / CAST(n_total AS DOUBLE))',
+        'chave')} AS qui2
+    FROM cv_cells
+)"""
+
+CRAMERS_V_SQL = _oracle_with(
+    _CRAMER_CTES,
+    """
+SELECT t.n_total, t.r, t.c, x.qui2,
+       SQRT((x.qui2 / CAST(t.n_total AS DOUBLE))
+            / LEAST(CAST(t.r AS DOUBLE) - 1, CAST(t.c AS DOUBLE) - 1))
+           AS v_cramer,
+       SQRT(GREATEST(0.0,
+                     x.qui2 / CAST(t.n_total AS DOUBLE)
+                     - (CAST(t.r AS DOUBLE) - 1) * (CAST(t.c AS DOUBLE) - 1)
+                       / (CAST(t.n_total AS DOUBLE) - 1))
+            / LEAST(CAST(t.r AS DOUBLE)
+                    - (CAST(t.r AS DOUBLE) - 1) * (CAST(t.r AS DOUBLE) - 1)
+                      / (CAST(t.n_total AS DOUBLE) - 1) - 1,
+                    CAST(t.c AS DOUBLE)
+                    - (CAST(t.c AS DOUBLE) - 1) * (CAST(t.c AS DOUBLE) - 1)
+                      / (CAST(t.n_total AS DOUBLE) - 1) - 1))
+           AS v_corrigido
+FROM cv_chi x, cv_tot t""",
+)
+
+
+# --- Brown-Forsythe variance homogeneity -----------------------------------
+
+
+def brown_forsythe_value_by_modality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe test — do transaction-value VARIANCES differ
+    across modalities? (The robust Levene variant: a one-way ANOVA on
+    the absolute deviations z = |x - median_g|, whose F is far less
+    fragile to heavy tails than variance ratios.) The ANOVA above
+    compares means; this is its spread companion.
+
+    Per-group EXACT medians come from the grouped distributed-ranking
+    form (sampled boundaries + bucketed windows — no task sorts a whole
+    modality; the middle one/two order statistics are picked by exact
+    rank and averaged, commutative so order-safe). The deviations then
+    ride the standard exact-decimal ANOVA ladder with the deterministic
+    cross-group fold. Two corpus passes by construction (medians, then
+    deviations) — the honest cost of an exact median-based statistic.
+
+    Outputs one row per modality (n, median, mean |deviation|) with the
+    F statistic broadcast onto every row."""
+    ap = (
+        _approved(spark, sf_dir)
+        .select("id_transacao", "modalidade_pagamento", "valor_transacao")
+        .persist()
+    )
+    ranked = ranking.with_global_row_number(
+        ap,
+        "valor_transacao",
+        "id_transacao",
+        out="_rk",
+        group_cols=["modalidade_pagamento"],
+        nulls="reject",
+    )
+    med = (
+        ranked.filter(
+            (F.col("_rk") == F.expr("(_rank_n_total + 1) div 2"))
+            | (F.col("_rk") == F.expr("(_rank_n_total + 2) div 2"))
+        )
+        .groupBy("modalidade_pagamento")
+        .agg(
+            (
+                F.sum("valor_transacao") / F.count("*").cast("double")
+            ).alias("mediana")
+        )
+    )
+    dev = ap.join(F.broadcast(med), "modalidade_pagamento").select(
+        "modalidade_pagamento",
+        F.abs(F.col("valor_transacao") - F.col("mediana")).alias("_z"),
+        "mediana",
+    )
+    grp = (
+        dev.groupBy("modalidade_pagamento")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.max("mediana").alias("mediana"),
+            F.sum(exact._d("_z")).alias("_s"),
+            F.sum(exact._d(F.round("_z", 6) * F.round("_z", 6))).alias("_q"),
+        )
+        .persist()
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("_n_tot"),
+        F.sum("_s").alias("_s_tot"),
+        F.sum("_q").alias("_q_tot"),
+        F.count("*").cast("bigint").alias("_k"),
+    )
+    ndt = F.col("_n_tot").cast("double")
+    ng = F.col("n").cast("double")
+    gt = grp.crossJoin(
+        F.broadcast(
+            tot.select(
+                (F.col("_s_tot").cast("double") / ndt).alias("_gmean"),
+                "_n_tot",
+                "_s_tot",
+                "_q_tot",
+                "_k",
+            )
+        )
+    ).withColumn(
+        "_entre",
+        ng
+        * (F.col("_s").cast("double") / ng - F.col("_gmean"))
+        * (F.col("_s").cast("double") / ng - F.col("_gmean")),
+    )
+    folded = _fold_terms(gt, "modalidade_pagamento", F.col("_entre"))
+    ssb = F.col("_fold")
+    sst = F.col("_q_tot").cast("double") - (
+        F.col("_s_tot").cast("double") * F.col("_s_tot").cast("double")
+    ) / ndt
+    kd = F.col("_k").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / ((sst - ssb) / (ndt - kd))
+    scal = folded.crossJoin(F.broadcast(tot)).select(
+        fstat.alias("f_brown_forsythe")
+    )
+    return gt.crossJoin(F.broadcast(scal)).select(
+        "modalidade_pagamento",
+        "n",
+        "mediana",
+        (F.col("_s").cast("double") / ng).alias("desvio_abs_medio"),
+        "f_brown_forsythe",
+    )
+
+
+_BF_S = exact._sql_s("z")
+_BF_Q = exact._sql_sp("z", "z")
+
+_BF_CTES = f""",
+bf_rank AS (
+    SELECT modalidade_pagamento, valor_transacao,
+           ROW_NUMBER() OVER (PARTITION BY modalidade_pagamento
+                              ORDER BY valor_transacao ASC,
+                                       id_transacao ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY modalidade_pagamento) AS nn
+    FROM approved
+),
+bf_med AS (
+    SELECT modalidade_pagamento,
+           SUM(valor_transacao) / CAST(COUNT(*) AS DOUBLE) AS mediana
+    FROM bf_rank
+    WHERE rk = (nn + 1) // 2 OR rk = (nn + 2) // 2
+    GROUP BY 1
+),
+bf_dev AS (
+    SELECT a.modalidade_pagamento,
+           ABS(a.valor_transacao - m.mediana) AS z, m.mediana
+    FROM approved a JOIN bf_med m USING (modalidade_pagamento)
+),
+bf_grp AS (
+    SELECT modalidade_pagamento, CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(mediana) AS mediana,
+           {_BF_S} AS s, {_BF_Q} AS q,
+           CAST(SUM(CAST(ROUND(z, 6) AS DECIMAL(28,6)))
+               AS DECIMAL(28,6)) AS s_dec,
+           CAST(SUM(CAST(ROUND(ROUND(z, 6) * ROUND(z, 6), 6)
+                         AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS q_dec
+    FROM bf_dev GROUP BY 1
+),
+bf_tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+           CAST(SUM(s_dec) AS DOUBLE) AS s_tot,
+           CAST(SUM(q_dec) AS DOUBLE) AS q_tot,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM bf_grp
+),
+bf_gt AS (
+    SELECT g.modalidade_pagamento, g.n, g.mediana, g.s,
+           CAST(g.n AS DOUBLE)
+           * (g.s / CAST(g.n AS DOUBLE) - t.s_tot / CAST(t.n_tot AS DOUBLE))
+           * (g.s / CAST(g.n AS DOUBLE) - t.s_tot / CAST(t.n_tot AS DOUBLE))
+               AS entre
+    FROM bf_grp g, bf_tot t
+),
+bf_scal AS (
+    SELECT ({_sql_fold('entre', 'modalidade_pagamento')}
+            / (CAST(t.k AS DOUBLE) - 1.0))
+           / (((t.q_tot - (t.s_tot * t.s_tot) / CAST(t.n_tot AS DOUBLE))
+               - {_sql_fold('entre', 'modalidade_pagamento')})
+              / (CAST(t.n_tot AS DOUBLE) - CAST(t.k AS DOUBLE)))
+               AS f_brown_forsythe
+    FROM bf_gt, bf_tot t
+    GROUP BY t.q_tot, t.s_tot, t.n_tot, t.k
+)"""
+
+BROWN_FORSYTHE_SQL = _oracle_with(
+    _BF_CTES,
+    """
+SELECT g.modalidade_pagamento, g.n, g.mediana,
+       g.s / CAST(g.n AS DOUBLE) AS desvio_abs_medio,
+       s.f_brown_forsythe
+FROM bf_gt g, bf_scal s""",
+)
+
+
+# --- CUSUM drift detection over the hourly approval-rate series ------------
+
+#: slack (rate units, an exact rational 2/100) and decision threshold
+#: (count units) of the two-sided CUSUM.
+CUSUM_SLACK_PCT = 2
+CUSUM_H_COUNTS = 5.0
+
+
+def cusum_hourly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point monitor over the hourly approval
+    rate — the classical sequential drift detector (Page 1954): an
+    upward alarm when the cumulative excess of approvals over the
+    global rate + slack exceeds H, downward symmetrically. The
+    recursive form g_t = max(0, g_{t-1} + x_t - k) is not
+    prefix-expressible, but the closed form g_t = S_t - min_{u<=t} S_u
+    is — one prefix sum and one running min over the HOURLY series.
+
+    Exactness: everything stays in INTEGER count units scaled by 100*N
+    (slack 2% is the rational 2/100, the global rate is A/N), so S_t
+    and both CUSUMs are exact DECIMAL integers; the reported count-unit
+    CUSUMs are exact-integer ratios — no rounding, no transcendental.
+    The ordered windows run over the <= |hours| aggregated series (the
+    seasonal_decompose / gapfill boundedness class, whitelisted with
+    that argument); the corpus is touched by ONE hourly aggregate."""
+    from pyspark.sql import Window as W
+
+    hourly = (
+        _approved(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "data_horario").alias("hora"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("transacao_aprovada").cast("int"))
+            .cast("bigint")
+            .alias("aprovadas"),
+        )
+    )
+    tot = hourly.agg(
+        F.sum("n").cast("bigint").alias("_n_tot"),
+        F.sum("aprovadas").cast("bigint").alias("_a_tot"),
+    )
+    dec0 = "decimal(38,0)"
+    # scaled hourly excess: 100*N*aprov_t - (100*A + slack*N)*n_t  (up)
+    #                       100*N*aprov_t - (100*A - slack*N)*n_t  (down)
+    j = hourly.crossJoin(F.broadcast(tot))
+    up = (
+        F.lit(100).cast(dec0) * F.col("_n_tot") * F.col("aprovadas")
+        - (
+            F.lit(100).cast(dec0) * F.col("_a_tot")
+            + F.lit(CUSUM_SLACK_PCT) * F.col("_n_tot")
+        )
+        * F.col("n")
+    )
+    dn = (
+        F.lit(100).cast(dec0) * F.col("_n_tot") * F.col("aprovadas")
+        - (
+            F.lit(100).cast(dec0) * F.col("_a_tot")
+            - F.lit(CUSUM_SLACK_PCT) * F.col("_n_tot")
+        )
+        * F.col("n")
+    )
+    w = W.orderBy("hora").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        j.withColumn("_su", F.sum(up.cast(dec0)).over(w))
+        .withColumn("_sd", F.sum(dn.cast(dec0)).over(w))
+        # the prefix min/max must include the EMPTY prefix S_0 = 0 —
+        # without it the first excursion above zero is silently absorbed
+        .withColumn(
+            "_mu",
+            F.least(F.lit(0).cast(dec0), F.min(F.col("_su")).over(w)),
+        )
+        .withColumn(
+            "_md",
+            F.greatest(F.lit(0).cast(dec0), F.max(F.col("_sd")).over(w)),
+        )
+    )
+    scale = F.lit(100.0) * F.col("_n_tot").cast("double")
+    gpos = (F.col("_su") - F.col("_mu")).cast("double") / scale
+    gneg = (F.col("_md") - F.col("_sd")).cast("double") / scale
+    return cum.select(
+        "hora",
+        "n",
+        "aprovadas",
+        (F.col("aprovadas").cast("double") / F.col("n").cast("double"))
+        .alias("taxa"),
+        gpos.alias("cusum_pos"),
+        gneg.alias("cusum_neg"),
+        (gpos > F.lit(CUSUM_H_COUNTS)).alias("alarme_alta"),
+        (gneg > F.lit(CUSUM_H_COUNTS)).alias("alarme_baixa"),
+    )
+
+
+_CUSUM_CTES = f""",
+cu_hourly AS (
+    SELECT CAST(date_trunc('hour', data_horario) AS TIMESTAMP) AS hora,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS aprovadas
+    FROM approved GROUP BY 1
+),
+cu_tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+           CAST(SUM(aprovadas) AS BIGINT) AS a_tot
+    FROM cu_hourly
+),
+cu_cum AS (
+    SELECT h.*, t.n_tot,
+           SUM(CAST(CAST(100 AS DECIMAL(38,0)) * t.n_tot * h.aprovadas
+                    - (CAST(100 AS DECIMAL(38,0)) * t.a_tot
+                       + {CUSUM_SLACK_PCT} * t.n_tot) * h.n
+                    AS DECIMAL(38,0)))
+               OVER (ORDER BY h.hora ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS su,
+           SUM(CAST(CAST(100 AS DECIMAL(38,0)) * t.n_tot * h.aprovadas
+                    - (CAST(100 AS DECIMAL(38,0)) * t.a_tot
+                       - {CUSUM_SLACK_PCT} * t.n_tot) * h.n
+                    AS DECIMAL(38,0)))
+               OVER (ORDER BY h.hora ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sd
+    FROM cu_hourly h, cu_tot t
+),
+cu_mm AS (
+    SELECT *,
+           LEAST(CAST(0 AS DECIMAL(38,0)),
+                 MIN(su) OVER (ORDER BY hora ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)) AS mu,
+           GREATEST(CAST(0 AS DECIMAL(38,0)),
+                    MAX(sd) OVER (ORDER BY hora ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)) AS md
+    FROM cu_cum
+)"""
+
+CUSUM_SQL = _oracle_with(
+    _CUSUM_CTES,
+    f"""
+SELECT hora, n, aprovadas,
+       CAST(aprovadas AS DOUBLE) / CAST(n AS DOUBLE) AS taxa,
+       CAST(su - mu AS DOUBLE) / (100.0 * CAST(n_tot AS DOUBLE))
+           AS cusum_pos,
+       CAST(md - sd AS DOUBLE) / (100.0 * CAST(n_tot AS DOUBLE))
+           AS cusum_neg,
+       (CAST(su - mu AS DOUBLE) / (100.0 * CAST(n_tot AS DOUBLE))
+        > {CUSUM_H_COUNTS!r}) AS alarme_alta,
+       (CAST(md - sd AS DOUBLE) / (100.0 * CAST(n_tot AS DOUBLE))
+        > {CUSUM_H_COUNTS!r}) AS alarme_baixa
+FROM cu_mm""",
+)

@@ -107,6 +107,9 @@ EXTRA = [
     "ucb1_modality_ranking",
     "class_rebalance_downsample",
     "l_diversity_report",
+    "cramers_v_modality_approval",
+    "brown_forsythe_value_by_modality",
+    "cusum_hourly_drift",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

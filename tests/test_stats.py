@@ -548,3 +548,121 @@ def test_class_rebalance_matches_bruteforce(spark, sf_dir, approved_rows):
     for (cls, _), n in got.items():
         per_class[cls] += n
     assert all(v == m for v in per_class.values())
+
+
+def test_cramers_v_matches_bruteforce(spark, sf_dir, approved_rows):
+    from collections import Counter
+
+    from banking_streaming_etl_spark.plans import stats
+
+    r = stats.cramers_v_modality_approval(spark, sf_dir).collect()[0]
+    cells = Counter(
+        (x.modalidade_pagamento, x.transacao_aprovada) for x in approved_rows
+    )
+    rows = Counter()
+    cols = Counter()
+    for (m, a), n in cells.items():
+        rows[m] += n
+        cols[a] += n
+    n_tot = sum(cells.values())
+    chi2 = sum(
+        (n - rows[m] * cols[a] / n_tot) ** 2 / (rows[m] * cols[a] / n_tot)
+        for (m, a), n in cells.items()
+    )
+    rr, cc = len(rows), len(cols)
+    v = math.sqrt((chi2 / n_tot) / min(rr - 1, cc - 1))
+    assert (r.n_total, r.r, r.c) == (n_tot, rr, cc)
+    assert r.qui2 == pytest.approx(chi2, rel=1e-9)
+    assert r.v_cramer == pytest.approx(v, rel=1e-9)
+    phi2c = max(0.0, chi2 / n_tot - (rr - 1) * (cc - 1) / (n_tot - 1))
+    rc = rr - (rr - 1) ** 2 / (n_tot - 1)
+    cc2 = cc - (cc - 1) ** 2 / (n_tot - 1)
+    assert r.v_corrigido == pytest.approx(
+        math.sqrt(phi2c / min(rc - 1, cc2 - 1)), rel=1e-9
+    )
+    assert 0.0 <= r.v_corrigido <= r.v_cramer + 1e-12 <= 1.0 + 1e-12
+
+
+def test_brown_forsythe_matches_bruteforce(spark, sf_dir, approved_rows):
+    """scipy.stats.levene(center='median') re-derived literally, with
+    the query's documented 6-rounding of deviations."""
+    from collections import defaultdict
+
+    from banking_streaming_etl_spark.plans import stats
+
+    out = sorted(
+        stats.brown_forsythe_value_by_modality(spark, sf_dir).collect(),
+        key=lambda r: r.modalidade_pagamento,
+    )
+    groups = defaultdict(list)
+    for r in approved_rows:
+        groups[r.modalidade_pagamento].append(r.valor_transacao)
+    meds = {}
+    for g, vs in groups.items():
+        s = sorted(vs)
+        n = len(s)
+        lo, hi = (n + 1) // 2 - 1, (n + 2) // 2 - 1
+        meds[g] = (s[lo] + s[hi]) / 2
+    zs = {
+        g: [round(abs(v - meds[g]), 6) for v in vs]
+        for g, vs in groups.items()
+    }
+    allz = [z for v in zs.values() for z in v]
+    n, k = len(allz), len(zs)
+    gmean = sum(allz) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - gmean) ** 2 for v in zs.values())
+    ssw = sum(
+        sum((z - sum(v) / len(v)) ** 2 for z in v) for v in zs.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert [r.modalidade_pagamento for r in out] == sorted(groups)
+    for r in out:
+        assert r.n == len(groups[r.modalidade_pagamento])
+        assert r.mediana == pytest.approx(
+            meds[r.modalidade_pagamento], rel=1e-12
+        )
+        v = zs[r.modalidade_pagamento]
+        assert r.desvio_abs_medio == pytest.approx(
+            sum(v) / len(v), rel=1e-6
+        )
+        assert r.f_brown_forsythe == pytest.approx(f, rel=1e-5)
+
+
+def test_cusum_matches_sequential_recursion(spark, sf_dir, approved_rows):
+    """The closed form S_t - min S_u equals the textbook recursion
+    g_t = max(0, g_{t-1} + x_t - k) applied to hourly count excesses."""
+    from collections import defaultdict
+
+    from banking_streaming_etl_spark.plans import stats
+
+    rows = sorted(
+        stats.cusum_hourly_drift(spark, sf_dir).collect(),
+        key=lambda r: r.hora,
+    )
+    from banking_streaming_etl_spark.plans.dashboard import _approved
+
+    ts_rows = (
+        _approved(spark, sf_dir)
+        .select("data_horario", "transacao_aprovada")
+        .collect()
+    )
+    hours = defaultdict(lambda: [0, 0])
+    for r in ts_rows:
+        h = r.data_horario.replace(minute=0, second=0, microsecond=0)
+        hours[h][0] += 1
+        hours[h][1] += int(r.transacao_aprovada)
+    n_tot = sum(v[0] for v in hours.values())
+    a_tot = sum(v[1] for v in hours.values())
+    rate = a_tot / n_tot
+    slack = stats.CUSUM_SLACK_PCT / 100.0
+    gp = gn = 0.0
+    assert [r.hora.replace(tzinfo=None) for r in rows] == sorted(hours)
+    for r, h in zip(rows, sorted(hours)):
+        n, a = hours[h]
+        assert (r.n, r.aprovadas) == (n, a)
+        gp = max(0.0, gp + (a - (rate + slack) * n))
+        gn = max(0.0, gn + ((rate - slack) * n - a))
+        assert r.cusum_pos == pytest.approx(gp, abs=1e-6)
+        assert r.cusum_neg == pytest.approx(gn, abs=1e-6)
+        assert r.alarme_alta == (r.cusum_pos > stats.CUSUM_H_COUNTS)
+        assert r.alarme_baixa == (r.cusum_neg > stats.CUSUM_H_COUNTS)

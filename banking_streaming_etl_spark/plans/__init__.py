@@ -419,6 +419,16 @@ def register_all() -> None:
              "two-sided CUSUM drift monitor on the hourly approval "
              "rate via the prefix-sum-minus-running-min closed form, "
              "exact integer count units")
+    register("cochran_armitage_trend", stats.cochran_armitage_trend,
+             stats.COCHRAN_ARMITAGE_SQL,
+             "Cochran-Armitage linear-trend z across the ordered "
+             "value bands (exact integer TN / variance ladder)")
+    register("ols_hourly_trend_by_modality",
+             stats.ols_hourly_trend_by_modality,
+             stats.OLS_HOURLY_SQL,
+             "per-modality OLS slope/intercept/R2 of the hourly "
+             "approved-count series (integer regression moments, "
+             "one aggregate)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

@@ -2200,3 +2200,242 @@ SELECT hora, n, aprovadas,
         > {CUSUM_H_COUNTS!r}) AS alarme_baixa
 FROM cu_mm""",
 )
+
+
+# --- Cochran-Armitage trend test across ordered value bands ----------------
+
+#: ordered integer scores of the four value bands of `_faixa_valor`.
+CA_WEIGHTS = {"baixo": 0, "medio": 1, "alto": 2, "muito_alto": 3}
+
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in the approval rate
+    across the ordered value bands (scores w = 0..3) — the standard
+    dose-response test, strictly sharper than the omnibus chi-squared
+    when the alternative is monotone (Armitage 1955).
+
+    With per-band totals n_i, approvals a_i, A = sum a, N = sum n,
+    S1 = sum w n, S2 = sum w^2 n, the statistic is
+
+        T  = sum w_i (a_i - n_i A/N)        = TN / N,
+        TN = N sum(w a) - A S1              (an exact DECIMAL integer),
+        Var(T) = (A/N)(1-A/N)(S2 - S1^2/N),
+        z  = TN / sqrt(A (N-A) (N S2 - S1^2) / N).
+
+    Every double is an exact-integer cast pushed through an identical
+    multiply/divide/sqrt ladder in both dialects — bit-identical, no
+    rounding. Scale: ONE corpus hash aggregate onto 4 band rows; the
+    z scalar re-aggregates the 4-row table (never a second scan)."""
+    w_col = _faixa_valor()
+    grp = (
+        _approved(spark, sf_dir)
+        .select(
+            w_col.alias("faixa_valor"),
+            F.col("transacao_aprovada").cast("int").alias("y"),
+        )
+        .groupBy("faixa_valor")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("aprovadas"),
+        )
+        .persist()
+    )
+    w = (
+        F.when(F.col("faixa_valor") == "baixo", 0)
+        .when(F.col("faixa_valor") == "medio", 1)
+        .when(F.col("faixa_valor") == "alto", 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    dec0 = "decimal(38,0)"
+    agg = grp.agg(
+        F.sum("aprovadas").cast(dec0).alias("_a"),
+        F.sum("n").cast(dec0).alias("_n"),
+        F.sum(w * F.col("n")).cast(dec0).alias("_s1"),
+        F.sum(w * w * F.col("n")).cast(dec0).alias("_s2"),
+        F.sum(w * F.col("aprovadas")).cast(dec0).alias("_swa"),
+    )
+    tn = F.col("_n") * F.col("_swa") - F.col("_a") * F.col("_s1")
+    var_num = (
+        F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    ).cast("double")
+    z = tn.cast("double") / F.sqrt(
+        F.col("_a").cast("double")
+        * (F.col("_n") - F.col("_a")).cast("double")
+        * var_num
+        / F.col("_n").cast("double")
+    )
+    scal = agg.select(z.alias("z_tendencia"))
+    return grp.crossJoin(F.broadcast(scal)).select(
+        "faixa_valor",
+        w.alias("peso"),
+        "n",
+        "aprovadas",
+        (F.col("aprovadas").cast("double") / F.col("n").cast("double"))
+        .alias("taxa"),
+        "z_tendencia",
+    )
+
+
+_CA_W_SQL = """CASE faixa_valor WHEN 'baixo' THEN 0 WHEN 'medio' THEN 1
+               WHEN 'alto' THEN 2 ELSE 3 END"""
+
+_CA_CTES = f""",
+ca_grp AS (
+    SELECT {_FAIXA_VALOR_SQL} AS faixa_valor,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS aprovadas
+    FROM approved GROUP BY 1
+),
+ca_scal AS (
+    SELECT CAST(
+             CAST(SUM(n) AS DECIMAL(38,0))
+               * SUM(({_CA_W_SQL}) * aprovadas)
+             - CAST(SUM(aprovadas) AS DECIMAL(38,0))
+               * SUM(({_CA_W_SQL}) * n)
+             AS DOUBLE)
+           / SQRT(
+               CAST(SUM(aprovadas) AS DOUBLE)
+               * CAST(SUM(n) - SUM(aprovadas) AS DOUBLE)
+               * CAST(CAST(SUM(n) AS DECIMAL(38,0))
+                        * SUM(({_CA_W_SQL}) * ({_CA_W_SQL}) * n)
+                      - CAST(SUM(({_CA_W_SQL}) * n) AS DECIMAL(38,0))
+                        * SUM(({_CA_W_SQL}) * n)
+                      AS DOUBLE)
+               / CAST(SUM(n) AS DOUBLE))
+           AS z_tendencia
+    FROM ca_grp
+)"""
+
+COCHRAN_ARMITAGE_SQL = _oracle_with(
+    _CA_CTES,
+    f"""
+SELECT g.faixa_valor, CAST({_CA_W_SQL} AS BIGINT) AS peso, g.n, g.aprovadas,
+       CAST(g.aprovadas AS DOUBLE) / CAST(g.n AS DOUBLE) AS taxa,
+       s.z_tendencia
+FROM ca_grp g, ca_scal s""",
+)
+
+
+# --- per-modality OLS trend of the hourly approval series ------------------
+
+
+def ols_hourly_trend_by_modality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-modality least-squares TREND of the hourly approved-count
+    series — slope/intercept/R^2 of a_t ~ x_t where a_t is the hour's
+    approved count and x_t the hour index (epoch hours, centered on the
+    global minimum so products stay small). The drift screen a feature
+    store runs per segment before trusting a rolling feature.
+
+    Exactness: y is an INTEGER count, so every regression moment (Sx,
+    Sxx, Sy, Sxy, Syy) is an exact DECIMAL integer from one hash
+    aggregate; slope = (k Sxy - Sx Sy)/(k Sxx - Sx^2), intercept and
+    R^2 are fixed ladders over exact-integer casts — bit-identical
+    cross-engine, no rounding, no fold needed. Degenerate groups
+    (single hour, constant series) emit NULLs via guarded division.
+
+    Scale: ONE corpus aggregate onto (modality x hour) rows, a second
+    tiny aggregate onto |modalities| rows, one broadcast scalar (the
+    global min hour). No window, no sort, no fold."""
+    hours = (
+        _approved(spark, sf_dir)
+        .select(
+            "modalidade_pagamento",
+            F.expr("unix_micros(data_horario) div 3600000000").alias("_h"),
+            F.col("transacao_aprovada").cast("int").alias("y"),
+        )
+        .groupBy("modalidade_pagamento", "_h")
+        .agg(F.sum("y").cast("bigint").alias("a"))
+    )
+    h0 = hours.agg(F.min("_h").alias("_h0"))
+    dec0 = "decimal(38,0)"
+    x = (F.col("_h") - F.col("_h0")).cast(dec0)
+    a = F.col("a").cast(dec0)
+    mom = (
+        hours.crossJoin(F.broadcast(h0))
+        .groupBy("modalidade_pagamento")
+        .agg(
+            F.count("*").cast(dec0).alias("_k"),
+            F.sum(x).alias("_sx"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(a).alias("_sy"),
+            F.sum(x * a).alias("_sxy"),
+            F.sum(a * a).alias("_syy"),
+        )
+    )
+    num = (F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    den_x = (F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    den_y = (F.col("_k") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+        "double"
+    )
+    slope = F.when(den_x > F.lit(0.0), num / den_x)
+    return mom.select(
+        "modalidade_pagamento",
+        F.col("_k").cast("bigint").alias("horas"),
+        F.col("_sy").cast("bigint").alias("aprovadas"),
+        slope.alias("inclinacao"),
+        F.when(
+            den_x > F.lit(0.0),
+            (F.col("_sy").cast("double") - slope * F.col("_sx").cast("double"))
+            / F.col("_k").cast("double"),
+        ).alias("intercepto"),
+        F.when(
+            (den_x > F.lit(0.0)) & (den_y > F.lit(0.0)),
+            num * num / (den_x * den_y),
+        ).alias("r2"),
+    )
+
+
+_OLS_CTES = """,
+ols_hours AS (
+    SELECT modalidade_pagamento,
+           epoch_us(data_horario) // 3600000000 AS h,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS a
+    FROM approved GROUP BY 1, 2
+),
+ols_h0 AS (SELECT MIN(h) AS h0 FROM ols_hours),
+ols_mom AS (
+    SELECT modalidade_pagamento,
+           CAST(COUNT(*) AS DECIMAL(38,0)) AS k,
+           SUM(CAST(h - h0 AS DECIMAL(38,0))) AS sx,
+           SUM(CAST(h - h0 AS DECIMAL(38,0))
+               * CAST(h - h0 AS DECIMAL(38,0))) AS sxx,
+           SUM(CAST(a AS DECIMAL(38,0))) AS sy,
+           SUM(CAST(h - h0 AS DECIMAL(38,0))
+               * CAST(a AS DECIMAL(38,0))) AS sxy,
+           SUM(CAST(a AS DECIMAL(38,0))
+               * CAST(a AS DECIMAL(38,0))) AS syy
+    FROM ols_hours, ols_h0 GROUP BY 1
+)"""
+
+OLS_HOURLY_SQL = _oracle_with(
+    _OLS_CTES,
+    """
+SELECT modalidade_pagamento,
+       CAST(k AS BIGINT) AS horas,
+       CAST(sy AS BIGINT) AS aprovadas,
+       CASE WHEN CAST(k * sxx - sx * sx AS DOUBLE) > 0.0
+            THEN CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE) END AS inclinacao,
+       CASE WHEN CAST(k * sxx - sx * sx AS DOUBLE) > 0.0
+            THEN (CAST(sy AS DOUBLE)
+                  - (CAST(k * sxy - sx * sy AS DOUBLE)
+                     / CAST(k * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(k AS DOUBLE) END AS intercepto,
+       CASE WHEN CAST(k * sxx - sx * sx AS DOUBLE) > 0.0
+             AND CAST(k * syy - sy * sy AS DOUBLE) > 0.0
+            THEN CAST(k * sxy - sx * sy AS DOUBLE)
+                 * CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (CAST(k * sxx - sx * sx AS DOUBLE)
+                    * CAST(k * syy - sy * sy AS DOUBLE)) END AS r2
+FROM ols_mom""",
+)

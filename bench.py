@@ -110,6 +110,8 @@ EXTRA = [
     "cramers_v_modality_approval",
     "brown_forsythe_value_by_modality",
     "cusum_hourly_drift",
+    "cochran_armitage_trend",
+    "ols_hourly_trend_by_modality",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -666,3 +666,77 @@ def test_cusum_matches_sequential_recursion(spark, sf_dir, approved_rows):
         assert r.cusum_neg == pytest.approx(gn, abs=1e-6)
         assert r.alarme_alta == (r.cusum_pos > stats.CUSUM_H_COUNTS)
         assert r.alarme_baixa == (r.cusum_neg > stats.CUSUM_H_COUNTS)
+
+
+def test_cochran_armitage_matches_bruteforce(spark, sf_dir, approved_rows):
+    """statsmodels' Cochran-Armitage recipe re-derived literally from
+    the band counts (T / sqrt(p(1-p)(S2 - S1^2/N)))."""
+    from collections import defaultdict
+
+    from banking_streaming_etl_spark.plans import stats
+
+    rows = stats.cochran_armitage_trend(spark, sf_dir).collect()
+    edges = stats.ATE_VALUE_EDGES
+    bands = defaultdict(lambda: [0, 0])
+    for r in approved_rows:
+        v = r.valor_transacao
+        w = 0 if v < edges[0] else 1 if v < edges[1] else 2 if v < edges[2] else 3
+        bands[w][0] += 1
+        bands[w][1] += int(r.transacao_aprovada)
+    n_tot = sum(v[0] for v in bands.values())
+    a_tot = sum(v[1] for v in bands.values())
+    p = a_tot / n_tot
+    t_stat = sum(a - n * p for w, (n, a) in bands.items() for a, n in [(w * a, w * n)])
+    s1 = sum(w * n for w, (n, _) in bands.items())
+    s2 = sum(w * w * n for w, (n, _) in bands.items())
+    var = p * (1 - p) * (s2 - s1 * s1 / n_tot)
+    z = t_stat / math.sqrt(var)
+    for r in rows:
+        n, a = bands[r.peso]
+        assert (r.n, r.aprovadas) == (n, a)
+        assert r.taxa == pytest.approx(a / n, rel=1e-12)
+        assert r.z_tendencia == pytest.approx(z, rel=1e-9)
+    assert len(rows) == len(bands)
+
+
+def test_ols_hourly_trend_matches_numpy(spark, sf_dir):
+    """numpy.polyfit / corrcoef re-derivation of the per-modality hourly
+    regression (same hour bucketing, same centered x)."""
+    from collections import defaultdict
+
+    from banking_streaming_etl_spark.plans import stats
+    from banking_streaming_etl_spark.plans.dashboard import _approved
+
+    out = {
+        r.modalidade_pagamento: r
+        for r in stats.ols_hourly_trend_by_modality(spark, sf_dir).collect()
+    }
+    rows = (
+        _approved(spark, sf_dir)
+        .select("modalidade_pagamento", "data_horario", "transacao_aprovada")
+        .collect()
+    )
+    series = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        h = r.data_horario.replace(minute=0, second=0, microsecond=0)
+        series[r.modalidade_pagamento][h] += int(r.transacao_aprovada)
+    h0 = min(h for s in series.values() for h in s)
+    assert set(out) == set(series)
+    for m, s in series.items():
+        xs = np.array([(h - h0).total_seconds() / 3600.0 for h in s])
+        ys = np.array([float(s[h]) for h in sorted(s)])
+        xs = np.array(sorted(xs))
+        r = out[m]
+        assert r.horas == len(s)
+        assert r.aprovadas == int(ys.sum())
+        if len(xs) < 2 or np.allclose(xs, xs[0]):
+            assert r.inclinacao is None
+            continue
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert r.inclinacao == pytest.approx(slope, rel=1e-9)
+        assert r.intercepto == pytest.approx(intercept, rel=1e-9)
+        if np.allclose(ys, ys[0]):
+            assert r.r2 is None
+        else:
+            assert r.r2 == pytest.approx(np.corrcoef(xs, ys)[0, 1] ** 2,
+                                         rel=1e-9)

@@ -429,6 +429,16 @@ def register_all() -> None:
              "per-modality OLS slope/intercept/R2 of the hourly "
              "approved-count series (integer regression moments, "
              "one aggregate)")
+    register("rfm_segments", behavior.rfm_segments, behavior.RFM_SQL,
+             "RFM segmentation: recency/frequency/monetary NTILE(5) "
+             "quintiles via distributed ranking, 125-cell segment "
+             "table with exact means")
+    register("association_rules_modality",
+             behavior.association_rules_modality,
+             behavior.ASSOCIATION_RULES_SQL,
+             "2-itemset association rules over per-payer modality "
+             "baskets: support/confidence/lift as exact integer "
+             "ratios, payer-co-located pair join")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

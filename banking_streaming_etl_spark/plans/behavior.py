@@ -1174,3 +1174,237 @@ SELECT t_segundos, n_risco, n_eventos, n_censuras,
 FROM km_ln""",
     extra_ctes=_KM_CTES,
 )
+
+
+# --- RFM segmentation (recency / frequency / monetary quintiles) -----------
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classical marketing-analytics
+    cube: per payer, Recency (hours since last transaction, anchored on
+    the corpus max so the query is deterministic), Frequency
+    (transaction count) and Monetary (exact-decimal total), each cut
+    into exact NTILE(5) quintiles, then the 125-cell segment table with
+    per-segment means. Quintile semantics are bit-identical to SQL
+    NTILE(5) under (metric ASC, payer ASC) — the oracle keeps the plain
+    NTILE text while the Spark side rides the distributed ranking
+    operator, so NO unpartitioned window exists in the plan.
+
+    Exactness: recency is an integer floor-divided hour delta, the
+    monetary totals accumulate in DECIMAL(28,6), and the per-segment
+    means are unrounded exact-integer/decimal ratios (term-identical
+    ladders in both dialects).
+
+    Scale: one corpus hash aggregate onto |payers| rows (persisted —
+    each ranking pass re-scans its input ~3x, and the three passes
+    chain, so every stage boundary is a cache barrier), three
+    distributed NTILE passes, one 125-row aggregate."""
+    from banking_streaming_etl_spark.functions import exact
+    from banking_streaming_etl_spark.operators import ranking
+
+    t = datamodel.transactions(spark, sf_dir)
+    pay = t.groupBy("id_usuario_pagador").agg(
+        F.max(F.expr("unix_micros(data_horario)")).alias("_last_us"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(exact._d(F.col("valor_transacao"))).alias("total_dec"),
+    )
+    now = pay.agg(F.max("_last_us").alias("_now_us"))
+    base = (
+        pay.crossJoin(F.broadcast(now))
+        .withColumn(
+            "recencia_h",
+            F.expr("(_now_us - _last_us) div 3600000000").cast("bigint"),
+        )
+        .drop("_last_us", "_now_us")
+        .persist()
+    )
+    r = ranking.with_global_ntile(
+        base, "recencia_h", "id_usuario_pagador", 5, out="r_q",
+        nulls="reject",
+    ).persist()
+    rf = ranking.with_global_ntile(
+        r, "freq", "id_usuario_pagador", 5, out="f_q", nulls="reject"
+    ).persist()
+    rfm = ranking.with_global_ntile(
+        rf, "total_dec", "id_usuario_pagador", 5, out="m_q",
+        nulls="reject",
+    )
+    return (
+        rfm.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pagadores"),
+            F.sum("recencia_h").cast("decimal(38,0)").alias("_sr"),
+            F.sum("freq").cast("decimal(38,0)").alias("_sf"),
+            F.sum("total_dec").alias("_sm"),
+        )
+        .select(
+            "r_q",
+            "f_q",
+            "m_q",
+            F.concat_ws("-", "r_q", "f_q", "m_q").alias("segmento"),
+            "n_pagadores",
+            (
+                F.col("_sr").cast("double")
+                / F.col("n_pagadores").cast("double")
+            ).alias("recencia_media_h"),
+            (
+                F.col("_sf").cast("double")
+                / F.col("n_pagadores").cast("double")
+            ).alias("freq_media"),
+            F.col("_sm").cast("double").alias("valor_total"),
+        )
+    )
+
+
+_RFM_CTES = """
+rfm_pay AS (
+    SELECT id_usuario_pagador AS pagador,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6)))
+               AS total_dec,
+           MAX(epoch_us(data_horario)) AS last_us
+    FROM transactions GROUP BY 1
+),
+rfm_now AS (SELECT MAX(last_us) AS now_us FROM rfm_pay),
+rfm_q AS (
+    SELECT pagador, freq, total_dec,
+           (now_us - last_us) // 3600000000 AS recencia_h,
+           NTILE(5) OVER (ORDER BY (now_us - last_us) // 3600000000 ASC,
+                          pagador ASC) AS r_q,
+           NTILE(5) OVER (ORDER BY freq ASC, pagador ASC) AS f_q,
+           NTILE(5) OVER (ORDER BY total_dec ASC, pagador ASC) AS m_q
+    FROM rfm_pay, rfm_now
+)"""
+
+RFM_SQL = datamodel.with_ctes(
+    """
+SELECT r_q, f_q, m_q,
+       r_q || '-' || f_q || '-' || m_q AS segmento,
+       CAST(COUNT(*) AS BIGINT) AS n_pagadores,
+       CAST(CAST(SUM(recencia_h) AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS recencia_media_h,
+       CAST(CAST(SUM(freq) AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS freq_media,
+       CAST(SUM(total_dec) AS DOUBLE) AS valor_total
+FROM rfm_q GROUP BY 1, 2, 3""",
+    extra_ctes=_RFM_CTES,
+)
+
+
+# --- association rules over per-payer modality baskets ----------------------
+
+
+def association_rules_modality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-basket association rules at the 2-itemset level (the
+    A-Priori second pass, Agrawal-Srikant 1994): each payer's basket is
+    the SET of modalities they used; for every ordered pair (a -> c)
+    report support = P(a,c), confidence = P(c|a) and lift =
+    P(a,c)/(P(a)P(c)) — the cross-sell readout.
+
+    Every statistic is an exact-integer ratio (pair counts, item
+    counts, payer count) pushed through term-identical double ladders —
+    bit-identical cross-engine, no rounding.
+
+    Scale: the basket frame is the DISTINCT (payer, modality) projection
+    (one shuffle); the pair join is payer-co-located (rides the same
+    key) and per-payer output is bounded by |modalities|^2 — a
+    domain-bounded constant, never a combinatorial blowup; item counts
+    and the payer total are broadcast onto the pair table."""
+    t = (
+        datamodel.transactions(spark, sf_dir)
+        .select(
+            F.col("id_usuario_pagador").alias("pagador"),
+            F.col("modalidade_pagamento").alias("m"),
+        )
+        .distinct()
+        .persist()
+    )
+    tot = t.agg(
+        F.count_distinct(F.col("pagador")).cast("bigint").alias("n_pagadores")
+    )
+    items = t.groupBy("m").agg(F.count("*").cast("bigint").alias("n_item"))
+    pairs = (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.pagador") == F.col("b.pagador"))
+            & (F.col("a.m") != F.col("b.m")),
+        )
+        .groupBy(
+            F.col("a.m").alias("antecedente"),
+            F.col("b.m").alias("consequente"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_par"))
+    )
+    ia = F.broadcast(
+        items.select(
+            F.col("m").alias("antecedente"),
+            F.col("n_item").alias("n_antecedente"),
+        )
+    )
+    ic = F.broadcast(
+        items.select(
+            F.col("m").alias("consequente"),
+            F.col("n_item").alias("n_consequente"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.join(ia, "antecedente")
+        .join(ic, "consequente")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedente",
+            "consequente",
+            "n_par",
+            "n_antecedente",
+            "n_consequente",
+            "n_pagadores",
+            (d("n_par") / d("n_pagadores")).alias("suporte"),
+            (d("n_par") / d("n_antecedente")).alias("confianca"),
+            (
+                d("n_par")
+                * d("n_pagadores")
+                / (d("n_antecedente") * d("n_consequente"))
+            ).alias("lift"),
+        )
+    )
+
+
+_AR_CTES = """
+ar_b AS (
+    SELECT DISTINCT id_usuario_pagador AS pagador,
+                    modalidade_pagamento AS m
+    FROM transactions
+),
+ar_tot AS (
+    SELECT CAST(COUNT(DISTINCT pagador) AS BIGINT) AS n_pagadores FROM ar_b
+),
+ar_i AS (
+    SELECT m, CAST(COUNT(*) AS BIGINT) AS n_item FROM ar_b GROUP BY 1
+),
+ar_p AS (
+    SELECT a.m AS antecedente, b.m AS consequente,
+           CAST(COUNT(*) AS BIGINT) AS n_par
+    FROM ar_b a JOIN ar_b b
+      ON a.pagador = b.pagador AND a.m <> b.m
+    GROUP BY 1, 2
+)"""
+
+ASSOCIATION_RULES_SQL = datamodel.with_ctes(
+    """
+SELECT p.antecedente, p.consequente, p.n_par,
+       ia.n_item AS n_antecedente, ic.n_item AS n_consequente,
+       t.n_pagadores,
+       CAST(p.n_par AS DOUBLE) / CAST(t.n_pagadores AS DOUBLE) AS suporte,
+       CAST(p.n_par AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confianca,
+       CAST(p.n_par AS DOUBLE) * CAST(t.n_pagadores AS DOUBLE)
+           / (CAST(ia.n_item AS DOUBLE) * CAST(ic.n_item AS DOUBLE))
+           AS lift
+FROM ar_p p
+JOIN ar_i ia ON p.antecedente = ia.m
+JOIN ar_i ic ON p.consequente = ic.m, ar_tot t""",
+    extra_ctes=_AR_CTES,
+)

@@ -112,6 +112,8 @@ EXTRA = [
     "cusum_hourly_drift",
     "cochran_armitage_trend",
     "ols_hourly_trend_by_modality",
+    "rfm_segments",
+    "association_rules_modality",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -1570,3 +1570,114 @@ def test_kaplan_meier_matches_bruteforce(spark):
     for a, b in zip(rows, rows[1:]):
         assert a.s_km >= b.s_km - 1e-12
     assert 0.0 <= rows[-1].s_km <= 1.0
+
+
+def test_rfm_segments_matches_bruteforce(spark):
+    """NTILE(5) quintile assignment + segment means re-derived from the
+    collected per-payer metrics (literal NTILE size rule: the first
+    n % k buckets take ceil(n/k) rows)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.behavior import rfm_segments
+
+    rows = (
+        datamodel.transactions(spark, SF)
+        .select("id_usuario_pagador", "data_horario", "valor_transacao")
+        .collect()
+    )
+    per = defaultdict(lambda: [None, 0, Decimal(0)])
+    for r in rows:
+        p = per[r.id_usuario_pagador]
+        ts = r.data_horario
+        p[0] = ts if p[0] is None or ts > p[0] else p[0]
+        p[1] += 1
+        p[2] += Decimal(str(round(r.valor_transacao, 6)))
+    now = max(p[0] for p in per.values())
+    rec = {
+        u: int((now - p[0]).total_seconds() * 1_000_000) // 3_600_000_000
+        for u, p in per.items()
+    }
+
+    def ntile(keyed, k=5):
+        order = sorted(keyed)  # (metric, payer) total order
+        n = len(order)
+        out, i = {}, 0
+        for b in range(1, k + 1):
+            size = n // k + (1 if b <= n % k else 0)
+            for _, u in order[i : i + size]:
+                out[u] = b
+            i += size
+        return out
+
+    rq = ntile([(rec[u], u) for u in per])
+    fq = ntile([(p[1], u) for u, p in per.items()])
+    mq = ntile([(p[2], u) for u, p in per.items()])
+    seg = defaultdict(lambda: [0, 0, 0, Decimal(0)])
+    for u, p in per.items():
+        s = seg[(rq[u], fq[u], mq[u])]
+        s[0] += 1
+        s[1] += rec[u]
+        s[2] += p[1]
+        s[3] += p[2]
+    got = {(r.r_q, r.f_q, r.m_q): r for r in rfm_segments(spark, SF).collect()}
+    assert set(got) == set(seg)
+    for k_, s in seg.items():
+        r = got[k_]
+        assert r.segmento == "-".join(map(str, k_))
+        assert r.n_pagadores == s[0]
+        assert r.recencia_media_h == pytest.approx(s[1] / s[0], rel=1e-12)
+        assert r.freq_media == pytest.approx(s[2] / s[0], rel=1e-12)
+        assert r.valor_total == pytest.approx(float(s[3]), rel=1e-9)
+
+
+def test_association_rules_match_bruteforce(spark):
+    """Support/confidence/lift re-derived from literal per-payer
+    modality sets."""
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.behavior import (
+        association_rules_modality,
+    )
+
+    rows = (
+        datamodel.transactions(spark, SF)
+        .select("id_usuario_pagador", "modalidade_pagamento")
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r.id_usuario_pagador].add(r.modalidade_pagamento)
+    n_pay = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for b in baskets.values():
+        for m in b:
+            item[m] += 1
+        for a in b:
+            for c in b:
+                if a != c:
+                    pair[(a, c)] += 1
+    got = {
+        (r.antecedente, r.consequente): r
+        for r in association_rules_modality(spark, SF).collect()
+    }
+    assert set(got) == set(pair)
+    for (a, c), n in pair.items():
+        r = got[(a, c)]
+        assert (r.n_par, r.n_antecedente, r.n_consequente, r.n_pagadores) == (
+            n, item[a], item[c], n_pay,
+        )
+        assert r.suporte == pytest.approx(n / n_pay, rel=1e-12)
+        assert r.confianca == pytest.approx(n / item[a], rel=1e-12)
+        assert r.lift == pytest.approx(
+            n * n_pay / (item[a] * item[c]), rel=1e-12
+        )
+        # lift is symmetric; confidence need not be
+        assert r.lift == pytest.approx(got[(c, a)].lift, rel=1e-12)

@@ -439,6 +439,16 @@ def register_all() -> None:
              "2-itemset association rules over per-payer modality "
              "baskets: support/confidence/lift as exact integer "
              "ratios, payer-co-located pair join")
+    register("gopher_repetition_signals",
+             text.gopher_repetition_signals,
+             text.GOPHER_REPETITION_SQL,
+             "Gopher repetition filters: duplicate-token / top-token / "
+             "2-gram duplicate fractions per doc + composite keep flag")
+    register("dedup_impact_report", curation.dedup_impact_report,
+             curation.DEDUP_IMPACT_SQL,
+             "exact-dedup impact: cluster-size distribution with "
+             "documents and tokens removed (min-doc_id keep policy) "
+             "and corpus-wide removal shares")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

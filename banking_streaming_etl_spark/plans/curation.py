@@ -908,3 +908,103 @@ SELECT CASE WHEN {_HOLDOUT_BUCKET_SQL} < {HOLDOUT_TRAIN_LT} THEN 'train'
 FROM documents
 GROUP BY 1
 """
+
+
+# --- exact-dedup impact report ------------------------------------------------
+
+
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What would exact dedup SAVE? Clusters keyed by content digest
+    (the `operators/dedup.dedup_exact` key), keep-policy min(doc_id),
+    reported as the cluster-size distribution: clusters, documents and
+    TOKENS removed per size, plus each size's share of the corpus-wide
+    removal — the before/after readout a curation run publishes next to
+    its dataset card.
+
+    Exactness: token counts and removals are integer sums (the kept
+    doc's token count rides arg_min/min_by on the unique doc_id); the
+    share columns are exact integer ratios as unrounded doubles.
+
+    Scale: one digest-keyed aggregate (the dedup shuffle itself), one
+    cluster-size re-aggregate onto a handful of rows, totals broadcast
+    from a re-aggregate of the persisted cluster frame — the corpus is
+    scanned ONCE."""
+    docs = datamodel.load_table(spark, sf_dir, "documents")
+    cl = (
+        docs.select(
+            textfns.md5_fingerprint().alias("fp"),
+            "doc_id",
+            F.size(textfns.tokens()).cast("bigint").alias("nt"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("c"),
+            F.sum("nt").cast("bigint").alias("tok_total"),
+            F.expr("min_by(nt, doc_id)").cast("bigint").alias("nt_kept"),
+        )
+        .persist()
+    )
+    tot = cl.agg(
+        F.sum("c").cast("bigint").alias("_docs_tot"),
+        F.sum("tok_total").cast("bigint").alias("_toks_tot"),
+    )
+    return (
+        cl.groupBy(F.col("c").alias("tamanho_cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.sum(F.col("c") - 1).cast("bigint").alias("docs_removidos"),
+            F.sum("tok_total").cast("bigint").alias("tokens_total"),
+            F.sum(F.col("tok_total") - F.col("nt_kept"))
+            .cast("bigint")
+            .alias("tokens_removidos"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tamanho_cluster",
+            "n_clusters",
+            "n_docs",
+            "docs_removidos",
+            "tokens_total",
+            "tokens_removidos",
+            (
+                F.col("docs_removidos").cast("double")
+                / F.col("_docs_tot").cast("double")
+            ).alias("fracao_docs_removidos"),
+            (
+                F.col("tokens_removidos").cast("double")
+                / F.col("_toks_tot").cast("double")
+            ).alias("fracao_tokens_removidos"),
+        )
+    )
+
+
+DEDUP_IMPACT_SQL = """
+WITH per AS (
+    SELECT md5(text) AS fp, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+    FROM documents
+),
+cl AS (
+    SELECT fp, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(nt) AS BIGINT) AS tok_total,
+           CAST(arg_min(nt, doc_id) AS BIGINT) AS nt_kept
+    FROM per GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS docs_tot,
+           CAST(SUM(tok_total) AS BIGINT) AS toks_tot
+    FROM cl
+)
+SELECT c AS tamanho_cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(SUM(c - 1) AS BIGINT) AS docs_removidos,
+       CAST(SUM(tok_total) AS BIGINT) AS tokens_total,
+       CAST(SUM(tok_total - nt_kept) AS BIGINT) AS tokens_removidos,
+       CAST(SUM(c - 1) AS DOUBLE) / CAST(t.docs_tot AS DOUBLE)
+           AS fracao_docs_removidos,
+       CAST(SUM(tok_total - nt_kept) AS DOUBLE) / CAST(t.toks_tot AS DOUBLE)
+           AS fracao_tokens_removidos
+FROM cl, tot t GROUP BY c, t.docs_tot, t.toks_tot
+"""

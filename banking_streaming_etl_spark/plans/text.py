@@ -1845,3 +1845,128 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     base.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# --- Gopher-style repetition signals -----------------------------------------
+
+#: keep thresholds (Rae et al. 2021 "Scaling Language Models" C.2, the
+#: published repetition filters, applied to token counts): a document is
+#: dropped when its most frequent token dominates, or its 2-gram stream
+#: is mostly duplicates, or one 2-gram dominates.
+GOPHER_TOP_TOKEN_MAX = 0.30
+GOPHER_DUP_2GRAM_MAX = 0.20
+GOPHER_TOP_2GRAM_MAX = 0.18
+
+
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filters from the Gopher curation recipe
+    (Rae et al. 2021): per document, the duplicate-token fraction, the
+    most-frequent-token share, and the same two signals over the 2-gram
+    stream, plus the composite keep flag. The repetition family is the
+    quality signal `text_quality_scores`' length/punct/stopword ratios
+    cannot see (a looping generator produces "clean" text that repeats).
+
+    Every fraction is an exact integer ratio (term counts), emitted as
+    an unrounded double through term-identical ladders; the keep flag
+    compares those exact ratios against fixed literal thresholds —
+    bit-identical cross-engine. Documents too short for 2-grams get
+    zero counts and NULL ratios (treated as passing).
+
+    Scale: two (doc, term)-keyed hash aggregates (tokens, 2-grams) —
+    the same shuffle shape as tfidf's doc-term counts — re-aggregated
+    per doc, then one doc-keyed join. No window, no collect."""
+    d = _docs(spark, sf_dir).select("doc_id", "toks")
+    tok = (
+        d.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("_n_dist"),
+            F.max("c").cast("bigint").alias("_top"),
+        )
+    )
+    grams = F.expr(
+        "filter(transform(toks, (t, i) -> IF(i = 0, NULL,"
+        " concat(toks[i-1], ' ', t))), x -> x IS NOT NULL)"
+    )
+    grm = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("_ng"),
+            F.count("*").cast("bigint").alias("_ng_dist"),
+            F.max("c").cast("bigint").alias("_gtop"),
+        )
+    )
+    j = tok.join(grm, "doc_id", "left")
+    ng = F.coalesce(F.col("_ng"), F.lit(0)).cast("bigint")
+    dup_tok = (F.col("n_tokens") - F.col("_n_dist")).cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    top_tok = F.col("_top").cast("double") / F.col("n_tokens").cast("double")
+    dup_2g = (F.col("_ng") - F.col("_ng_dist")).cast("double") / F.col(
+        "_ng"
+    ).cast("double")
+    top_2g = F.col("_gtop").cast("double") / F.col("_ng").cast("double")
+    keep = (
+        (top_tok <= F.lit(GOPHER_TOP_TOKEN_MAX))
+        & F.coalesce(dup_2g <= F.lit(GOPHER_DUP_2GRAM_MAX), F.lit(True))
+        & F.coalesce(top_2g <= F.lit(GOPHER_TOP_2GRAM_MAX), F.lit(True))
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        dup_tok.alias("frac_token_dup"),
+        top_tok.alias("top_token_share"),
+        ng.alias("n_2grams"),
+        dup_2g.alias("frac_2gram_dup"),
+        top_2g.alias("top_2gram_share"),
+        keep.alias("manter_gopher"),
+    )
+
+
+GOPHER_REPETITION_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+gt AS (SELECT doc_id, unnest(toks) AS t FROM d),
+tc AS (SELECT doc_id, t, COUNT(*) AS c FROM gt GROUP BY 1, 2),
+ts AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dist,
+           CAST(MAX(c) AS BIGINT) AS top_tok
+    FROM tc GROUP BY 1
+),
+gg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS g
+    FROM d
+),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM gg GROUP BY 1, 2),
+gs AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ng,
+           CAST(COUNT(*) AS BIGINT) AS ng_dist,
+           CAST(MAX(c) AS BIGINT) AS gtop
+    FROM gc GROUP BY 1
+)
+SELECT ts.doc_id, ts.n_tokens,
+       CAST(ts.n_tokens - ts.n_dist AS DOUBLE)
+           / CAST(ts.n_tokens AS DOUBLE) AS frac_token_dup,
+       CAST(ts.top_tok AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE)
+           AS top_token_share,
+       CAST(COALESCE(gs.ng, 0) AS BIGINT) AS n_2grams,
+       CAST(gs.ng - gs.ng_dist AS DOUBLE) / CAST(gs.ng AS DOUBLE)
+           AS frac_2gram_dup,
+       CAST(gs.gtop AS DOUBLE) / CAST(gs.ng AS DOUBLE) AS top_2gram_share,
+       (CAST(ts.top_tok AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE)
+            <= {GOPHER_TOP_TOKEN_MAX}
+        AND COALESCE(CAST(gs.ng - gs.ng_dist AS DOUBLE)
+                     / CAST(gs.ng AS DOUBLE) <= {GOPHER_DUP_2GRAM_MAX}, TRUE)
+        AND COALESCE(CAST(gs.gtop AS DOUBLE)
+                     / CAST(gs.ng AS DOUBLE) <= {GOPHER_TOP_2GRAM_MAX}, TRUE))
+           AS manter_gopher
+FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+"""

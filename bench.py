@@ -114,6 +114,8 @@ EXTRA = [
     "ols_hourly_trend_by_modality",
     "rfm_segments",
     "association_rules_modality",
+    "gopher_repetition_signals",
+    "dedup_impact_report",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

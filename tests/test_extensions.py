@@ -1681,3 +1681,105 @@ def test_association_rules_match_bruteforce(spark):
         )
         # lift is symmetric; confidence need not be
         assert r.lift == pytest.approx(got[(c, a)].lift, rel=1e-12)
+
+
+def test_gopher_repetition_matches_bruteforce(spark):
+    """Repetition fractions re-derived with collections.Counter over the
+    literal whitespace-token stream."""
+    from collections import Counter
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans import text as T
+
+    docs = {
+        r.doc_id: r.text
+        for r in datamodel.load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in T.gopher_repetition_signals(spark, SF).collect()
+    }
+    assert set(got) == set(docs)
+    seen_keep = {True: 0, False: 0}
+    for did, txt in docs.items():
+        toks = txt.split(" ")
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tc, gc = Counter(toks), Counter(grams)
+        r = got[did]
+        assert r.n_tokens == len(toks)
+        assert r.n_2grams == len(grams)
+        assert r.frac_token_dup == pytest.approx(
+            (len(toks) - len(tc)) / len(toks), rel=1e-12
+        )
+        assert r.top_token_share == pytest.approx(
+            max(tc.values()) / len(toks), rel=1e-12
+        )
+        keep = max(tc.values()) / len(toks) <= T.GOPHER_TOP_TOKEN_MAX
+        if grams:
+            assert r.frac_2gram_dup == pytest.approx(
+                (len(grams) - len(gc)) / len(grams), rel=1e-12
+            )
+            assert r.top_2gram_share == pytest.approx(
+                max(gc.values()) / len(grams), rel=1e-12
+            )
+            keep = keep and (
+                (len(grams) - len(gc)) / len(grams) <= T.GOPHER_DUP_2GRAM_MAX
+            ) and (max(gc.values()) / len(grams) <= T.GOPHER_TOP_2GRAM_MAX)
+        else:
+            assert r.frac_2gram_dup is None and r.top_2gram_share is None
+        assert r.manter_gopher == keep
+        seen_keep[keep] += 1
+    # the filter must actually discriminate on this corpus
+    assert seen_keep[True] > 0
+
+
+def test_dedup_impact_matches_bruteforce(spark):
+    """Cluster-size removal accounting re-derived from literal md5
+    clusters with the min-doc_id keep policy."""
+    import hashlib
+    from collections import defaultdict
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.curation import (
+        dedup_impact_report,
+    )
+
+    rows = (
+        datamodel.load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[hashlib.md5(r.text.encode()).hexdigest()].append(
+            (r.doc_id, len(r.text.split(" ")))
+        )
+    per_size = defaultdict(lambda: [0, 0, 0, 0, 0])
+    docs_tot = len(rows)
+    toks_tot = sum(nt for c in clusters.values() for _, nt in c)
+    for c in clusters.values():
+        kept_nt = min(c)[1]  # min doc_id's token count
+        s = per_size[len(c)]
+        s[0] += 1
+        s[1] += len(c)
+        s[2] += len(c) - 1
+        s[3] += sum(nt for _, nt in c)
+        s[4] += sum(nt for _, nt in c) - kept_nt
+    got = {r.tamanho_cluster: r for r in dedup_impact_report(spark, SF).collect()}
+    assert set(got) == set(per_size)
+    for size, s in per_size.items():
+        r = got[size]
+        assert (r.n_clusters, r.n_docs, r.docs_removidos,
+                r.tokens_total, r.tokens_removidos) == tuple(s)
+        assert r.fracao_docs_removidos == pytest.approx(
+            s[2] / docs_tot, rel=1e-12
+        )
+        assert r.fracao_tokens_removidos == pytest.approx(
+            s[4] / toks_tot, rel=1e-12
+        )

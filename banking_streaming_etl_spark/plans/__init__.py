@@ -449,6 +449,15 @@ def register_all() -> None:
              "exact-dedup impact: cluster-size distribution with "
              "documents and tokens removed (min-doc_id keep policy) "
              "and corpus-wide removal shares")
+    register("hill_tail_index", stats.hill_tail_index,
+             stats.HILL_TAIL_SQL,
+             "Hill Pareto tail-index of transaction values over the "
+             "top ceil(sqrt(N)) order statistics (distributed ranking, "
+             "6-rounded log terms in exact DECIMAL)")
+    register("data_contract_audit", governance.data_contract_audit,
+             governance.DATA_CONTRACT_SQL,
+             "expectation-suite audit: NOT-NULL / range / FK-orphan "
+             "counts per (table, check) with exact violation shares")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

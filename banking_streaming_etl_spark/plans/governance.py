@@ -427,3 +427,158 @@ ld_classes AS (
     GROUP BY 1, 2
 )""",
 )
+
+
+# --- data-contract audit -----------------------------------------------------
+
+
+def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit over the core tables — the pre-ingest
+    contract a pipeline run publishes before anything downstream trusts
+    the batch: NOT-NULL checks, range checks, and referential-integrity
+    checks (FK orphan counts via a left join + null probe), one row per
+    (table, check) with the violation count and exact-ratio share.
+
+    Scale: each table is scanned ONCE (all its conditional counts ride
+    a single aggregate); the two FK checks ride one join each keyed on
+    the FK (Catalyst picks broadcast vs shuffle by dim size). Nothing
+    is collected; the output is a handful of rows."""
+    orders = datamodel.load_table(spark, sf_dir, "orders")
+    lineitem = datamodel.load_table(spark, sf_dir, "lineitem")
+    customer = datamodel.load_table(spark, sf_dir, "customer")
+    events = datamodel.load_table(spark, sf_dir, "events")
+
+    def checks(df, tabela, pairs):
+        aggs = [F.count("*").cast("bigint").alias("_n")]
+        for nome, cond in pairs:
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("bigint")
+                .alias(nome)
+            )
+        one = df.agg(*aggs)
+        outs = []
+        for nome, _ in pairs:
+            outs.append(
+                one.select(
+                    F.lit(tabela).alias("tabela"),
+                    F.lit(nome).alias("verificacao"),
+                    F.col("_n").alias("n_linhas"),
+                    F.col(nome).alias("n_violacoes"),
+                    (
+                        F.col(nome).cast("double")
+                        / F.col("_n").cast("double")
+                    ).alias("fracao"),
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionAll(o)
+        return out
+
+    o_fk = orders.join(
+        customer.select(F.col("c_custkey").alias("_ck")),
+        orders["o_custkey"] == F.col("_ck"),
+        "left",
+    )
+    l_fk = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("_ok")),
+        lineitem["l_orderkey"] == F.col("_ok"),
+        "left",
+    )
+    parts = [
+        checks(
+            orders,
+            "orders",
+            [
+                ("o_custkey_nulo", F.col("o_custkey").isNull()),
+                ("o_totalprice_nao_positivo", F.col("o_totalprice") <= 0),
+            ],
+        ),
+        checks(
+            o_fk,
+            "orders",
+            [("o_custkey_orfao", F.col("_ck").isNull())],
+        ),
+        checks(
+            lineitem,
+            "lineitem",
+            [
+                (
+                    "l_quantity_fora_faixa",
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                ),
+                (
+                    "l_discount_fora_faixa",
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                ),
+            ],
+        ),
+        checks(
+            l_fk,
+            "lineitem",
+            [("l_orderkey_orfao", F.col("_ok").isNull())],
+        ),
+        checks(
+            events,
+            "events",
+            [
+                ("user_id_nulo", F.col("user_id").isNull()),
+                ("ts_nulo", F.col("ts").isNull()),
+                ("value_negativo", F.col("value") < 0),
+            ],
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _dq_sql_block(label, from_clause, nome, cond):
+    return f"""
+SELECT '{label}' AS tabela, '{nome}' AS verificacao,
+       CAST(COUNT(*) AS BIGINT) AS n_linhas,
+       CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violacoes,
+       CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS fracao
+FROM {from_clause}"""
+
+
+DATA_CONTRACT_SQL = " UNION ALL ".join(
+    [
+        _dq_sql_block(
+            "orders", "orders", "o_custkey_nulo", "o_custkey IS NULL"
+        ),
+        _dq_sql_block(
+            "orders", "orders", "o_totalprice_nao_positivo",
+            "o_totalprice <= 0",
+        ),
+        _dq_sql_block(
+            "orders",
+            "(SELECT c.c_custkey AS ck FROM orders o LEFT JOIN customer c"
+            " ON o.o_custkey = c.c_custkey)",
+            "o_custkey_orfao",
+            "ck IS NULL",
+        ),
+        _dq_sql_block(
+            "lineitem", "lineitem", "l_quantity_fora_faixa",
+            "l_quantity < 1 OR l_quantity > 50",
+        ),
+        _dq_sql_block(
+            "lineitem", "lineitem", "l_discount_fora_faixa",
+            "l_discount < 0 OR l_discount > 1",
+        ),
+        _dq_sql_block(
+            "lineitem",
+            "(SELECT o.o_orderkey AS ok2 FROM lineitem l LEFT JOIN orders o"
+            " ON l.l_orderkey = o.o_orderkey)",
+            "l_orderkey_orfao",
+            "ok2 IS NULL",
+        ),
+        _dq_sql_block("events", "events", "user_id_nulo", "user_id IS NULL"),
+        _dq_sql_block("events", "events", "ts_nulo", "ts IS NULL"),
+        _dq_sql_block("events", "events", "value_negativo", "value < 0"),
+    ]
+)

@@ -2439,3 +2439,97 @@ SELECT modalidade_pagamento,
                     * CAST(k * syy - sy * sy AS DOUBLE)) END AS r2
 FROM ols_mom""",
 )
+
+
+# --- Hill tail-index estimator of the transaction-value distribution -------
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill (1975) estimator of the Pareto tail index of transaction
+    values — the heavy-tail diagnostic behind exposure limits and the
+    skew/salting decisions: alpha_hill = k / sum_{i<=k} ln(x_(i)/x_(k+1))
+    over the k largest order statistics (descending, id tiebreak).
+
+    k is a size-following BUDGET, not a data constant: k =
+    ceil(sqrt(N)) computed identically in both dialects (the
+    semantic_dedup convention; N is read once up front as a count-star
+    metadata job). The order statistics come from the distributed
+    ranking operator — no single-task sort at any N. Each log term is
+    ROUND(.,6) (transcendental-output precedent) and accumulated in
+    DECIMAL(38,9), so the sum is order-independent and exact; the final
+    alpha is one rounded division."""
+    import math
+
+    t = (
+        datamodel.transactions(spark, sf_dir)
+        .select("id_transacao", "valor_transacao")
+        .filter(F.col("valor_transacao") > 0)
+    )
+    n = t.count()
+    k = max(1, math.ceil(math.sqrt(n)))
+    top = (
+        ranking.with_global_row_number(
+            t, "valor_transacao", "id_transacao", out="r",
+            value_desc=True, nulls="reject",
+        )
+        .filter(F.col("r") <= k + 1)
+        .persist()
+    )
+    thr = top.filter(F.col("r") == k + 1).select(
+        F.col("valor_transacao").alias("limiar")
+    )
+    agg = (
+        top.filter(F.col("r") <= k)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(F.col("valor_transacao") / F.col("limiar")), 6
+                ).cast("decimal(38,9)")
+            ).alias("_s"),
+            F.max("limiar").alias("limiar"),
+        )
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(k).cast("bigint").alias("n_caudal"),
+        "limiar",
+        F.col("_s").cast("double").alias("soma_log"),
+        F.round(
+            F.lit(float(k)) / F.col("_s").cast("double"), 6
+        ).alias("alfa_hill"),
+    )
+
+
+HILL_TAIL_SQL = datamodel.with_ctes(
+    """
+SELECT n_.n, n_.k AS n_caudal, t.limiar,
+       CAST(SUM(x.lt) AS DOUBLE) AS soma_log,
+       ROUND(CAST(n_.k AS DOUBLE) / CAST(SUM(x.lt) AS DOUBLE), 6)
+           AS alfa_hill
+FROM (
+    SELECT CAST(ROUND(LN(r.valor_transacao / t2.limiar), 6)
+                AS DECIMAL(38,9)) AS lt
+    FROM hill_rk r, hill_n n2, hill_thr t2 WHERE r.r <= n2.k
+) x, hill_n n_, hill_thr t
+GROUP BY n_.n, n_.k, t.limiar""",
+    extra_ctes="""
+hill_tx AS (
+    SELECT id_transacao, valor_transacao FROM transactions
+    WHERE valor_transacao > 0
+),
+hill_n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k
+    FROM hill_tx
+),
+hill_rk AS (
+    SELECT t.*, ROW_NUMBER() OVER (ORDER BY valor_transacao DESC,
+                                   id_transacao ASC) AS r
+    FROM hill_tx t
+),
+hill_thr AS (
+    SELECT r.valor_transacao AS limiar FROM hill_rk r, hill_n n3
+    WHERE r.r = n3.k + 1
+)""",
+)

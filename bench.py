@@ -116,6 +116,8 @@ EXTRA = [
     "association_rules_modality",
     "gopher_repetition_signals",
     "dedup_impact_report",
+    "hill_tail_index",
+    "data_contract_audit",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -740,3 +740,85 @@ def test_ols_hourly_trend_matches_numpy(spark, sf_dir):
         else:
             assert r.r2 == pytest.approx(np.corrcoef(xs, ys)[0, 1] ** 2,
                                          rel=1e-9)
+
+
+def test_hill_tail_index_matches_bruteforce(spark, sf_dir):
+    """Hill estimator re-derived from the literal sorted value list with
+    the query's documented 6-rounding of each log term."""
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans import stats
+
+    r = stats.hill_tail_index(spark, sf_dir).collect()[0]
+    vals = sorted(
+        (
+            (x.valor_transacao, x.id_transacao)
+            for x in datamodel.transactions(spark, sf_dir)
+            .select("id_transacao", "valor_transacao")
+            .collect()
+            if x.valor_transacao > 0
+        ),
+        key=lambda p: (-p[0], p[1]),
+    )
+    n = len(vals)
+    k = max(1, math.ceil(math.sqrt(n)))
+    thr = vals[k][0]
+    s = sum(round(math.log(v / thr), 6) for v, _ in vals[:k])
+    assert (r.n, r.n_caudal) == (n, k)
+    assert r.limiar == thr
+    assert r.soma_log == pytest.approx(s, abs=1e-9)
+    assert r.alfa_hill == pytest.approx(round(k / s, 6), abs=1e-9)
+    assert r.alfa_hill > 0
+
+
+def test_data_contract_audit_matches_bruteforce(spark, sf_dir):
+    """Violation counts re-derived with literal Python checks over the
+    collected tables."""
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.governance import (
+        data_contract_audit,
+    )
+
+    got = {
+        (r.tabela, r.verificacao): r
+        for r in data_contract_audit(spark, sf_dir).collect()
+    }
+    orders = datamodel.load_table(spark, sf_dir, "orders").collect()
+    lineitem = datamodel.load_table(spark, sf_dir, "lineitem").collect()
+    custkeys = {
+        r.c_custkey
+        for r in datamodel.load_table(spark, sf_dir, "customer").collect()
+    }
+    events = (
+        datamodel.load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    orderkeys = {r.o_orderkey for r in orders}
+    expect = {
+        ("orders", "o_custkey_nulo"):
+            (len(orders), sum(r.o_custkey is None for r in orders)),
+        ("orders", "o_totalprice_nao_positivo"):
+            (len(orders), sum(r.o_totalprice <= 0 for r in orders)),
+        ("orders", "o_custkey_orfao"):
+            (len(orders), sum(r.o_custkey not in custkeys for r in orders)),
+        ("lineitem", "l_quantity_fora_faixa"):
+            (len(lineitem),
+             sum(not (1 <= r.l_quantity <= 50) for r in lineitem)),
+        ("lineitem", "l_discount_fora_faixa"):
+            (len(lineitem),
+             sum(not (0 <= r.l_discount <= 1) for r in lineitem)),
+        ("lineitem", "l_orderkey_orfao"):
+            (len(lineitem),
+             sum(r.l_orderkey not in orderkeys for r in lineitem)),
+        ("events", "user_id_nulo"):
+            (len(events), sum(r.user_id is None for r in events)),
+        ("events", "ts_nulo"):
+            (len(events), sum(r.ts is None for r in events)),
+        ("events", "value_negativo"):
+            (len(events), sum(r.value < 0 for r in events)),
+    }
+    assert set(got) == set(expect)
+    for key, (n, v) in expect.items():
+        r = got[key]
+        assert (r.n_linhas, r.n_violacoes) == (n, v), key
+        assert r.fracao == pytest.approx(v / n, rel=1e-12)

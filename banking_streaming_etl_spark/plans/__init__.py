@@ -458,6 +458,28 @@ def register_all() -> None:
              governance.DATA_CONTRACT_SQL,
              "expectation-suite audit: NOT-NULL / range / FK-orphan "
              "counts per (table, check) with exact violation shares")
+    register("calibration_error_metrics", stats.calibration_error_metrics,
+             stats.CALIBRATION_ERROR_SQL,
+             "ECE / MCE / Brier of the min-max-normalized risk score "
+             "over exact NTILE(10) bins (decimal-summed squared error, "
+             "deterministic 10-term ECE fold)")
+    register("neyman_allocation", stats.neyman_allocation,
+             stats.NEYMAN_SQL,
+             "Neyman optimal stratified-sampling allocation across "
+             "modalities (exact-decimal stddev moments, largest-"
+             "remainder integerization summing exactly to the budget)")
+    register("lexical_diversity_by_source",
+             text.lexical_diversity_by_source,
+             text.SOURCE_DIVERSITY_SQL,
+             "per-source type-token ratio, unbiased Simpson D and "
+             "effective vocabulary 1/D (exact integer ratios, one "
+             "(source, term) aggregate)")
+    register("fano_dispersion_by_modality",
+             stats.fano_dispersion_by_modality,
+             stats.FANO_DISPERSION_SQL,
+             "per-modality Fano factor of hourly counts + Poisson "
+             "dispersion z (exact integer moment deltas; burstiness "
+             "screen)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

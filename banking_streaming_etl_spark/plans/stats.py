@@ -2533,3 +2533,343 @@ hill_thr AS (
     WHERE r.r = n3.k + 1
 )""",
 )
+
+
+# --- expected calibration error + Brier score -------------------------------
+
+#: calibration bins (exact global NTILE deciles of the score order).
+ECE_BINS = 10
+
+
+def calibration_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE / MCE / Brier score of the risk score as a denial-probability
+    forecast — the standard calibration trio next to the reliability
+    diagram (`score_calibration_deciles`): the forecast is the min-max
+    normalized score (one broadcast scalar pass), bins are the exact
+    NTILE(10) deciles from the distributed ranking operator, and
+
+        ECE   = sum_b (n_b/N) |conf_b - acc_b|,
+        MCE   = max_b |conf_b - acc_b|,
+        Brier = mean (p - y)^2.
+
+    Exactness: the normalized forecast is 6-rounded ONCE (p6), the
+    squared-error terms are 6-rounded and accumulated in DECIMAL (so
+    the corpus sums are order-independent; a grid-value-minus-integer
+    square can never land on the .5 rounding boundary), conf/acc are
+    exact ratios, and the 10-term ECE sum rides the deterministic
+    sorted fold. Scale: one scalar pass, one ranking pass, one decile
+    aggregate; the corpus never feeds an unpartitioned window."""
+    ap = _approved(spark, sf_dir).select(
+        "id_transacao",
+        "score_medio",
+        (~F.col("transacao_aprovada")).cast("int").alias("y"),
+    )
+    mm = ap.agg(
+        F.min("score_medio").alias("_mn"), F.max("score_medio").alias("_mx")
+    )
+    wp = (
+        ap.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "p6",
+            F.round(
+                (F.col("score_medio") - F.col("_mn"))
+                / (F.col("_mx") - F.col("_mn")),
+                6,
+            ),
+        )
+        .persist()
+    )
+    binned = ranking.with_global_ntile(
+        wp, "score_medio", "id_transacao", ECE_BINS, out="decil",
+        nulls="reject",
+    )
+    sq = (F.col("p6") - F.col("y")) * (F.col("p6") - F.col("y"))
+    per = (
+        binned.groupBy("decil")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_y"),
+            F.sum(exact._d(F.col("p6"))).alias("_sp"),
+            F.sum(exact._d(sq)).alias("_sq"),
+        )
+        .persist()
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("_N"),
+        F.sum("_sq").alias("_B"),
+    )
+    conf = F.col("_sp").cast("double") / F.col("n").cast("double")
+    acc = F.col("n_y").cast("double") / F.col("n").cast("double")
+    pg = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("_conf", conf)
+        .withColumn("_acc", acc)
+        .withColumn("_gap", F.abs(conf - acc))
+        .persist()
+    )
+    ece = _fold_terms(
+        pg,
+        "decil",
+        F.col("n").cast("double") / F.col("_N").cast("double")
+        * F.col("_gap"),
+    ).withColumnRenamed("_fold", "ece")
+    scal = ece.crossJoin(F.broadcast(pg.agg(F.max("_gap").alias("mce"))))
+    return pg.crossJoin(F.broadcast(scal)).select(
+        "decil",
+        "n",
+        F.col("_conf").alias("confianca_media"),
+        F.col("_acc").alias("taxa_negacao"),
+        F.col("_gap").alias("gap_calibracao"),
+        (F.col("_B").cast("double") / F.col("_N").cast("double")).alias(
+            "brier"
+        ),
+        "ece",
+        "mce",
+    )
+
+
+_CAL_CTES = f""",
+cal_mm AS (
+    SELECT MIN(score_medio) AS mn, MAX(score_medio) AS mx FROM approved
+),
+cal_b AS (
+    SELECT NTILE({ECE_BINS}) OVER (ORDER BY score_medio ASC,
+                                   id_transacao ASC) AS decil,
+           CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END AS y,
+           ROUND((score_medio - mn) / (mx - mn), 6) AS p6
+    FROM approved, cal_mm
+),
+cal_g AS (
+    SELECT decil, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_y,
+           SUM(CAST(ROUND(p6, 6) AS DECIMAL(28,6))) AS sp,
+           SUM(CAST(ROUND((p6 - y) * (p6 - y), 6) AS DECIMAL(28,6))) AS sq
+    FROM cal_b GROUP BY 1
+),
+cal_t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_tot, SUM(sq) AS b_dec FROM cal_g
+),
+cal_pg AS (
+    SELECT g.decil, g.n, g.n_y, t.n_tot, t.b_dec,
+           CAST(g.sp AS DOUBLE) / CAST(g.n AS DOUBLE) AS conf,
+           CAST(g.n_y AS DOUBLE) / CAST(g.n AS DOUBLE) AS acc,
+           ABS(CAST(g.sp AS DOUBLE) / CAST(g.n AS DOUBLE)
+               - CAST(g.n_y AS DOUBLE) / CAST(g.n AS DOUBLE)) AS gap
+    FROM cal_g g, cal_t t
+),
+cal_s AS (
+    SELECT {_sql_fold(
+        'CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE) * gap', 'decil')} AS ece,
+           MAX(gap) AS mce
+    FROM cal_pg
+)"""
+
+CALIBRATION_ERROR_SQL = _oracle_with(
+    _CAL_CTES,
+    """
+SELECT p.decil, p.n,
+       p.conf AS confianca_media,
+       p.acc AS taxa_negacao,
+       p.gap AS gap_calibracao,
+       CAST(p.b_dec AS DOUBLE) / CAST(p.n_tot AS DOUBLE) AS brier,
+       s.ece, s.mce
+FROM cal_pg p, cal_s s""",
+)
+
+
+# --- Neyman allocation for stratified sampling ------------------------------
+
+#: total sample budget allocated across the modality strata.
+NEYMAN_BUDGET = 10000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman 1934) stratified-sampling allocation of a fixed
+    budget across the modality strata: n_h proportional to N_h * S_h,
+    integerized by the largest-remainder method so the allocations sum
+    EXACTLY to the budget — the design step in front of the stratified
+    sampler (`operators/sampling.stratified_sample`).
+
+    Exactness: S_h comes from exact decimal moments (`exact.exact_std`)
+    through the IEEE sqrt ladder, the weight total rides the
+    deterministic sorted fold, and floor/remainder arithmetic is
+    identical IEEE ops on identical operands in both dialects.
+
+    Scale: ONE corpus aggregate onto |modalities| stratum rows;
+    everything after (fold, remainder rank, leftover re-aggregate) runs
+    over that bounded frame — the remainder window is whitelisted with
+    that boundedness argument."""
+    from pyspark.sql import Window as W
+
+    grp = (
+        _approved(spark, sf_dir)
+        .groupBy("modalidade_pagamento")
+        .agg(
+            F.count("*").cast("bigint").alias("n_h"),
+            exact.exact_std("valor_transacao", "desvio"),
+        )
+        .withColumn("_w", F.col("n_h").cast("double") * F.col("desvio"))
+        .persist()
+    )
+    tw = _fold_terms(grp, "modalidade_pagamento", F.col("_w")) \
+        .withColumnRenamed("_fold", "_tw")
+    ex = F.lit(float(NEYMAN_BUDGET)) * F.col("_q")
+    alloc = (
+        grp.crossJoin(F.broadcast(tw))
+        .withColumn("_q", F.col("_w") / F.col("_tw"))
+        .withColumn("_base", F.floor(ex).cast("bigint"))
+        .withColumn("_rem", ex - F.floor(ex).cast("double"))
+    )
+    lo = alloc.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("_base")).cast("bigint").alias("_lo")
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.col("_rem").desc(), F.col("modalidade_pagamento").asc())
+    )
+    return (
+        alloc.withColumn("_r", rk)
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "modalidade_pagamento",
+            "n_h",
+            "desvio",
+            F.col("_w").alias("peso"),
+            F.col("_q").alias("fracao"),
+            (
+                F.col("_base")
+                + (F.col("_r") <= F.col("_lo")).cast("bigint")
+            ).cast("bigint").alias("alocacao"),
+        )
+    )
+
+
+_NY_CTES = f""",
+ny_g AS (
+    SELECT modalidade_pagamento, CAST(COUNT(*) AS BIGINT) AS n_h,
+           {exact.sql_std('valor_transacao', 'desvio')}
+    FROM approved GROUP BY 1
+),
+ny_w AS (SELECT *, CAST(n_h AS DOUBLE) * desvio AS w FROM ny_g),
+ny_t AS (
+    SELECT {_sql_fold('w', 'modalidade_pagamento')} AS tw FROM ny_w
+),
+ny_a AS (
+    SELECT g.*, g.w / t.tw AS q,
+           CAST(FLOOR({NEYMAN_BUDGET}.0 * (g.w / t.tw)) AS BIGINT) AS base_i,
+           {NEYMAN_BUDGET}.0 * (g.w / t.tw)
+               - FLOOR({NEYMAN_BUDGET}.0 * (g.w / t.tw)) AS rem
+    FROM ny_w g, ny_t t
+),
+ny_lo AS (
+    SELECT {NEYMAN_BUDGET} - CAST(SUM(base_i) AS BIGINT) AS lo FROM ny_a
+),
+ny_r AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                 modalidade_pagamento ASC) AS r
+    FROM ny_a
+)"""
+
+NEYMAN_SQL = _oracle_with(
+    _NY_CTES,
+    """
+SELECT a.modalidade_pagamento, a.n_h, a.desvio, a.w AS peso, a.q AS fracao,
+       CAST(a.base_i + CASE WHEN a.r <= l.lo THEN 1 ELSE 0 END AS BIGINT)
+           AS alocacao
+FROM ny_r a, ny_lo l""",
+)
+
+
+# --- Fano-factor burstiness / Poisson dispersion test ------------------------
+
+
+def fano_dispersion_by_modality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burstiness screen: per modality, the Fano factor (variance/mean)
+    of the hourly transaction counts plus the classical Poisson
+    dispersion z = (F - 1) * sqrt((k-1)/2) — a Poisson arrival stream
+    has F = 1; F >> 1 flags bursty traffic (the load-shape datapoint
+    behind trigger sizing and skew salting).
+
+    Exactness: hourly counts are integers, so the moment deltas
+    (k*sum_sq - sum^2) are exact DECIMALs and every double is a fixed
+    compare/multiply/divide/sqrt ladder over exact-integer casts —
+    bit-identical cross-engine, no rounding. Single-hour modalities
+    emit NULLs via guarded division.
+
+    Scale: ONE corpus aggregate onto (modality x hour) rows, one tiny
+    per-modality re-aggregate. No window, no fold."""
+    dec0 = "decimal(38,0)"
+    hours = (
+        _approved(spark, sf_dir)
+        .groupBy(
+            "modalidade_pagamento",
+            F.expr("unix_micros(data_horario) div 3600000000").alias("_h"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    mom = hours.groupBy("modalidade_pagamento").agg(
+        F.count("*").cast(dec0).alias("_k"),
+        F.sum(F.col("n").cast(dec0)).alias("_s"),
+        F.sum((F.col("n") * F.col("n")).cast(dec0)).alias("_ss"),
+    )
+    k = F.col("_k").cast("double")
+    s = F.col("_s").cast("double")
+    delta = (F.col("_k") * F.col("_ss") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    )
+    # var/mean = ((k*ss - s^2)/(k*(k-1))) / (s/k) = (k*ss - s^2)/((k-1)*s)
+    fano = delta / ((k - F.lit(1.0)) * s)
+    ok = (F.col("_k") > 1) & (F.col("_s") > 0)
+    return mom.select(
+        "modalidade_pagamento",
+        F.col("_k").cast("bigint").alias("horas"),
+        F.col("_s").cast("bigint").alias("n_transacoes"),
+        (s / k).alias("media_horaria"),
+        F.when(ok, delta / (k * (k - F.lit(1.0)))).alias("variancia"),
+        F.when(ok, fano).alias("fano"),
+        F.when(
+            ok,
+            (fano - F.lit(1.0))
+            * F.sqrt((k - F.lit(1.0)) / F.lit(2.0)),
+        ).alias("z_dispersao"),
+    )
+
+
+_FANO_CTES = """,
+fano_h AS (
+    SELECT modalidade_pagamento,
+           epoch_us(data_horario) // 3600000000 AS h,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM approved GROUP BY 1, 2
+),
+fano_m AS (
+    SELECT modalidade_pagamento,
+           CAST(COUNT(*) AS DECIMAL(38,0)) AS k,
+           SUM(CAST(n AS DECIMAL(38,0))) AS s,
+           SUM(CAST(n * n AS DECIMAL(38,0))) AS ss
+    FROM fano_h GROUP BY 1
+)"""
+
+FANO_DISPERSION_SQL = _oracle_with(
+    _FANO_CTES,
+    """
+SELECT modalidade_pagamento,
+       CAST(k AS BIGINT) AS horas,
+       CAST(s AS BIGINT) AS n_transacoes,
+       CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS media_horaria,
+       CASE WHEN k > 1 AND s > 0
+            THEN CAST(k * ss - s * s AS DOUBLE)
+                 / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))
+            END AS variancia,
+       CASE WHEN k > 1 AND s > 0
+            THEN CAST(k * ss - s * s AS DOUBLE)
+                 / ((CAST(k AS DOUBLE) - 1.0) * CAST(s AS DOUBLE))
+            END AS fano,
+       CASE WHEN k > 1 AND s > 0
+            THEN (CAST(k * ss - s * s AS DOUBLE)
+                  / ((CAST(k AS DOUBLE) - 1.0) * CAST(s AS DOUBLE)) - 1.0)
+                 * SQRT((CAST(k AS DOUBLE) - 1.0) / 2.0)
+            END AS z_dispersao
+FROM fano_m""",
+)

@@ -1970,3 +1970,82 @@ SELECT ts.doc_id, ts.n_tokens,
            AS manter_gopher
 FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
 """
+
+
+# --- lexical diversity per source --------------------------------------------
+
+
+def lexical_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source lexical-diversity profile: type-token ratio, unbiased
+    Simpson concentration D = sum c(c-1) / (T(T-1)), and the effective
+    vocabulary size 1/D — the corpus-mix diagnostic next to the Zipf and
+    Heaps readouts (a source whose effective vocab collapses is
+    boilerplate, whatever its raw vocab says).
+
+    Every output is an exact integer ratio (term counts) pushed through
+    term-identical double ladders — no rounding, no transcendental.
+    c(c-1) products accumulate in DECIMAL(38,0) (at web scale a single
+    term's c^2 passes 2^63). Scale: one (source, term) hash aggregate
+    (tf-idf's shuffle shape), one per-source re-aggregate, one broadcast
+    doc-count join."""
+    d = _docs(spark, sf_dir)
+    dec0 = "decimal(38,0)"
+    tc = (
+        d.select("source", F.explode("toks").alias("termo"))
+        .groupBy("source", "termo")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    per = tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocabulario"),
+        F.sum((F.col("c") * (F.col("c") - 1)).cast(dec0)).alias("_s2"),
+    )
+    nd = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    t = F.col("n_tokens").cast("double")
+    pairs = (t * (t - F.lit(1.0)))
+    simpson = F.col("_s2").cast("double") / pairs
+    return per.join(F.broadcast(nd), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "vocabulario",
+        (F.col("vocabulario").cast("double") / t).alias("ttr"),
+        simpson.alias("simpson_d"),
+        F.when(
+            F.col("_s2") > 0, pairs / F.col("_s2").cast("double")
+        ).alias("vocab_efetivo"),
+    )
+
+
+SOURCE_DIVERSITY_SQL = """
+WITH tc AS (
+    SELECT source, unnest(string_split(text, ' ')) AS termo
+    FROM documents
+),
+cc AS (
+    SELECT source, termo, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tc GROUP BY 1, 2
+),
+per AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocabulario,
+           SUM(CAST(c * (c - 1) AS DECIMAL(38,0))) AS s2
+    FROM cc GROUP BY 1
+),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1)
+SELECT p.source, n.n_docs, p.n_tokens, p.vocabulario,
+       CAST(p.vocabulario AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS ttr,
+       CAST(p.s2 AS DOUBLE)
+           / (CAST(p.n_tokens AS DOUBLE)
+              * (CAST(p.n_tokens AS DOUBLE) - 1.0)) AS simpson_d,
+       CASE WHEN p.s2 > 0
+            THEN (CAST(p.n_tokens AS DOUBLE)
+                  * (CAST(p.n_tokens AS DOUBLE) - 1.0))
+                 / CAST(p.s2 AS DOUBLE) END AS vocab_efetivo
+FROM per p JOIN nd n ON p.source = n.source
+"""

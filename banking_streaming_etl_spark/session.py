@@ -32,10 +32,18 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # local mode runs every "executor" thread inside the driver JVM, whose
+    # 1g default heap cannot hold the session-lifetime lazy persists a
+    # long query sweep accumulates (bench OOMed at ~50 cached frames at
+    # sf0.1). Honored only at JVM launch — a getOrCreate against a live
+    # gateway ignores it, which is fine: each CLI/pytest process launches
+    # its own JVM. On a real cluster this is the executor-memory knob.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime re-planning — coalesce small shuffle partitions,
         # convert to broadcast joins when runtime stats allow, split skew.

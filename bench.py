@@ -118,6 +118,10 @@ EXTRA = [
     "dedup_impact_report",
     "hill_tail_index",
     "data_contract_audit",
+    "calibration_error_metrics",
+    "neyman_allocation",
+    "lexical_diversity_by_source",
+    "fano_dispersion_by_modality",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver
@@ -250,7 +254,8 @@ def _warm(spark, queries, sf_dir: str) -> None:
 
 
 def _time_headline(
-    spark, queries, names, sf_dir: str, repeats: int = 1
+    spark, queries, names, sf_dir: str, repeats: int = 1,
+    clear_cache_between: bool = False,
 ) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
     """Time each query `repeats` times; return (median, min, raw samples)
     per query.
@@ -274,6 +279,12 @@ def _time_headline(
             df = fn(spark, sf_dir)
             n = df.count()
             samples.append(time.perf_counter() - t0)
+        # the EXTRA sweep accumulates every query's session-lifetime lazy
+        # persists; ~50 cached sf0.1 frames overflow any fixed heap, so
+        # that group evicts between queries (timings there are cold-cache
+        # per-operator numbers — stderr/detail only, never a comparable)
+        if clear_cache_between:
+            spark.catalog.clearCache()
         raw[name] = [round(s, 4) for s in samples]
         samples.sort()
         med[name] = round(samples[len(samples) // 2], 4)
@@ -294,6 +305,9 @@ def bench_ivf_pq_split(spark, sf_dir: str) -> tuple[float, float]:
     from banking_streaming_etl_spark.operators import similarity
 
     emb = similarity.shared_normed_embeddings(spark, sf_dir)
+    # re-register the memo in the cache manager: the EXTRA sweep's
+    # between-query eviction ran just before this split
+    emb.cache()
     emb.count()  # warm the memoized scan: neither phase times raw IO
     t0 = time.perf_counter()
     cent, books, codes = similarity.ivf_pq_index(emb)
@@ -400,7 +414,9 @@ def main() -> None:
     ext_total = round(sum(ext_timings.values()), 4)
     extra_names = [n for n in EXTRA if n in queries]
     print("# extra group (stderr/detail-file only)", file=sys.stderr)
-    extra_timings, _, _ = _time_headline(spark, queries, extra_names, sf_dir)
+    extra_timings, _, _ = _time_headline(
+        spark, queries, extra_names, sf_dir, clear_cache_between=True
+    )
     ivf_build, ivf_search = bench_ivf_pq_split(spark, sf_dir)
     bpe_note = bench_bpe_cadence(spark, sf_dir)
     batch_sorted = sorted(batch_ms)

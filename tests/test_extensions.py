@@ -1783,3 +1783,90 @@ def test_dedup_impact_matches_bruteforce(spark):
         assert r.fracao_tokens_removidos == pytest.approx(
             s[4] / toks_tot, rel=1e-12
         )
+
+
+def test_lexical_diversity_by_source_matches_bruteforce(spark):
+    """TTR / unbiased Simpson / effective vocab re-derived with Counter
+    per source."""
+    from collections import Counter, defaultdict
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.text import (
+        lexical_diversity_by_source,
+    )
+
+    rows = (
+        datamodel.load_table(spark, SF, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    per = defaultdict(Counter)
+    ndocs = Counter()
+    for r in rows:
+        per[r.source].update(r.text.split(" "))
+        ndocs[r.source] += 1
+    got = {
+        r.source: r for r in lexical_diversity_by_source(spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for src, tc in per.items():
+        r = got[src]
+        t = sum(tc.values())
+        s2 = sum(c * (c - 1) for c in tc.values())
+        assert (r.n_docs, r.n_tokens, r.vocabulario) == (
+            ndocs[src], t, len(tc),
+        )
+        assert r.ttr == pytest.approx(len(tc) / t, rel=1e-12)
+        assert r.simpson_d == pytest.approx(s2 / (t * (t - 1)), rel=1e-12)
+        if s2:
+            assert r.vocab_efetivo == pytest.approx(
+                t * (t - 1) / s2, rel=1e-12
+            )
+
+
+def test_fano_dispersion_matches_bruteforce(spark):
+    """Fano factor and dispersion z re-derived with statistics over the
+    literal hourly count series."""
+    import math
+    import statistics
+    from collections import Counter
+
+    import pytest
+
+    from banking_streaming_etl_spark.plans import stats
+    from banking_streaming_etl_spark.plans.dashboard import _approved
+
+    rows = (
+        _approved(spark, SF)
+        .select("modalidade_pagamento", "data_horario")
+        .collect()
+    )
+    series = Counter(
+        (r.modalidade_pagamento,
+         r.data_horario.replace(minute=0, second=0, microsecond=0))
+        for r in rows
+    )
+    by_mod = {}
+    for (m, h), n in series.items():
+        by_mod.setdefault(m, []).append(n)
+    got = {
+        r.modalidade_pagamento: r
+        for r in stats.fano_dispersion_by_modality(spark, SF).collect()
+    }
+    assert set(got) == set(by_mod)
+    for m, ns in by_mod.items():
+        r = got[m]
+        assert (r.horas, r.n_transacoes) == (len(ns), sum(ns))
+        assert r.media_horaria == pytest.approx(
+            statistics.mean(ns), rel=1e-12
+        )
+        if len(ns) > 1:
+            var = statistics.variance(ns)
+            fano = var / statistics.mean(ns)
+            assert r.variancia == pytest.approx(var, rel=1e-9)
+            assert r.fano == pytest.approx(fano, rel=1e-9)
+            assert r.z_dispersao == pytest.approx(
+                (fano - 1.0) * math.sqrt((len(ns) - 1) / 2.0), rel=1e-9
+            )

@@ -822,3 +822,81 @@ def test_data_contract_audit_matches_bruteforce(spark, sf_dir):
         r = got[key]
         assert (r.n_linhas, r.n_violacoes) == (n, v), key
         assert r.fracao == pytest.approx(v / n, rel=1e-12)
+
+
+def test_calibration_error_matches_bruteforce(spark, sf_dir, approved_rows):
+    """ECE/MCE/Brier re-derived from the literal NTILE binning and the
+    query's documented 6-rounding of the normalized forecast."""
+    from collections import defaultdict
+
+    from banking_streaming_etl_spark.plans import stats
+
+    rows = stats.calibration_error_metrics(spark, sf_dir).collect()
+    scored = sorted(
+        ((r.score_medio, r.id_transacao, int(not r.transacao_aprovada))
+         for r in approved_rows)
+    )
+    mn = min(s for s, _, _ in scored)
+    mx = max(s for s, _, _ in scored)
+    n = len(scored)
+    k = stats.ECE_BINS
+    bins = defaultdict(list)
+    i = 0
+    for b in range(1, k + 1):
+        size = n // k + (1 if b <= n % k else 0)
+        for s, _, y in scored[i : i + size]:
+            bins[b].append((round((s - mn) / (mx - mn), 6), y))
+        i += size
+    per = {}
+    brier_num = 0.0
+    for b, terms in bins.items():
+        conf = sum(round(p, 6) for p, _ in terms) / len(terms)
+        acc = sum(y for _, y in terms) / len(terms)
+        brier_num += sum(round((p - y) * (p - y), 6) for p, y in terms)
+        per[b] = (len(terms), conf, acc, abs(conf - acc))
+    ece = sum(nb / n * gap for nb, _, _, gap in per.values())
+    mce = max(gap for _, _, _, gap in per.values())
+    brier = brier_num / n
+    assert {r.decil for r in rows} == set(per)
+    for r in rows:
+        nb, conf, acc, gap = per[r.decil]
+        assert r.n == nb
+        assert r.confianca_media == pytest.approx(conf, rel=1e-9)
+        assert r.taxa_negacao == pytest.approx(acc, rel=1e-12)
+        assert r.gap_calibracao == pytest.approx(gap, abs=1e-9)
+        assert r.brier == pytest.approx(brier, rel=1e-9)
+        assert r.ece == pytest.approx(ece, rel=1e-9)
+        assert r.mce == pytest.approx(mce, abs=1e-9)
+    r0 = rows[0]
+    assert 0.0 <= r0.ece <= r0.mce + 1e-12
+    assert 0.0 <= r0.brier <= 1.0
+
+
+def test_neyman_allocation_matches_bruteforce(spark, sf_dir, approved_rows):
+    """N_h*S_h proportional allocation with largest-remainder rounding,
+    re-derived with statistics.stdev over the 6-rounded values."""
+    import statistics
+    from collections import defaultdict
+
+    from banking_streaming_etl_spark.plans import stats
+
+    rows = {r.modalidade_pagamento: r
+            for r in stats.neyman_allocation(spark, sf_dir).collect()}
+    by_mod = defaultdict(list)
+    for r in approved_rows:
+        by_mod[r.modalidade_pagamento].append(round(r.valor_transacao, 6))
+    assert set(rows) == set(by_mod)
+    w = {m: len(v) * statistics.stdev(v) for m, v in by_mod.items()}
+    tw = sum(w[m] for m in sorted(w))
+    base = {m: int(stats.NEYMAN_BUDGET * w[m] / tw) for m in w}
+    rem = {m: stats.NEYMAN_BUDGET * w[m] / tw - base[m] for m in w}
+    lo = stats.NEYMAN_BUDGET - sum(base.values())
+    order = sorted(w, key=lambda m: (-rem[m], m))
+    alloc = {m: base[m] + (1 if i < lo else 0) for i, m in enumerate(order)}
+    for m, r in rows.items():
+        assert r.n_h == len(by_mod[m])
+        assert r.desvio == pytest.approx(statistics.stdev(by_mod[m]),
+                                         rel=1e-6)
+        assert r.fracao == pytest.approx(w[m] / tw, rel=1e-6)
+        assert r.alocacao == alloc[m]
+    assert sum(r.alocacao for r in rows.values()) == stats.NEYMAN_BUDGET

@@ -480,6 +480,16 @@ def register_all() -> None:
              "per-modality Fano factor of hourly counts + Poisson "
              "dispersion z (exact integer moment deltas; burstiness "
              "screen)")
+    register("ltv_cohort_curve", behavior.ltv_cohort_curve,
+             behavior.LTV_COHORT_SQL,
+             "cumulative LTV per acquisition cohort (decimal-exact "
+             "running revenue over a PARTITIONED window, per-user LTV "
+             "as exact division)")
+    register("source_vocab_jaccard", text.source_vocab_jaccard,
+             text.SOURCE_VOCAB_JACCARD_SQL,
+             "vocabulary Jaccard + containment for every source pair "
+             "(term-keyed pair join, |sources|^2-bounded fanout, exact "
+             "integer ratios)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

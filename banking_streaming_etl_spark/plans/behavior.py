@@ -1408,3 +1408,110 @@ JOIN ar_i ia ON p.antecedente = ia.m
 JOIN ar_i ic ON p.consequente = ic.m, ar_tot t""",
     extra_ctes=_AR_CTES,
 )
+
+
+# --- cohort LTV curve --------------------------------------------------------
+
+
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curve per acquisition cohort: cohort =
+    first-activity day (the `cohort_retention` key), and for each cohort
+    age in days the day's revenue plus the running cumulative revenue
+    per cohort user — the LTV triangle finance reads next to the
+    retention triangle.
+
+    Exactness: revenue accumulates in DECIMAL(28,6) end to end (the
+    running total is a window SUM of decimals — order-independent), and
+    the per-user LTV is one unrounded exact-decimal/integer division.
+
+    Scale: the cohort join reuses the user-keyed shuffle, the daily
+    aggregate is (cohort x age)-sized, and the running total is a
+    PARTITIONED window (per cohort day) — no unpartitioned window, no
+    single-task sort."""
+    from pyspark.sql import Window as W
+
+    from banking_streaming_etl_spark.functions import exact
+
+    t = datamodel.transactions(spark, sf_dir).select(
+        "id_usuario_pagador",
+        F.to_date("data_horario").alias("dia"),
+        "valor_transacao",
+    )
+    cohorts = t.groupBy("id_usuario_pagador").agg(
+        F.min("dia").alias("dia_cohort")
+    )
+    base = cohorts.groupBy("dia_cohort").agg(
+        F.count("*").cast("bigint").alias("usuarios_cohort")
+    )
+    daily = (
+        t.join(cohorts, "id_usuario_pagador")
+        .groupBy(
+            "dia_cohort",
+            F.datediff(F.col("dia"), F.col("dia_cohort")).alias(
+                "idade_dias"
+            ),
+        )
+        .agg(F.sum(exact._d(F.col("valor_transacao"))).alias("_rev_dec"))
+    )
+    w = (
+        W.partitionBy("dia_cohort")
+        .orderBy("idade_dias")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        daily.withColumn("_cum_dec", F.sum("_rev_dec").over(w))
+        .join(F.broadcast(base), "dia_cohort")
+        .select(
+            F.col("dia_cohort").cast("timestamp").alias("dia_cohort"),
+            "idade_dias",
+            F.col("_rev_dec").cast("double").alias("receita_dia"),
+            F.col("_cum_dec").cast("double").alias("receita_acumulada"),
+            "usuarios_cohort",
+            (
+                F.col("_cum_dec").cast("double")
+                / F.col("usuarios_cohort").cast("double")
+            ).alias("ltv_por_usuario"),
+        )
+    )
+
+
+_LTV_CTES = """
+ltv_t AS (
+    SELECT id_usuario_pagador, CAST(data_horario AS DATE) AS dia,
+           valor_transacao
+    FROM transactions
+),
+ltv_c AS (
+    SELECT id_usuario_pagador, MIN(dia) AS dia_cohort
+    FROM ltv_t GROUP BY 1
+),
+ltv_b AS (
+    SELECT dia_cohort, CAST(COUNT(*) AS BIGINT) AS usuarios_cohort
+    FROM ltv_c GROUP BY 1
+),
+ltv_d AS (
+    SELECT c.dia_cohort, datediff('day', c.dia_cohort, t.dia) AS idade_dias,
+           SUM(CAST(ROUND(t.valor_transacao, 6) AS DECIMAL(28,6)))
+               AS rev_dec
+    FROM ltv_t t JOIN ltv_c c USING (id_usuario_pagador)
+    GROUP BY 1, 2
+),
+ltv_w AS (
+    SELECT *, SUM(rev_dec) OVER (PARTITION BY dia_cohort
+                                 ORDER BY idade_dias ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_dec
+    FROM ltv_d
+)"""
+
+LTV_COHORT_SQL = datamodel.with_ctes(
+    """
+SELECT CAST(w.dia_cohort AS TIMESTAMP) AS dia_cohort, w.idade_dias,
+       CAST(w.rev_dec AS DOUBLE) AS receita_dia,
+       CAST(w.cum_dec AS DOUBLE) AS receita_acumulada,
+       b.usuarios_cohort,
+       CAST(w.cum_dec AS DOUBLE) / CAST(b.usuarios_cohort AS DOUBLE)
+           AS ltv_por_usuario
+FROM ltv_w w JOIN ltv_b b USING (dia_cohort)""",
+    extra_ctes=_LTV_CTES,
+)

@@ -2049,3 +2049,89 @@ SELECT p.source, n.n_docs, p.n_tokens, p.vocabulario,
                  / CAST(p.s2 AS DOUBLE) END AS vocab_efetivo
 FROM per p JOIN nd n ON p.source = n.source
 """
+
+
+# --- source-pair vocabulary overlap -------------------------------------------
+
+
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between every source pair: Jaccard
+    |A intersect B| / |A union B| plus both containment directions —
+    the corpus-mix redundancy readout (two sources with near-identical
+    vocabularies add diversity on paper only), the vocabulary-level
+    companion of `source_ngram_overlap`'s content screen.
+
+    Every statistic is an exact integer ratio. Scale: the distinct
+    (source, term) frame is one shuffle; the pair join is TERM-keyed
+    (rides a vocabulary-sized exchange) and per-term fanout is bounded
+    by |sources|^2 — a domain-bounded constant, never corpus-quadratic;
+    per-source vocab sizes broadcast onto the 190-row pair table."""
+    sv = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode("toks").alias("termo"))
+        .distinct()
+        .persist()
+    )
+    sizes = sv.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    inter = (
+        sv.alias("a")
+        .join(sv.alias("b"), "termo")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("fonte_a"),
+            F.col("b.source").alias("fonte_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("intersecao"))
+    )
+    va = F.broadcast(
+        sizes.select(F.col("source").alias("fonte_a"),
+                     F.col("v").alias("vocab_a"))
+    )
+    vb = F.broadcast(
+        sizes.select(F.col("source").alias("fonte_b"),
+                     F.col("v").alias("vocab_b"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    uni = d("vocab_a") + d("vocab_b") - d("intersecao")
+    return (
+        inter.join(va, "fonte_a")
+        .join(vb, "fonte_b")
+        .select(
+            "fonte_a",
+            "fonte_b",
+            "vocab_a",
+            "vocab_b",
+            "intersecao",
+            (d("intersecao") / uni).alias("jaccard"),
+            (d("intersecao") / d("vocab_a")).alias("contencao_a"),
+            (d("intersecao") / d("vocab_b")).alias("contencao_b"),
+        )
+    )
+
+
+SOURCE_VOCAB_JACCARD_SQL = """
+WITH sv AS (
+    SELECT DISTINCT source, unnest(string_split(text, ' ')) AS termo
+    FROM documents
+),
+sizes AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM sv GROUP BY 1
+),
+inter AS (
+    SELECT a.source AS fonte_a, b.source AS fonte_b,
+           CAST(COUNT(*) AS BIGINT) AS intersecao
+    FROM sv a JOIN sv b ON a.termo = b.termo AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.fonte_a, i.fonte_b, sa.v AS vocab_a, sb.v AS vocab_b, i.intersecao,
+       CAST(i.intersecao AS DOUBLE)
+           / (CAST(sa.v AS DOUBLE) + CAST(sb.v AS DOUBLE)
+              - CAST(i.intersecao AS DOUBLE)) AS jaccard,
+       CAST(i.intersecao AS DOUBLE) / CAST(sa.v AS DOUBLE) AS contencao_a,
+       CAST(i.intersecao AS DOUBLE) / CAST(sb.v AS DOUBLE) AS contencao_b
+FROM inter i
+JOIN sizes sa ON i.fonte_a = sa.source
+JOIN sizes sb ON i.fonte_b = sb.source
+"""

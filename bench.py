@@ -122,6 +122,8 @@ EXTRA = [
     "neyman_allocation",
     "lexical_diversity_by_source",
     "fano_dispersion_by_modality",
+    "ltv_cohort_curve",
+    "source_vocab_jaccard",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -1870,3 +1870,97 @@ def test_fano_dispersion_matches_bruteforce(spark):
             assert r.z_dispersao == pytest.approx(
                 (fano - 1.0) * math.sqrt((len(ns) - 1) / 2.0), rel=1e-9
             )
+
+
+def test_ltv_cohort_curve_matches_bruteforce(spark):
+    """LTV triangle re-derived with literal per-cohort daily revenue
+    accumulation (Decimal, matching the query's 6-rounded ingestion)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.behavior import ltv_cohort_curve
+
+    rows = (
+        datamodel.transactions(spark, SF)
+        .select("id_usuario_pagador", "data_horario", "valor_transacao")
+        .collect()
+    )
+    first = {}
+    for r in rows:
+        d = r.data_horario.date()
+        u = r.id_usuario_pagador
+        if u not in first or d < first[u]:
+            first[u] = d
+    cohort_users = defaultdict(int)
+    for u, d in first.items():
+        cohort_users[d] += 1
+    daily = defaultdict(Decimal)
+    for r in rows:
+        c = first[r.id_usuario_pagador]
+        age = (r.data_horario.date() - c).days
+        daily[(c, age)] += Decimal(str(round(r.valor_transacao, 6)))
+    got = {
+        (r.dia_cohort.date(), r.idade_dias): r
+        for r in ltv_cohort_curve(spark, SF).collect()
+    }
+    assert set(got) == set(daily)
+    by_cohort = defaultdict(list)
+    for (c, age), rev in daily.items():
+        by_cohort[c].append((age, rev))
+    for c, pairs in by_cohort.items():
+        cum = Decimal(0)
+        for age, rev in sorted(pairs):
+            cum += rev
+            r = got[(c, age)]
+            assert r.receita_dia == pytest.approx(float(rev), rel=1e-9)
+            assert r.receita_acumulada == pytest.approx(float(cum), rel=1e-9)
+            assert r.usuarios_cohort == cohort_users[c]
+            assert r.ltv_por_usuario == pytest.approx(
+                float(cum) / cohort_users[c], rel=1e-9
+            )
+
+
+def test_source_vocab_jaccard_matches_bruteforce(spark):
+    """Pairwise vocabulary Jaccard/containment re-derived with literal
+    Python sets."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    import pytest
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.text import source_vocab_jaccard
+
+    rows = (
+        datamodel.load_table(spark, SF, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    vocab = defaultdict(set)
+    for r in rows:
+        vocab[r.source].update(r.text.split(" "))
+    got = {
+        (r.fonte_a, r.fonte_b): r
+        for r in source_vocab_jaccard(spark, SF).collect()
+    }
+    expect = {
+        (a, b): len(vocab[a] & vocab[b])
+        for a, b in combinations(sorted(vocab), 2)
+        if vocab[a] & vocab[b]
+    }
+    assert set(got) == set(expect)
+    for (a, b), inter in expect.items():
+        r = got[(a, b)]
+        assert (r.vocab_a, r.vocab_b, r.intersecao) == (
+            len(vocab[a]), len(vocab[b]), inter,
+        )
+        assert r.jaccard == pytest.approx(
+            inter / len(vocab[a] | vocab[b]), rel=1e-12
+        )
+        assert r.contencao_a == pytest.approx(inter / len(vocab[a]),
+                                              rel=1e-12)
+        assert r.contencao_b == pytest.approx(inter / len(vocab[b]),
+                                              rel=1e-12)

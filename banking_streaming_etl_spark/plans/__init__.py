@@ -490,6 +490,15 @@ def register_all() -> None:
              "vocabulary Jaccard + containment for every source pair "
              "(term-keyed pair join, |sources|^2-bounded fanout, exact "
              "integer ratios)")
+    register("hhi_by_region", dashboard.hhi_by_region, dashboard.HHI_SQL,
+             "Herfindahl-Hirschman concentration per region via the "
+             "exact integer-micros identity sum(m^2)/M^2 (no per-term "
+             "rounding loss)")
+    register("dsir_effective_sample_size",
+             curation.dsir_effective_sample_size,
+             curation.DSIR_ESS_SQL,
+             "Kish ESS of the DSIR weights per source (max-shifted "
+             "exp keeps decimals bounded; resampling-health readout)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

@@ -1008,3 +1008,75 @@ SELECT c AS tamanho_cluster,
            AS fracao_tokens_removidos
 FROM cl, tot t GROUP BY c, t.docs_tot, t.toks_tot
 """
+
+
+# --- effective sample size of the DSIR weights --------------------------------
+
+
+def dsir_effective_sample_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kish effective sample size of the DSIR importance weights per
+    source: ESS = (sum w)^2 / sum w^2 — the resampling-health readout
+    (an ESS fraction near 1/n_docs says one document dominates the
+    resample; near 1 says the weights are flat and DSIR adds nothing).
+
+    Weights are exp(log-ratio - max log-ratio): ESS is scale-invariant,
+    and the GLOBAL max shift (one broadcast scalar) keeps every exp in
+    (0, 1] so the 6-rounded decimal accumulation can never overflow —
+    without it a corpus-level log-ratio of +50 would blow DECIMAL(28,6).
+    exp is transcendental, so each weight is ROUND(.,6) (BM25/DSIR
+    precedent) and the sums are order-independent decimals.
+
+    Scale: rides the DSIR pipeline (bucket-sized model), then one
+    per-source aggregate over the per-doc weight frame."""
+    w = dsir_importance_weights(spark, sf_dir).persist()
+    mx = w.agg(F.max("dsir_logratio").alias("_mx"))
+    shifted = w.crossJoin(F.broadcast(mx)).withColumn(
+        "_w6", F.round(F.exp(F.col("dsir_logratio") - F.col("_mx")), 6)
+    )
+    per = shifted.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(exact._d(F.col("_w6"))).alias("_sw"),
+        F.sum(
+            exact._d(F.round(F.col("_w6"), 6) * F.round(F.col("_w6"), 6))
+        ).alias("_sw2"),
+    )
+    sw = F.col("_sw").cast("double")
+    sw2 = F.col("_sw2").cast("double")
+    return per.select(
+        "source",
+        "n_docs",
+        sw.alias("soma_pesos"),
+        F.when(F.col("_sw2") > 0, sw * sw / sw2).alias("ess"),
+        F.when(
+            F.col("_sw2") > 0,
+            sw * sw / sw2 / F.col("n_docs").cast("double"),
+        ).alias("ess_fracao"),
+    )
+
+
+DSIR_ESS_SQL = f"""
+WITH dsir AS ({DSIR_IMPORTANCE_SQL}),
+mx AS (SELECT MAX(dsir_logratio) AS mx FROM dsir),
+sh AS (
+    SELECT source, ROUND(EXP(dsir_logratio - mx), 6) AS w6 FROM dsir, mx
+),
+per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(CAST(ROUND(w6, 6) AS DECIMAL(28,6))) AS sw,
+           SUM(CAST(ROUND(ROUND(w6, 6) * ROUND(w6, 6), 6)
+                    AS DECIMAL(28,6))) AS sw2
+    FROM sh GROUP BY 1
+)
+SELECT source, n_docs,
+       CAST(sw AS DOUBLE) AS soma_pesos,
+       CASE WHEN sw2 > 0
+            THEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                 / CAST(sw2 AS DOUBLE) END AS ess,
+       CASE WHEN sw2 > 0
+            THEN CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                 / CAST(sw2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            END AS ess_fracao
+FROM per
+"""

@@ -2247,3 +2247,83 @@ FROM (
 )
 """
 )
+
+
+# --- Herfindahl-Hirschman concentration per region ----------------------------
+
+
+def hhi_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration per region: the Herfindahl-Hirschman index
+    HHI = sum_p (v_p / V)^2 over payer volume shares, plus the
+    normalized variant (HHI - 1/n)/(1 - 1/n) — the antitrust-style
+    exposure readout next to the Pareto/Gini concentration family.
+
+    Exactness: per-payer totals are scaled to exact integer MICROS
+    (DECIMAL(28,6) * 10^6 has a zero fraction — no rounding at the
+    cast), held in DECIMAL(18,0) (up to ~$10^12 per payer-region, ANSI
+    errors loudly beyond), and the share-square sum becomes the exact
+    integer identity sum m_p^2 / M^2 — the final doubles are fixed
+    ladders over exact integers, bit-identical cross-engine with no
+    per-term rounding loss (rounding share^2 at 1e-6 would erase every
+    payer below ~0.1% share; the integer identity keeps them all).
+
+    Scale: two hash aggregates — (region, payer), then region. No
+    window, no fold, no collect."""
+    from banking_streaming_etl_spark.functions import exact
+
+    t = datamodel.transactions(spark, sf_dir)
+    mic = (exact._d(F.col("valor_transacao")) * F.lit(1000000)).cast(
+        "decimal(18,0)"
+    )
+    per = t.groupBy("id_regiao", "id_usuario_pagador").agg(
+        F.sum(mic).cast("decimal(18,0)").alias("_m")
+    )
+    reg = per.groupBy("id_regiao").agg(
+        F.count("*").cast("bigint").alias("n_pagadores"),
+        F.sum("_m").cast("decimal(38,0)").alias("_mt"),
+        F.sum((F.col("_m") * F.col("_m")).cast("decimal(38,0)")).alias(
+            "_s2"
+        ),
+    )
+    m = F.col("_mt").cast("double")
+    n = F.col("n_pagadores").cast("double")
+    hhi = F.col("_s2").cast("double") / (m * m)
+    return reg.select(
+        "id_regiao",
+        "n_pagadores",
+        (m / F.lit(1000000.0)).alias("valor_total"),
+        hhi.alias("hhi"),
+        F.when(
+            F.col("n_pagadores") > 1,
+            (hhi - F.lit(1.0) / n) / (F.lit(1.0) - F.lit(1.0) / n),
+        ).alias("hhi_normalizado"),
+    )
+
+
+HHI_SQL = datamodel.with_ctes(
+    """
+SELECT id_regiao, n_pagadores,
+       CAST(mt AS DOUBLE) / 1000000.0 AS valor_total,
+       CAST(s2 AS DOUBLE) / (CAST(mt AS DOUBLE) * CAST(mt AS DOUBLE))
+           AS hhi,
+       CASE WHEN n_pagadores > 1
+            THEN (CAST(s2 AS DOUBLE)
+                  / (CAST(mt AS DOUBLE) * CAST(mt AS DOUBLE))
+                  - 1.0 / CAST(n_pagadores AS DOUBLE))
+                 / (1.0 - 1.0 / CAST(n_pagadores AS DOUBLE))
+            END AS hhi_normalizado
+FROM (
+    SELECT id_regiao,
+           CAST(COUNT(*) AS BIGINT) AS n_pagadores,
+           CAST(SUM(m) AS DECIMAL(38,0)) AS mt,
+           CAST(SUM(CAST(m * m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+    FROM (
+        SELECT id_regiao, id_usuario_pagador,
+               CAST(SUM(CAST(CAST(ROUND(valor_transacao, 6)
+                                  AS DECIMAL(28,6)) * 1000000
+                             AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS m
+        FROM transactions GROUP BY 1, 2
+    )
+    GROUP BY 1
+)"""
+)

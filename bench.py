@@ -124,6 +124,8 @@ EXTRA = [
     "fano_dispersion_by_modality",
     "ltv_cohort_curve",
     "source_vocab_jaccard",
+    "hhi_by_region",
+    "dsir_effective_sample_size",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

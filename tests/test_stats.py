@@ -900,3 +900,76 @@ def test_neyman_allocation_matches_bruteforce(spark, sf_dir, approved_rows):
         assert r.fracao == pytest.approx(w[m] / tw, rel=1e-6)
         assert r.alocacao == alloc[m]
     assert sum(r.alocacao for r in rows.values()) == stats.NEYMAN_BUDGET
+
+
+def test_hhi_matches_bruteforce(spark, sf_dir):
+    """HHI re-derived from literal per-payer Decimal totals."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.dashboard import hhi_by_region
+
+    rows = (
+        datamodel.transactions(spark, sf_dir)
+        .select("id_regiao", "id_usuario_pagador", "valor_transacao")
+        .collect()
+    )
+    per = defaultdict(lambda: defaultdict(Decimal))
+    for r in rows:
+        per[r.id_regiao][r.id_usuario_pagador] += Decimal(
+            str(round(r.valor_transacao, 6))
+        )
+    got = {r.id_regiao: r for r in hhi_by_region(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for reg, pays in per.items():
+        mics = [int(v * 1_000_000) for v in pays.values()]
+        m_tot = sum(mics)
+        hhi = sum(m * m for m in mics) / (m_tot * m_tot)
+        r = got[reg]
+        assert r.n_pagadores == len(mics)
+        assert r.valor_total == pytest.approx(m_tot / 1e6, rel=1e-12)
+        assert r.hhi == pytest.approx(hhi, rel=1e-12)
+        n = len(mics)
+        if n > 1:
+            assert r.hhi_normalizado == pytest.approx(
+                (hhi - 1 / n) / (1 - 1 / n), rel=1e-9
+            )
+        assert 0.0 < r.hhi <= 1.0
+
+
+def test_dsir_ess_matches_bruteforce(spark, sf_dir):
+    """Kish ESS re-derived from the collected DSIR log-ratios with the
+    query's documented max-shift and 6-roundings."""
+    from collections import defaultdict
+
+    from banking_streaming_etl_spark.plans.curation import (
+        dsir_effective_sample_size,
+        dsir_importance_weights,
+    )
+
+    lr = [
+        (r.source, r.dsir_logratio)
+        for r in dsir_importance_weights(spark, sf_dir).collect()
+    ]
+    mx = max(v for _, v in lr)
+    per = defaultdict(list)
+    for src, v in lr:
+        per[src].append(round(math.exp(v - mx), 6))
+    got = {
+        r.source: r
+        for r in dsir_effective_sample_size(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per)
+    for src, ws in per.items():
+        r = got[src]
+        sw = sum(ws)
+        sw2 = sum(round(w * w, 6) for w in ws)
+        assert r.n_docs == len(ws)
+        assert r.soma_pesos == pytest.approx(sw, abs=1e-6)
+        if sw2 > 0:
+            assert r.ess == pytest.approx(sw * sw / sw2, rel=1e-6)
+            assert r.ess_fracao == pytest.approx(
+                sw * sw / sw2 / len(ws), rel=1e-6
+            )
+            assert 0.0 < r.ess_fracao <= 1.0 + 1e-9

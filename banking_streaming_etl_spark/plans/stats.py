@@ -2074,8 +2074,6 @@ def cusum_hourly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ordered windows run over the <= |hours| aggregated series (the
     seasonal_decompose / gapfill boundedness class, whitelisted with
     that argument); the corpus is touched by ONE hourly aggregate."""
-    from pyspark.sql import Window as W
-
     hourly = (
         _approved(spark, sf_dir)
         .groupBy(F.date_trunc("hour", "data_horario").alias("hora"))
@@ -2086,6 +2084,17 @@ def cusum_hourly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("aprovadas"),
         )
     )
+    return cusum_from_hourly(hourly)
+
+
+def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The CUSUM closed form over an (hora, n, aprovadas) frame — shared
+    by the batch query above and the streaming monitor
+    (`streaming/windows.streaming_hourly_approvals` maintains the same
+    bounded hourly state; this function is its on-read evaluation, so
+    stream and batch CUSUMs are bit-identical by construction)."""
+    from pyspark.sql import Window as W
+
     tot = hourly.agg(
         F.sum("n").cast("bigint").alias("_n_tot"),
         F.sum("aprovadas").cast("bigint").alias("_a_tot"),

@@ -391,3 +391,23 @@ def streaming_conformal_coverage(
             .alias("n_coberto"),
         )
     )
+
+
+def streaming_hourly_approvals(scored_stream: DataFrame) -> DataFrame:
+    """Live hourly (n, aprovadas) state for the CUSUM drift monitor —
+    the streaming half of `plans/stats.cusum_hourly_drift`: a
+    complete-mode hourly aggregate whose state is bounded at |hours|
+    rows forever, sunk to a table the shared closed form
+    (`plans/stats.cusum_from_hourly`) evaluates on read. The expensive
+    part (the corpus scan) is incremental; the prefix-sum closed form
+    runs over the bounded hourly frame only, so the stream's CUSUM is
+    bit-identical to the batch query over the same replayed rows (the
+    differential test pins it)."""
+    return scored_stream.groupBy(
+        F.date_trunc("hour", "data_horario").alias("hora")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("transacao_aprovada").cast("int"))
+        .cast("bigint")
+        .alias("aprovadas"),
+    )

@@ -909,3 +909,30 @@ def test_streaming_conformal_coverage_matches_batch(spark, replay_dir):
         for r in dashboard.conformal_risk_thresholds(spark, SF).collect()
     }
     assert got == want and len(want) == len(dashboard.CONF_ALPHAS_PERMILLE)
+
+
+def test_streaming_cusum_matches_batch(spark, replay_dir):
+    """The streaming CUSUM monitor (complete-mode hourly state + the
+    shared closed form evaluated on read) must reproduce the batch
+    cusum_hourly_drift rows BIT-EXACTLY over the same replayed
+    transactions — one derivation (plans/stats.cusum_from_hourly) feeds
+    both surfaces, so any divergence is a state bug, not float noise."""
+    from banking_streaming_etl_spark.plans import stats
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    scored = spipe.approval_stream(
+        tx,
+        datamodel.users(spark, SF),
+        datamodel.regions(spark, SF),
+    )
+    hourly = swin.streaming_hourly_approvals(scored)
+    _run_to_memory(hourly, "cusum_hourly_out", mode="complete")
+
+    got = {
+        tuple(r)
+        for r in stats.cusum_from_hourly(
+            spark.table("cusum_hourly_out")
+        ).collect()
+    }
+    want = {tuple(r) for r in stats.cusum_hourly_drift(spark, SF).collect()}
+    assert got == want and len(want) > 10

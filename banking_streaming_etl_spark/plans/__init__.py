@@ -499,6 +499,14 @@ def register_all() -> None:
              curation.DSIR_ESS_SQL,
              "Kish ESS of the DSIR weights per source (max-shifted "
              "exp keeps decimals bounded; resampling-health readout)")
+    register("g_test_modality_approval", stats.g_test_modality_approval,
+             stats.G_TEST_SQL,
+             "likelihood-ratio G-test of modality x approval: 6-rounded "
+             "2*O*ln(O/E) contributions + deterministic-fold total")
+    register("mcnemar_gates_2x2", stats.mcnemar_gates_2x2,
+             stats.MCNEMAR_SQL,
+             "paired 2x2 of balance vs score gates: McNemar chi2 (+ "
+             "continuity-corrected) and odds ratio with Woolf 95% CI")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

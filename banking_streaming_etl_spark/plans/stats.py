@@ -2882,3 +2882,236 @@ SELECT modalidade_pagamento,
             END AS z_dispersao
 FROM fano_m""",
 )
+
+
+# --- G-test (likelihood-ratio chi-squared) -----------------------------------
+
+
+def g_test_modality_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio independence test between modality and approval:
+    G = 2 sum O ln(O/E) — the information-theoretic twin of the Pearson
+    chi-squared (`chi2_cells_modality_approval`), preferred when cell
+    counts are small or contributions need to add across partitions of
+    the table. Per-cell contributions plus the G total.
+
+    Margins are exact integers from ONE cells aggregate; each cell's
+    2 O ln(O/E) is transcendental, so it is ROUND(.,6) (the BM25/MI
+    precedent) and the G total rides the deterministic sorted fold over
+    the cell keys. Zero cells contribute 0 (the lim x->0 x ln x
+    convention). Contingency-table-sized at any corpus size."""
+    cells = (
+        _approved(spark, sf_dir)
+        .groupBy("modalidade_pagamento", "transacao_aprovada")
+        .agg(F.count("*").cast("bigint").alias("n_celula"))
+    )
+    rows = cells.groupBy("modalidade_pagamento").agg(
+        F.sum("n_celula").cast("bigint").alias("_nr")
+    )
+    cols = cells.groupBy("transacao_aprovada").agg(
+        F.sum("n_celula").cast("bigint").alias("_nc")
+    )
+    total = cells.agg(F.sum("n_celula").cast("bigint").alias("_nt"))
+    esp = (F.col("_nr") * F.col("_nc")).cast("double") / F.col("_nt").cast(
+        "double"
+    )
+    o = F.col("n_celula").cast("double")
+    contrib = F.when(
+        F.col("n_celula") > 0,
+        F.round(F.lit(2.0) * o * F.log(o / F.col("_esp")), 6),
+    ).otherwise(F.lit(0.0))
+    wide = (
+        cells.join(F.broadcast(rows), "modalidade_pagamento")
+        .join(F.broadcast(cols), "transacao_aprovada")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_esp", esp)
+        .withColumn("_g", contrib)
+        .withColumn(
+            "_chave",
+            F.concat_ws("|", "modalidade_pagamento",
+                        F.col("transacao_aprovada").cast("string")),
+        )
+        .persist()
+    )
+    g_tot = _fold_terms(wide, "_chave", F.col("_g")).withColumnRenamed(
+        "_fold", "g_total"
+    )
+    return wide.crossJoin(F.broadcast(g_tot)).select(
+        "modalidade_pagamento",
+        "transacao_aprovada",
+        "n_celula",
+        F.col("_esp").alias("esperado"),
+        F.col("_g").alias("g_contrib"),
+        "g_total",
+    )
+
+
+_GTEST_CTES = f""",
+g_cells AS (
+    SELECT modalidade_pagamento, transacao_aprovada,
+           modalidade_pagamento || '|' || CAST(transacao_aprovada
+                                               AS VARCHAR) AS chave,
+           CAST(COUNT(*) AS BIGINT) AS n_celula,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY modalidade_pagamento)
+                AS BIGINT) AS nr,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY transacao_aprovada)
+                AS BIGINT) AS nc,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS nt
+    FROM approved
+    GROUP BY modalidade_pagamento, transacao_aprovada
+),
+g_wide AS (
+    SELECT *,
+           CAST(nr * nc AS DOUBLE) / CAST(nt AS DOUBLE) AS esp,
+           CASE WHEN n_celula > 0
+                THEN ROUND(2.0 * CAST(n_celula AS DOUBLE)
+                           * LN(CAST(n_celula AS DOUBLE)
+                                / (CAST(nr * nc AS DOUBLE)
+                                   / CAST(nt AS DOUBLE))), 6)
+                ELSE 0.0 END AS g_contrib
+    FROM g_cells
+),
+g_tot AS (SELECT {_sql_fold('g_contrib', 'chave')} AS g_total FROM g_wide)"""
+
+G_TEST_SQL = _oracle_with(
+    _GTEST_CTES,
+    """
+SELECT w.modalidade_pagamento, w.transacao_aprovada, w.n_celula,
+       w.esp AS esperado, w.g_contrib, t.g_total
+FROM g_wide w, g_tot t""",
+)
+
+
+# --- McNemar test + odds ratio of the two approval gates --------------------
+
+#: Wilson/Wald z for the 95% odds-ratio interval (fixed literal, the
+#: WILSON_Z convention).
+_ORZ = f"CAST({WILSON_Z!r} AS DOUBLE)"
+
+
+def mcnemar_gates_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired 2x2 analysis of the balance gate vs the score gate on the
+    SAME transactions: McNemar's test (do the gates disagree
+    symmetrically? chi2 = (b-c)^2/(b+c) on the discordant cells, plus
+    the Edwards continuity-corrected form) and the odds ratio ad/bc
+    with its 95% log-normal (Woolf) interval — the standard paired-
+    rater readout, sharper than the unpaired two-proportion z because
+    pairing removes the between-transaction variance.
+
+    One corpus aggregate onto 4 integer cells; chi2 and the odds ratio
+    are exact integer ratios (unrounded doubles), ln(OR) and the CI
+    bounds are transcendental so ROUND(.,6), composed from the rounded
+    log (the already-rounded-components rule)."""
+    ap = _approved(spark, sf_dir)
+    agg = ap.agg(
+        F.sum(
+            (F.col("saldo_aprovado") & F.col("score_aprovado")).cast("int")
+        ).cast("bigint").alias("a"),
+        F.sum(
+            (F.col("saldo_aprovado") & ~F.col("score_aprovado")).cast("int")
+        ).cast("bigint").alias("b"),
+        F.sum(
+            (~F.col("saldo_aprovado") & F.col("score_aprovado")).cast("int")
+        ).cast("bigint").alias("c"),
+        F.sum(
+            (~F.col("saldo_aprovado") & ~F.col("score_aprovado")).cast("int")
+        ).cast("bigint").alias("d"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    disc = bd + cd
+    z = F.lit(WILSON_Z)
+    # doubles FIRST, then multiply: a*d on bigints overflows int64 under
+    # ANSI at ~1e10 rows per cell; double(a)*double(d) is the identical
+    # IEEE product in both dialects (cells are exact below 2^53)
+    orr = (
+        F.col("a").cast("double")
+        * F.col("d").cast("double")
+        / (F.col("b").cast("double") * F.col("c").cast("double"))
+    )
+    logor = F.round(F.log(orr), 6)
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a").cast("double")
+        + F.lit(1.0) / bd
+        + F.lit(1.0) / cd
+        + F.lit(1.0) / F.col("d").cast("double")
+    )
+    ok_or = (F.col("b") > 0) & (F.col("c") > 0) & (F.col("a") > 0) & (
+        F.col("d") > 0
+    )
+    return agg.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(disc > 0, (bd - cd) * (bd - cd) / disc).alias(
+            "mcnemar_qui2"
+        ),
+        F.when(
+            disc > 0,
+            (F.abs(bd - cd) - F.lit(1.0))
+            * (F.abs(bd - cd) - F.lit(1.0))
+            / disc,
+        ).alias("mcnemar_corrigido"),
+        F.when(ok_or, orr).alias("razao_chances"),
+        F.when(ok_or, logor).alias("ln_rc"),
+        F.when(ok_or, F.round(F.exp(logor - z * se), 6)).alias("rc_ic_inf"),
+        F.when(ok_or, F.round(F.exp(logor + z * se), 6)).alias("rc_ic_sup"),
+    )
+
+
+_MCNEMAR_CTES = """,
+mc_agg AS (
+    SELECT
+        CAST(SUM(CASE WHEN saldo_aprovado AND score_aprovado
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN saldo_aprovado AND NOT score_aprovado
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN (NOT saldo_aprovado) AND score_aprovado
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN (NOT saldo_aprovado) AND NOT score_aprovado
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM approved
+)"""
+
+MCNEMAR_SQL = _oracle_with(
+    _MCNEMAR_CTES,
+    f"""
+SELECT a, b, c, d,
+       CASE WHEN b + c > 0
+            THEN (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                 * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                 / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))
+            END AS mcnemar_qui2,
+       CASE WHEN b + c > 0
+            THEN (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                 * (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                 / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))
+            END AS mcnemar_corrigido,
+       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+            THEN CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+            END AS razao_chances,
+       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+            THEN ROUND(LN(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))), 6)
+            END AS ln_rc,
+       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+            THEN ROUND(EXP(
+                ROUND(LN(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))), 6)
+                - {_ORZ} * SQRT(1.0 / CAST(a AS DOUBLE)
+                                + 1.0 / CAST(b AS DOUBLE)
+                                + 1.0 / CAST(c AS DOUBLE)
+                                + 1.0 / CAST(d AS DOUBLE))), 6)
+            END AS rc_ic_inf,
+       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+            THEN ROUND(EXP(
+                ROUND(LN(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))), 6)
+                + {_ORZ} * SQRT(1.0 / CAST(a AS DOUBLE)
+                                + 1.0 / CAST(b AS DOUBLE)
+                                + 1.0 / CAST(c AS DOUBLE)
+                                + 1.0 / CAST(d AS DOUBLE))), 6)
+            END AS rc_ic_sup
+FROM mc_agg""",
+)

@@ -126,6 +126,8 @@ EXTRA = [
     "source_vocab_jaccard",
     "hhi_by_region",
     "dsir_effective_sample_size",
+    "g_test_modality_approval",
+    "mcnemar_gates_2x2",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

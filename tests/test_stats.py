@@ -973,3 +973,72 @@ def test_dsir_ess_matches_bruteforce(spark, sf_dir):
                 sw * sw / sw2 / len(ws), rel=1e-6
             )
             assert 0.0 < r.ess_fracao <= 1.0 + 1e-9
+
+
+def test_g_test_matches_bruteforce(spark, sf_dir, approved_rows):
+    """scipy.stats.chi2_contingency(lambda_='log-likelihood') re-derived
+    literally with the query's documented 6-rounding per cell."""
+    from collections import Counter
+
+    from banking_streaming_etl_spark.plans import stats
+
+    rows = stats.g_test_modality_approval(spark, sf_dir).collect()
+    cells = Counter(
+        (x.modalidade_pagamento, x.transacao_aprovada) for x in approved_rows
+    )
+    nr = Counter()
+    nc = Counter()
+    for (m, a), n in cells.items():
+        nr[m] += n
+        nc[a] += n
+    nt = sum(cells.values())
+    contribs = {
+        k: round(2.0 * n * math.log(n / (nr[k[0]] * nc[k[1]] / nt)), 6)
+        if n > 0 else 0.0
+        for k, n in cells.items()
+    }
+    g = sum(contribs.values())
+    assert {(r.modalidade_pagamento, r.transacao_aprovada)
+            for r in rows} == set(cells)
+    for r in rows:
+        k = (r.modalidade_pagamento, r.transacao_aprovada)
+        assert r.n_celula == cells[k]
+        assert r.esperado == pytest.approx(nr[k[0]] * nc[k[1]] / nt,
+                                           rel=1e-12)
+        assert r.g_contrib == pytest.approx(contribs[k], abs=1e-9)
+        assert r.g_total == pytest.approx(g, abs=1e-6)
+    # G and Pearson chi2 agree asymptotically: same order of magnitude
+    assert rows[0].g_total > 0
+
+
+def test_mcnemar_matches_bruteforce(spark, sf_dir, approved_rows):
+    """statsmodels mcnemar(exact=False, correction=...) and the Woolf
+    odds-ratio interval re-derived literally."""
+    from banking_streaming_etl_spark.plans import stats
+
+    from banking_streaming_etl_spark.plans.dashboard import _approved
+
+    r = stats.mcnemar_gates_2x2(spark, sf_dir).collect()[0]
+    gates = (
+        _approved(spark, sf_dir)
+        .select("saldo_aprovado", "score_aprovado")
+        .collect()
+    )
+    a = sum(x.saldo_aprovado and x.score_aprovado for x in gates)
+    b = sum(x.saldo_aprovado and not x.score_aprovado for x in gates)
+    c = sum((not x.saldo_aprovado) and x.score_aprovado for x in gates)
+    d = sum((not x.saldo_aprovado) and not x.score_aprovado for x in gates)
+    assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+    assert r.mcnemar_qui2 == pytest.approx((b - c) ** 2 / (b + c), rel=1e-12)
+    assert r.mcnemar_corrigido == pytest.approx(
+        (abs(b - c) - 1) ** 2 / (b + c), rel=1e-12
+    )
+    orr = (a * d) / (b * c)
+    assert r.razao_chances == pytest.approx(orr, rel=1e-12)
+    assert r.ln_rc == pytest.approx(round(math.log(orr), 6), abs=1e-9)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    lo = round(math.exp(round(math.log(orr), 6) - stats.WILSON_Z * se), 6)
+    hi = round(math.exp(round(math.log(orr), 6) + stats.WILSON_Z * se), 6)
+    assert r.rc_ic_inf == pytest.approx(lo, abs=1e-9)
+    assert r.rc_ic_sup == pytest.approx(hi, abs=1e-9)
+    assert r.rc_ic_inf < r.razao_chances < r.rc_ic_sup

@@ -507,6 +507,17 @@ def register_all() -> None:
              stats.MCNEMAR_SQL,
              "paired 2x2 of balance vs score gates: McNemar chi2 (+ "
              "continuity-corrected) and odds ratio with Woolf 95% CI")
+    register("naive_bayes_approval", stats.naive_bayes_approval,
+             stats.NAIVE_BAYES_SQL,
+             "distributed Naive Bayes trainer for approval from "
+             "(modality, band): Laplace-smoothed log-likelihood ratios "
+             "+ per-cell decision + training accuracy, one corpus pass")
+    register("classification_report_gate",
+             stats.classification_report_gate,
+             stats.CLASSIFICATION_REPORT_SQL,
+             "sklearn-style classification report of the score gate "
+             "(accuracy/precision/recall/F1/balanced/MCC) from ONE "
+             "aggregate, doubles-first exact ladders")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

@@ -3115,3 +3115,288 @@ SELECT a, b, c, d,
             END AS rc_ic_sup
 FROM mc_agg""",
 )
+
+
+# --- Naive Bayes training readout -------------------------------------------
+
+
+def naive_bayes_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Naive Bayes training for the approval outcome from
+    (modality, value band): the model IS a count aggregate — per-cell
+    Laplace-smoothed log-likelihood ratios ln P(m|y)/P(m|n) +
+    ln P(f|y)/P(f|n) plus the prior log-odds, the classic
+    count-then-broadcast trainer (one corpus pass, model-sized state).
+    Output: one row per (modality, band) with the cell's total NB
+    log-odds and decision, plus the training accuracy of that decision
+    broadcast on every row — the fit-quality readout.
+
+    Each log term is transcendental -> ROUND(.,6); the accuracy is an
+    exact integer ratio (decisions compare 6-grid sums against 0 — a
+    sum of 6-grid decimals is on the grid, never a boundary surprise).
+    Two tiny re-aggregates off ONE (modality, band, y) cells frame."""
+    ap = _approved(spark, sf_dir).select(
+        "modalidade_pagamento",
+        _faixa_valor().alias("faixa_valor"),
+        F.col("transacao_aprovada").cast("int").alias("y"),
+    )
+    cells = (
+        ap.groupBy("modalidade_pagamento", "faixa_valor")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_y"),
+        )
+        .persist()
+    )
+    mod = cells.groupBy("modalidade_pagamento").agg(
+        F.sum("n_y").cast("bigint").alias("_my"),
+        F.sum(F.col("n") - F.col("n_y")).cast("bigint").alias("_mn"),
+    )
+    fx = cells.groupBy("faixa_valor").agg(
+        F.sum("n_y").cast("bigint").alias("_fy"),
+        F.sum(F.col("n") - F.col("n_y")).cast("bigint").alias("_fn"),
+    )
+    tot = cells.agg(
+        F.sum("n_y").cast("bigint").alias("_ty"),
+        F.sum(F.col("n") - F.col("n_y")).cast("bigint").alias("_tn"),
+        F.count_distinct("modalidade_pagamento").cast("bigint").alias("_nm"),
+        F.count_distinct("faixa_valor").cast("bigint").alias("_nf"),
+    )
+
+    def _llr(cnt_y, cnt_n, tot_y, tot_n, k):
+        return F.round(
+            F.log(
+                (cnt_y + F.lit(1)).cast("double")
+                / (tot_y + k).cast("double")
+            )
+            - F.log(
+                (cnt_n + F.lit(1)).cast("double")
+                / (tot_n + k).cast("double")
+            ),
+            6,
+        )
+
+    wide = (
+        cells.join(F.broadcast(mod), "modalidade_pagamento")
+        .join(F.broadcast(fx), "faixa_valor")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_lm",
+            _llr(F.col("_my"), F.col("_mn"), F.col("_ty"), F.col("_tn"),
+                 F.col("_nm")),
+        )
+        .withColumn(
+            "_lf",
+            _llr(F.col("_fy"), F.col("_fn"), F.col("_ty"), F.col("_tn"),
+                 F.col("_nf")),
+        )
+        .withColumn(
+            "_prior",
+            F.round(
+                F.log(F.col("_ty").cast("double"))
+                - F.log(F.col("_tn").cast("double")),
+                6,
+            ),
+        )
+        .withColumn(
+            "log_odds", F.col("_lm") + F.col("_lf") + F.col("_prior")
+        )
+        .withColumn("previsto", F.col("log_odds") > F.lit(0.0))
+        .persist()
+    )
+    acc = wide.agg(
+        (
+            F.sum(
+                F.when(F.col("previsto"), F.col("n_y")).otherwise(
+                    F.col("n") - F.col("n_y")
+                )
+            ).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("acuracia_treino")
+    )
+    return wide.crossJoin(F.broadcast(acc)).select(
+        "modalidade_pagamento",
+        "faixa_valor",
+        "n",
+        "n_y",
+        F.col("_lm").alias("llr_modalidade"),
+        F.col("_lf").alias("llr_faixa"),
+        F.col("_prior").alias("log_odds_prior"),
+        "log_odds",
+        "previsto",
+        "acuracia_treino",
+    )
+
+
+_NB_CTES = f""",
+nb_cells AS (
+    SELECT modalidade_pagamento, {_FAIXA_VALOR_SQL} AS faixa_valor,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_y
+    FROM approved GROUP BY 1, 2
+),
+nb_mod AS (
+    SELECT modalidade_pagamento,
+           CAST(SUM(n_y) AS BIGINT) AS my,
+           CAST(SUM(n - n_y) AS BIGINT) AS mn
+    FROM nb_cells GROUP BY 1
+),
+nb_fx AS (
+    SELECT faixa_valor,
+           CAST(SUM(n_y) AS BIGINT) AS fy,
+           CAST(SUM(n - n_y) AS BIGINT) AS fn
+    FROM nb_cells GROUP BY 1
+),
+nb_tot AS (
+    SELECT CAST(SUM(n_y) AS BIGINT) AS ty,
+           CAST(SUM(n - n_y) AS BIGINT) AS tn,
+           CAST(COUNT(DISTINCT modalidade_pagamento) AS BIGINT) AS nm,
+           CAST(COUNT(DISTINCT faixa_valor) AS BIGINT) AS nf
+    FROM nb_cells
+),
+nb_wide AS (
+    SELECT c.*,
+           ROUND(LN(CAST(m.my + 1 AS DOUBLE) / CAST(t.ty + t.nm AS DOUBLE))
+                 - LN(CAST(m.mn + 1 AS DOUBLE)
+                      / CAST(t.tn + t.nm AS DOUBLE)), 6) AS lm,
+           ROUND(LN(CAST(f.fy + 1 AS DOUBLE) / CAST(t.ty + t.nf AS DOUBLE))
+                 - LN(CAST(f.fn + 1 AS DOUBLE)
+                      / CAST(t.tn + t.nf AS DOUBLE)), 6) AS lf,
+           ROUND(LN(CAST(t.ty AS DOUBLE)) - LN(CAST(t.tn AS DOUBLE)), 6)
+               AS prior
+    FROM nb_cells c
+    JOIN nb_mod m USING (modalidade_pagamento)
+    JOIN nb_fx f USING (faixa_valor), nb_tot t
+),
+nb_dec AS (
+    SELECT *, lm + lf + prior AS log_odds,
+           (lm + lf + prior > 0.0) AS previsto
+    FROM nb_wide
+),
+nb_acc AS (
+    SELECT CAST(SUM(CASE WHEN previsto THEN n_y ELSE n - n_y END)
+                AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS acuracia_treino
+    FROM nb_dec
+)"""
+
+NAIVE_BAYES_SQL = _oracle_with(
+    _NB_CTES,
+    """
+SELECT d.modalidade_pagamento, d.faixa_valor, d.n, d.n_y,
+       d.lm AS llr_modalidade, d.lf AS llr_faixa,
+       d.prior AS log_odds_prior, d.log_odds, d.previsto,
+       a.acuracia_treino
+FROM nb_dec d, nb_acc a""",
+)
+
+
+# --- classification report of the score gate --------------------------------
+
+
+def classification_report_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full binary-classification report of the SCORE gate as a
+    predictor of the final approval: confusion counts plus accuracy,
+    precision, recall, specificity, F1, balanced accuracy and Matthews
+    correlation — the sklearn.metrics.classification_report surface
+    from ONE aggregate over the corpus.
+
+    Every metric is an exact-integer ratio ladder (MCC's denominator is
+    a product of doubles under one sqrt — doubles FIRST so margins
+    never overflow int64 under ANSI); no rounding anywhere."""
+    ap = _approved(spark, sf_dir)
+    agg = ap.agg(
+        F.sum(
+            (F.col("score_aprovado") & F.col("transacao_aprovada"))
+            .cast("int")
+        ).cast("bigint").alias("vp"),
+        F.sum(
+            (F.col("score_aprovado") & ~F.col("transacao_aprovada"))
+            .cast("int")
+        ).cast("bigint").alias("fp"),
+        F.sum(
+            (~F.col("score_aprovado") & F.col("transacao_aprovada"))
+            .cast("int")
+        ).cast("bigint").alias("fn"),
+        F.sum(
+            (~F.col("score_aprovado") & ~F.col("transacao_aprovada"))
+            .cast("int")
+        ).cast("bigint").alias("vn"),
+    )
+    tp = F.col("vp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("vn").cast("double")
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    spec = tn / (tn + fp)
+    mcc_den = F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    return agg.select(
+        "vp",
+        "fp",
+        "fn",
+        "vn",
+        ((tp + tn) / (tp + tn + fp + fn)).alias("acuracia"),
+        prec.alias("precisao"),
+        rec.alias("revocacao"),
+        spec.alias("especificidade"),
+        (F.lit(2.0) * prec * rec / (prec + rec)).alias("f1"),
+        ((rec + spec) / F.lit(2.0)).alias("acuracia_balanceada"),
+        F.when(
+            mcc_den > F.lit(0.0),
+            (tp * tn - fp * fn) / mcc_den,
+        ).alias("mcc"),
+    )
+
+
+_CLSRPT_CTES = """,
+cr_agg AS (
+    SELECT
+        CAST(SUM(CASE WHEN score_aprovado AND transacao_aprovada
+                      THEN 1 ELSE 0 END) AS BIGINT) AS vp,
+        CAST(SUM(CASE WHEN score_aprovado AND NOT transacao_aprovada
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN (NOT score_aprovado) AND transacao_aprovada
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN (NOT score_aprovado) AND NOT transacao_aprovada
+                      THEN 1 ELSE 0 END) AS BIGINT) AS vn
+    FROM approved
+)"""
+
+CLASSIFICATION_REPORT_SQL = _oracle_with(
+    _CLSRPT_CTES,
+    """
+SELECT vp, fp, fn, vn,
+       (CAST(vp AS DOUBLE) + CAST(vn AS DOUBLE))
+           / (CAST(vp AS DOUBLE) + CAST(vn AS DOUBLE)
+              + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) AS acuracia,
+       CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE))
+           AS precisao,
+       CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE))
+           AS revocacao,
+       CAST(vn AS DOUBLE) / (CAST(vn AS DOUBLE) + CAST(fp AS DOUBLE))
+           AS especificidade,
+       2.0 * (CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE)))
+           * (CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE)))
+           / ((CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE)))
+              + (CAST(vp AS DOUBLE)
+                 / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE)))) AS f1,
+       ((CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE)))
+        + (CAST(vn AS DOUBLE) / (CAST(vn AS DOUBLE) + CAST(fp AS DOUBLE))))
+           / 2.0 AS acuracia_balanceada,
+       CASE WHEN SQRT((CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE))
+                      * (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE))
+                      * (CAST(vn AS DOUBLE) + CAST(fp AS DOUBLE))
+                      * (CAST(vn AS DOUBLE) + CAST(fn AS DOUBLE))) > 0.0
+            THEN (CAST(vp AS DOUBLE) * CAST(vn AS DOUBLE)
+                  - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                 / SQRT((CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE))
+                        * (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE))
+                        * (CAST(vn AS DOUBLE) + CAST(fp AS DOUBLE))
+                        * (CAST(vn AS DOUBLE) + CAST(fn AS DOUBLE)))
+            END AS mcc
+FROM cr_agg""",
+)

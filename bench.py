@@ -128,6 +128,8 @@ EXTRA = [
     "dsir_effective_sample_size",
     "g_test_modality_approval",
     "mcnemar_gates_2x2",
+    "naive_bayes_approval",
+    "classification_report_gate",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

@@ -1042,3 +1042,97 @@ def test_mcnemar_matches_bruteforce(spark, sf_dir, approved_rows):
     assert r.rc_ic_inf == pytest.approx(lo, abs=1e-9)
     assert r.rc_ic_sup == pytest.approx(hi, abs=1e-9)
     assert r.rc_ic_inf < r.razao_chances < r.rc_ic_sup
+
+
+def test_naive_bayes_matches_bruteforce(spark, sf_dir, approved_rows):
+    """Laplace-smoothed NB log-odds and training accuracy re-derived
+    with Counters and the query's documented 6-roundings."""
+    from collections import Counter
+
+    from banking_streaming_etl_spark.plans import stats
+
+    edges = stats.ATE_VALUE_EDGES
+
+    def band(v):
+        return ("baixo" if v < edges[0] else "medio" if v < edges[1]
+                else "alto" if v < edges[2] else "muito_alto")
+
+    data = [
+        (r.modalidade_pagamento, band(r.valor_transacao),
+         int(r.transacao_aprovada))
+        for r in approved_rows
+    ]
+    cm = Counter()
+    cf = Counter()
+    cells = Counter()
+    for m, f, y in data:
+        cm[(m, y)] += 1
+        cf[(f, y)] += 1
+        cells[(m, f, y)] += 1
+    ty = sum(y for _, _, y in data)
+    tn = len(data) - ty
+    nm = len({m for m, _, _ in data})
+    nf = len({f for _, f, _ in data})
+    got = {
+        (r.modalidade_pagamento, r.faixa_valor): r
+        for r in stats.naive_bayes_approval(spark, sf_dir).collect()
+    }
+    pairs = {(m, f) for m, f, _ in data}
+    assert set(got) == pairs
+    correct = 0
+    for m, f in pairs:
+        lm = round(
+            math.log((cm[(m, 1)] + 1) / (ty + nm))
+            - math.log((cm[(m, 0)] + 1) / (tn + nm)), 6,
+        )
+        lf = round(
+            math.log((cf[(f, 1)] + 1) / (ty + nf))
+            - math.log((cf[(f, 0)] + 1) / (tn + nf)), 6,
+        )
+        prior = round(math.log(ty) - math.log(tn), 6)
+        r = got[(m, f)]
+        assert r.n == cells[(m, f, 1)] + cells[(m, f, 0)]
+        assert r.n_y == cells[(m, f, 1)]
+        assert r.llr_modalidade == pytest.approx(lm, abs=1e-9)
+        assert r.llr_faixa == pytest.approx(lf, abs=1e-9)
+        assert r.log_odds == pytest.approx(lm + lf + prior, abs=1e-9)
+        pred = lm + lf + prior > 0
+        assert r.previsto == pred
+        correct += cells[(m, f, 1)] if pred else cells[(m, f, 0)]
+    r0 = next(iter(got.values()))
+    assert r0.acuracia_treino == pytest.approx(correct / len(data),
+                                               rel=1e-12)
+    assert 0.5 <= r0.acuracia_treino <= 1.0  # beats coin flip in-sample
+
+
+def test_classification_report_matches_sklearn_formulas(
+    spark, sf_dir, approved_rows
+):
+    from banking_streaming_etl_spark.plans import stats
+    from banking_streaming_etl_spark.plans.dashboard import _approved
+
+    r = stats.classification_report_gate(spark, sf_dir).collect()[0]
+    rows = (
+        _approved(spark, sf_dir)
+        .select("score_aprovado", "transacao_aprovada")
+        .collect()
+    )
+    tp = sum(x.score_aprovado and x.transacao_aprovada for x in rows)
+    fp = sum(x.score_aprovado and not x.transacao_aprovada for x in rows)
+    fn = sum((not x.score_aprovado) and x.transacao_aprovada for x in rows)
+    tn = sum((not x.score_aprovado) and not x.transacao_aprovada
+             for x in rows)
+    assert (r.vp, r.fp, r.fn, r.vn) == (tp, fp, fn, tn)
+    prec, rec, spec = tp / (tp + fp), tp / (tp + fn), tn / (tn + fp)
+    assert r.acuracia == pytest.approx((tp + tn) / len(rows), rel=1e-12)
+    assert r.precisao == pytest.approx(prec, rel=1e-12)
+    assert r.revocacao == pytest.approx(rec, rel=1e-12)
+    assert r.especificidade == pytest.approx(spec, rel=1e-12)
+    assert r.f1 == pytest.approx(2 * prec * rec / (prec + rec), rel=1e-12)
+    assert r.acuracia_balanceada == pytest.approx((rec + spec) / 2,
+                                                  rel=1e-12)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert r.mcc == pytest.approx(mcc, rel=1e-9)
+    assert -1.0 <= r.mcc <= 1.0

@@ -518,6 +518,13 @@ def register_all() -> None:
              "sklearn-style classification report of the score gate "
              "(accuracy/precision/recall/F1/balanced/MCC) from ONE "
              "aggregate, doubles-first exact ladders")
+    register("interarrival_percentiles_by_modality",
+             dashboard.interarrival_percentiles_by_modality,
+             dashboard.INTERARRIVAL_PCTS_SQL,
+             "exact p50/p90/p99 inter-arrival seconds per modality: "
+             "grouped ranking + rank self-join predecessor (no "
+             "single-task LAG), second grouped ranking for the "
+             "percentiles")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

@@ -2327,3 +2327,95 @@ FROM (
     GROUP BY 1
 )"""
 )
+
+
+# --- inter-arrival time percentiles per modality -------------------------------
+
+
+def interarrival_percentiles_by_modality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT p50/p90/p99 of the inter-arrival time (seconds) of each
+    modality's transaction stream — the arrival-process shape behind
+    trigger sizing, next to `fano_dispersion_by_modality`'s count-level
+    burstiness.
+
+    Scale shape — the naive LAG over a modality partition is a
+    single-task sort of 10^10 rows per group, so instead: (1) the
+    grouped distributed ranking operator assigns each arrival its exact
+    within-modality sequence number under (timestamp, id); (2) the
+    predecessor is recovered by a co-located self-join on
+    (modality, rank-1) — a composite-key shuffle, never a sort; (3) the
+    deltas feed a SECOND grouped ranking pass and percentile p is the
+    delta at per-group rank ceil(p * N_g). Deltas are exact integer
+    micros; the emitted seconds are one exact division. The oracle
+    keeps the plain LAG + partitioned ROW_NUMBER form — identical
+    selected rows."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    t = datamodel.transactions(spark, sf_dir).select(
+        F.col("modalidade_pagamento").alias("modalidade"),
+        F.expr("unix_micros(data_horario)").alias("ts_us"),
+        F.col("id_transacao").alias("i"),
+    )
+    seq = ranking.with_global_row_number(
+        t, "ts_us", "i", out="r", group_cols=["modalidade"]
+    ).persist()
+    prev = seq.select(
+        "modalidade",
+        (F.col("r") + 1).alias("r"),
+        F.col("ts_us").alias("_ts_prev"),
+    )
+    deltas = (
+        seq.join(prev, ["modalidade", "r"])
+        .select(
+            "modalidade",
+            "i",
+            (F.col("ts_us") - F.col("_ts_prev")).alias("d_us"),
+        )
+        .persist()
+    )
+    ranked = ranking.with_global_row_number(
+        deltas, "d_us", "i", out="rr", group_cols=["modalidade"]
+    )
+    return (
+        ranked.withColumn(
+            "pct", F.explode(F.array(*[F.lit(p) for p in EXACT_PCTS]))
+        )
+        .filter(
+            F.col("rr")
+            == F.ceil(F.col("pct") * F.col("_rank_n_total")).cast("bigint")
+        )
+        .select(
+            "modalidade",
+            F.col("pct").cast("double").alias("pct"),
+            (F.col("d_us").cast("double") / F.lit(1000000.0)).alias(
+                "intervalo_s"
+            ),
+        )
+    )
+
+
+INTERARRIVAL_PCTS_SQL = datamodel.with_ctes(
+    f"""
+SELECT r.modalidade, CAST(p.pct AS DOUBLE) AS pct,
+       CAST(r.d_us AS DOUBLE) / 1000000.0 AS intervalo_s
+FROM (
+    SELECT modalidade, d_us, i,
+           ROW_NUMBER() OVER (PARTITION BY modalidade
+                              ORDER BY d_us ASC, i ASC) AS rr,
+           COUNT(*) OVER (PARTITION BY modalidade) AS n
+    FROM (
+        SELECT modalidade_pagamento AS modalidade, id_transacao AS i,
+               epoch_us(data_horario)
+                   - LAG(epoch_us(data_horario)) OVER (
+                         PARTITION BY modalidade_pagamento
+                         ORDER BY epoch_us(data_horario) ASC,
+                                  id_transacao ASC) AS d_us
+        FROM transactions
+    )
+    WHERE d_us IS NOT NULL
+) r, (VALUES {', '.join(f'({p})' for p in EXACT_PCTS)}) p(pct)
+WHERE r.rr = CAST(CEIL(CAST(p.pct AS DOUBLE) * r.n) AS BIGINT)
+"""
+)

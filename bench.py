@@ -130,6 +130,7 @@ EXTRA = [
     "mcnemar_gates_2x2",
     "naive_bayes_approval",
     "classification_report_gate",
+    "interarrival_percentiles_by_modality",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

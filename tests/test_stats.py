@@ -1136,3 +1136,38 @@ def test_classification_report_matches_sklearn_formulas(
     )
     assert r.mcc == pytest.approx(mcc, rel=1e-9)
     assert -1.0 <= r.mcc <= 1.0
+
+
+def test_interarrival_percentiles_match_bruteforce(spark, sf_dir):
+    """Inter-arrival percentiles re-derived from the literal sorted
+    per-modality arrival sequence with the ceil(p*N) rank rule."""
+    from collections import defaultdict
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.dashboard import (
+        EXACT_PCTS,
+        interarrival_percentiles_by_modality,
+    )
+
+    rows = (
+        datamodel.transactions(spark, sf_dir)
+        .select("modalidade_pagamento", "data_horario", "id_transacao")
+        .collect()
+    )
+    arr = defaultdict(list)
+    for r in rows:
+        us = int(r.data_horario.timestamp() * 1_000_000)
+        arr[r.modalidade_pagamento].append((us, r.id_transacao))
+    got = defaultdict(dict)
+    for r in interarrival_percentiles_by_modality(spark, sf_dir).collect():
+        got[r.modalidade][r.pct] = r.intervalo_s
+    assert set(got) == set(arr)
+    for m, seq in arr.items():
+        seq.sort()
+        deltas = sorted(
+            (b[0] - a[0], b[1]) for a, b in zip(seq, seq[1:])
+        )
+        n = len(deltas)
+        for p in EXACT_PCTS:
+            want = deltas[math.ceil(p * n) - 1][0] / 1e6
+            assert got[m][p] == pytest.approx(want, rel=1e-12), (m, p)

@@ -525,6 +525,16 @@ def register_all() -> None:
              "grouped ranking + rank self-join predecessor (no "
              "single-task LAG), second grouped ranking for the "
              "percentiles")
+    register("markov_entropy_rate", behavior.markov_entropy_rate,
+             behavior.MARKOV_ENTROPY_SQL,
+             "entropy rate of the modality Markov chain: per-state "
+             "conditional entropy + pi-weighted rate over the shared "
+             "transition counts (6-rounded p ln p, sorted folds)")
+    register("cohens_d_value_by_approval",
+             stats.cohens_d_value_by_approval,
+             stats.COHEN_D_SQL,
+             "Cohen's d + Hedges' g effect size of approval on value "
+             "(exact decimal moments, one conditional aggregate)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

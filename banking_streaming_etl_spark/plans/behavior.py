@@ -259,19 +259,12 @@ FROM transactions
 EWMA_SQL = _ewma_sql()
 
 
-def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over each payer's ordered
-    modality sequence: for every (previous, current) modality pair, the
-    transition count and the row-conditional probability — the
-    behavioral model a next-event predictor or anomaly screen consumes
-    (a purchase following an error is rare; its probability IS the
-    screen's threshold).
-
-    Scale shape: one lag window PARTITIONED BY payer with the
-    (timestamp, id) total-order tiebreak (per-user work, same shuffle
-    class as sessionize_events), then a hash aggregate onto the tiny
-    (modality x modality) key space; the row-normalizer joins on the
-    5-key prev side — broadcast-sized forever."""
+def _transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (anterior, atual, n) transition counts over each payer's
+    ordered modality sequence — ONE derivation feeding the transition
+    matrix and the entropy-rate readout (CLAUDE.md shared-derivation
+    rule). One per-payer LAG window + a (modality x modality)-sized
+    hash aggregate."""
     from pyspark.sql import Window as W
 
     t = datamodel.transactions(spark, sf_dir)
@@ -288,9 +281,41 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("anterior", F.lag("modalidade_pagamento").over(w))
         .filter(F.col("anterior").isNotNull())
     )
-    counts = seq.groupBy(
+    return seq.groupBy(
         "anterior", F.col("modalidade_pagamento").alias("atual")
     ).agg(F.count("*").alias("n"))
+
+
+#: shared SQL text of the transition-count derivation (the twin of
+#: `_transition_counts`).
+_TRANSITIONS_SQL = """
+    SELECT anterior, atual, COUNT(*) AS n
+    FROM (
+        SELECT LAG(modalidade_pagamento) OVER (
+                   PARTITION BY id_usuario_pagador
+                   ORDER BY data_horario, id_transacao
+               ) AS anterior,
+               modalidade_pagamento AS atual
+        FROM transactions
+    )
+    WHERE anterior IS NOT NULL
+    GROUP BY 1, 2"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each payer's ordered
+    modality sequence: for every (previous, current) modality pair, the
+    transition count and the row-conditional probability — the
+    behavioral model a next-event predictor or anomaly screen consumes
+    (a purchase following an error is rare; its probability IS the
+    screen's threshold).
+
+    Scale shape: one lag window PARTITIONED BY payer with the
+    (timestamp, id) total-order tiebreak (per-user work, same shuffle
+    class as sessionize_events), then a hash aggregate onto the tiny
+    (modality x modality) key space; the row-normalizer joins on the
+    5-key prev side — broadcast-sized forever."""
+    counts = _transition_counts(spark, sf_dir)
     totals = counts.groupBy("anterior").agg(F.sum("n").alias("n_total"))
     return counts.join(F.broadcast(totals), "anterior").select(
         "anterior",
@@ -303,7 +328,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENT_TRANSITION_SQL = datamodel.with_ctes(
-    """
+    f"""
 SELECT anterior, atual, CAST(n AS BIGINT) AS n,
        ROUND(CAST(n AS DOUBLE)
              / CAST(SUM(n) OVER (PARTITION BY anterior) AS DOUBLE), 6)
@@ -311,18 +336,125 @@ SELECT anterior, atual, CAST(n AS BIGINT) AS n,
 FROM (
     -- one LAG pass; the per-anterior normalizer is a window SUM over
     -- the counts aggregate instead of a second full LAG derivation
-    SELECT anterior, atual, COUNT(*) AS n
-    FROM (
-        SELECT LAG(modalidade_pagamento) OVER (
-                   PARTITION BY id_usuario_pagador
-                   ORDER BY data_horario, id_transacao
-               ) AS anterior,
-               modalidade_pagamento AS atual
-        FROM transactions
-    )
-    WHERE anterior IS NOT NULL
-    GROUP BY 1, 2
+    {_TRANSITIONS_SQL}
 )"""
+)
+
+
+# --- entropy rate of the modality Markov chain -------------------------------
+
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order modality Markov chain: per-state
+    conditional entropy H_i = -sum_j p_ij ln p_ij and the chain rate
+    H = sum_i pi_i H_i with pi the observed outgoing-transition share —
+    the predictability ceiling of the next-event model
+    (`event_transition_matrix`): a state near 0 nats is deterministic
+    routing, near ln|modalities| is noise.
+
+    Each p ln p term is transcendental -> ROUND(.,6); the per-state sum
+    folds the <= |modalities| terms in sorted-key order inside the
+    aggregate (bounded collect_list, the _fold_terms shape grouped),
+    and the cross-state rate rides the deterministic sorted fold.
+    Shares and the rate's weights are exact integer ratios. Rides the
+    SHARED transition-count derivation — one per-payer LAG window, then
+    everything is (modality x modality)-sized."""
+    from banking_streaming_etl_spark.plans.stats import _fold_terms
+
+    counts = _transition_counts(spark, sf_dir)
+    totals = counts.groupBy("anterior").agg(
+        F.sum("n").cast("bigint").alias("n_saidas")
+    )
+    p = F.col("n").cast("double") / F.col("n_saidas").cast("double")
+    term = F.round(p * F.log(p), 6)
+    rows = (
+        counts.join(F.broadcast(totals), "anterior")
+        .withColumn("_t", term)
+        .groupBy("anterior", "n_saidas")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("atual").alias("k"),
+                            F.col("_t").alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, s: a + s["t"],
+            ).alias("_hs")
+        )
+        .withColumn("entropia_estado", -F.col("_hs"))
+        .persist()
+    )
+    tot = rows.agg(F.sum("n_saidas").cast("bigint").alias("_nn"))
+    pr = (
+        rows.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pi",
+            F.col("n_saidas").cast("double") / F.col("_nn").cast("double"),
+        )
+        .withColumn("_c", F.col("pi") * F.col("entropia_estado"))
+    )
+    rate = _fold_terms(pr, "anterior", F.col("_c")).withColumnRenamed(
+        "_fold", "taxa_entropia"
+    )
+    return pr.crossJoin(F.broadcast(rate)).select(
+        "anterior",
+        "n_saidas",
+        "pi",
+        "entropia_estado",
+        "taxa_entropia",
+    )
+
+
+MARKOV_ENTROPY_SQL = datamodel.with_ctes(
+    f"""
+SELECT p.anterior, p.n_saidas, p.pi, p.entropia_estado, r.taxa_entropia
+FROM (
+    SELECT w.*,
+           CAST(w.n_saidas AS DOUBLE) / CAST(t.nn AS DOUBLE) AS pi
+    FROM (
+        SELECT c.anterior, s.n_saidas,
+               -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(ROUND((CAST(c.n AS DOUBLE)
+                               / CAST(s.n_saidas AS DOUBLE))
+                              * LN(CAST(c.n AS DOUBLE)
+                                   / CAST(s.n_saidas AS DOUBLE)), 6)
+                        ORDER BY c.atual ASC)),
+                   (a, b) -> a + b)) AS entropia_estado
+        FROM me_cnt c JOIN me_tot s USING (anterior)
+        GROUP BY c.anterior, s.n_saidas
+    ) w, (SELECT CAST(SUM(n_saidas) AS BIGINT) AS nn FROM me_tot) t
+) p, (
+    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(pi2 * ent ORDER BY anterior ASC)), (a, b) -> a + b)
+               AS taxa_entropia
+    FROM (
+        SELECT w2.anterior, w2.ent,
+               CAST(w2.n_saidas AS DOUBLE) / CAST(t2.nn AS DOUBLE) AS pi2
+        FROM (
+            SELECT c.anterior, s.n_saidas,
+                   -(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(ROUND((CAST(c.n AS DOUBLE)
+                                   / CAST(s.n_saidas AS DOUBLE))
+                                  * LN(CAST(c.n AS DOUBLE)
+                                       / CAST(s.n_saidas AS DOUBLE)), 6)
+                            ORDER BY c.atual ASC)),
+                       (a, b) -> a + b)) AS ent
+            FROM me_cnt c JOIN me_tot s USING (anterior)
+            GROUP BY c.anterior, s.n_saidas
+        ) w2, (SELECT CAST(SUM(n_saidas) AS BIGINT) AS nn FROM me_tot) t2
+    )
+) r""",
+    extra_ctes=f"""
+me_cnt AS ({_TRANSITIONS_SQL}
+),
+me_tot AS (
+    SELECT anterior, CAST(SUM(n) AS BIGINT) AS n_saidas
+    FROM me_cnt GROUP BY 1
+)""",
 )
 
 

@@ -3400,3 +3400,134 @@ SELECT vp, fp, fn, vn,
             END AS mcc
 FROM cr_agg""",
 )
+
+
+# --- Cohen's d / Hedges' g effect size ---------------------------------------
+
+
+def cohens_d_value_by_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size of the approval decision on transaction
+    value: Cohen's d = (mean_ap - mean_den) / pooled SD plus the Hedges
+    small-sample correction g = d * (1 - 3/(4(n1+n0) - 9)) — the
+    magnitude readout next to the significance tests (a huge z with a
+    trivial d is the classic big-data false alarm).
+
+    All moments are exact decimal sums from ONE conditional aggregate;
+    means, variances, the pooled SD and both effect sizes are fixed
+    IEEE ladders over those exact casts — bit-identical cross-engine,
+    no rounding."""
+    ap = _approved(spark, sf_dir).select(
+        F.col("transacao_aprovada").cast("int").alias("y"),
+        F.col("valor_transacao").alias("v"),
+    )
+    y = F.col("y") == 1
+    agg = ap.agg(
+        F.sum(F.when(y, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~y, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(y, exact._d(F.col("v")))).alias("_s1"),
+        F.sum(F.when(~y, exact._d(F.col("v")))).alias("_s0"),
+        F.sum(
+            F.when(y, exact._d(F.round(F.col("v"), 6) * F.round(F.col("v"), 6)))
+        ).alias("_q1"),
+        F.sum(
+            F.when(~y, exact._d(F.round(F.col("v"), 6) * F.round(F.col("v"), 6)))
+        ).alias("_q0"),
+    )
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s0 = F.col("_s0").cast("double")
+    q1 = F.col("_q1").cast("double")
+    q0 = F.col("_q0").cast("double")
+    m1 = s1 / n1
+    m0 = s0 / n0
+    v1 = (q1 - s1 * s1 / n1) / (n1 - F.lit(1.0))
+    v0 = (q0 - s0 * s0 / n0) / (n0 - F.lit(1.0))
+    sp = F.sqrt(
+        ((n1 - F.lit(1.0)) * v1 + (n0 - F.lit(1.0)) * v0)
+        / (n1 + n0 - F.lit(2.0))
+    )
+    d = (m1 - m0) / sp
+    g = d * (
+        F.lit(1.0)
+        - F.lit(3.0) / (F.lit(4.0) * (n1 + n0) - F.lit(9.0))
+    )
+    return agg.select(
+        "n1",
+        "n0",
+        m1.alias("media_aprovadas"),
+        m0.alias("media_negadas"),
+        sp.alias("desvio_agrupado"),
+        d.alias("cohen_d"),
+        g.alias("hedges_g"),
+    )
+
+
+_COHEN_D_CTES = """,
+cd_agg AS (
+    SELECT
+        CAST(SUM(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
+             AS BIGINT) AS n0,
+        SUM(CASE WHEN transacao_aprovada
+                 THEN CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))
+                 END) AS s1,
+        SUM(CASE WHEN NOT transacao_aprovada
+                 THEN CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))
+                 END) AS s0,
+        SUM(CASE WHEN transacao_aprovada
+                 THEN CAST(ROUND(ROUND(valor_transacao, 6)
+                                 * ROUND(valor_transacao, 6), 6)
+                           AS DECIMAL(28,6)) END) AS q1,
+        SUM(CASE WHEN NOT transacao_aprovada
+                 THEN CAST(ROUND(ROUND(valor_transacao, 6)
+                                 * ROUND(valor_transacao, 6), 6)
+                           AS DECIMAL(28,6)) END) AS q0
+    FROM approved
+)"""
+
+COHEN_D_SQL = _oracle_with(
+    _COHEN_D_CTES,
+    """
+SELECT n1, n0,
+       CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS media_aprovadas,
+       CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS media_negadas,
+       SQRT(((CAST(n1 AS DOUBLE) - 1.0)
+             * ((CAST(q1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+             + (CAST(n0 AS DOUBLE) - 1.0)
+               * ((CAST(q0 AS DOUBLE)
+                   - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                     / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)))
+            / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0))
+           AS desvio_agrupado,
+       (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       / SQRT(((CAST(n1 AS DOUBLE) - 1.0)
+               * ((CAST(q1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+               + (CAST(n0 AS DOUBLE) - 1.0)
+                 * ((CAST(q0 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                       / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0)))
+              / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0))
+           AS cohen_d,
+       ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        / SQRT(((CAST(n1 AS DOUBLE) - 1.0)
+                * ((CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                + (CAST(n0 AS DOUBLE) - 1.0)
+                  * ((CAST(q0 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                        / CAST(n0 AS DOUBLE))
+                     / (CAST(n0 AS DOUBLE) - 1.0)))
+               / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0)))
+       * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))
+                       - 9.0)) AS hedges_g
+FROM cd_agg""",
+)

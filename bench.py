@@ -131,6 +131,8 @@ EXTRA = [
     "naive_bayes_approval",
     "classification_report_gate",
     "interarrival_percentiles_by_modality",
+    "markov_entropy_rate",
+    "cohens_d_value_by_approval",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

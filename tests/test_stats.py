@@ -1171,3 +1171,78 @@ def test_interarrival_percentiles_match_bruteforce(spark, sf_dir):
         for p in EXACT_PCTS:
             want = deltas[math.ceil(p * n) - 1][0] / 1e6
             assert got[m][p] == pytest.approx(want, rel=1e-12), (m, p)
+
+
+def test_markov_entropy_rate_matches_bruteforce(spark, sf_dir):
+    """Entropy rate re-derived from the literal per-payer transition
+    sequence with the query's documented 6-rounding per term."""
+    from collections import Counter, defaultdict
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.behavior import (
+        markov_entropy_rate,
+    )
+
+    rows = (
+        datamodel.transactions(spark, sf_dir)
+        .select("id_usuario_pagador", "modalidade_pagamento",
+                "data_horario", "id_transacao")
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[r.id_usuario_pagador].append(
+            (r.data_horario, r.id_transacao, r.modalidade_pagamento)
+        )
+    trans = Counter()
+    for s in seqs.values():
+        s.sort()
+        for a, b in zip(s, s[1:]):
+            trans[(a[2], b[2])] += 1
+    outs = Counter()
+    for (a, _), n in trans.items():
+        outs[a] += n
+    nn = sum(outs.values())
+    ent = {
+        a: -sum(
+            round(n / outs[a] * math.log(n / outs[a]), 6)
+            for (x, _), n in trans.items() if x == a
+        )
+        for a in outs
+    }
+    rate = sum(outs[a] / nn * ent[a] for a in sorted(outs))
+    got = {r.anterior: r for r in markov_entropy_rate(spark, sf_dir).collect()}
+    assert set(got) == set(outs)
+    for a, r in got.items():
+        assert r.n_saidas == outs[a]
+        assert r.pi == pytest.approx(outs[a] / nn, rel=1e-12)
+        assert r.entropia_estado == pytest.approx(ent[a], abs=1e-9)
+        assert r.taxa_entropia == pytest.approx(rate, abs=1e-9)
+        assert -1e-9 <= r.entropia_estado <= math.log(len(got)) + 1e-6
+
+
+def test_cohens_d_matches_bruteforce(spark, sf_dir, approved_rows):
+    import statistics
+
+    from banking_streaming_etl_spark.plans import stats
+
+    r = stats.cohens_d_value_by_approval(spark, sf_dir).collect()[0]
+    va = [round(x.valor_transacao, 6) for x in approved_rows
+          if x.transacao_aprovada]
+    vd = [round(x.valor_transacao, 6) for x in approved_rows
+          if not x.transacao_aprovada]
+    assert (r.n1, r.n0) == (len(va), len(vd))
+    m1, m0 = statistics.mean(va), statistics.mean(vd)
+    v1, v0 = statistics.variance(va), statistics.variance(vd)
+    sp = math.sqrt(
+        ((len(va) - 1) * v1 + (len(vd) - 1) * v0)
+        / (len(va) + len(vd) - 2)
+    )
+    d = (m1 - m0) / sp
+    assert r.media_aprovadas == pytest.approx(m1, rel=1e-9)
+    assert r.media_negadas == pytest.approx(m0, rel=1e-9)
+    assert r.desvio_agrupado == pytest.approx(sp, rel=1e-6)
+    assert r.cohen_d == pytest.approx(d, rel=1e-6)
+    assert r.hedges_g == pytest.approx(
+        d * (1 - 3 / (4 * (len(va) + len(vd)) - 9)), rel=1e-6
+    )

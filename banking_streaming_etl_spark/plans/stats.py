@@ -2808,7 +2808,6 @@ def fano_dispersion_by_modality(
 
     Scale: ONE corpus aggregate onto (modality x hour) rows, one tiny
     per-modality re-aggregate. No window, no fold."""
-    dec0 = "decimal(38,0)"
     hours = (
         _approved(spark, sf_dir)
         .groupBy(
@@ -2817,6 +2816,16 @@ def fano_dispersion_by_modality(
         )
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+    return fano_from_hourly(hours)
+
+
+def fano_from_hourly(hours: DataFrame) -> DataFrame:
+    """The Fano/dispersion evaluation over a (modalidade_pagamento, _h,
+    n) frame — shared by the batch query above and the streaming twin
+    (`streaming/windows.streaming_modality_hourly` maintains the same
+    bounded (modality x hour) state; this is its on-read evaluation, so
+    stream and batch readouts are bit-identical by construction)."""
+    dec0 = "decimal(38,0)"
     mom = hours.groupBy("modalidade_pagamento").agg(
         F.count("*").cast(dec0).alias("_k"),
         F.sum(F.col("n").cast(dec0)).alias("_s"),

@@ -411,3 +411,17 @@ def streaming_hourly_approvals(scored_stream: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("aprovadas"),
     )
+
+
+def streaming_modality_hourly(scored_stream: DataFrame) -> DataFrame:
+    """Live (modality, hour) transaction-count state for the Fano
+    burstiness monitor — the streaming half of
+    `plans/stats.fano_dispersion_by_modality`: a complete-mode
+    aggregate whose state is bounded at |modalities| x |hours| rows,
+    sunk to a table the shared evaluator
+    (`plans/stats.fano_from_hourly`) reads. Same bit-exact
+    stream-vs-batch contract as the CUSUM monitor."""
+    return scored_stream.groupBy(
+        "modalidade_pagamento",
+        F.expr("unix_micros(data_horario) div 3600000000").alias("_h"),
+    ).agg(F.count("*").cast("bigint").alias("n"))

@@ -936,3 +936,32 @@ def test_streaming_cusum_matches_batch(spark, replay_dir):
     }
     want = {tuple(r) for r in stats.cusum_hourly_drift(spark, SF).collect()}
     assert got == want and len(want) > 10
+
+
+def test_streaming_fano_matches_batch(spark, replay_dir):
+    """The streaming Fano burstiness monitor (complete-mode
+    (modality, hour) state + the shared evaluator on read) must
+    reproduce the batch fano_dispersion_by_modality rows BIT-EXACTLY
+    over the same replayed transactions."""
+    from banking_streaming_etl_spark.plans import stats
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    scored = spipe.approval_stream(
+        tx,
+        datamodel.users(spark, SF),
+        datamodel.regions(spark, SF),
+    )
+    hourly = swin.streaming_modality_hourly(scored)
+    _run_to_memory(hourly, "fano_hourly_out", mode="complete")
+
+    got = {
+        tuple(r)
+        for r in stats.fano_from_hourly(
+            spark.table("fano_hourly_out")
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in stats.fano_dispersion_by_modality(spark, SF).collect()
+    }
+    assert got == want and len(want) >= 3

@@ -535,6 +535,11 @@ def register_all() -> None:
              stats.COHEN_D_SQL,
              "Cohen's d + Hedges' g effect size of approval on value "
              "(exact decimal moments, one conditional aggregate)")
+    register("kaplan_meier_greenwood", behavior.kaplan_meier_greenwood,
+             behavior.KM_GREENWOOD_SQL,
+             "KM survival curve with Greenwood variance/SE and a "
+             "clamped 95% band (own prefix-sum branch off the shared "
+             "risk table, 1e6-scaled decimal term accumulation)")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local

@@ -1163,6 +1163,16 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no survival layer; this is the
     standard product-limit estimator (Kaplan & Meier 1958) over the
     stream the reference's dashboard already materializes."""
+    base = _km_risk_table(spark, sf_dir)
+    return _km_curve(base).select(
+        "t_segundos", "n_risco", "n_eventos", "n_censuras", "s_km"
+    )
+
+
+def _km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared KM risk table (t_segundos, n_eventos, n_censuras,
+    n_risco) — ONE derivation feeding the survival curve and the
+    Greenwood-variance extension."""
     from banking_streaming_etl_spark.operators import ranking
 
     t = datamodel.transactions(spark, sf_dir).select(
@@ -1210,7 +1220,7 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="_cumn",
         nulls="reject",
     )
-    base = cum1.select(
+    return cum1.select(
         "t_segundos",
         "n_eventos",
         "n_censuras",
@@ -1220,6 +1230,13 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("_w")
         ).alias("n_risco"),
     ).persist()
+
+
+def _km_curve(base: DataFrame) -> DataFrame:
+    """Survival curve from the shared risk table: log-space product via
+    a second prefix sum of the 6-rounded ln(1 - d/n) terms."""
+    from banking_streaming_etl_spark.operators import ranking
+
     d = F.col("n_eventos").cast("double")
     n = F.col("n_risco").cast("double")
     lnterm = (
@@ -1238,12 +1255,8 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="_cumln",
         nulls="reject",
     )
-    return cum2.select(
-        "t_segundos",
-        "n_risco",
-        "n_eventos",
-        "n_censuras",
-        F.round(F.exp(F.col("_cumln").cast("double")), 6).alias("s_km"),
+    return cum2.withColumn(
+        "s_km", F.round(F.exp(F.col("_cumln").cast("double")), 6)
     )
 
 
@@ -1654,3 +1667,116 @@ SELECT CAST(w.dia_cohort AS TIMESTAMP) AS dia_cohort, w.idade_dias,
 FROM ltv_w w JOIN ltv_b b USING (dia_cohort)""",
     extra_ctes=_LTV_CTES,
 )
+
+
+# --- Kaplan-Meier with Greenwood variance / 95% CI ---------------------------
+
+
+def kaplan_meier_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survival curve (`kaplan_meier_conversion`) with its Greenwood
+    standard error and a clamped 95% confidence band:
+
+        Var(S(t)) = S(t)^2 * sum_{u<=t} d_u / (n_u (n_u - d_u)).
+
+    The Greenwood cumulative term rides its OWN prefix-sum pass over
+    the SHARED persisted risk table (an independent branch joined back
+    on the duration key — never nested on the curve's pass, the
+    rfm_segments plan-depth lesson). Raw terms d/(n(n-d)) live at
+    ~1/n^2 where a 6-decimal rounding would erase them, so each term is
+    scaled by 10^6 before the ROUND(.,6)-then-DECIMAL accumulation
+    (exactly 1e-12 absolute resolution on the raw scale, identical in
+    both dialects) and divided back once at the end. Variance / SE /
+    bounds are fixed ladders over the already-rounded S(t) and the
+    exact decimal sum; degenerate rows (d = n, the S=0 tail) contribute
+    a 0 term, and S=0 collapses the band to [0, 0]."""
+    from banking_streaming_etl_spark.operators import ranking
+    from banking_streaming_etl_spark.plans.stats import WILSON_Z
+
+    base = _km_risk_table(spark, sf_dir)
+    curve = _km_curve(base).select(
+        "t_segundos", "n_risco", "n_eventos", "n_censuras", "s_km"
+    )
+    d = F.col("n_eventos").cast("double")
+    n = F.col("n_risco").cast("double")
+    gw6 = (
+        F.when(F.col("n_eventos") == 0, F.lit(0.0))
+        .when(
+            F.col("n_eventos") < F.col("n_risco"),
+            F.round(d / (n * (n - d)) * F.lit(1000000.0), 6),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    gwcum = ranking.with_global_cumsum(
+        base.withColumn("_gw", gw6),
+        "t_segundos",
+        "t_segundos",
+        "_gw",
+        out="_gwc",
+        nulls="reject",
+    ).select("t_segundos", "_gwc")
+    z = F.lit(WILSON_Z)
+    j = curve.join(gwcum, "t_segundos")
+    var = (
+        F.col("s_km")
+        * F.col("s_km")
+        * (F.col("_gwc").cast("double") / F.lit(1000000.0))
+    )
+    se = F.sqrt(var)
+    return j.select(
+        "t_segundos",
+        "n_risco",
+        "n_eventos",
+        "n_censuras",
+        "s_km",
+        var.alias("var_greenwood"),
+        se.alias("ep_greenwood"),
+        F.greatest(F.lit(0.0), F.col("s_km") - z * se).alias("s_ic_inf"),
+        F.least(F.lit(1.0), F.col("s_km") + z * se).alias("s_ic_sup"),
+    )
+
+
+def _km_greenwood_sql() -> str:
+    from banking_streaming_etl_spark.plans.stats import WILSON_Z
+
+    wz = f"CAST({WILSON_Z!r} AS DOUBLE)"
+    return datamodel.with_ctes(
+        f"""
+SELECT t_segundos, n_risco, n_eventos, n_censuras, s_km,
+       s_km * s_km * (CAST(gwc AS DOUBLE) / 1000000.0) AS var_greenwood,
+       SQRT(s_km * s_km * (CAST(gwc AS DOUBLE) / 1000000.0))
+           AS ep_greenwood,
+       GREATEST(0.0, s_km - {wz}
+                * SQRT(s_km * s_km * (CAST(gwc AS DOUBLE) / 1000000.0)))
+           AS s_ic_inf,
+       LEAST(1.0, s_km + {wz}
+                * SQRT(s_km * s_km * (CAST(gwc AS DOUBLE) / 1000000.0)))
+           AS s_ic_sup
+FROM (
+    SELECT t_segundos, n_risco, n_eventos, n_censuras,
+           ROUND(EXP(CAST(SUM(CAST(lt AS DECIMAL(38,9)))
+                          OVER (ORDER BY t_segundos ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS DOUBLE)), 6)
+               AS s_km,
+           SUM(CAST(gw AS DECIMAL(38,9)))
+               OVER (ORDER BY t_segundos ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS gwc
+    FROM (
+        SELECT *,
+               CASE WHEN n_eventos = 0 THEN 0.0
+                    WHEN n_eventos < n_risco
+                    THEN ROUND(CAST(n_eventos AS DOUBLE)
+                               / (CAST(n_risco AS DOUBLE)
+                                  * (CAST(n_risco AS DOUBLE)
+                                     - CAST(n_eventos AS DOUBLE)))
+                               * 1000000.0, 6)
+                    ELSE 0.0 END AS gw
+        FROM km_ln
+    )
+)""",
+        extra_ctes=_KM_CTES,
+    )
+
+
+KM_GREENWOOD_SQL = _km_greenwood_sql()

@@ -133,6 +133,7 @@ EXTRA = [
     "interarrival_percentiles_by_modality",
     "markov_entropy_rate",
     "cohens_d_value_by_approval",
+    "kaplan_meier_greenwood",
 ]
 
 #: ceiling the one-line stdout JSON must stay under: the verify driver

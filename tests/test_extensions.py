@@ -1964,3 +1964,51 @@ def test_source_vocab_jaccard_matches_bruteforce(spark):
                                               rel=1e-12)
         assert r.contencao_b == pytest.approx(inter / len(vocab[b]),
                                               rel=1e-12)
+
+
+def test_km_greenwood_matches_bruteforce(spark):
+    """Greenwood variance re-derived from the collected KM risk table
+    with the query's documented 1e6-scaled 6-rounding per term."""
+    import math
+
+    import pytest
+
+    from banking_streaming_etl_spark.plans.behavior import (
+        kaplan_meier_conversion,
+        kaplan_meier_greenwood,
+    )
+    from banking_streaming_etl_spark.plans.stats import WILSON_Z
+
+    km = sorted(
+        kaplan_meier_conversion(spark, SF).collect(),
+        key=lambda r: r.t_segundos,
+    )
+    got = {
+        r.t_segundos: r
+        for r in kaplan_meier_greenwood(spark, SF).collect()
+    }
+    assert set(got) == {r.t_segundos for r in km}
+    cum = 0.0
+    prev_s = 1.0
+    for r in km:
+        d, n = r.n_eventos, r.n_risco
+        if 0 < d < n:
+            cum += round(d / (n * (n - d)) * 1e6, 6)
+        g = got[r.t_segundos]
+        # the curve columns pass through unchanged
+        assert (g.n_risco, g.n_eventos, g.n_censuras, g.s_km) == (
+            n, d, r.n_censuras, r.s_km,
+        )
+        var = r.s_km * r.s_km * (cum / 1e6)
+        assert g.var_greenwood == pytest.approx(var, rel=1e-9, abs=1e-18)
+        assert g.ep_greenwood == pytest.approx(math.sqrt(var), rel=1e-9,
+                                               abs=1e-12)
+        assert g.s_ic_inf == pytest.approx(
+            max(0.0, r.s_km - WILSON_Z * math.sqrt(var)), abs=1e-9
+        )
+        assert g.s_ic_sup == pytest.approx(
+            min(1.0, r.s_km + WILSON_Z * math.sqrt(var)), abs=1e-9
+        )
+        assert g.s_ic_inf - 1e-12 <= g.s_km <= g.s_ic_sup + 1e-12
+        assert r.s_km <= prev_s + 1e-12
+        prev_s = r.s_km

@@ -77,10 +77,9 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_classes",
             "classes_em_risco",
             "linhas_em_risco",
-            F.round(
+            (
                 F.col("linhas_em_risco").cast("double")
-                / F.col("linhas_total").cast("double"),
-                6,
+                / F.col("linhas_total").cast("double")
             ).alias("fracao_em_risco"),
         )
     )
@@ -93,8 +92,8 @@ SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
            AS classes_em_risco,
        CAST(SUM(CASE WHEN tam < k THEN tam ELSE 0 END) AS BIGINT)
            AS linhas_em_risco,
-       ROUND(CAST(SUM(CASE WHEN tam < k THEN tam ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(tam) AS DOUBLE), 6) AS fracao_em_risco
+       CAST(SUM(CASE WHEN tam < k THEN tam ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(tam) AS DOUBLE) AS fracao_em_risco
 FROM qi_classes
 CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in K_THRESHOLDS)}]) AS k)
 GROUP BY k""",
@@ -385,13 +384,12 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("linhas_em_risco"),
             F.min("l_observado").cast("bigint").alias("l_minimo"),
-            F.round(
+            (
                 F.sum(
                     F.when(F.col("l_observado") < F.col("l"), F.col("tam"))
                     .otherwise(0)
                 ).cast("double")
-                / F.sum("tam").cast("double"),
-                6,
+                / F.sum("tam").cast("double")
             ).alias("fracao_em_risco"),
         )
     )
@@ -405,9 +403,9 @@ SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
        CAST(SUM(CASE WHEN l_observado < l THEN tam ELSE 0 END) AS BIGINT)
            AS linhas_em_risco,
        CAST(MIN(l_observado) AS BIGINT) AS l_minimo,
-       ROUND(CAST(SUM(CASE WHEN l_observado < l THEN tam ELSE 0 END)
-                  AS DOUBLE)
-             / CAST(SUM(tam) AS DOUBLE), 6) AS fracao_em_risco
+       CAST(SUM(CASE WHEN l_observado < l THEN tam ELSE 0 END)
+            AS DOUBLE)
+           / CAST(SUM(tam) AS DOUBLE) AS fracao_em_risco
 FROM ld_classes
 CROSS JOIN (SELECT unnest([{", ".join(str(x) for x in L_THRESHOLDS)}]) AS l)
 GROUP BY l""",

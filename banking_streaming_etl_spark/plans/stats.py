@@ -293,8 +293,9 @@ def chi2_cells_modality_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_celula").cast("bigint").alias("n_resultado")
     )
     total = cells.agg(F.sum("n_celula").cast("bigint").alias("n_total"))
-    esperado = (F.col("n_modalidade") * F.col("n_resultado")).cast(
-        "double"
+    esperado = (
+        F.col("n_modalidade").cast("double")
+        * F.col("n_resultado").cast("double")
     ) / F.col("n_total").cast("double")
     desvio = F.col("n_celula").cast("double") - F.col("_esp")
     return (
@@ -336,7 +337,7 @@ SELECT modalidade_pagamento, transacao_aprovada, n_celula,
        (CAST(n_celula AS DOUBLE) - esp) / SQRT(esp) AS residuo_pearson
 FROM (
     SELECT modalidade_pagamento, transacao_aprovada, n_celula,
-           CAST(n_modalidade * n_resultado AS DOUBLE)
+           CAST(n_modalidade AS DOUBLE) * CAST(n_resultado AS DOUBLE)
                / CAST(n_total AS DOUBLE) AS esp
     FROM chi_cells
 )""",
@@ -1780,7 +1781,8 @@ def cramers_v_modality_approval(
         .crossJoin(F.broadcast(total))
         .withColumn(
             "_esp",
-            (F.col("n_modalidade") * F.col("n_resultado")).cast("double")
+            F.col("n_modalidade").cast("double")
+            * F.col("n_resultado").cast("double")
             / F.col("n_total").cast("double"),
         )
         .withColumn(
@@ -1842,12 +1844,12 @@ cv_tot AS (
 cv_chi AS (
     SELECT {_sql_fold(
         '(CAST(n_celula AS DOUBLE)'
-        ' - CAST(n_modalidade * n_resultado AS DOUBLE)'
+        ' - CAST(n_modalidade AS DOUBLE) * CAST(n_resultado AS DOUBLE)'
         '   / CAST(n_total AS DOUBLE))'
         ' * (CAST(n_celula AS DOUBLE)'
-        '    - CAST(n_modalidade * n_resultado AS DOUBLE)'
+        '    - CAST(n_modalidade AS DOUBLE) * CAST(n_resultado AS DOUBLE)'
         '      / CAST(n_total AS DOUBLE))'
-        ' / (CAST(n_modalidade * n_resultado AS DOUBLE)'
+        ' / (CAST(n_modalidade AS DOUBLE) * CAST(n_resultado AS DOUBLE)'
         '    / CAST(n_total AS DOUBLE))',
         'chave')} AS qui2
     FROM cv_cells
@@ -2499,6 +2501,10 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("limiar").alias("limiar"),
         )
     )
+    # Degenerate guard: with k+1 > N there is no threshold order
+    # statistic — the SQL twin's GROUP BY then yields zero rows, while
+    # Spark's global agg over the empty join would yield one all-null
+    # row. The constant filter makes both dialects emit zero rows.
     return agg.select(
         F.lit(n).cast("bigint").alias("n"),
         F.lit(k).cast("bigint").alias("n_caudal"),
@@ -2507,7 +2513,7 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(float(k)) / F.col("_s").cast("double"), 6
         ).alias("alfa_hill"),
-    )
+    ).filter(F.lit(k + 1 <= n))
 
 
 HILL_TAIL_SQL = datamodel.with_ctes(
@@ -2920,9 +2926,9 @@ def g_test_modality_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_celula").cast("bigint").alias("_nc")
     )
     total = cells.agg(F.sum("n_celula").cast("bigint").alias("_nt"))
-    esp = (F.col("_nr") * F.col("_nc")).cast("double") / F.col("_nt").cast(
-        "double"
-    )
+    esp = (
+        F.col("_nr").cast("double") * F.col("_nc").cast("double")
+    ) / F.col("_nt").cast("double")
     o = F.col("n_celula").cast("double")
     contrib = F.when(
         F.col("n_celula") > 0,
@@ -2970,11 +2976,12 @@ g_cells AS (
 ),
 g_wide AS (
     SELECT *,
-           CAST(nr * nc AS DOUBLE) / CAST(nt AS DOUBLE) AS esp,
+           CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+               / CAST(nt AS DOUBLE) AS esp,
            CASE WHEN n_celula > 0
                 THEN ROUND(2.0 * CAST(n_celula AS DOUBLE)
                            * LN(CAST(n_celula AS DOUBLE)
-                                / (CAST(nr * nc AS DOUBLE)
+                                / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
                                    / CAST(nt AS DOUBLE))), 6)
                 ELSE 0.0 END AS g_contrib
     FROM g_cells

@@ -770,6 +770,34 @@ def test_hill_tail_index_matches_bruteforce(spark, sf_dir):
     assert r.alfa_hill > 0
 
 
+def test_hill_tail_index_degenerate_tiny_corpus(spark, tmp_path):
+    """With N <= 2 positive values, k+1 exceeds N so no threshold order
+    statistic exists: the plan must emit ZERO rows (matching the SQL
+    twin's empty GROUP BY), never a single all-null row."""
+    import pandas as pd
+
+    from banking_streaming_etl_spark.plans import stats
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2], dtype="int64"),
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "user_id": pd.array([10, 20], dtype="int64"),
+            "event_type": ["pix", "ted"],
+            "value": [100.0, 200.0],
+            "props": ['{"k": 3}', '{"k": 4}'],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = stats.hill_tail_index(spark, str(tmp_path))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "n", "n_caudal", "limiar", "soma_log", "alfa_hill",
+    ]
+
+
 def test_data_contract_audit_matches_bruteforce(spark, sf_dir):
     """Violation counts re-derived with literal Python checks over the
     collected tables."""

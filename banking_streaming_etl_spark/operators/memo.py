@@ -1,0 +1,65 @@
+"""Session-lifetime memo for expensive derivations shared by a FAMILY
+of registered queries (the generalization of
+operators/dedup._SHARED_SHINGLES and
+operators/similarity._SHARED_EMB).
+
+Several query families re-derive the same intermediate frame when run
+in one session — the Kaplan-Meier risk table (conversion curve +
+Greenwood variance), the min-max-scored + globally-ranked calibration
+frame (ECE/MCE/Brier, reliability deciles, ROC deciles), the
+per-modality exact medians (Brown-Forsythe, exact percentiles). Each
+derivation is itself a multi-stage pipeline (grouped distributed
+ranking = count/sample/bucket/offset stages), so re-deriving it per
+query multiplies the most expensive stages of the session.
+
+The memo returns the SAME DataFrame object per (session, sf_dir, kind)
+key, materialized ONCE via an eager ``localCheckpoint``:
+
+- eager: the internal stages of the build pipeline never re-derive the
+  upstream DAG (a lazy ``persist`` materializes mid-pipeline — the
+  round-7 `interarrival_percentiles_by_modality` lesson);
+- localCheckpoint (not ``cache``): the frame survives
+  ``spark.catalog.clearCache()`` — bench's EXTRA sweep evicts
+  accumulated per-query persists between queries, and the shared
+  family frames must NOT be re-computed by every family member after
+  each eviction. The checkpointed frames are tiny (risk table ~
+  |distinct durations| rows; grouped medians ~ G rows) or
+  narrow-column corpus projections, so pinning them for the session is
+  bounded;
+- lineage truncation is the documented graph.py tradeoff: on executor
+  loss the frame recomputes from the checkpoint's parent only in local
+  mode semantics; at cluster scale prefer reliable checkpointing for
+  multi-hour sessions.
+
+Entries from stopped sessions are evicted on access (their checkpointed
+RDDs are unusable through the live session); entries for other sf_dirs
+of the live session are kept on purpose — bench walks two sf dirs in
+one session.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def shared_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the session-lifetime shared frame for (sf_dir, kind),
+    building + eagerly materializing it on first access."""
+    app_id = spark.sparkContext.applicationId
+    for key in [k for k in _SHARED if k[0] != app_id]:
+        _SHARED.pop(key)
+    key = (app_id, sf_dir, kind)
+    df = _SHARED.get(key)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        _SHARED[key] = df
+    return df

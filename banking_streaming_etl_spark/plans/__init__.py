@@ -218,19 +218,18 @@ def register_all() -> None:
              "via operators/ranking — no single-partition window)")
     register("sessionize_events", relational.sessionize_events,
              relational.SESSIONIZE_SQL, "sessionization (lag+cumsum)")
-    # Round-7 rotation: the two-sample KS test takes the slot of
-    # exact_percentiles_valor (driver-green in r6; the global-order
-    # family stays represented in-window by pareto_share_by_decile and
-    # risk_score_auc, and the percentile query re-registers right after
-    # the window, parity-gated every run). KS gives the distributed
-    # PREFIX-SUM operator (with_global_cumsum) its first driver-green
-    # row — pareto rides NTILE, AUC rides row_number; the cumsum path
-    # had none.
-    register("ks_test_value_by_approval", stats.ks_test_value_by_approval,
-             stats.KS_TEST_SQL,
-             "exact two-sample Kolmogorov-Smirnov (approved vs denied "
-             "value mix) via the distributed prefix sum — integer "
-             "numerator, no rounding")
+    # Round-8 rotation: the Mondrian grouped-conformal capstone takes
+    # the slot of ks_test_value_by_approval (driver-green in r7; the
+    # prefix-sum family stays represented in-window by
+    # pareto_share_by_decile and risk_score_auc, and KS re-registers
+    # right after the window, parity-gated every run). The GROUPED
+    # distributed-ranking form and its max_groups plan guard had zero
+    # driver-green rows — this row proves them.
+    register("conformal_by_modality", dashboard.conformal_by_modality,
+             dashboard.CONFORMAL_BY_MODALITY_SQL,
+             "Mondrian (group-conditional) conformal calibration: exact "
+             "per-modality order-statistic thresholds via the GROUPED "
+             "distributed-ranking form (max_groups guard driver-visible)")
     register("risk_score_auc", dashboard.risk_score_auc,
              dashboard.RISK_SCORE_AUC_SQL,
              "exact distributed ROC-AUC of the risk score (Mann-Whitney "
@@ -294,9 +293,18 @@ def register_all() -> None:
              asof.range_join_tx_in_alert_window,
              asof.RANGE_JOIN_SQL,
              "interval join via time-bucketization (no nested loop)")
-    register("q20_promotion_suppliers", tpch2.q20_promotion_suppliers,
-             tpch2.Q20_SQL,
-             "TPC-H Q20 shape: nested IN chain over derived supply aggs")
+    # Round-8 rotation: the Shapley channel-attribution capstone takes
+    # the slot of q20_promotion_suppliers (driver-green since r5; the
+    # correlated-subquery TPC-H shape stays represented in-window by
+    # q2 and q21, and Q20 re-registers right after the window,
+    # parity-gated every run). The broadcast 2^M coalition lattice is
+    # exactly the class the driver gate exists to prove.
+    register("channel_attribution", behavior.channel_attribution,
+             behavior.ATTRIBUTION_SQL,
+             "multi-touch conversion attribution: first/last-touch, "
+             "exact linear + U-shaped positional credits, and the exact "
+             "Shapley value of the conversion-rate coalition game over "
+             "bitmask journey sets")
 
     # batch dev-pipeline patterns
     register("score_recombination", batchdev.score_recombination,
@@ -315,6 +323,18 @@ def register_all() -> None:
              "deterministic hash-based 80/20 split")
     register("minmax_normalize_window", groupedmap.minmax_normalize_window,
              groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
+
+    # --- end of the 50-slot driver window -------------------------------
+    # round-8 rotation displacees: both driver-green in prior rounds,
+    # both stay parity-gated every pytest run
+    register("ks_test_value_by_approval", stats.ks_test_value_by_approval,
+             stats.KS_TEST_SQL,
+             "exact two-sample Kolmogorov-Smirnov (approved vs denied "
+             "value mix) via the distributed prefix sum — integer "
+             "numerator, no rounding")
+    register("q20_promotion_suppliers", tpch2.q20_promotion_suppliers,
+             tpch2.Q20_SQL,
+             "TPC-H Q20 shape: nested IN chain over derived supply aggs")
 
     # round-7 statistical-tests family (plans/stats.py): exact classical
     # two-sample / association statistics, all oracle-backed; KS holds
@@ -367,12 +387,6 @@ def register_all() -> None:
              stats.ANOVA_SQL,
              "one-way ANOVA F + eta^2 across modalities from exact "
              "decimal moments, deterministic cross-group fold")
-    register("channel_attribution", behavior.channel_attribution,
-             behavior.ATTRIBUTION_SQL,
-             "multi-touch conversion attribution: first/last-touch, "
-             "exact linear + U-shaped positional credits, and the exact "
-             "Shapley value of the conversion-rate coalition game over "
-             "bitmask journey sets")
     register("kaplan_meier_conversion", behavior.kaplan_meier_conversion,
              behavior.KAPLAN_MEIER_SQL,
              "Kaplan-Meier product-limit survival of time-to-conversion "
@@ -786,11 +800,6 @@ def register_all() -> None:
              "top-K vocabulary coverage curve: exact cumulative token "
              "counts at each vocab budget (distributed prefix-sum over "
              "descending term frequency, portable md5_48 tiebreak)")
-    register("conformal_by_modality", dashboard.conformal_by_modality,
-             dashboard.CONFORMAL_BY_MODALITY_SQL,
-             "Mondrian (group-conditional) conformal calibration: exact "
-             "per-modality order-statistic thresholds via the GROUPED "
-             "distributed-ranking form (max_groups guard driver-visible)")
     register("dsir_importance_weights", curation.dsir_importance_weights,
              curation.DSIR_IMPORTANCE_SQL,
              "DSIR domain-matching importance weights: hashed-unigram "

@@ -1172,7 +1172,16 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared KM risk table (t_segundos, n_eventos, n_censuras,
     n_risco) — ONE derivation feeding the survival curve and the
-    Greenwood-variance extension."""
+    Greenwood-variance extension, memoized for the session
+    (operators/memo: eager localCheckpoint, survives cache eviction)."""
+    from banking_streaming_etl_spark.operators import memo
+
+    return memo.shared_frame(
+        spark, sf_dir, "km_risk_table", lambda: _km_build(spark, sf_dir)
+    )
+
+
+def _km_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banking_streaming_etl_spark.operators import ranking
 
     t = datamodel.transactions(spark, sf_dir).select(
@@ -1229,7 +1238,7 @@ def _km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("_cumn").cast("bigint")
             + F.col("_w")
         ).alias("n_risco"),
-    ).persist()
+    )
 
 
 def _km_curve(base: DataFrame) -> DataFrame:

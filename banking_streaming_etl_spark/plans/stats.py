@@ -1899,35 +1899,34 @@ def brown_forsythe_value_by_modality(
 
     Outputs one row per modality (n, median, mean |deviation|) with the
     F statistic broadcast onto every row."""
-    ap = (
-        _approved(spark, sf_dir)
-        .select("id_transacao", "modalidade_pagamento", "valor_transacao")
-        .persist()
+    from banking_streaming_etl_spark.plans.dashboard import (
+        _modality_value_ranked,
     )
-    ranked = ranking.with_global_row_number(
-        ap,
-        "valor_transacao",
-        "id_transacao",
-        out="_rk",
-        group_cols=["modalidade_pagamento"],
-        nulls="reject",
+
+    # session-shared grouped value ranking (same order statistics the
+    # exact-percentile query reads — materialized once); the enrichment
+    # joins are row-preserving LEFT joins, so the (modality, value, id)
+    # triples of the scored frame and the raw transactions frame are
+    # identical.
+    ranked = _modality_value_ranked(spark, sf_dir).withColumnRenamed(
+        "modalidade", "modalidade_pagamento"
     )
     med = (
         ranked.filter(
-            (F.col("_rk") == F.expr("(_rank_n_total + 1) div 2"))
-            | (F.col("_rk") == F.expr("(_rank_n_total + 2) div 2"))
+            (F.col("r") == F.expr("(_rank_n_total + 1) div 2"))
+            | (F.col("r") == F.expr("(_rank_n_total + 2) div 2"))
         )
         .groupBy("modalidade_pagamento")
-        .agg(
-            (
-                F.sum("valor_transacao") / F.count("*").cast("double")
-            ).alias("mediana")
-        )
+        .agg((F.sum("v") / F.count("*").cast("double")).alias("mediana"))
     )
-    dev = ap.join(F.broadcast(med), "modalidade_pagamento").select(
-        "modalidade_pagamento",
-        F.abs(F.col("valor_transacao") - F.col("mediana")).alias("_z"),
-        "mediana",
+    dev = (
+        ranked.select("modalidade_pagamento", "v")
+        .join(F.broadcast(med), "modalidade_pagamento")
+        .select(
+            "modalidade_pagamento",
+            F.abs(F.col("v") - F.col("mediana")).alias("_z"),
+            "mediana",
+        )
     )
     grp = (
         dev.groupBy("modalidade_pagamento")
@@ -2574,29 +2573,27 @@ def calibration_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ratios, and the 10-term ECE sum rides the deterministic
     sorted fold. Scale: one scalar pass, one ranking pass, one decile
     aggregate; the corpus never feeds an unpartitioned window."""
-    ap = _approved(spark, sf_dir).select(
+    from banking_streaming_etl_spark.plans.dashboard import _cal_ntile_asc
+
+    # session-shared scored + ASC-NTILE(10) frame (identical decile
+    # assignment as the reliability diagram; ECE_BINS is pinned to it)
+    assert ECE_BINS == 10
+    ap = _cal_ntile_asc(spark, sf_dir).select(
         "id_transacao",
         "score_medio",
+        "decil",
         (~F.col("transacao_aprovada")).cast("int").alias("y"),
     )
     mm = ap.agg(
         F.min("score_medio").alias("_mn"), F.max("score_medio").alias("_mx")
     )
-    wp = (
-        ap.crossJoin(F.broadcast(mm))
-        .withColumn(
-            "p6",
-            F.round(
-                (F.col("score_medio") - F.col("_mn"))
-                / (F.col("_mx") - F.col("_mn")),
-                6,
-            ),
-        )
-        .persist()
-    )
-    binned = ranking.with_global_ntile(
-        wp, "score_medio", "id_transacao", ECE_BINS, out="decil",
-        nulls="reject",
+    binned = ap.crossJoin(F.broadcast(mm)).withColumn(
+        "p6",
+        F.round(
+            (F.col("score_medio") - F.col("_mn"))
+            / (F.col("_mx") - F.col("_mn")),
+            6,
+        ),
     )
     sq = (F.col("p6") - F.col("y")) * (F.col("p6") - F.col("y"))
     per = (

@@ -32,6 +32,7 @@ def _worst_case_payload() -> dict:
         "streaming_batch_ms_p95": 99999,
         "headline_sf001_total": 99999.9999,
         "extended_total": 99999.9999,
+        "extra_core_total": 99999.9999,
         "ann_ivf_pq_build": 9999.9999,
         "ann_ivf_pq_search": 9999.9999,
     }

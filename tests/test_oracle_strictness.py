@@ -134,7 +134,6 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # customers_without_tx, payer_chains_batch — all re-proven by
         # in-window siblings and the local parity gate)
         "q2_min_cost_supplier",
-        "q20_promotion_suppliers",
         "q21_suppliers_kept_waiting",
         # round-4 rotation: the LLM-pipeline capstones and the RANGE-frame
         # shape must be driver-proven (they displaced denial_reasons,
@@ -155,12 +154,16 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # by in-window siblings and the local parity gate)
         "pareto_share_by_decile",
         "risk_score_auc",
-        # round-7 rotation: the KS test gives the distributed PREFIX-SUM
-        # form (with_global_cumsum) its first driver-green row; it
-        # displaced exact_percentiles_valor (driver-green in r6, same
-        # global-order family as in-window pareto + AUC, re-registered
-        # right after the window and parity-gated every run)
-        "ks_test_value_by_approval",
+        # round-8 rotation: the GROUPED distributed-ranking form (with
+        # its max_groups plan guard) and the broadcast Shapley coalition
+        # lattice must be driver-proven; they displaced
+        # ks_test_value_by_approval (driver-green in r7, prefix-sum
+        # family re-proven in-window by pareto + AUC) and
+        # q20_promotion_suppliers (driver-green since r5, correlated
+        # TPC-H shape re-proven in-window by q2 + q21) — both
+        # re-registered right after the window, parity-gated every run
+        "conformal_by_modality",
+        "channel_attribution",
         # round-7 rotation: the eval-calibration family and the
         # iteration-unrolled HITS oracle must be driver-proven (they
         # displaced q6_revenue_forecast and kmv_modality_overlap —

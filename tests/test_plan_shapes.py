@@ -585,14 +585,33 @@ def test_exact_percentiles_has_no_unpartitioned_window(spark):
     """exact_percentiles_valor / _by_modality: the rank must come from
     the distributed ranking operator (bucket-partitioned window only) —
     a plain ROW_NUMBER/percentile would single-partition the fact (or
-    buffer a whole group's values in one task)."""
-    for name in ("exact_percentiles_valor", "exact_percentiles_by_modality"):
-        plan = _physical_plan(_query(spark, name))
+    buffer a whole group's values in one task).
+
+    The by-modality rank now rides the session memo (a checkpointed RDD
+    scan in the consumer plan), so the distributed shape is asserted on
+    the memo's BUILD plan."""
+    from banking_streaming_etl_spark.plans.dashboard import (
+        _modality_value_ranked_build,
+    )
+
+    plans = {
+        "exact_percentiles_valor": _physical_plan(
+            _query(spark, "exact_percentiles_valor")
+        ),
+        "modality_value_ranked_build": _physical_plan(
+            _modality_value_ranked_build(spark, SF)
+        ),
+    }
+    for name, plan in plans.items():
         assert "rk_bucket" in plan, (name, plan)
         # every Window node's spec partitions by the rank bucket
         for sec in plan.split("\n\n"):
             if sec.startswith("(") and "Window" in sec.splitlines()[0][:20]:
                 assert "rk_bucket" in sec.split("Arguments:")[-1], (name, sec)
+    # the registered consumer itself must plan NO Window at all (it is
+    # an explode+filter over the checkpointed shared frame)
+    consumer = _physical_plan(_query(spark, "exact_percentiles_by_modality"))
+    assert "Window" not in consumer, consumer
 
 
 def test_conformal_by_modality_plan_carries_max_groups_guard(spark):

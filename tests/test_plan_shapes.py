@@ -638,3 +638,62 @@ def test_dataset_card_is_one_scan(spark):
 
     plan = _physical_plan(_query(spark, "dataset_card"))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_desc_ranking_call_sites_pass_explicit_nulls_fleet_invariant():
+    """Fleet sweep (round-7 verdict task #6): the NULL-ordering policy of
+    the distributed ranking operator is an explicit parameter
+    (first/last/reject), but nothing machine-checked that NEW
+    desc-ordered consumers CHOSE one — under the old implicit order a
+    NULL value ranks FIRST in a descending order, silently polluting
+    top-K / decile-1 cells. Every `with_global_*` call in the package
+    that requests `value_desc=True` (keyword or positional, constant or
+    forwarded) must pass a `nulls` argument explicitly."""
+    import ast
+    import pathlib
+
+    # positional index of value_desc / nulls per operator signature
+    # (operators/ranking.py — update together with the signatures)
+    POS = {
+        "with_global_row_number": (4, 8),
+        "with_global_ntile": (5, 9),
+        "with_global_cumsum": (7, 11),
+    }
+    pkg = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "banking_streaming_etl_spark"
+    )
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(py.read_text(), filename=str(py))
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            fname = (
+                node.func.attr
+                if isinstance(node.func, ast.Attribute)
+                else getattr(node.func, "id", "")
+            )
+            if fname not in POS:
+                continue
+            desc_i, nulls_i = POS[fname]
+            kws = {k.arg for k in node.keywords}
+            desc_node = next(
+                (k.value for k in node.keywords if k.arg == "value_desc"),
+                node.args[desc_i] if len(node.args) > desc_i else None,
+            )
+            if desc_node is None:
+                continue  # default ascending — implicit nulls="first" is fine
+            if (
+                isinstance(desc_node, ast.Constant)
+                and desc_node.value is False
+            ):
+                continue  # explicit ascending
+            # desc requested (True constant) or FORWARDED (a variable
+            # that may be True at runtime) -> nulls must be explicit
+            if "nulls" not in kws and len(node.args) <= nulls_i:
+                offenders.append(f"{py.relative_to(pkg)}:{node.lineno}")
+    assert offenders == [], (
+        "desc-ordered with_global_* calls without an explicit nulls= "
+        f"policy: {offenders}"
+    )

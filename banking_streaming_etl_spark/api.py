@@ -76,6 +76,29 @@ EAGER_QUERIES = frozenset({
     "pca_embeddings",
 })
 
+#: Queries whose builder materializes a session-shared derivation on
+#: FIRST build (operators/memo.shared_frame — eager localCheckpoint of
+#: the KM risk table / calibration rank frames / per-modality value
+#: ranking / inter-arrival sequence): the first plan build of a family
+#: runs the shared derivation's jobs ONCE per (session, sf_dir); every
+#: later build in the family is job-free. Unlike EAGER_QUERIES the
+#: RESULT frame stays a fully distributed lazy plan — these still
+#: belong in the SQL view sweep and the plan-shape fleets; the
+#: builder-job guard test warms them before counting.
+MEMOIZED_QUERIES = frozenset({
+    "exact_percentiles_by_modality",
+    "brown_forsythe_value_by_modality",
+    "calibration_error_metrics",
+    "score_calibration_deciles",
+    "roc_curve_deciles",
+    "precision_recall_at_k",
+    "risk_score_auc",
+    "isotonic_calibration_bins",
+    "kaplan_meier_conversion",
+    "kaplan_meier_greenwood",
+    "interarrival_percentiles_by_modality",
+})
+
 
 def register_query_views(
     spark: SparkSession,

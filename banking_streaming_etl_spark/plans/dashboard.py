@@ -60,23 +60,62 @@ def _cal_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cal_ntile_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared exact NTILE(10) of the scored frame under
-    (score_medio ASC, id_transacao ASC) — feeds the reliability diagram
-    AND the ECE/MCE/Brier trio (identical `decil` assignment)."""
+def _cal_rank_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ASC global rank of the scored frame under
+    (score_medio ASC, id_transacao ASC): column `r` + `_rank_n_total`
+    — ONE distributed rank pass feeds the exact AUC (Mann-Whitney rank
+    sums), the NTILE(10) calibration deciles, and the NTILE(20)
+    isotonic bins (NTILE is the rank's closed form, so every bin width
+    shares the same pass)."""
     from banking_streaming_etl_spark.operators import memo, ranking
 
     return memo.shared_frame(
         spark,
         sf_dir,
-        "cal_ntile_asc",
-        lambda: ranking.with_global_ntile(
-            _cal_scored(spark, sf_dir),
-            "score_medio",
-            "id_transacao",
-            10,
-            out="decil",
-            nulls="reject",
+        "cal_rank_asc",
+        lambda: ranking.with_global_row_number(
+            _cal_scored(spark, sf_dir), "score_medio", "id_transacao",
+            out="r", nulls="reject",
+        ),
+    )
+
+
+def _cal_ntile_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NTILE(10) of the scored frame under (score_medio ASC,
+    id_transacao ASC) — the reliability diagram AND the ECE/MCE/Brier
+    trio read the identical `decil` assignment. A free projection of
+    the shared ASC rank (ntile_from_rank closed form)."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    return (
+        _cal_rank_asc(spark, sf_dir)
+        .withColumn(
+            "decil",
+            ranking.ntile_from_rank(
+                F.col("r"), F.col("_rank_n_total"), 10
+            ),
+        )
+        .drop("r", "_rank_n_total")
+    )
+
+
+def _cal_rank_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DESC global rank of the scored frame under
+    (score_medio DESC, id_transacao ASC): column `r` + `_rank_n_total`
+    — feeds precision@K directly and the ROC deciles via the NTILE
+    closed form (with_global_ntile is exactly this rank + the closed
+    form, so sharing the rank shares the whole expensive pass)."""
+    from banking_streaming_etl_spark.operators import memo, ranking
+
+    return memo.shared_frame(
+        spark,
+        sf_dir,
+        "cal_rank_desc",
+        # desc rank: a NULL score at rank 1 would pollute every top-K /
+        # decile-1 cell; scores are non-null by construction — enforce it
+        lambda: ranking.with_global_row_number(
+            _cal_scored(spark, sf_dir), "score_medio", "id_transacao",
+            out="r", value_desc=True, nulls="reject",
         ),
     )
 
@@ -1281,16 +1320,9 @@ def risk_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard tie-adjusted bounds). Rank sums accumulate in DECIMAL(38,0)
     — at 10^12 rows a rank sum is ~5e23, past bigint — and every double
     conversion/expression is term-identical in both dialects."""
-    from banking_streaming_etl_spark.operators import ranking
-
-    ap = _approved(spark, sf_dir).select(
-        "id_transacao", "score_medio", "transacao_aprovada"
-    )
-    # cache the narrow scored frame: the rank stages scan it ~3x and
-    # must not re-derive the enrich+score graph each time (lazy persist)
-    ranked = ranking.with_global_row_number(
-        ap.persist(), "score_medio", "id_transacao", out="r"
-    )
+    # session-shared ASC rank (the calibration/isotonic family reads
+    # the same pass)
+    ranked = _cal_rank_asc(spark, sf_dir)
     pos = (~F.col("transacao_aprovada")).cast("int")
     agg = ranked.agg(
         F.sum(pos).cast("bigint").alias("n_pos"),
@@ -1355,20 +1387,8 @@ def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator n_pos_total is data-dependent and could land on the
     exact-rational rounding boundary (the round-5-advice hazard class) —
     readers divide the two exact integer columns themselves."""
-    from banking_streaming_etl_spark.operators import ranking
-
-    ap = _approved(spark, sf_dir).select(
-        "id_transacao", "score_medio", "transacao_aprovada"
-    )
-    # lazy persist: the rank stages scan the narrow scored frame ~3x
-    ranked = ranking.with_global_row_number(
-        ap.persist(), "score_medio", "id_transacao", out="r",
-        value_desc=True,
-        # desc rank: a NULL score at rank 1 would pollute every top-K
-        # precision cell; scores are non-null by construction — enforce
-        # it (round-6 verdict task #6 audit).
-        nulls="reject",
-    )
+    # session-shared DESC rank (roc_curve_deciles reads the same pass)
+    ranked = _cal_rank_desc(spark, sf_dir)
     pos = (~F.col("transacao_aprovada")).cast("int")
     aggs = [F.sum(pos).cast("bigint").alias("n_pos_total")]
     for k in PR_AT_KS:
@@ -1936,12 +1956,19 @@ def roc_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, never an unpartitioned window."""
     from banking_streaming_etl_spark.operators import ranking
 
-    # session-shared scored frame (the DESC decile pass itself is this
-    # query's own — NTILE boundaries under DESC are not derivable from
-    # the ASC assignment when N % 10 != 0)
-    binned = ranking.with_global_ntile(
-        _cal_scored(spark, sf_dir), "score_medio", "id_transacao", 10,
-        out="decil", value_desc=True, nulls="reject",
+    # session-shared DESC rank (precision@K reads the same pass); the
+    # decile is its closed form. NTILE boundaries under DESC are not
+    # derivable from the ASC assignment when N % 10 != 0, hence the
+    # second shared rank rather than a reuse of _cal_ntile_asc.
+    binned = (
+        _cal_rank_desc(spark, sf_dir)
+        .withColumn(
+            "decil",
+            ranking.ntile_from_rank(
+                F.col("r"), F.col("_rank_n_total"), 10
+            ),
+        )
+        .drop("r", "_rank_n_total")
     )
     per = binned.groupBy("decil").agg(
         F.count("*").cast("bigint").alias("n_decil"),
@@ -2419,33 +2446,38 @@ def interarrival_percentiles_by_modality(
     micros; the emitted seconds are one exact division. The oracle
     keeps the plain LAG + partitioned ROW_NUMBER form — identical
     selected rows."""
-    from banking_streaming_etl_spark.operators import ranking
+    from banking_streaming_etl_spark.operators import memo, ranking
 
-    t = datamodel.transactions(spark, sf_dir).select(
-        F.col("modalidade_pagamento").alias("modalidade"),
-        F.expr("unix_micros(data_horario)").alias("ts_us"),
-        F.col("id_transacao").alias("i"),
-    )
-    # EAGER barriers (graph.py convention): each grouped-ranking pass
-    # internally runs count/sample/bucket/offset stages, so a lazy
-    # persist materializes mid-pipeline and the early stages re-derive
-    # the whole upstream DAG — eager localCheckpoint truncates it once.
-    seq = ranking.with_global_row_number(
-        t, "ts_us", "i", out="r", group_cols=["modalidade"]
-    ).localCheckpoint(eager=True)
-    prev = seq.select(
-        "modalidade",
-        (F.col("r") + 1).alias("r"),
-        F.col("ts_us").alias("_ts_prev"),
-    )
-    deltas = (
-        seq.join(prev, ["modalidade", "r"])
-        .select(
+    # EAGER barriers (graph.py convention) via the session memo: each
+    # grouped-ranking pass internally runs count/sample/bucket/offset
+    # stages, so a lazy persist materializes mid-pipeline and the early
+    # stages re-derive the whole upstream DAG — the eager checkpoint
+    # truncates it once (and the memo makes repeat builds job-free).
+    def _seq() -> DataFrame:
+        t = datamodel.transactions(spark, sf_dir).select(
+            F.col("modalidade_pagamento").alias("modalidade"),
+            F.expr("unix_micros(data_horario)").alias("ts_us"),
+            F.col("id_transacao").alias("i"),
+        )
+        return ranking.with_global_row_number(
+            t, "ts_us", "i", out="r", group_cols=["modalidade"]
+        )
+
+    def _deltas() -> DataFrame:
+        seq = memo.shared_frame(spark, sf_dir, "interarrival_seq", _seq)
+        prev = seq.select(
+            "modalidade",
+            (F.col("r") + 1).alias("r"),
+            F.col("ts_us").alias("_ts_prev"),
+        )
+        return seq.join(prev, ["modalidade", "r"]).select(
             "modalidade",
             "i",
             (F.col("ts_us") - F.col("_ts_prev")).alias("d_us"),
         )
-        .localCheckpoint(eager=True)
+
+    deltas = memo.shared_frame(
+        spark, sf_dir, "interarrival_deltas", _deltas
     )
     ranked = ranking.with_global_row_number(
         deltas, "d_us", "i", out="rr", group_cols=["modalidade"]

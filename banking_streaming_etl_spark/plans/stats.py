@@ -698,13 +698,14 @@ def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers picked by MIN/MAX — identical doubles in both engines, no
     rounding. `taxa_isotonica` is non-decreasing in `faixa` by
     construction (pinned by the brute-force PAV differential test)."""
-    ap = (
-        _approved(spark, sf_dir)
-        .select("id_transacao", "score_medio", "transacao_aprovada")
-        .persist()
-    )
-    binned = ranking.with_global_ntile(
-        ap, "score_medio", "id_transacao", ISO_BINS, out="faixa"
+    from banking_streaming_etl_spark.plans.dashboard import _cal_rank_asc
+
+    # session-shared ASC rank; the ISO_BINS NTILE is its closed form
+    binned = _cal_rank_asc(spark, sf_dir).withColumn(
+        "faixa",
+        ranking.ntile_from_rank(
+            F.col("r"), F.col("_rank_n_total"), ISO_BINS
+        ),
     )
     bins = binned.groupBy("faixa").agg(
         F.count("*").cast("bigint").alias("n"),

@@ -286,7 +286,8 @@ def _warm_family_memos(spark, sf_dir: str) -> None:
     from banking_streaming_etl_spark.plans import behavior as _behavior
     from banking_streaming_etl_spark.plans import dashboard as _dashboard
 
-    _dashboard._cal_ntile_asc(spark, sf_dir)
+    _dashboard._cal_rank_asc(spark, sf_dir)
+    _dashboard._cal_rank_desc(spark, sf_dir)
     _dashboard._modality_value_ranked(spark, sf_dir)
     _behavior._km_risk_table(spark, sf_dir)
 

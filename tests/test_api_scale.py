@@ -50,8 +50,16 @@ def test_non_eager_builders_do_not_run_jobs(spark):
         # the AtomicInteger to an int)
         return sc._jsc.sc().dagScheduler().nextJobId()
 
+    # session-memoized family builders (api.MEMOIZED_QUERIES) run their
+    # shared derivation's jobs ONCE per session on first build — warm
+    # them so the loop below counts the steady-state (job-free) build,
+    # which is what register_query_views' sweep and repeat callers see
+    qs = registry.all_queries()
+    for name in sorted(api.MEMOIZED_QUERIES):
+        qs[name].fn(spark, SF)
+
     offenders = {}
-    for name, q in registry.all_queries().items():
+    for name, q in qs.items():
         if name in api.EAGER_QUERIES:
             continue
         before = _jobs()
@@ -64,7 +72,8 @@ def test_non_eager_builders_do_not_run_jobs(spark):
             offenders[name] = delta
     assert offenders == {}, (
         f"builders running >10 jobs at plan-build time, add to "
-        f"EAGER_QUERIES: {offenders}"
+        f"EAGER_QUERIES (or MEMOIZED_QUERIES if the cost is a "
+        f"once-per-session shared derivation): {offenders}"
     )
 
 

@@ -529,6 +529,24 @@ def test_no_engine_specific_hash_feeds_oracle_values_fleet_invariant(spark):
     prune away or are whitelisted by name with the argument."""
     from banking_streaming_etl_spark import api, registry
 
+    def _user_xxhash_lines(plan: str) -> list[str]:
+        # Spark 4's runtime bloom-filter join optimization INJECTS
+        # might_contain(bloom_filter_agg(xxhash64(join_key))) pre-filters
+        # into equi-joins (spark.sql.optimizer.runtime.bloomFilter.*);
+        # whether it fires depends on session cache state, so it can
+        # appear on any join after an unrelated registration-order
+        # change. It is routing-only by construction — a Bloom filter
+        # has no false negatives, and surviving rows still go through
+        # the EXACT equi-join — so the sweep exempts those nodes
+        # generically and stays strict on USER-written xxhash64.
+        return [
+            ln
+            for ln in plan.splitlines()
+            if "xxhash64" in ln
+            and "might_contain" not in ln
+            and "bloom_filter_agg" not in ln
+        ]
+
     offenders = {}
     for name, q in registry.all_queries().items():
         if q.oracle is None or name in api.EAGER_QUERIES:
@@ -537,8 +555,9 @@ def test_no_engine_specific_hash_feeds_oracle_values_fleet_invariant(spark):
             continue
         df = q.fn(spark, SF)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        if "xxhash64" in plan:
-            offenders[name] = plan.count("xxhash64")
+        hits = _user_xxhash_lines(plan)
+        if hits:
+            offenders[name] = len(hits)
     assert offenders == {}, (
         f"engine-specific hash in an oracle-backed optimized plan "
         f"(use functions/portable instead): {offenders}"

@@ -460,9 +460,20 @@ def main() -> None:
     # streaming replay runs BEFORE the scale-curve pass: streaming_tx_per_s
     # is the round-over-round comparable metric, so it must be measured
     # under the same session state every round — not after a second sf's
-    # cached relations and codegen have piled up.
+    # cached relations and codegen have piled up. MEDIAN of 3 full
+    # replays (round-8): the first replay after JVM start is 20-40%
+    # slower than steady state even after _warm_streaming (codegen +
+    # state-store class loading), and a single shot conflates that
+    # warm-up with real regressions — the same reasoning that made the
+    # batch headline a median_of_3 in round 6.
     _warm_streaming(spark, sf_dir)
-    stream_sec, tx_per_s, batch_ms = bench_streaming_replay(spark, sf_dir)
+    replays = [bench_streaming_replay(spark, sf_dir) for _ in range(3)]
+    print(
+        "# streaming_replay raw samples: "
+        + ", ".join(f"{r[1]:,.0f} tx/s" for r in replays),
+        file=sys.stderr,
+    )
+    stream_sec, tx_per_s, batch_ms = sorted(replays, key=lambda r: r[1])[1]
     timings["streaming_replay"] = round(stream_sec, 4)
 
     # scale-curve datapoint: the same headline set one decade down
@@ -483,6 +494,10 @@ def main() -> None:
     # keep their round-over-round session state untouched.
     ext_names = [n for n in EXTENDED if n in queries]
     print("# extension families", file=sys.stderr)
+    # family memos warm BEFORE the first consumer group (risk_score_auc
+    # in EXTENDED reads the shared ASC rank): per-query timings measure
+    # the operator, not whoever ran first paying the shared build
+    _warm_family_memos(spark, sf_dir)
     ext_timings, _, _ = _time_headline(spark, queries, ext_names, sf_dir)
     ext_total = round(sum(ext_timings.values()), 4)
     # EXTRA = pinned comparable core + half of the rotating remainder
@@ -512,7 +527,6 @@ def main() -> None:
     )
     extra_names = [n for n in EXTRA_CORE + rotating if n in queries]
     print("# extra group (stderr/detail-file only)", file=sys.stderr)
-    _warm_family_memos(spark, sf_dir)
     extra_timings, _, _ = _time_headline(
         spark, queries, extra_names, sf_dir, clear_cache_between=True
     )
@@ -570,6 +584,10 @@ def main() -> None:
     _write_detail(
         payload,
         hygiene=hygiene,
+        streaming_replay_samples=[
+            {"sec": round(r[0], 3), "tx_per_s": round(r[1], 1)}
+            for r in replays
+        ],
         extra_rotation={"slice": rot, "skipped": skipped},
         timings_min=timings_min,
         timings_raw_samples=timings_raw,

@@ -354,10 +354,12 @@ def cohens_kappa_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     two gates are redundant raters or independent controls.
 
     kappa = (N*agree - (a1*b1 + a0*b0)) / (N*N - (a1*b1 + a0*b0)) with
-    every term an exact bigint from ONE aggregate pass; the statistic is
-    a single integer-ratio double, unrounded and term-identical in the
-    oracle (exact rational). At >~3e9 rows the bigint products need a
-    DECIMAL(38,0) widening — the tested scales fit bigint exactly."""
+    every margin an exact bigint from ONE aggregate pass; the products
+    ride the doubles-first ladder (the mcnemar convention — each margin
+    cast to double BEFORE multiplying, so nothing overflows int64 under
+    ANSI at any corpus size; both engines run the identical IEEE
+    expression tree, and below 2^53 the doubles are the exact
+    integers)."""
     ap = _approved(spark, sf_dir)
     agg = ap.agg(
         F.count("*").cast("bigint").alias("n_linhas"),
@@ -375,14 +377,12 @@ def cohens_kappa_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("_b1"),
     )
-    n = F.col("n_linhas")
-    agree = F.col("concordancia")
-    pe_num = F.col("_a1") * F.col("_b1") + (n - F.col("_a1")) * (
-        n - F.col("_b1")
-    )
-    kappa = (n * agree - pe_num).cast("double") / (n * n - pe_num).cast(
-        "double"
-    )
+    nd = F.col("n_linhas").cast("double")
+    agreed = F.col("concordancia").cast("double")
+    a1d = F.col("_a1").cast("double")
+    b1d = F.col("_b1").cast("double")
+    pe_num = a1d * b1d + (nd - a1d) * (nd - b1d)
+    kappa = (nd * agreed - pe_num) / (nd * nd - pe_num)
     return agg.select("n_linhas", "concordancia", kappa.alias("kappa"))
 
 
@@ -390,11 +390,15 @@ COHENS_KAPPA_SQL = _oracle_with(
     "",
     """
 SELECT n_linhas, concordancia,
-       CAST(n_linhas * concordancia - (a1 * b1 + (n_linhas - a1) * (n_linhas - b1))
-            AS DOUBLE)
-           / CAST(n_linhas * n_linhas
-                  - (a1 * b1 + (n_linhas - a1) * (n_linhas - b1))
-                  AS DOUBLE) AS kappa
+       (CAST(n_linhas AS DOUBLE) * CAST(concordancia AS DOUBLE)
+        - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+           + (CAST(n_linhas AS DOUBLE) - CAST(a1 AS DOUBLE))
+             * (CAST(n_linhas AS DOUBLE) - CAST(b1 AS DOUBLE))))
+           / (CAST(n_linhas AS DOUBLE) * CAST(n_linhas AS DOUBLE)
+              - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                 + (CAST(n_linhas AS DOUBLE) - CAST(a1 AS DOUBLE))
+                   * (CAST(n_linhas AS DOUBLE) - CAST(b1 AS DOUBLE))))
+           AS kappa
 FROM (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_linhas,
            CAST(SUM(CASE WHEN saldo_aprovado = limite_aprovado

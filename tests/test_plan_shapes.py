@@ -716,3 +716,18 @@ def test_desc_ranking_call_sites_pass_explicit_nulls_fleet_invariant():
         "desc-ordered with_global_* calls without an explicit nulls= "
         f"policy: {offenders}"
     )
+
+
+def test_channel_attribution_lattice_is_broadcast_and_guarded(spark):
+    """channel_attribution (driver-visible since round 8): the 2^M
+    Shapley coalition lattice must meet the journey aggregate as
+    BROADCAST joins only (the lattice is model-sized, the journeys are
+    corpus-sized — a shuffle or cartesian of the corpus against the
+    lattice would be the wrong plan at any scale), and the M <=
+    ATTRIB_MAX_CHANNELS assert_true guard must survive optimization."""
+    df = _query(spark, "channel_attribution")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in opt, opt[:2000]
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -187,7 +187,34 @@ def decode_record(
     return rec
 
 
-# --- Spark adapter ------------------------------------------------------------
+# --- Spark adapters -----------------------------------------------------------
+
+
+def encode_avro_column(df: DataFrame, avsc: str | dict) -> DataFrame:
+    """Encode the schema's columns into ONE binary Avro column `value`
+    via Arrow-batched mapInPandas — the producer-side twin of
+    `decode_avro_column` (what a Kafka sink would put on the wire)."""
+    import pandas as pd
+
+    fields = parse_schema(avsc)
+    names = [n for n, _ in fields]
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        encode_record(
+                            {n: row[n] for n in names}, fields
+                        )
+                        for row in pdf.to_dict("records")
+                    ]
+                }
+            )
+
+    return df.select(*names).mapInPandas(
+        _encode, schema=T.StructType([T.StructField("value", T.BinaryType())])
+    )
 
 
 def decode_avro_column(

@@ -335,6 +335,15 @@ def register_all() -> None:
     register("q20_promotion_suppliers", tpch2.q20_promotion_suppliers,
              tpch2.Q20_SQL,
              "TPC-H Q20 shape: nested IN chain over derived supply aggs")
+    # round-8: the dependency-free Avro binary codec, driver-verified
+    # lossless over the whole corpus (oracle = plain SELECT of the same
+    # projection; spark-avro is absent from the environment)
+    register("avro_wire_roundtrip", batchdev.avro_wire_roundtrip,
+             batchdev.AVRO_WIRE_SQL,
+             "full Avro binary wire cycle (encode + decode via the "
+             "public-spec avro_lite codec, Arrow-batched at the "
+             "ingestion boundary) proven lossless against a plain "
+             "SELECT oracle")
 
     # round-7 statistical-tests family (plans/stats.py): exact classical
     # two-sample / association statistics, all oracle-backed; KS holds

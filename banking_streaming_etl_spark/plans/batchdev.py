@@ -126,3 +126,64 @@ def synthetic_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1704067200000000) + (F.col("id") * 1_000_000)).cast("long")
         ).alias("data_horario"),
     )
+
+
+# --- Avro wire round-trip (the dependency-free codec, driver-verified) ------
+
+#: the reference's wire schema shape (data/schema.avsc: ids as strings,
+#: epoch long, double value; one field uses the wrapped type form).
+AVRO_WIRE_AVSC = {
+    "type": "record",
+    "name": "BankTransaction",
+    "fields": [
+        {"name": "id_transacao", "type": "string"},
+        {"name": "id_usuario_pagador", "type": "string"},
+        {"name": "id_usuario_recebedor", "type": "string"},
+        {"name": "id_regiao", "type": "string"},
+        {"name": "modalidade_pagamento", "type": {"type": "string"}},
+        {"name": "data_horario", "type": "long"},
+        {"name": "valor_transacao", "type": "double"},
+    ],
+}
+
+
+def avro_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every transaction pushed through the FULL Avro binary wire cycle
+    — typed columns -> Arrow-batched encode to one binary `value`
+    column (the Kafka wire shape) -> Arrow-batched decode back to typed
+    columns (functions/avro_lite, the dependency-free implementation of
+    the public Avro spec subset; the environment lacks spark-avro,
+    reference schema data/schema.avsc). The oracle is a plain SELECT of
+    the same projection, so the driver hash proves the codec is
+    LOSSLESS on the whole corpus: exact strings, exact epoch-micros
+    longs, and bit-identical IEEE doubles through the little-endian
+    wire bytes.
+
+    Scale shape: two Arrow-batched maps, no shuffle, no collect —
+    Python only at the ingestion boundary (the multimodal stance)."""
+    from banking_streaming_etl_spark.functions import avro_lite
+
+    t = datamodel.transactions(spark, sf_dir).select(
+        F.col("id_transacao").cast("string"),
+        F.col("id_usuario_pagador").cast("string"),
+        F.col("id_usuario_recebedor").cast("string"),
+        F.col("id_regiao").cast("string"),
+        "modalidade_pagamento",
+        F.expr("unix_micros(data_horario)").alias("data_horario"),
+        "valor_transacao",
+    )
+    wire = avro_lite.encode_avro_column(t, AVRO_WIRE_AVSC)
+    return avro_lite.decode_avro_column(wire, AVRO_WIRE_AVSC)
+
+
+AVRO_WIRE_SQL = datamodel.with_ctes(
+    """
+SELECT CAST(id_transacao AS VARCHAR) AS id_transacao,
+       CAST(id_usuario_pagador AS VARCHAR) AS id_usuario_pagador,
+       CAST(id_usuario_recebedor AS VARCHAR) AS id_usuario_recebedor,
+       CAST(id_regiao AS VARCHAR) AS id_regiao,
+       modalidade_pagamento,
+       epoch_us(data_horario) AS data_horario,
+       valor_transacao
+FROM transactions"""
+)

@@ -143,6 +143,8 @@ EXTRA_ROTATING = [
     "classification_report_gate",
     "markov_entropy_rate",
     "cohens_d_value_by_approval",
+    # round-8 registree (the dependency-free Avro wire codec)
+    "avro_wire_roundtrip",
 ]
 
 #: full inventory (registry-coverage checks and docs read this)

@@ -298,10 +298,11 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles_contaminados",
             "n_shingles",
-            F.round(
+            # exact integer ratio stays UNROUNDED (the l_diversity/chi2
+            # convention — no .5-at-digit-7 cross-engine hazard)
+            (
                 F.col("n_shingles_contaminados").cast("double")
-                / F.col("n_shingles").cast("double"),
-                6,
+                / F.col("n_shingles").cast("double")
             ).alias("taxa_contaminacao"),
         )
     )
@@ -333,7 +334,7 @@ cont AS (
     GROUP BY 1
 )
 SELECT doc_id, n_shingles_contaminados, n AS n_shingles,
-       ROUND(CAST(n_shingles_contaminados AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       CAST(n_shingles_contaminados AS DOUBLE) / CAST(n AS DOUBLE)
            AS taxa_contaminacao
 FROM cont JOIN sizes USING (doc_id)
 """
@@ -361,11 +362,15 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens_total"),
         kept.alias("n_docs_mantidos"),
         uniq.alias("n_conteudos_unicos"),
-        F.round(kept.cast("double") / n_docs.cast("double"), 6).alias(
+        # exact integer ratios stay UNROUNDED (the l_diversity/chi2
+        # convention): ROUND(.,6) on an exact rational can land on the
+        # .5 boundary at digit 7 where the engines' rounding paths
+        # disagree; the raw double division is IEEE-identical in both
+        (kept.cast("double") / n_docs.cast("double")).alias(
             "taxa_mantidos"
         ),
-        F.round(
-            F.lit(1.0) - uniq.cast("double") / n_docs.cast("double"), 6
+        (
+            F.lit(1.0) - uniq.cast("double") / n_docs.cast("double")
         ).alias("taxa_duplicados"),
     )
 
@@ -379,10 +384,10 @@ SELECT source,
        CAST(SUM(CASE WHEN quality.manter THEN 1 ELSE 0 END) AS BIGINT)
            AS n_docs_mantidos,
        COUNT(DISTINCT fp.fingerprint) AS n_conteudos_unicos,
-       ROUND(CAST(SUM(CASE WHEN quality.manter THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS taxa_mantidos,
-       ROUND(1.0 - CAST(COUNT(DISTINCT fp.fingerprint) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS taxa_duplicados
+       CAST(SUM(CASE WHEN quality.manter THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS taxa_mantidos,
+       1.0 - CAST(COUNT(DISTINCT fp.fingerprint) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS taxa_duplicados
 FROM documents
 JOIN quality ON documents.doc_id = quality.doc_id
 JOIN fp ON documents.doc_id = fp.doc_id
@@ -820,14 +825,15 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "n_fontes",
         "n_idiomas",
-        F.round(
-            F.col("n_docs_en").cast("double") / F.col("n_docs").cast("double"),
-            6,
+        # exact integer ratios stay UNROUNDED (the l_diversity/chi2
+        # convention — no .5-at-digit-7 cross-engine hazard)
+        (
+            F.col("n_docs_en").cast("double")
+            / F.col("n_docs").cast("double")
         ).alias("fracao_en"),
-        F.round(
+        (
             (F.col("n_docs") - F.col("n_digests")).cast("double")
-            / F.col("n_docs").cast("double"),
-            6,
+            / F.col("n_docs").cast("double")
         ).alias("taxa_dup_exata"),
     )
 
@@ -838,9 +844,9 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_fontes AS BIGINT) AS n_fontes,
        CAST(n_idiomas AS BIGINT) AS n_idiomas,
-       ROUND(CAST(n_docs_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       CAST(n_docs_en AS DOUBLE) / CAST(n_docs AS DOUBLE)
            AS fracao_en,
-       ROUND(CAST(n_docs - n_digests AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       CAST(n_docs - n_digests AS DOUBLE) / CAST(n_docs AS DOUBLE)
            AS taxa_dup_exata
 FROM (
     SELECT COUNT(*) AS n_docs,

@@ -1136,7 +1136,10 @@ def benford_digit_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digito",
             "n",
-            F.round(p_obs, 6).alias("freq_observada"),
+            # exact integer ratio UNROUNDED (l_diversity/chi2
+            # convention); the log10 terms stay ROUND(.,6)
+            # (transcendental-output precedent)
+            p_obs.alias("freq_observada"),
             F.round(p_exp, 6).alias("freq_benford"),
             F.round(chi, 6).alias("chi2_contrib"),
         )
@@ -1169,7 +1172,7 @@ benford_total AS (
 BENFORD_SQL = datamodel.with_ctes(
     """
 SELECT digito, n,
-       ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
            AS freq_observada,
        ROUND(LOG10(1.0 + 1.0 / CAST(digito AS DOUBLE)), 6) AS freq_benford,
        ROUND(CAST(n_total AS DOUBLE)
@@ -1748,9 +1751,11 @@ def score_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "score_medio_decil",
             "n_negadas",
-            F.round(
-                F.col("n_negadas").cast("double") / F.col("n").cast("double"),
-                6,
+            # exact integer ratio stays UNROUNDED (the l_diversity/chi2
+            # convention — no .5-at-digit-7 cross-engine hazard)
+            (
+                F.col("n_negadas").cast("double")
+                / F.col("n").cast("double")
             ).alias("taxa_negacao"),
         )
     )
@@ -1765,8 +1770,8 @@ SELECT decil, CAST(COUNT(*) AS BIGINT) AS n,
        {exact.sql_avg('score_medio', 'score_medio_decil')},
        CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
             AS BIGINT) AS n_negadas,
-       ROUND(CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
-                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       CAST(SUM(CASE WHEN NOT transacao_aprovada THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
            AS taxa_negacao
 FROM (
     SELECT transacao_aprovada, score_medio,

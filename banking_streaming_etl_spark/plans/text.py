@@ -662,10 +662,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 f"n_{n}grams",
-                F.round(
-                    (F.col(f"n_{n}grams") - F.col("_d")).cast("double") / total, 6
+                # exact integer ratios UNROUNDED (l_diversity/chi2
+                # convention — no .5-at-digit-7 cross-engine hazard)
+                (
+                    (F.col(f"n_{n}grams") - F.col("_d")).cast("double")
+                    / total
                 ).alias(f"frac_dup_{n}gram"),
-                F.round(F.col("_t").cast("double") / total, 6).alias(
+                (F.col("_t").cast("double") / total).alias(
                     f"frac_top_{n}gram"
                 ),
             )
@@ -700,14 +703,14 @@ WITH d AS (
 ),{_rep_block(2)},{_rep_block(3)}
 SELECT doc_id,
        n_2grams,
-       ROUND(CAST(n_2grams - d_2 AS DOUBLE) / CAST(n_2grams AS DOUBLE), 6)
+       CAST(n_2grams - d_2 AS DOUBLE) / CAST(n_2grams AS DOUBLE)
            AS frac_dup_2gram,
-       ROUND(CAST(t_2 AS DOUBLE) / CAST(n_2grams AS DOUBLE), 6)
+       CAST(t_2 AS DOUBLE) / CAST(n_2grams AS DOUBLE)
            AS frac_top_2gram,
        n_3grams,
-       ROUND(CAST(n_3grams - d_3 AS DOUBLE) / CAST(n_3grams AS DOUBLE), 6)
+       CAST(n_3grams - d_3 AS DOUBLE) / CAST(n_3grams AS DOUBLE)
            AS frac_dup_3gram,
-       ROUND(CAST(t_3 AS DOUBLE) / CAST(n_3grams AS DOUBLE), 6)
+       CAST(t_3 AS DOUBLE) / CAST(n_3grams AS DOUBLE)
            AS frac_top_3gram
 FROM s2 JOIN s3 USING (doc_id)
 """

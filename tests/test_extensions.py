@@ -467,8 +467,8 @@ def test_repetition_stats_match_python_recount(spark):
             total, dist, top = len(grams), len(c), max(c.values())
             row = got.loc[doc_id]
             assert row[f"n_{n}grams"] == total
-            assert row[f"frac_dup_{n}gram"] == round((total - dist) / total, 6)
-            assert row[f"frac_top_{n}gram"] == round(top / total, 6)
+            assert row[f"frac_dup_{n}gram"] == (total - dist) / total
+            assert row[f"frac_top_{n}gram"] == top / total
 
 
 def test_pack_sequences_invariants(spark):

@@ -2385,9 +2385,13 @@ def hhi_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_s2"
         ),
     )
-    m = F.col("_mt").cast("double")
+    # decimal -> double goes THROUGH A STRING: above 2^53 the engines'
+    # native decimal->double conversions round a sum like s2 (~1e21 at
+    # sf0.1) differently by 1 ulp, while decimal->string is exact
+    # digits and string->double is correctly rounded in BOTH engines
+    m = F.col("_mt").cast("string").cast("double")
     n = F.col("n_pagadores").cast("double")
-    hhi = F.col("_s2").cast("double") / (m * m)
+    hhi = F.col("_s2").cast("string").cast("double") / (m * m)
     return reg.select(
         "id_regiao",
         "n_pagadores",
@@ -2403,12 +2407,15 @@ def hhi_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 HHI_SQL = datamodel.with_ctes(
     """
 SELECT id_regiao, n_pagadores,
-       CAST(mt AS DOUBLE) / 1000000.0 AS valor_total,
-       CAST(s2 AS DOUBLE) / (CAST(mt AS DOUBLE) * CAST(mt AS DOUBLE))
+       CAST(CAST(mt AS VARCHAR) AS DOUBLE) / 1000000.0 AS valor_total,
+       CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+           / (CAST(CAST(mt AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(mt AS VARCHAR) AS DOUBLE))
            AS hhi,
        CASE WHEN n_pagadores > 1
-            THEN (CAST(s2 AS DOUBLE)
-                  / (CAST(mt AS DOUBLE) * CAST(mt AS DOUBLE))
+            THEN (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                  / (CAST(CAST(mt AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(mt AS VARCHAR) AS DOUBLE))
                   - 1.0 / CAST(n_pagadores AS DOUBLE))
                  / (1.0 - 1.0 / CAST(n_pagadores AS DOUBLE))
             END AS hhi_normalizado
@@ -2416,7 +2423,12 @@ FROM (
     SELECT id_regiao,
            CAST(COUNT(*) AS BIGINT) AS n_pagadores,
            CAST(SUM(m) AS DECIMAL(38,0)) AS mt,
-           CAST(SUM(CAST(m * m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+           -- widen each factor BEFORE multiplying: DuckDB evaluates
+           -- m * m in the factors' DECIMAL(18) type first and
+           -- overflows at sf0.1 payer totals (~1e9 micros squared);
+           -- DECIMAL(19) x DECIMAL(19) -> DECIMAL(38), exact
+           CAST(SUM(CAST(m AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS s2
     FROM (
         SELECT id_regiao, id_usuario_pagador,
                CAST(SUM(CAST(CAST(ROUND(valor_transacao, 6)

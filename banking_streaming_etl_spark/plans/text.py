@@ -944,6 +944,14 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("prior")
     )
+    # score stays an UNROUNDED double: the numerator is a 6-grid decimal
+    # and the denominator an integer count, so the quotient is an exact
+    # rational — ROUND(.,6) landed on the .5-at-digit-7 boundary at
+    # sf0.1 (2 of 5000 rows split Spark's BigDecimal rounding from
+    # DuckDB's multiply). The raw division of term-identical doubles is
+    # IEEE-bit-identical in both engines.
+    from banking_streaming_etl_spark.operators import ranking
+
     scored = (
         terms.join(F.broadcast(w), "feat")
         .groupBy("doc_id", "is_en")
@@ -955,17 +963,30 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "is_en",
-            F.round(
-                (F.col("prior") + F.col("soma_pesos"))
-                / F.col("n_tokens").cast("double"),
-                6,
+            (
+                (F.col("prior") + F.col("soma_pesos").cast("double"))
+                / F.col("n_tokens").cast("double")
             ).alias("score"),
         )
+        .persist()
     )
-    cut = scored.agg(
-        F.round(
-            F.percentile("score", F.lit(1.0 - CLF_KEEP_FRACTION)), 6
-        ).alias("corte")
+    # the cut is the EXACT order statistic at rank ceil(q*N) under
+    # (score ASC, doc_id ASC) — a selection, never an interpolation
+    # (QUANTILE_CONT's a+f*(b-a) arithmetic is not pinned cross-engine
+    # on unrounded doubles), and never a single-task value buffer (the
+    # old exact `percentile` aggregate buffered every score in one
+    # task — the A2 lesson applied).
+    ranked = ranking.with_global_row_number(
+        scored, "score", "doc_id", out="_r", nulls="first"
+    )
+    cut = (
+        ranked.filter(
+            F.col("_r")
+            == F.ceil(
+                F.lit(1.0 - CLF_KEEP_FRACTION) * F.col("_rank_n_total")
+            ).cast("bigint")
+        )
+        .select(F.col("score").alias("corte"))
     )
     return (
         scored.crossJoin(F.broadcast(cut))
@@ -1021,7 +1042,8 @@ prior AS (
 ),
 scored AS (
     SELECT doc_id, is_en,
-           ROUND((prior + soma_pesos) / CAST(n_tokens AS DOUBLE), 6) AS score
+           (prior + CAST(soma_pesos AS DOUBLE))
+               / CAST(n_tokens AS DOUBLE) AS score
     FROM (
         SELECT doc_id, is_en, COUNT(*) AS n_tokens,
                {exact.sql_sum("peso", "soma_pesos")}
@@ -1030,8 +1052,15 @@ scored AS (
     ), prior
 ),
 cut AS (
-    SELECT ROUND(QUANTILE_CONT(score, {1.0 - CLF_KEEP_FRACTION}), 6) AS corte
-    FROM scored
+    SELECT score AS corte
+    FROM (
+        SELECT score,
+               ROW_NUMBER() OVER (ORDER BY score ASC NULLS FIRST,
+                                  doc_id ASC) AS r,
+               COUNT(*) OVER () AS n
+        FROM scored
+    )
+    WHERE r = CAST(CEIL({1.0 - CLF_KEEP_FRACTION} * n) AS BIGINT)
 )
 SELECT doc_id, is_en, score, score >= corte AS selecionado
 FROM scored, cut

@@ -42,13 +42,23 @@ def exact_avg(col: Column | str, alias: str) -> Column:
 
 def exact_std(col: Column | str, alias: str) -> Column:
     """Order-independent sample stddev via exact decimal moments:
-    sqrt((sumsq - sum^2/n) / (n-1)), final math in double on both engines."""
+    sqrt((sumsq - sum^2/n) / (n-1)), final math in double on both
+    engines. NULL for n <= 1 in BOTH dialects (Spark ANSI throws on
+    the /0, DuckDB would emit NaN — the guard makes the degenerate
+    group identical instead of divergent)."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.count(c).cast("double")
     s = F.sum(_d(c)).cast("double")
     # square first (rounded to 6), then exact-sum the squares
     sq = F.sum(_d(F.round(c, 6) * F.round(c, 6))).cast("double")
-    return F.sqrt((sq - s * s / n) / (n - F.lit(1.0))).alias(alias)
+    # second guard: the 6-rounded squares can make the radicand a tiny
+    # NEGATIVE on near-constant groups — Spark sqrt(neg) is NaN while
+    # DuckDB SQRT(neg) ERRORS, so both dialects NULL it instead
+    rad = sq - s * s / n
+    return F.when(
+        F.count(c) > 1,
+        F.when(rad >= 0.0, F.sqrt(rad / (n - F.lit(1.0)))),
+    ).alias(alias)
 
 
 def exact_corr(x: Column | str, y: Column | str, alias: str) -> Column:
@@ -153,7 +163,12 @@ def sql_std(expr: str, alias: str) -> str:
     s = _sql_s(expr)
     sq = _sql_sp(expr, expr)
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    return f"SQRT(({sq} - {s} * {s} / {n}) / ({n} - 1.0)) AS {alias}"
+    return (
+        f"CASE WHEN COUNT({expr}) > 1 "
+        f"THEN CASE WHEN {sq} - {s} * {s} / {n} >= 0.0 "
+        f"THEN SQRT(({sq} - {s} * {s} / {n}) / ({n} - 1.0)) END END "
+        f"AS {alias}"
+    )
 
 
 def exact_regr2(

@@ -773,7 +773,14 @@ def mad_outliers_per_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.join(F.broadcast(mad), "modalidade_pagamento")
         .withColumn(
             "z_mod",
-            F.col("desvio_abs") / (F.lit(MAD_K) * F.col("mad")),
+            # the division itself must sit under the mad > 0 guard:
+            # ANSI evaluates the projection eagerly and throws on /0
+            # for a zero-variance modality even though the outlier
+            # count below never reads z_mod there
+            F.when(
+                F.col("mad") > 0,
+                F.col("desvio_abs") / (F.lit(MAD_K) * F.col("mad")),
+            ),
         )
     )
     # mad == 0 guard: Spark doubles give desvio/0 = Inf while DuckDB's
@@ -1593,7 +1600,14 @@ def conformal_risk_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("alpha_permille", "n_cal", "limiar")
         .agg(
             F.count("*").cast("bigint").alias("n_aval"),
-            F.sum((F.col("score_medio") <= F.col("limiar")).cast("int"))
+            # when/otherwise(0), not a nullable cast: with a NULL
+            # limiar/score (degenerate tiny corpus) the SQL twin's CASE
+            # ... ELSE 0 yields 0 while SUM of all-NULL ints yields NULL
+            F.sum(
+                F.when(
+                    F.col("score_medio") <= F.col("limiar"), 1
+                ).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_coberto"),
         )
@@ -1663,7 +1677,14 @@ def conformal_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("modalidade_pagamento", "alpha_permille", "n_cal", "limiar")
         .agg(
             F.count("*").cast("bigint").alias("n_aval"),
-            F.sum((F.col("score_medio") <= F.col("limiar")).cast("int"))
+            # when/otherwise(0), not a nullable cast: with a NULL
+            # limiar/score (degenerate tiny corpus) the SQL twin's CASE
+            # ... ELSE 0 yields 0 while SUM of all-NULL ints yields NULL
+            F.sum(
+                F.when(
+                    F.col("score_medio") <= F.col("limiar"), 1
+                ).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_coberto"),
         )
@@ -1846,11 +1867,19 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(w * x).alias(f"bs_{b}"))
         aggs.append(F.sum(w).alias(f"bc_{b}"))
     agg = t.agg(*aggs)
+    # a tiny corpus can hand a resample ZERO Poisson weight — its mean
+    # is undefined and the engines disagree on NULL placement inside a
+    # sorted list, so the CI is emitted only when EVERY resample drew
+    # mass (ci_ok; the SQL twin mirrors the LEAST(...) > 0 guard)
+    ci_ok = F.least(*[F.col(f"bc_{b}") for b in range(BOOT_B)]) > 0
     means = F.array_sort(
         F.array(
             *[
-                F.col(f"bs_{b}").cast("double")
-                / F.col(f"bc_{b}").cast("double")
+                F.when(
+                    F.col(f"bc_{b}") > 0,
+                    F.col(f"bs_{b}").cast("double")
+                    / F.col(f"bc_{b}").cast("double"),
+                )
                 for b in range(BOOT_B)
             ]
         )
@@ -1866,8 +1895,12 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("s_all").cast("double") / F.col("n").cast("double"), 6
         ).alias("media"),
-        F.round(F.element_at(means, lo_i), 6).alias("ic_inferior"),
-        F.round(F.element_at(means, hi_i), 6).alias("ic_superior"),
+        F.when(
+            ci_ok, F.round(F.element_at(means, lo_i), 6)
+        ).alias("ic_inferior"),
+        F.when(
+            ci_ok, F.round(F.element_at(means, hi_i), 6)
+        ).alias("ic_superior"),
     )
 
 
@@ -1885,9 +1918,11 @@ def _bootstrap_sql() -> str:
             f" AS bs_{b}, SUM({w}) AS bc_{b}"
         )
     means = ", ".join(
-        f"CAST(bs_{b} AS DOUBLE) / CAST(bc_{b} AS DOUBLE)"
+        f"CASE WHEN bc_{b} > 0 "
+        f"THEN CAST(bs_{b} AS DOUBLE) / CAST(bc_{b} AS DOUBLE) END"
         for b in range(BOOT_B)
     )
+    ci_ok = "LEAST(" + ", ".join(f"bc_{b}" for b in range(BOOT_B)) + ") > 0"
     lo_i = max(1, math.ceil(0.025 * BOOT_B))  # same (2, 63) convention
     hi_i = min(BOOT_B, int(0.975 * BOOT_B) + 1)
     inner = ",\n       ".join(terms)
@@ -1895,8 +1930,12 @@ def _bootstrap_sql() -> str:
         f"""
 SELECT CAST(n AS BIGINT) AS n,
        ROUND(CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE), 6) AS media,
-       ROUND(list_sort([{means}])[{lo_i}], 6) AS ic_inferior,
-       ROUND(list_sort([{means}])[{hi_i}], 6) AS ic_superior
+       CASE WHEN {ci_ok}
+            THEN ROUND(list_sort([{means}])[{lo_i}], 6)
+            END AS ic_inferior,
+       CASE WHEN {ci_ok}
+            THEN ROUND(list_sort([{means}])[{hi_i}], 6)
+            END AS ic_superior
 FROM (
     SELECT COUNT(*) AS n,
            SUM(CAST(ROUND(valor_transacao, 6) AS DECIMAL(28,6))) AS s_all,

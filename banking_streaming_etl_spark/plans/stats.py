@@ -101,12 +101,15 @@ def ks_test_value_by_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_aprovadas",
         "n_negadas",
         F.col("_m_dec").cast("bigint").alias("ks_num"),
-        (
+        # guard: one-class corpus -> NULL in BOTH dialects (Spark ANSI
+        # throws on /0, DuckDB would emit NaN/inf)
+        F.when(
+            (F.col("n_aprovadas") > 0) & (F.col("n_negadas") > 0),
             F.col("_m_dec").cast("double")
             / (
                 F.col("n_aprovadas").cast("double")
                 * F.col("n_negadas").cast("double")
-            )
+            ),
         ).alias("ks_stat"),
         "ks_em_valor",
     )
@@ -141,8 +144,10 @@ KS_TEST_SQL = _oracle_with(
     """
 SELECT MAX(na) AS n_aprovadas, MAX(nd) AS n_negadas,
        CAST(MAX(m) AS BIGINT) AS ks_num,
-       CAST(MAX(m) AS DOUBLE)
-           / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nd) AS DOUBLE)) AS ks_stat,
+       CASE WHEN MAX(na) > 0 AND MAX(nd) > 0
+            THEN CAST(MAX(m) AS DOUBLE)
+                 / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nd) AS DOUBLE))
+            END AS ks_stat,
        MIN(valor_transacao) AS ks_em_valor
 FROM ks_cum, ks_mx
 WHERE ABS(c) = m""",
@@ -382,7 +387,12 @@ def cohens_kappa_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1d = F.col("_a1").cast("double")
     b1d = F.col("_b1").cast("double")
     pe_num = a1d * b1d + (nd - a1d) * (nd - b1d)
-    kappa = (nd * agreed - pe_num) / (nd * nd - pe_num)
+    # guard: degenerate single-class raters make the chance-corrected
+    # denominator 0 (kappa undefined) -> NULL in BOTH dialects
+    kappa = F.when(
+        nd * nd - pe_num != 0.0,
+        (nd * agreed - pe_num) / (nd * nd - pe_num),
+    )
     return agg.select("n_linhas", "concordancia", kappa.alias("kappa"))
 
 
@@ -390,15 +400,20 @@ COHENS_KAPPA_SQL = _oracle_with(
     "",
     """
 SELECT n_linhas, concordancia,
-       (CAST(n_linhas AS DOUBLE) * CAST(concordancia AS DOUBLE)
-        - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
-           + (CAST(n_linhas AS DOUBLE) - CAST(a1 AS DOUBLE))
-             * (CAST(n_linhas AS DOUBLE) - CAST(b1 AS DOUBLE))))
-           / (CAST(n_linhas AS DOUBLE) * CAST(n_linhas AS DOUBLE)
-              - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
-                 + (CAST(n_linhas AS DOUBLE) - CAST(a1 AS DOUBLE))
-                   * (CAST(n_linhas AS DOUBLE) - CAST(b1 AS DOUBLE))))
-           AS kappa
+       CASE WHEN CAST(n_linhas AS DOUBLE) * CAST(n_linhas AS DOUBLE)
+                 - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                    + (CAST(n_linhas AS DOUBLE) - CAST(a1 AS DOUBLE))
+                      * (CAST(n_linhas AS DOUBLE) - CAST(b1 AS DOUBLE)))
+                 <> 0.0
+            THEN (CAST(n_linhas AS DOUBLE) * CAST(concordancia AS DOUBLE)
+                  - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                     + (CAST(n_linhas AS DOUBLE) - CAST(a1 AS DOUBLE))
+                       * (CAST(n_linhas AS DOUBLE) - CAST(b1 AS DOUBLE))))
+                 / (CAST(n_linhas AS DOUBLE) * CAST(n_linhas AS DOUBLE)
+                    - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                       + (CAST(n_linhas AS DOUBLE) - CAST(a1 AS DOUBLE))
+                         * (CAST(n_linhas AS DOUBLE) - CAST(b1 AS DOUBLE))))
+            END AS kappa
 FROM (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_linhas,
            CAST(SUM(CASE WHEN saldo_aprovado = limite_aprovado
@@ -455,8 +470,17 @@ def js_divergence_value_by_approval(
         F.sum("n_aprovadas").cast("bigint").alias("na"),
         F.sum("n_negadas").cast("bigint").alias("nd"),
     )
-    p = F.col("n_aprovadas").cast("double") / F.col("na").cast("double")
-    q = F.col("n_negadas").cast("double") / F.col("nd").cast("double")
+    # guarded shares: a one-class corpus zeroes a TOTAL — the share's
+    # value is then never used (the n>0 contrib guards below), but the
+    # eager ANSI division would still throw; DuckDB mirrors the guard
+    p = F.when(
+        F.col("na") > 0,
+        F.col("n_aprovadas").cast("double") / F.col("na").cast("double"),
+    ).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("nd") > 0,
+        F.col("n_negadas").cast("double") / F.col("nd").cast("double"),
+    ).otherwise(F.lit(0.0))
     m = (p + q) / F.lit(2.0)
     contrib = F.lit(0.5) * F.when(
         F.col("n_aprovadas") > 0, p * F.log(p / m)
@@ -504,8 +528,12 @@ SELECT balde, n_aprovadas, n_negadas,
            6) AS js_contrib
 FROM (
     SELECT balde, n_aprovadas, n_negadas,
-           CAST(n_aprovadas AS DOUBLE) / CAST(na AS DOUBLE) AS p,
-           CAST(n_negadas AS DOUBLE) / CAST(nd AS DOUBLE) AS q
+           CASE WHEN na > 0
+                THEN CAST(n_aprovadas AS DOUBLE) / CAST(na AS DOUBLE)
+                ELSE 0.0 END AS p,
+           CASE WHEN nd > 0
+                THEN CAST(n_negadas AS DOUBLE) / CAST(nd AS DOUBLE)
+                ELSE 0.0 END AS q
     FROM js_bins, js_tot
 )""",
 )
@@ -623,9 +651,13 @@ def loo_target_encode_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n_g").cast("bigint").alias("_n_tot"),
         F.sum("_n_ap_g").cast("bigint").alias("_n_ap_tot"),
     )
-    loo = (F.col("_n_ap_g") - F.col("aprovada")).cast("double") / (
-        F.col("_n_g") - F.lit(1)
-    ).cast("double")
+    # guard: a singleton group has NO leave-one-out peers -> NULL in
+    # BOTH dialects (Spark ANSI throws on the /0, DuckDB would emit NaN)
+    loo = F.when(
+        F.col("_n_g") > 1,
+        (F.col("_n_ap_g") - F.col("aprovada")).cast("double")
+        / (F.col("_n_g") - F.lit(1)).cast("double"),
+    )
     prior = F.col("_n_ap_tot").cast("double") / F.col("_n_tot").cast("double")
     suave = (
         (F.col("_n_ap_g") - F.col("aprovada")).cast("double")
@@ -666,8 +698,11 @@ te_tot AS (
 SELECT id_transacao, modalidade_pagamento,
        CAST(CASE WHEN transacao_aprovada THEN 1 ELSE 0 END AS BIGINT)
            AS aprovada,
-       CAST(n_ap_g - (CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
-            AS DOUBLE) / CAST(n_g - 1 AS DOUBLE) AS codif_loo,
+       CASE WHEN n_g > 1
+            THEN CAST(n_ap_g - (CASE WHEN transacao_aprovada
+                                     THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(n_g - 1 AS DOUBLE)
+            END AS codif_loo,
        (CAST(n_ap_g - (CASE WHEN transacao_aprovada THEN 1 ELSE 0 END)
              AS DOUBLE)
         + {float(TARGET_SMOOTH_M)} * (CAST(n_ap_tot AS DOUBLE)
@@ -882,13 +917,23 @@ def mannwhitney_value_by_approval(
         (nd + F.lit(1.0))
         - F.col("_tt").cast("double") / (nd * (nd - F.lit(1.0)))
     )
+    # degenerate guards (one-class corpus / N<=1 / all-tied values):
+    # NULL in BOTH dialects — nested whens so the inner sig2 arithmetic
+    # (which itself divides by N(N-1)) is never evaluated when N<=1
     return agg.select(
         F.col("_n1").alias("n_aprovadas"),
         F.col("_n2").alias("n_negadas"),
         u_ap.alias("u_aprovadas"),
         (n1 * n2 - u_ap).alias("u_negadas"),
-        (u_ap / (n1 * n2)).alias("cles_aprovadas"),
-        ((u_ap - mu) / F.sqrt(sig2)).alias("z_u"),
+        F.when(
+            (F.col("_n1") > 0) & (F.col("_n2") > 0), u_ap / (n1 * n2)
+        ).alias("cles_aprovadas"),
+        F.when(
+            (F.col("_n1") > 0)
+            & (F.col("_n2") > 0)
+            & (F.col("_n1") + F.col("_n2") > 1),
+            F.when(sig2 > 0, (u_ap - mu) / F.sqrt(sig2)),
+        ).alias("z_u"),
     )
 
 
@@ -927,18 +972,32 @@ SELECT n1 AS n_aprovadas, n2 AS n_negadas,
            - (CAST(r2 AS DOUBLE)
               - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
            AS u_negadas,
-       ((CAST(r2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
-           / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-           AS cles_aprovadas,
-       ((CAST(r2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
-            / 2.0
-        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
-       / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
-              * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
-                 - CAST(tt AS DOUBLE)
-                   / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
-                      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))))
-           AS z_u
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN ((CAST(r2 AS DOUBLE)
+                   - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+                  / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+            END AS cles_aprovadas,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+            THEN CASE WHEN (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                           * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                              - CAST(tt AS DOUBLE)
+                                / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                   * (CAST(n1 AS DOUBLE)
+                                      + CAST(n2 AS DOUBLE) - 1.0))) > 0
+                 THEN ((CAST(r2 AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0))
+                           / 2.0
+                       - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                      / SQRT((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                             * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                 + 1.0)
+                                - CAST(tt AS DOUBLE)
+                                  / ((CAST(n1 AS DOUBLE)
+                                      + CAST(n2 AS DOUBLE))
+                                     * (CAST(n1 AS DOUBLE)
+                                        + CAST(n2 AS DOUBLE) - 1.0))))
+                 END
+            END AS z_u
 FROM mw_agg""",
 )
 
@@ -1200,14 +1259,21 @@ def anova_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_s_tot").cast("double") * F.col("_s_tot").cast("double")
     ) / ndt
     kd = F.col("_k").cast("double")
-    f_stat = (ssb / (kd - F.lit(1.0))) / (
-        (sst - ssb) / (ndt - kd)
+    # degenerate guards: one group (k=1), all-singleton groups
+    # (n_tot=k), zero within-SS, or zero total SS -> NULL in BOTH
+    # dialects (Spark ANSI throws on the /0, DuckDB would emit NaN)
+    f_stat = F.when(
+        (F.col("_k") > 1) & (F.col("_n_tot") > F.col("_k")),
+        F.when(
+            sst - ssb != 0.0,
+            (ssb / (kd - F.lit(1.0))) / ((sst - ssb) / (ndt - kd)),
+        ),
     )
     scal = folded.crossJoin(F.broadcast(tot)).select(
         ssb.alias("ssb"),
         sst.alias("sst"),
         f_stat.alias("f_stat"),
-        (ssb / sst).alias("eta_sq"),
+        F.when(sst != 0.0, ssb / sst).alias("eta_sq"),
     )
     return gt.crossJoin(F.broadcast(scal)).select(
         "modalidade_pagamento",
@@ -1257,12 +1323,21 @@ aov_fold AS (
 aov_scal AS (
     SELECT f.ssb,
            t.q_tot - (t.s_tot * t.s_tot) / CAST(t.n_tot AS DOUBLE) AS sst,
-           (f.ssb / (CAST(t.k AS DOUBLE) - 1.0))
-           / (((t.q_tot - (t.s_tot * t.s_tot) / CAST(t.n_tot AS DOUBLE))
-               - f.ssb)
-              / (CAST(t.n_tot AS DOUBLE) - CAST(t.k AS DOUBLE))) AS f_stat,
-           f.ssb / (t.q_tot - (t.s_tot * t.s_tot)
-                    / CAST(t.n_tot AS DOUBLE)) AS eta_sq
+           CASE WHEN t.k > 1 AND t.n_tot > t.k
+                THEN CASE WHEN (t.q_tot - (t.s_tot * t.s_tot)
+                                / CAST(t.n_tot AS DOUBLE)) - f.ssb <> 0.0
+                     THEN (f.ssb / (CAST(t.k AS DOUBLE) - 1.0))
+                          / (((t.q_tot - (t.s_tot * t.s_tot)
+                               / CAST(t.n_tot AS DOUBLE)) - f.ssb)
+                             / (CAST(t.n_tot AS DOUBLE)
+                                - CAST(t.k AS DOUBLE)))
+                     END
+                END AS f_stat,
+           CASE WHEN t.q_tot - (t.s_tot * t.s_tot)
+                     / CAST(t.n_tot AS DOUBLE) <> 0.0
+                THEN f.ssb / (t.q_tot - (t.s_tot * t.s_tot)
+                              / CAST(t.n_tot AS DOUBLE))
+                END AS eta_sq
     FROM aov_fold f, aov_tot t
 )"""
 
@@ -1381,12 +1456,16 @@ def stratified_ate_balance_gate(
         .crossJoin(F.broadcast(nok))
         .crossJoin(F.broadcast(tot))
         .select(
-            (F.col("_f_std") / F.col("_n_ok_tot").cast("double")).alias(
-                "ate_padronizacao"
-            ),
-            (F.col("_f_ipw") / F.col("_n_ok_tot").cast("double")).alias(
-                "ate_ipw"
-            ),
+            # guard: with NO positivity-ok stratum the ATE is undefined
+            # -> NULL in BOTH dialects (Spark ANSI throws on the /0)
+            F.when(
+                F.col("_n_ok_tot") > 0,
+                F.col("_f_std") / F.col("_n_ok_tot").cast("double"),
+            ).alias("ate_padronizacao"),
+            F.when(
+                F.col("_n_ok_tot") > 0,
+                F.col("_f_ipw") / F.col("_n_ok_tot").cast("double"),
+            ).alias("ate_ipw"),
             "estratos_sem_posicao",
         )
     )
@@ -1438,12 +1517,14 @@ ate_gt AS (
     FROM ate_grp
 ),
 ate_scal AS (
-    SELECT {_sql_fold('std_num', 'chave')}
-               / CAST(SUM(CASE WHEN ok THEN n ELSE 0 END) AS DOUBLE)
-               AS ate_padronizacao,
-           {_sql_fold('ipw_num', 'chave')}
-               / CAST(SUM(CASE WHEN ok THEN n ELSE 0 END) AS DOUBLE)
-               AS ate_ipw,
+    SELECT CASE WHEN SUM(CASE WHEN ok THEN n ELSE 0 END) > 0
+                THEN {_sql_fold('std_num', 'chave')}
+                     / CAST(SUM(CASE WHEN ok THEN n ELSE 0 END) AS DOUBLE)
+                END AS ate_padronizacao,
+           CASE WHEN SUM(CASE WHEN ok THEN n ELSE 0 END) > 0
+                THEN {_sql_fold('ipw_num', 'chave')}
+                     / CAST(SUM(CASE WHEN ok THEN n ELSE 0 END) AS DOUBLE)
+                END AS ate_ipw,
            CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
                AS estratos_sem_posicao
     FROM ate_gt
@@ -1532,8 +1613,17 @@ def two_proportion_approval_test(
     a2 = F.col("_a2").cast("double")
     m2 = F.col("_m2").cast("double")
     pp = (a1 + a2) / (m1 + m2)
-    zstat = (a1 / m1 - a2 / m2) / F.sqrt(
-        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / m1 + F.lit(1.0) / m2)
+    # guard: a missing group or an all-approved/all-denied pool zeroes
+    # the pooled variance -> NULL in BOTH dialects (Spark ANSI throws)
+    zstat = F.when(
+        (F.col("_m1") > 0)
+        & (F.col("_m2") > 0)
+        & (F.col("_a1") + F.col("_a2") > 0)
+        & (F.col("_a1") + F.col("_a2") < F.col("_m1") + F.col("_m2")),
+        (a1 / m1 - a2 / m2)
+        / F.sqrt(
+            pp * (F.lit(1.0) - pp) * (F.lit(1.0) / m1 + F.lit(1.0) / m2)
+        ),
     )
     return wide.crossJoin(
         F.broadcast(agg.select(zstat.alias("z_duas_proporcoes")))
@@ -1552,7 +1642,11 @@ TWO_PROPORTION_SQL = _oracle_with(
     f""",
 tp_grp AS ({_TPZ}),
 tp_z AS (
-    SELECT ((CAST(MAX(CASE WHEN grupo = 'alto_valor' THEN aprovadas END)
+    SELECT CASE WHEN MAX(CASE WHEN grupo = 'alto_valor' THEN n END) > 0
+                 AND MAX(CASE WHEN grupo = 'baixo_valor' THEN n END) > 0
+                 AND SUM(aprovadas) > 0
+                 AND SUM(aprovadas) < SUM(n)
+           THEN ((CAST(MAX(CASE WHEN grupo = 'alto_valor' THEN aprovadas END)
                   AS DOUBLE)
              / CAST(MAX(CASE WHEN grupo = 'alto_valor' THEN n END)
                     AS DOUBLE))
@@ -1568,7 +1662,7 @@ tp_z AS (
                                       THEN n END) AS DOUBLE)
                   + 1.0 / CAST(MAX(CASE WHEN grupo = 'baixo_valor'
                                         THEN n END) AS DOUBLE)))
-           AS z_duas_proporcoes
+           END AS z_duas_proporcoes
     FROM tp_grp
 )""",
     f"""
@@ -1816,13 +1910,24 @@ def cramers_v_modality_approval(
     )
     rc = rd - (rd - 1) * (rd - 1) / (nd - 1)
     cc = cd - (cd - 1) * (cd - 1) / (nd - 1)
+    # degenerate guards (1x1 table or n=1): V undefined -> NULL in BOTH
+    # dialects (Spark ANSI throws on the /0, DuckDB would emit NaN)
     return chi2.crossJoin(F.broadcast(total)).select(
         "n_total",
         "r",
         "c",
         q.alias("qui2"),
-        F.sqrt(phi2 / F.least(rd - 1, cd - 1)).alias("v_cramer"),
-        F.sqrt(phi2c / F.least(rc - 1, cc - 1)).alias("v_corrigido"),
+        F.when(
+            (F.col("r") > 1) & (F.col("c") > 1),
+            F.sqrt(phi2 / F.least(rd - 1, cd - 1)),
+        ).alias("v_cramer"),
+        F.when(
+            (F.col("r") > 1) & (F.col("c") > 1) & (F.col("n_total") > 1),
+            F.when(
+                F.least(rc - 1, cc - 1) > 0.0,
+                F.sqrt(phi2c / F.least(rc - 1, cc - 1)),
+            ),
+        ).alias("v_corrigido"),
     )
 
 
@@ -1864,20 +1969,34 @@ CRAMERS_V_SQL = _oracle_with(
     _CRAMER_CTES,
     """
 SELECT t.n_total, t.r, t.c, x.qui2,
-       SQRT((x.qui2 / CAST(t.n_total AS DOUBLE))
-            / LEAST(CAST(t.r AS DOUBLE) - 1, CAST(t.c AS DOUBLE) - 1))
-           AS v_cramer,
-       SQRT(GREATEST(0.0,
-                     x.qui2 / CAST(t.n_total AS DOUBLE)
-                     - (CAST(t.r AS DOUBLE) - 1) * (CAST(t.c AS DOUBLE) - 1)
-                       / (CAST(t.n_total AS DOUBLE) - 1))
-            / LEAST(CAST(t.r AS DOUBLE)
-                    - (CAST(t.r AS DOUBLE) - 1) * (CAST(t.r AS DOUBLE) - 1)
-                      / (CAST(t.n_total AS DOUBLE) - 1) - 1,
-                    CAST(t.c AS DOUBLE)
-                    - (CAST(t.c AS DOUBLE) - 1) * (CAST(t.c AS DOUBLE) - 1)
-                      / (CAST(t.n_total AS DOUBLE) - 1) - 1))
-           AS v_corrigido
+       CASE WHEN t.r > 1 AND t.c > 1
+            THEN SQRT((x.qui2 / CAST(t.n_total AS DOUBLE))
+                      / LEAST(CAST(t.r AS DOUBLE) - 1,
+                              CAST(t.c AS DOUBLE) - 1))
+            END AS v_cramer,
+       CASE WHEN t.r > 1 AND t.c > 1 AND t.n_total > 1
+            THEN CASE WHEN LEAST(
+                     CAST(t.r AS DOUBLE)
+                     - (CAST(t.r AS DOUBLE) - 1) * (CAST(t.r AS DOUBLE) - 1)
+                       / (CAST(t.n_total AS DOUBLE) - 1) - 1,
+                     CAST(t.c AS DOUBLE)
+                     - (CAST(t.c AS DOUBLE) - 1) * (CAST(t.c AS DOUBLE) - 1)
+                       / (CAST(t.n_total AS DOUBLE) - 1) - 1) > 0.0
+                 THEN SQRT(GREATEST(0.0,
+                        x.qui2 / CAST(t.n_total AS DOUBLE)
+                        - (CAST(t.r AS DOUBLE) - 1)
+                          * (CAST(t.c AS DOUBLE) - 1)
+                          / (CAST(t.n_total AS DOUBLE) - 1))
+                      / LEAST(CAST(t.r AS DOUBLE)
+                              - (CAST(t.r AS DOUBLE) - 1)
+                                * (CAST(t.r AS DOUBLE) - 1)
+                                / (CAST(t.n_total AS DOUBLE) - 1) - 1,
+                              CAST(t.c AS DOUBLE)
+                              - (CAST(t.c AS DOUBLE) - 1)
+                                * (CAST(t.c AS DOUBLE) - 1)
+                                / (CAST(t.n_total AS DOUBLE) - 1) - 1))
+                 END
+            END AS v_corrigido
 FROM cv_chi x, cv_tot t""",
 )
 
@@ -1973,7 +2092,15 @@ def brown_forsythe_value_by_modality(
         F.col("_s_tot").cast("double") * F.col("_s_tot").cast("double")
     ) / ndt
     kd = F.col("_k").cast("double")
-    fstat = (ssb / (kd - F.lit(1.0))) / ((sst - ssb) / (ndt - kd))
+    # degenerate guards (one group / all-singleton groups / zero
+    # within-SS): NULL in BOTH dialects (the ANOVA convention)
+    fstat = F.when(
+        (F.col("_k") > 1) & (F.col("_n_tot") > F.col("_k")),
+        F.when(
+            sst - ssb != 0.0,
+            (ssb / (kd - F.lit(1.0))) / ((sst - ssb) / (ndt - kd)),
+        ),
+    )
     scal = folded.crossJoin(F.broadcast(tot)).select(
         fstat.alias("f_brown_forsythe")
     )
@@ -2036,12 +2163,20 @@ bf_gt AS (
     FROM bf_grp g, bf_tot t
 ),
 bf_scal AS (
-    SELECT ({_sql_fold('entre', 'modalidade_pagamento')}
-            / (CAST(t.k AS DOUBLE) - 1.0))
-           / (((t.q_tot - (t.s_tot * t.s_tot) / CAST(t.n_tot AS DOUBLE))
-               - {_sql_fold('entre', 'modalidade_pagamento')})
-              / (CAST(t.n_tot AS DOUBLE) - CAST(t.k AS DOUBLE)))
-               AS f_brown_forsythe
+    SELECT CASE WHEN t.k > 1 AND t.n_tot > t.k
+                THEN CASE WHEN (t.q_tot - (t.s_tot * t.s_tot)
+                                / CAST(t.n_tot AS DOUBLE))
+                               - {_sql_fold('entre', 'modalidade_pagamento')}
+                               <> 0.0
+                     THEN ({_sql_fold('entre', 'modalidade_pagamento')}
+                           / (CAST(t.k AS DOUBLE) - 1.0))
+                          / (((t.q_tot - (t.s_tot * t.s_tot)
+                               / CAST(t.n_tot AS DOUBLE))
+                              - {_sql_fold('entre', 'modalidade_pagamento')})
+                             / (CAST(t.n_tot AS DOUBLE)
+                                - CAST(t.k AS DOUBLE)))
+                     END
+                END AS f_brown_forsythe
     FROM bf_gt, bf_tot t
     GROUP BY t.q_tot, t.s_tot, t.n_tot, t.k
 )"""
@@ -2274,11 +2409,19 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_num = (
         F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")
     ).cast("double")
-    z = tn.cast("double") / F.sqrt(
-        F.col("_a").cast("double")
-        * (F.col("_n") - F.col("_a")).cast("double")
-        * var_num
-        / F.col("_n").cast("double")
+    # degenerate guards (all/none approved, or a single weight level):
+    # the trend variance is 0 -> NULL in BOTH dialects
+    z = F.when(
+        (F.col("_a") > 0)
+        & (F.col("_a") < F.col("_n"))
+        & (var_num > 0.0),
+        tn.cast("double")
+        / F.sqrt(
+            F.col("_a").cast("double")
+            * (F.col("_n") - F.col("_a")).cast("double")
+            * var_num
+            / F.col("_n").cast("double")
+        ),
     )
     scal = agg.select(z.alias("z_tendencia"))
     return grp.crossJoin(F.broadcast(scal)).select(
@@ -2304,7 +2447,13 @@ ca_grp AS (
     FROM approved GROUP BY 1
 ),
 ca_scal AS (
-    SELECT CAST(
+    SELECT CASE WHEN SUM(aprovadas) > 0 AND SUM(aprovadas) < SUM(n)
+                 AND CAST(CAST(SUM(n) AS DECIMAL(38,0))
+                            * SUM(({_CA_W_SQL}) * ({_CA_W_SQL}) * n)
+                          - CAST(SUM(({_CA_W_SQL}) * n) AS DECIMAL(38,0))
+                            * SUM(({_CA_W_SQL}) * n)
+                          AS DOUBLE) > 0.0
+           THEN CAST(
              CAST(SUM(n) AS DECIMAL(38,0))
                * SUM(({_CA_W_SQL}) * aprovadas)
              - CAST(SUM(aprovadas) AS DECIMAL(38,0))
@@ -2319,7 +2468,7 @@ ca_scal AS (
                         * SUM(({_CA_W_SQL}) * n)
                       AS DOUBLE)
                / CAST(SUM(n) AS DOUBLE))
-           AS z_tendencia
+           END AS z_tendencia
     FROM ca_grp
 )"""
 
@@ -3209,10 +3358,16 @@ def naive_bayes_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "_prior",
-            F.round(
-                F.log(F.col("_ty").cast("double"))
-                - F.log(F.col("_tn").cast("double")),
-                6,
+            # guard: a one-class corpus has no prior log-odds -> NULL
+            # in BOTH dialects (DuckDB LN(0) ERRORS; Spark log(0) is
+            # NULL already, pinned explicitly)
+            F.when(
+                (F.col("_ty") > 0) & (F.col("_tn") > 0),
+                F.round(
+                    F.log(F.col("_ty").cast("double"))
+                    - F.log(F.col("_tn").cast("double")),
+                    6,
+                ),
             ),
         )
         .withColumn(
@@ -3280,8 +3435,10 @@ nb_wide AS (
            ROUND(LN(CAST(f.fy + 1 AS DOUBLE) / CAST(t.ty + t.nf AS DOUBLE))
                  - LN(CAST(f.fn + 1 AS DOUBLE)
                       / CAST(t.tn + t.nf AS DOUBLE)), 6) AS lf,
-           ROUND(LN(CAST(t.ty AS DOUBLE)) - LN(CAST(t.tn AS DOUBLE)), 6)
-               AS prior
+           CASE WHEN t.ty > 0 AND t.tn > 0
+                THEN ROUND(LN(CAST(t.ty AS DOUBLE))
+                           - LN(CAST(t.tn AS DOUBLE)), 6)
+                END AS prior
     FROM nb_cells c
     JOIN nb_mod m USING (modalidade_pagamento)
     JOIN nb_fx f USING (faixa_valor), nb_tot t
@@ -3346,9 +3503,11 @@ def classification_report_gate(
     fp = F.col("fp").cast("double")
     fn = F.col("fn").cast("double")
     tn = F.col("vn").cast("double")
-    prec = tp / (tp + fp)
-    rec = tp / (tp + fn)
-    spec = tn / (tn + fp)
+    # degenerate guards (empty confusion margins): NULL in BOTH
+    # dialects (Spark ANSI throws on the /0, DuckDB would emit NaN)
+    prec = F.when(F.col("vp") + F.col("fp") > 0, tp / (tp + fp))
+    rec = F.when(F.col("vp") + F.col("fn") > 0, tp / (tp + fn))
+    spec = F.when(F.col("vn") + F.col("fp") > 0, tn / (tn + fp))
     mcc_den = F.sqrt(
         (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
     )
@@ -3357,11 +3516,16 @@ def classification_report_gate(
         "fp",
         "fn",
         "vn",
-        ((tp + tn) / (tp + tn + fp + fn)).alias("acuracia"),
+        F.when(
+            F.col("vp") + F.col("vn") + F.col("fp") + F.col("fn") > 0,
+            (tp + tn) / (tp + tn + fp + fn),
+        ).alias("acuracia"),
         prec.alias("precisao"),
         rec.alias("revocacao"),
         spec.alias("especificidade"),
-        (F.lit(2.0) * prec * rec / (prec + rec)).alias("f1"),
+        F.when(
+            prec + rec > 0.0, F.lit(2.0) * prec * rec / (prec + rec)
+        ).alias("f1"),
         ((rec + spec) / F.lit(2.0)).alias("acuracia_balanceada"),
         F.when(
             mcc_den > F.lit(0.0),
@@ -3388,22 +3552,47 @@ CLASSIFICATION_REPORT_SQL = _oracle_with(
     _CLSRPT_CTES,
     """
 SELECT vp, fp, fn, vn,
-       (CAST(vp AS DOUBLE) + CAST(vn AS DOUBLE))
-           / (CAST(vp AS DOUBLE) + CAST(vn AS DOUBLE)
-              + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) AS acuracia,
-       CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE))
-           AS precisao,
-       CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE))
-           AS revocacao,
-       CAST(vn AS DOUBLE) / (CAST(vn AS DOUBLE) + CAST(fp AS DOUBLE))
-           AS especificidade,
-       2.0 * (CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE)))
-           * (CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE)))
-           / ((CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE)))
-              + (CAST(vp AS DOUBLE)
-                 / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE)))) AS f1,
-       ((CAST(vp AS DOUBLE) / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE)))
-        + (CAST(vn AS DOUBLE) / (CAST(vn AS DOUBLE) + CAST(fp AS DOUBLE))))
+       CASE WHEN vp + vn + fp + fn > 0
+            THEN (CAST(vp AS DOUBLE) + CAST(vn AS DOUBLE))
+                 / (CAST(vp AS DOUBLE) + CAST(vn AS DOUBLE)
+                    + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE))
+            END AS acuracia,
+       CASE WHEN vp + fp > 0
+            THEN CAST(vp AS DOUBLE)
+                 / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE))
+            END AS precisao,
+       CASE WHEN vp + fn > 0
+            THEN CAST(vp AS DOUBLE)
+                 / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE))
+            END AS revocacao,
+       CASE WHEN vn + fp > 0
+            THEN CAST(vn AS DOUBLE)
+                 / (CAST(vn AS DOUBLE) + CAST(fp AS DOUBLE))
+            END AS especificidade,
+       CASE WHEN (CASE WHEN vp + fp > 0
+                       THEN CAST(vp AS DOUBLE)
+                            / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE))
+                       END)
+                 + (CASE WHEN vp + fn > 0
+                         THEN CAST(vp AS DOUBLE)
+                              / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE))
+                         END) > 0.0
+            THEN 2.0
+                 * (CAST(vp AS DOUBLE)
+                    / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE)))
+                 * (CAST(vp AS DOUBLE)
+                    / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE)))
+                 / ((CAST(vp AS DOUBLE)
+                     / (CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE)))
+                    + (CAST(vp AS DOUBLE)
+                       / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE))))
+            END AS f1,
+       ((CASE WHEN vp + fn > 0
+              THEN CAST(vp AS DOUBLE)
+                   / (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE)) END)
+        + (CASE WHEN vn + fp > 0
+                THEN CAST(vn AS DOUBLE)
+                     / (CAST(vn AS DOUBLE) + CAST(fp AS DOUBLE)) END))
            / 2.0 AS acuracia_balanceada,
        CASE WHEN SQRT((CAST(vp AS DOUBLE) + CAST(fp AS DOUBLE))
                       * (CAST(vp AS DOUBLE) + CAST(fn AS DOUBLE))

@@ -16,6 +16,7 @@ AQE coalescing trims the excess at runtime).
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +45,13 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.driver.memory", driver_mem)
+        # Executor Python workers otherwise resolve via $PATH, which under a
+        # scrubbed env (or a differently-configured driver host) lands on a
+        # system interpreter without pandas/pyarrow — any mapInPandas stage
+        # then dies with ModuleNotFoundError. Pin workers to the exact
+        # interpreter running the driver program.
+        .config("spark.pyspark.python", sys.executable)
+        .config("spark.pyspark.driver.python", sys.executable)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime re-planning — coalesce small shuffle partitions,
         # convert to broadcast joins when runtime stats allow, split skew.

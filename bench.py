@@ -314,14 +314,21 @@ def _hygiene_note(spark) -> str:
                 jvms += 1
     except OSError:
         jvms = -1  # /proc unavailable (non-Linux); can't tell
+    # "no other Spark JVMs" is NOT "solo": a non-Spark CPU hog (pytest's
+    # DuckDB pass, a compile job) still contaminates streaming throughput.
+    # Record host load alongside so the label can't over-claim.
     label = (
-        "SOLO run" if jvms == 1
+        "no other Spark JVMs" if jvms == 1
         else "NOT solo - timings contaminated" if jvms > 1
         else "unknown"
     )
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = -1.0
     note = (
         f"hygiene: spark.driver.memory={mem}, "
-        f"spark_jvms_on_host={jvms} ({label})"
+        f"spark_jvms_on_host={jvms} ({label}), loadavg1m={load1}"
     )
     print(f"# {note}", file=sys.stderr)
     return note
@@ -443,6 +450,11 @@ def _write_detail(payload: dict, **detail) -> None:
 
 
 def main() -> None:
+    # Belt-and-braces twin of session.get_spark's spark.pyspark.python pin:
+    # under a scrubbed env, executor workers resolving python via $PATH land
+    # on a pandas-less system interpreter and every mapInPandas query dies.
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

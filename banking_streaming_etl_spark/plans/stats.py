@@ -2663,8 +2663,13 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k).cast("bigint").alias("n_caudal"),
         "limiar",
         F.col("_s").cast("double").alias("soma_log"),
-        F.round(
-            F.lit(float(k)) / F.col("_s").cast("double"), 6
+        # soma_log is a data-dependent denominator: 0 exactly when the
+        # top-k values all tie the threshold (every log term is 0), where
+        # Spark ANSI throws on double x/0 but DuckDB emits inf. Guard the
+        # division itself, NULL in both dialects.
+        F.when(
+            F.col("_s").cast("double") > 0.0,
+            F.round(F.lit(float(k)) / F.col("_s").cast("double"), 6),
         ).alias("alfa_hill"),
     ).filter(F.lit(k + 1 <= n))
 
@@ -2673,8 +2678,9 @@ HILL_TAIL_SQL = datamodel.with_ctes(
     """
 SELECT n_.n, n_.k AS n_caudal, t.limiar,
        CAST(SUM(x.lt) AS DOUBLE) AS soma_log,
-       ROUND(CAST(n_.k AS DOUBLE) / CAST(SUM(x.lt) AS DOUBLE), 6)
-           AS alfa_hill
+       CASE WHEN CAST(SUM(x.lt) AS DOUBLE) > 0.0
+            THEN ROUND(CAST(n_.k AS DOUBLE) / CAST(SUM(x.lt) AS DOUBLE), 6)
+       END AS alfa_hill
 FROM (
     SELECT CAST(ROUND(LN(r.valor_transacao / t2.limiar), 6)
                 AS DECIMAL(38,9)) AS lt

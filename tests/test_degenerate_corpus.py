@@ -114,6 +114,40 @@ def test_reject_policy_queries_fail_loudly(spark, degen_dir):
         q.fn(spark, degen_dir).collect()
 
 
+def test_hill_all_ties_yields_null_alpha_in_both_engines(
+    spark, tmp_path_factory
+):
+    """The 3-row corpus exercises k+1 > N; this pins the OTHER hill
+    degenerate: enough rows to rank, but every tail value tied to the
+    threshold, so soma_log is exactly 0 and the alpha division is x/0
+    (Spark ANSI throws, DuckDB emits inf) unless guarded to NULL."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("sfties")
+    for t in TABLES:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "events":
+            tbl = tbl.slice(0, 8)
+            idx = tbl.schema.get_field_index("value")
+            const = pa.array(
+                [7.25] * tbl.num_rows,
+                type=tbl.schema.field("value").type,
+            )
+            tbl = tbl.set_column(idx, tbl.schema.field("value"), const)
+        else:
+            tbl = tbl.slice(0, 3)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    con = duckdb_connect(str(d))
+    try:
+        q = registry.all_queries()["hill_tail_index"]
+        report = compare(q.fn(spark, str(d)), con, q.oracle)
+        assert report["match"], report
+        row = q.fn(spark, str(d)).collect()[0]
+        assert row["soma_log"] == 0.0 and row["alfa_hill"] is None
+    finally:
+        con.close()
+
+
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_DEGEN_SWEEP"),
     reason="full ~6 min sweep; set SPARK_GRAFT_DEGEN_SWEEP=1 to run",

@@ -99,6 +99,8 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     u = 0
     shift = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("avro_lite: truncated varint")
         b = buf[pos]
         pos += 1
         u |= (b & 0x7F) << shift
@@ -150,32 +152,44 @@ def encode_record(rec: dict[str, Any], fields: list[tuple[str, str]]) -> bytes:
 def decode_record(
     buf: bytes, fields: list[tuple[str, str]]
 ) -> dict[str, Any]:
-    """Decode one record; raises on truncation or trailing bytes."""
+    """Decode one record; raises ValueError (uniformly — never a leaked
+    struct.error/IndexError) on truncation, invalid lengths, or trailing
+    bytes, so ingestion-boundary failures are one consistent class."""
+
+    def _need(pos: int, n: int, what: str) -> None:
+        if pos + n > len(buf):
+            raise ValueError(f"avro_lite: truncated {what}")
+
     rec: dict[str, Any] = {}
     pos = 0
     for name, ftype in fields:
         if ftype in ("long", "int"):
             v, pos = read_long(buf, pos)
         elif ftype == "double":
+            _need(pos, 8, "double")
             (v,) = struct.unpack_from("<d", buf, pos)
             pos += 8
         elif ftype == "float":
+            _need(pos, 4, "float")
             (v,) = struct.unpack_from("<f", buf, pos)
             pos += 4
         elif ftype == "boolean":
+            _need(pos, 1, "boolean")
             v = buf[pos] != 0
             pos += 1
         elif ftype == "string":
             ln, pos = read_long(buf, pos)
+            if ln < 0:
+                raise ValueError(f"avro_lite: invalid string length {ln}")
+            _need(pos, ln, "string")
             v = buf[pos : pos + ln].decode("utf-8")
-            if len(v.encode("utf-8")) != ln:
-                raise ValueError("avro_lite: truncated string")
             pos += ln
         elif ftype == "bytes":
             ln, pos = read_long(buf, pos)
+            if ln < 0:
+                raise ValueError(f"avro_lite: invalid bytes length {ln}")
+            _need(pos, ln, "bytes")
             v = bytes(buf[pos : pos + ln])
-            if len(v) != ln:
-                raise ValueError("avro_lite: truncated bytes")
             pos += ln
         else:  # pragma: no cover
             raise ValueError(ftype)

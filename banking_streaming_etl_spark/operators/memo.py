@@ -39,11 +39,17 @@ one session.
 
 from __future__ import annotations
 
+import os
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _SHARED: dict[tuple[str, str, str], DataFrame] = {}
+# RLock, not Lock: builders NEST (e.g. the cal_rank_asc build lambda
+# calls the memoized _cal_scored) — a non-reentrant lock self-deadlocks
+# on the same thread while still serializing cross-thread double-builds.
+_LOCK = threading.RLock()
 
 
 def shared_frame(
@@ -53,13 +59,24 @@ def shared_frame(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return the session-lifetime shared frame for (sf_dir, kind),
-    building + eagerly materializing it on first access."""
-    app_id = spark.sparkContext.applicationId
-    for key in [k for k in _SHARED if k[0] != app_id]:
-        _SHARED.pop(key)
-    key = (app_id, sf_dir, kind)
-    df = _SHARED.get(key)
-    if df is None:
-        df = build().localCheckpoint(eager=True)
-        _SHARED[key] = df
-    return df
+    building + eagerly materializing it on first access.
+
+    The key is path-normalized ('/x' and '/x/' share one entry) and the
+    build/insert is serialized under a lock so concurrent query threads
+    (foreachBatch workers, a parallel test runner) can't double-build —
+    a duplicate checkpoint would pin a second session-lifetime copy.
+    The lock is held across the eager build on purpose: the second
+    caller must WAIT for (and reuse) the first materialization."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.normpath(sf_dir),
+        kind,
+    )
+    with _LOCK:
+        for k in [k for k in _SHARED if k[0] != key[0]]:
+            _SHARED.pop(k)
+        df = _SHARED.get(key)
+        if df is None:
+            df = build().localCheckpoint(eager=True)
+            _SHARED[key] = df
+        return df

@@ -968,7 +968,12 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_tokens").cast("double")
             ).alias("score"),
         )
-        .persist()
+        # EAGER barrier, not a lazy persist: the distributed-ranking pass
+        # below scans this frame in its count/sample stages BEFORE a lazy
+        # cache would have materialized, re-deriving the whole
+        # terms-join-groupBy graph per stage (the round-7 interarrival
+        # lesson).
+        .localCheckpoint(eager=True)
     )
     # the cut is the EXACT order statistic at rank ceil(q*N) under
     # (score ASC, doc_id ASC) — a selection, never an interpolation

@@ -101,10 +101,39 @@ def test_roundtrip_property(s, n, i, d, b, raw):
 def test_truncation_and_trailing_bytes_fail_loudly():
     fields = [("s", "string"), ("n", "long")]
     enc = A.encode_record({"s": "hello", "n": 7}, fields)
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError):
         A.decode_record(enc[:-1], fields)
     with pytest.raises(ValueError):
         A.decode_record(enc + b"\x00", fields)
+
+
+def test_corrupt_buffers_raise_valueerror_uniformly():
+    """Every corruption class raises ValueError — never a leaked
+    struct.error or IndexError (the ingestion-boundary contract)."""
+    # truncated inside an IEEE double payload
+    dfields = [("d", "double")]
+    enc = A.encode_record({"d": 3.5}, dfields)
+    with pytest.raises(ValueError, match="truncated"):
+        A.decode_record(enc[:4], dfields)
+    # truncated inside a float payload
+    ffields = [("f", "float")]
+    enc = A.encode_record({"f": 1.25}, ffields)
+    with pytest.raises(ValueError, match="truncated"):
+        A.decode_record(enc[:2], ffields)
+    # corrupt NEGATIVE zigzag length for string/bytes: must say invalid
+    # length, not a misleading empty-slice "truncated"
+    neg = bytearray()
+    A.write_long(-3, neg)
+    with pytest.raises(ValueError, match="invalid string length"):
+        A.decode_record(bytes(neg), [("s", "string")])
+    with pytest.raises(ValueError, match="invalid bytes length"):
+        A.decode_record(bytes(neg), [("raw", "bytes")])
+    # varint cut mid-continuation
+    with pytest.raises(ValueError, match="truncated varint"):
+        A.decode_record(b"\x80", [("n", "long")])
+    # missing boolean byte
+    with pytest.raises(ValueError, match="truncated boolean"):
+        A.decode_record(b"", [("b", "boolean")])
 
 
 def test_parse_schema_rejects_nested():

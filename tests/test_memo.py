@@ -38,6 +38,45 @@ def test_shared_frame_keys_on_sf_dir_and_kind(spark):
     assert (a.count(), b.count(), c.count()) == (3, 4, 5)
 
 
+def test_shared_frame_normalizes_sf_dir_key(spark):
+    a = memo.shared_frame(spark, "/tmp/sfA", "t_norm", lambda: spark.range(3))
+    b = memo.shared_frame(spark, "/tmp/sfA/", "t_norm", lambda: spark.range(9))
+    assert b is a  # '/x' and '/x/' must share one checkpointed entry
+
+
+def test_shared_frame_nested_builds_do_not_deadlock(spark):
+    """Builders NEST in production (_cal_rank_asc's lambda calls the
+    memoized _cal_scored) — the build lock must be reentrant, and
+    concurrent same-key callers must still get ONE build."""
+    import threading
+
+    calls = {"inner": 0, "outer": 0}
+
+    def inner():
+        calls["inner"] += 1
+        return spark.range(4)
+
+    def outer():
+        calls["outer"] += 1
+        base = memo.shared_frame(spark, "/tmp/sfA", "t_nest_in", inner)
+        return base.withColumn("y", F.col("id") + 1)
+
+    results = [None, None]
+
+    def run(i):
+        results[i] = memo.shared_frame(spark, "/tmp/sfA", "t_nest_out", outer)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+        assert not t.is_alive(), "shared_frame deadlocked on nested build"
+    assert results[0] is results[1]
+    assert calls == {"inner": 1, "outer": 1}
+    assert results[0].count() == 4
+
+
 def test_shared_frame_survives_cache_eviction(spark):
     calls = {"n": 0}
 

@@ -1639,10 +1639,13 @@ def conformal_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_transacao", "modalidade_pagamento", "score_medio"
     )
     is_cal = F.col("id_transacao") % CONF_SPLIT_MOD == 0
-    # cache the narrow calibration split: the grouped rank stages scan
-    # it ~3x and must not re-derive the enrich+score graph each time
+    # EAGER barrier for the narrow calibration split: the grouped rank
+    # stages scan it ~3x, and a lazy persist re-derives the enrich+score
+    # graph in the count/sample stages before the cache materializes
+    # (the round-7 interarrival lesson).
     ranked = ranking.with_global_row_number(
-        ap.filter(is_cal).persist(), "score_medio", "id_transacao",
+        ap.filter(is_cal).localCheckpoint(eager=True),
+        "score_medio", "id_transacao",
         out="r", group_cols=["modalidade_pagamento"],
     )
     alphas = F.explode(
@@ -1689,6 +1692,101 @@ def conformal_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_coberto"),
         )
     )
+
+
+def conformal_modality_diagnostic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Diagnostic twin of `conformal_by_modality` (round-8 verdict #2):
+    emits the per-modality calibration inputs BEHIND the threshold
+    selection — calibration count, the integer target rank, the selected
+    order statistic, and the count of calibration scores EXACTLY EQUAL
+    to it (tie width at the cut). If a driver run ever disagrees with
+    the full query again, this row set localizes whether the divergence
+    is in the rank arithmetic (r_alvo), the order statistic itself
+    (limiar), or tie handling at the cut (n_empate)."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    ap = _approved(spark, sf_dir).select(
+        "id_transacao", "modalidade_pagamento", "score_medio"
+    )
+    cal = ap.filter(
+        F.col("id_transacao") % CONF_SPLIT_MOD == 0
+    ).localCheckpoint(eager=True)
+    ranked = ranking.with_global_row_number(
+        cal, "score_medio", "id_transacao",
+        out="r", group_cols=["modalidade_pagamento"],
+    )
+    alphas = F.explode(
+        F.array(*[F.lit(a).cast("int") for a in CONF_ALPHAS_PERMILLE])
+    ).alias("alpha_permille")
+    tgt_rank = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.least(
+            F.col("_rank_n_total"),
+            F.expr(
+                "((1000 - alpha_permille) * (_rank_n_total + 1) + 999) "
+                "DIV 1000"
+            ),
+        ),
+    )
+    thr = (
+        ranked.select(
+            "modalidade_pagamento", "r", "_rank_n_total", "score_medio"
+        )
+        .crossJoin(F.broadcast(ranked.sparkSession.range(1).select(alphas)))
+        .filter(F.col("r") == tgt_rank)
+        .select(
+            "modalidade_pagamento",
+            "alpha_permille",
+            F.col("_rank_n_total").alias("n_cal"),
+            F.col("r").alias("r_alvo"),
+            F.col("score_medio").alias("limiar"),
+        )
+    )
+    return (
+        cal.join(F.broadcast(thr), "modalidade_pagamento")
+        .groupBy(
+            "modalidade_pagamento", "alpha_permille", "n_cal",
+            "r_alvo", "limiar",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("score_medio") == F.col("limiar"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_empate"),
+        )
+    )
+
+
+CONFORMAL_MODALITY_DIAG_SQL = _oracle(
+    f"""
+SELECT c.modalidade_pagamento, t.alpha_permille, t.n_cal, t.r_alvo,
+       t.limiar,
+       CAST(SUM(CASE WHEN c.score_medio = t.limiar THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empate
+FROM (SELECT modalidade_pagamento, score_medio
+      FROM approved WHERE id_transacao % {CONF_SPLIT_MOD} = 0) c
+JOIN (
+    SELECT modalidade_pagamento, alpha_permille, n_cal, r AS r_alvo,
+           score_medio AS limiar
+    FROM (
+        SELECT modalidade_pagamento, score_medio,
+               ROW_NUMBER() OVER (PARTITION BY modalidade_pagamento
+                                  ORDER BY score_medio ASC,
+                                  id_transacao ASC) AS r,
+               COUNT(*) OVER (PARTITION BY modalidade_pagamento) AS n_cal
+        FROM approved WHERE id_transacao % {CONF_SPLIT_MOD} = 0
+    ), (SELECT unnest([{", ".join(str(a) for a in CONF_ALPHAS_PERMILLE)}])
+            AS alpha_permille)
+    WHERE r = GREATEST(1, LEAST(n_cal,
+              ((1000 - alpha_permille) * (n_cal + 1) + 999) // 1000))
+) t ON c.modalidade_pagamento = t.modalidade_pagamento
+GROUP BY c.modalidade_pagamento, t.alpha_permille, t.n_cal, t.r_alvo,
+         t.limiar"""
+)
 
 
 CONFORMAL_BY_MODALITY_SQL = _oracle(

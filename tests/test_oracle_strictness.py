@@ -154,16 +154,22 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # by in-window siblings and the local parity gate)
         "pareto_share_by_decile",
         "risk_score_auc",
-        # round-8 rotation: the GROUPED distributed-ranking form (with
-        # its max_groups plan guard) and the broadcast Shapley coalition
-        # lattice must be driver-proven; they displaced
-        # ks_test_value_by_approval (driver-green in r7, prefix-sum
-        # family re-proven in-window by pareto + AUC) and
-        # q20_promotion_suppliers (driver-green since r5, correlated
-        # TPC-H shape re-proven in-window by q2 + q21) — both
-        # re-registered right after the window, parity-gated every run
-        "conformal_by_modality",
+        # round-8 rotation: the broadcast Shapley coalition lattice must
+        # be driver-proven (displaced q20_promotion_suppliers, re-proven
+        # in-window by q2 + q21)
         "channel_attribution",
+        # round-9 rotation: conformal_by_modality (round-8's one red
+        # driver row, hash miss unreproducible locally) is de-risked out
+        # for mannwhitney_value_by_approval — the SAME grouped
+        # prefix-sum machinery, driver-proven; kaplan_meier_conversion
+        # gives the prefix-sum survival family its first driver row;
+        # quality_classifier_scores driver-proves the round-8 sf0.1
+        # order-statistic-cut fix. Displacees (q3_shipping_priority,
+        # lang_id_heuristic, conformal_by_modality) re-register right
+        # after the window, parity-gated every run.
+        "mannwhitney_value_by_approval",
+        "kaplan_meier_conversion",
+        "quality_classifier_scores",
         # round-7 rotation: the eval-calibration family and the
         # iteration-unrolled HITS oracle must be driver-proven (they
         # displaced q6_revenue_forecast and kmv_modality_overlap —

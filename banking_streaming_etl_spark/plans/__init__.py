@@ -811,6 +811,15 @@ def register_all() -> None:
     register("hourly_acf", behavior.hourly_acf, behavior.HOURLY_ACF_SQL,
              "hourly-series autocorrelation at standard lags: lagged "
              "equi-join + exact decimal-moment Pearson (no window)")
+    register("theil_sen_hourly_trend", behavior.theil_sen_hourly_trend,
+             behavior.THEIL_SEN_SQL,
+             "Theil-Sen robust slope (exact median of pairwise slopes "
+             "via the distributed rank) + tie-corrected Mann-Kendall "
+             "trend test of the hourly count series")
+    register("seasonal_naive_eval", behavior.seasonal_naive_eval,
+             behavior.SEASONAL_NAIVE_EVAL_SQL,
+             "MAE/RMSE/WAPE/MASE of the lag-24 seasonal-naive forecast "
+             "on the hourly series (exact integer-sum metrics)")
     register("payer_degree_distribution", graph.payer_degree_distribution,
              graph.DEGREE_DIST_SQL,
              "in/out degree histograms of the payment graph (integer "

@@ -646,6 +646,293 @@ hourly AS (
 HOURLY_ACF_SQL = _hourly_acf_sql()
 
 
+#: hourly-series CTE shared by the trend/forecast diagnostics (the same
+#: derivation hourly_acf inlines — integer counts keyed by the integer
+#: epoch-hour, floor in both dialects per the epoch-seconds invariant)
+_HOURLY_CTE = """
+hourly AS (
+    SELECT epoch_us(CAST(date_trunc('hour', data_horario) AS TIMESTAMP))
+               // 3600000000 AS hk,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM transactions GROUP BY 1
+)"""
+
+
+def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _HOURLY_CTE: (hk bigint epoch-hour, total bigint)."""
+    t = datamodel.transactions(spark, sf_dir)
+    return t.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('hour', data_horario))"
+            " div 3600000000"
+        ).alias("hk")
+    ).agg(F.count("*").cast("bigint").alias("total"))
+
+
+def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the hourly transaction-count series +
+    the Mann-Kendall trend test — the outlier-proof companion to
+    `ols_hourly_trend_by_modality` (one flash-crowd hour drags an OLS
+    slope arbitrarily; the median of pairwise slopes has a 29%
+    breakdown point, and Mann-Kendall gives the distribution-free
+    significance the OLS t-stat assumes normality for).
+
+    Exactness: every pairwise slope (c2-c1)/(h2-h1) is an IEEE-exact
+    division of integers, identical in both dialects; the median is the
+    EXACT order statistic (avg of the two middles for even counts) under
+    (slope ASC, pair-id ASC) from the distributed ranking operator —
+    never an interpolating QUANTILE_CONT. Mann-Kendall S and the
+    tie-corrected variance numerator are pure integer arithmetic; the
+    z denominator's sqrt is correctly rounded in both engines, with the
+    var > 0 domain guard (constant series) NULLing z identically.
+
+    Scale shape: the fact table collapses to the hours-sized series in
+    one aggregate; the pair frame is hours^2 — bounded by the TIME RANGE
+    of the data, not its volume (a year is ~38M pairs) — built as a
+    broadcast non-equi join of the hour frame against itself, then one
+    rank pass + bounded aggregates. No window over the fact table."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    hourly = _hourly_counts(spark, sf_dir).localCheckpoint(eager=True)
+    a = hourly.select(F.col("hk").alias("h1"), F.col("total").alias("c1"))
+    b = hourly.select(F.col("hk").alias("h2"), F.col("total").alias("c2"))
+    pairs = a.join(F.broadcast(b), F.col("h2") > F.col("h1"))
+    slopes = pairs.select(
+        # greatest(.., 1) is the identity on every real pair (the join
+        # guarantees h2 - h1 >= 1) but keeps the division TOTAL: Catalyst
+        # merges the downstream nulls='reject' filter and its inferred
+        # isnotnull(v) constraint INTO the nested-loop join condition,
+        # evaluating v on h2 <= h1 pairs too — where a bare h2 - h1
+        # denominator throws DIVIDE_BY_ZERO under ANSI (observed in
+        # bnlj_doConsume) and a when()-guard trips the reject assert
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / F.greatest(
+                F.col("h2") - F.col("h1"), F.lit(1).cast("bigint")
+            ).cast("double")
+        ).alias("v"),
+        # unique pair id for the total-order tiebreak: epoch-hours are
+        # < ~1e6 for any realistic date, so h1*1e6+h2 never collides
+        (F.col("h1") * F.lit(1000000).cast("bigint") + F.col("h2"))
+        .alias("pid"),
+    )
+    ranked = ranking.with_global_row_number(
+        slopes, "v", "pid", out="r", nulls="reject"
+    )
+    # exact median: avg of ranks {(n+1) div 2, n div 2 + 1} — one row
+    # selected twice for odd n collapses to the single middle value
+    med = (
+        ranked.filter(
+            (F.col("r") == F.expr("(_rank_n_total + 1) DIV 2"))
+            | (F.col("r") == F.expr("_rank_n_total DIV 2 + 1"))
+        )
+        .agg(
+            # count > 0 guard: an empty pair set (degenerate <2-hour
+            # series) would make this a double x/0 — Spark ANSI throws
+            # where DuckDB emits NULL
+            F.when(
+                F.count("*") > 0,
+                F.sum("v") / F.count("*").cast("double"),
+            ).alias("inclinacao_sen")
+        )
+    )
+    mk = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pares"),
+        F.sum(
+            F.when(F.col("c2") > F.col("c1"), 1)
+            .when(F.col("c2") < F.col("c1"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_mk"),
+    )
+    nh = hourly.agg(F.count("*").cast("bigint").alias("n_horas"))
+    ties = (
+        hourly.groupBy("total")
+        .agg(F.count("*").cast("bigint").alias("tg"))
+        .agg(
+            F.sum(
+                F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)
+            )
+            .cast("bigint")
+            .alias("t_corr")
+        )
+    )
+    n = F.col("n_horas")
+    var_num = (
+        n * (n - 1) * (2 * n + 5) - F.col("t_corr")
+    ).cast("double") / F.lit(18.0)
+    z = F.when(
+        var_num > 0.0,
+        (
+            F.col("s_mk").cast("double")
+            - F.signum(F.col("s_mk").cast("double"))
+        )
+        / F.sqrt(var_num),
+    )
+    return (
+        nh.crossJoin(F.broadcast(mk))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_horas",
+            "n_pares",
+            "inclinacao_sen",
+            "s_mk",
+            z.alias("z_mk"),
+        )
+    )
+
+
+THEIL_SEN_SQL = datamodel.with_ctes(
+    """
+SELECT nh.n_horas, mk.n_pares, med.inclinacao_sen, mk.s_mk,
+       CASE WHEN CAST(nh.n_horas * (nh.n_horas - 1) * (2 * nh.n_horas + 5)
+                      - tc.t_corr AS DOUBLE) / 18.0 > 0.0
+            THEN (CAST(mk.s_mk AS DOUBLE) - SIGN(CAST(mk.s_mk AS DOUBLE)))
+                 / SQRT(CAST(nh.n_horas * (nh.n_horas - 1)
+                             * (2 * nh.n_horas + 5)
+                             - tc.t_corr AS DOUBLE) / 18.0)
+       END AS z_mk
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_horas FROM hourly) nh,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_pares,
+             CAST(SUM(CASE WHEN c2 > c1 THEN 1
+                           WHEN c2 < c1 THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_mk
+      FROM pares) mk,
+     (SELECT CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS t_corr
+      FROM (SELECT COUNT(*) AS tg FROM hourly GROUP BY total)) tc,
+     (SELECT CASE WHEN COUNT(*) > 0
+                  THEN SUM(v) / CAST(COUNT(*) AS DOUBLE) END
+                 AS inclinacao_sen
+      FROM rk
+      WHERE r = (n + 1) // 2 OR r = n // 2 + 1) med""",
+    extra_ctes=_HOURLY_CTE
+    + """,
+pares AS (
+    SELECT a.hk AS h1, a.total AS c1, b.hk AS h2, b.total AS c2
+    FROM hourly a JOIN hourly b ON b.hk > a.hk
+),
+rk AS (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC, pid ASC) AS r,
+           COUNT(*) OVER () AS n
+    FROM (
+        SELECT CAST(c2 - c1 AS DOUBLE)
+                   / CAST(GREATEST(h2 - h1, 1) AS DOUBLE) AS v,
+               h1 * 1000000 + h2 AS pid
+        FROM pares
+    )
+)""",
+)
+
+
+def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation metrics of the lag-24 seasonal-naive
+    predictor on the hourly transaction-count series — the standard
+    baseline every hourly-volume forecast must beat, and the metric
+    vocabulary (MAE / RMSE / WAPE / MASE) of the forecasting
+    literature. MASE (Hyndman-Koehler 2006) scales the seasonal-naive
+    MAE by the in-sample lag-1 naive MAE, so values < 1 mean the daily
+    rhythm genuinely helps.
+
+    Exactness: errors are integer differences; MAE/WAPE/MASE reduce to
+    divisions of exact integer sums, RMSE to one correctly-rounded sqrt
+    of such a division — every sum accumulates in DECIMAL(38,0) and
+    converts to double THROUGH A STRING (the 2^53 decimal->double
+    invariant: squared hourly errors at cluster scale exceed the range
+    where native decimal->double rounding agrees between engines).
+    Domain guards: zero evaluable/naive rows or a zero denominator NULL
+    the affected metric in BOTH dialects.
+
+    Scale shape: one hours-sized aggregate, two self-equi-joins on the
+    hour key, three scalar aggregates — no window, no fact-table
+    re-scan."""
+    hourly = _hourly_counts(spark, sf_dir).localCheckpoint(eager=True)
+
+    def _sums(lag: int, pfx: str) -> DataFrame:
+        h = hourly.select("hk", F.col("total").alias("y"))
+        f = hourly.select(
+            (F.col("hk") + F.lit(lag).cast("bigint")).alias("hk"),
+            F.col("total").alias("yhat"),
+        )
+        e = F.col("y") - F.col("yhat")
+        # widen each squared factor to DECIMAL(19,0) BEFORE multiplying
+        # (the hhi_by_region lesson: DuckDB multiplies narrow decimals in
+        # their own width first and overflows before any outer cast)
+        ed = e.cast("decimal(19,0)")
+        return h.join(f, "hk").agg(
+            F.count("*").cast("bigint").alias(f"{pfx}n"),
+            F.sum(F.abs(e).cast("decimal(38,0)")).alias(f"{pfx}sa"),
+            F.sum(ed * ed).alias(f"{pfx}sq"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias(f"{pfx}sy"),
+        )
+
+    s24 = _sums(24, "a_")
+    s1 = _sums(1, "b_")
+
+    def _dbl(c: str):
+        return F.col(c).cast("string").cast("double")
+
+    n24 = F.col("a_n").cast("double")
+    n1 = F.col("b_n").cast("double")
+    mae = F.when(F.col("a_n") > 0, _dbl("a_sa") / n24)
+    rmse = F.when(F.col("a_n") > 0, F.sqrt(_dbl("a_sq") / n24))
+    wape = F.when(
+        (F.col("a_n") > 0) & (_dbl("a_sy") > 0.0), _dbl("a_sa") / _dbl("a_sy")
+    )
+    mase = F.when(
+        (F.col("a_n") > 0) & (F.col("b_n") > 0) & (_dbl("b_sa") > 0.0),
+        (_dbl("a_sa") / n24) / (_dbl("b_sa") / n1),
+    )
+    return s24.crossJoin(F.broadcast(s1)).select(
+        F.col("a_n").alias("n_aval"),
+        mae.alias("mae"),
+        rmse.alias("rmse"),
+        wape.alias("wape"),
+        mase.alias("mase"),
+    )
+
+
+SEASONAL_NAIVE_EVAL_SQL = datamodel.with_ctes(
+    """
+SELECT a.n AS n_aval,
+       CASE WHEN a.n > 0
+            THEN CAST(CAST(a.sa AS VARCHAR) AS DOUBLE)
+                 / CAST(a.n AS DOUBLE) END AS mae,
+       CASE WHEN a.n > 0
+            THEN SQRT(CAST(CAST(a.sq AS VARCHAR) AS DOUBLE)
+                      / CAST(a.n AS DOUBLE)) END AS rmse,
+       CASE WHEN a.n > 0 AND CAST(CAST(a.sy AS VARCHAR) AS DOUBLE) > 0.0
+            THEN CAST(CAST(a.sa AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(a.sy AS VARCHAR) AS DOUBLE) END AS wape,
+       CASE WHEN a.n > 0 AND b.n > 0
+                 AND CAST(CAST(b.sa AS VARCHAR) AS DOUBLE) > 0.0
+            THEN (CAST(CAST(a.sa AS VARCHAR) AS DOUBLE)
+                  / CAST(a.n AS DOUBLE))
+                 / (CAST(CAST(b.sa AS VARCHAR) AS DOUBLE)
+                    / CAST(b.n AS DOUBLE)) END AS mase
+FROM err24 a, err1 b""",
+    extra_ctes=_HOURLY_CTE
+    + """,
+err24 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ABS(h.total - f.total) AS DECIMAL(38,0))) AS sa,
+           SUM(CAST(h.total - f.total AS DECIMAL(19,0))
+               * CAST(h.total - f.total AS DECIMAL(19,0))) AS sq,
+           SUM(CAST(h.total AS DECIMAL(38,0))) AS sy
+    FROM hourly h JOIN hourly f ON f.hk = h.hk - 24
+),
+err1 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ABS(h.total - f.total) AS DECIMAL(38,0))) AS sa,
+           SUM(CAST(h.total - f.total AS DECIMAL(19,0))
+               * CAST(h.total - f.total AS DECIMAL(19,0))) AS sq,
+           SUM(CAST(h.total AS DECIMAL(38,0))) AS sy
+    FROM hourly h JOIN hourly f ON f.hk = h.hk - 1
+)""",
+)
+
+
 def payer_modality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each payer's payment-modality mix — the
     behavioral-diversity feature (a mule account cycling every rail

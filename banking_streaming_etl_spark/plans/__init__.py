@@ -820,6 +820,11 @@ def register_all() -> None:
              behavior.SEASONAL_NAIVE_EVAL_SQL,
              "MAE/RMSE/WAPE/MASE of the lag-24 seasonal-naive forecast "
              "on the hourly series (exact integer-sum metrics)")
+    register("ewma_control_chart", behavior.ewma_control_chart,
+             behavior.EWMA_CHART_SQL,
+             "EWMA control chart of the hourly series: exact-decimal "
+             "weighted prefix sums + time-varying sigma limits + "
+             "out-of-control alarms (the small-shift CUSUM companion)")
     register("payer_degree_distribution", graph.payer_degree_distribution,
              graph.DEGREE_DIST_SQL,
              "in/out degree histograms of the payment graph (integer "

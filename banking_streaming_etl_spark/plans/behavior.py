@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
+from banking_streaming_etl_spark.functions import exact
 
 #: funnel stage order (modalities play the event-type role; the driver's
 #: vocabulary is view/click/purchase/signup/error).
@@ -822,6 +823,157 @@ rk AS (
                h1 * 1000000 + h2 AS pid
         FROM pares
     )
+)""",
+)
+
+
+#: EWMA chart constants (Montgomery's defaults): smoothing weight and
+#: control-limit width in process sigmas
+EWMA_LAMBDA = 0.2
+EWMA_L = 3.0
+
+#: the +-half-width of the EWMA limits, term-identical to the Spark
+#: `half` expression. Every scalar is a SHORT literal cast to DOUBLE
+#: in-engine: DuckDB parses bare float literals as DECIMAL, and e.g.
+#: DECIMAL 1.0 - 0.2 = exact 0.8 is a DIFFERENT double from the IEEE
+#: subtraction 1.0 - 0.2 Spark computes — the casts make both engines
+#: run the identical double op sequence.
+_EWMA_HALF_SQL = (
+    f"(CAST({EWMA_L} AS DOUBLE) * s.sigma"
+    f" * SQRT((CAST({EWMA_LAMBDA} AS DOUBLE)"
+    f" / (CAST(2.0 AS DOUBLE) - CAST({EWMA_LAMBDA} AS DOUBLE)))"
+    f" * (CAST(1.0 AS DOUBLE)"
+    f" - POWER(CAST(1.0 AS DOUBLE) - CAST({EWMA_LAMBDA} AS DOUBLE),"
+    f" CAST(2 * a.t AS DOUBLE)))))"
+)
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart of the hourly transaction-count series
+    (Roberts 1959 / Montgomery's SPC form) — the small-shift monitor
+    complementing the CUSUM changepoint screen: per hour, the
+    exponentially weighted moving average of counts plus the
+    time-varying +-L*sigma*sqrt(lam/(2-lam)*(1-(1-lam)^2t)) control
+    limits and the out-of-control alarm flag.
+
+    Exactness recipe (three different value classes, each per policy):
+    - the EWMA is the pandas ewm(adjust=True) closed form
+      sum_j (1-lam)^(t-j) x_j / sum_j (1-lam)^(t-j); each WEIGHT is
+      rounded to the 6-grid FIRST (pow's 1-ulp libm divergence on a
+      <=1.0 value is ~1e-17 — never moves a 6th decimal) and then
+      multiplied by the INTEGER count in DECIMAL, so both weighted sums
+      are exact and order-independent; the final quotient is emitted as
+      the raw IEEE division of string-cast decimals (exact-rational
+      outputs are never ROUND()ed — the .5-at-digit-7 rule).
+    - the limits carry genuine transcendentals (pow, sqrt), so they get
+      ROUND(.,6) AFTER the final expression (BM25 precedent), with every
+      scalar built from short literals in-engine (never a Python-folded
+      17-digit literal — the DuckDB decimal-parse rule).
+    - the alarm compares the bit-identical raw EWMA against the
+      bit-identical rounded limits; sigma NULL (single-hour series)
+      NULLs the limits and the flag in both dialects.
+
+    Scale shape: same as theil_sen_hourly_trend — the fact table
+    collapses to the hours-sized series once; the weighted prefix pairs
+    are a broadcast non-equi self-join of the checkpointed hour frame
+    (bounded by time range); ranks ride the distributed ranking
+    operator, no unpartitioned window."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    hourly = _hourly_counts(spark, sf_dir).localCheckpoint(eager=True)
+    idx = ranking.with_global_row_number(
+        hourly, "hk", "hk", out="t"
+    ).select("hk", "total", "t")
+    cur = idx
+    past = idx.select(F.col("t").alias("j"), F.col("total").alias("xj"))
+    pairs = cur.join(F.broadcast(past), F.col("j") <= F.col("t"))
+    w = F.round(
+        F.pow(
+            F.lit(1.0) - F.lit(EWMA_LAMBDA),
+            (F.col("t") - F.col("j")).cast("double"),
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    agg = pairs.groupBy("hk", "total", "t").agg(
+        F.sum(w * F.col("xj").cast("decimal(19,0)")).alias("_num"),
+        F.sum(w).alias("_den"),
+    )
+    stats = hourly.agg(
+        exact.exact_avg("total", "centro"),
+        exact.exact_std("total", "sigma"),
+    )
+    lamr = F.lit(EWMA_LAMBDA) / (F.lit(2.0) - F.lit(EWMA_LAMBDA))
+    half = (
+        F.lit(EWMA_L)
+        * F.col("sigma")
+        * F.sqrt(
+            lamr
+            * (
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.lit(EWMA_LAMBDA),
+                    (F.lit(2) * F.col("t")).cast("double"),
+                )
+            )
+        )
+    )
+    ewma = F.col("_num").cast("string").cast("double") / F.col(
+        "_den"
+    ).cast("string").cast("double")
+    lcl = F.round(F.col("centro") - half, 6)
+    ucl = F.round(F.col("centro") + half, 6)
+    out = agg.crossJoin(F.broadcast(stats)).select(
+        "hk",
+        "total",
+        ewma.alias("ewma"),
+        lcl.alias("lcl"),
+        ucl.alias("ucl"),
+        F.when(
+            F.col("sigma").isNotNull(),
+            (ewma > ucl) | (ewma < lcl),
+        ).alias("alarme"),
+    )
+    return out
+
+
+EWMA_CHART_SQL = datamodel.with_ctes(
+    f"""
+SELECT hk, total, ewma, lcl, ucl,
+       CASE WHEN sigma IS NOT NULL
+            THEN (ewma > ucl OR ewma < lcl) END AS alarme
+FROM (
+    SELECT a.hk, a.total,
+           CAST(CAST(a.num AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(a.den AS VARCHAR) AS DOUBLE) AS ewma,
+           ROUND(s.centro - {_EWMA_HALF_SQL}, 6) AS lcl,
+           ROUND(s.centro + {_EWMA_HALF_SQL}, 6) AS ucl,
+           s.sigma
+    FROM ewma_agg a, ewma_stats s
+)""",
+    extra_ctes=_HOURLY_CTE
+    + f""",
+ewma_idx AS (
+    SELECT hk, total, ROW_NUMBER() OVER (ORDER BY hk ASC) AS t
+    FROM hourly
+),
+ewma_agg AS (
+    SELECT c.hk, c.total, c.t,
+           SUM(CAST(ROUND(POWER(CAST(1.0 AS DOUBLE)
+                                    - CAST({EWMA_LAMBDA} AS DOUBLE),
+                                CAST(c.t - p.t AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+               * CAST(p.total AS DECIMAL(19,0))) AS num,
+           SUM(CAST(ROUND(POWER(CAST(1.0 AS DOUBLE)
+                                    - CAST({EWMA_LAMBDA} AS DOUBLE),
+                                CAST(c.t - p.t AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))) AS den
+    FROM ewma_idx c JOIN ewma_idx p ON p.t <= c.t
+    GROUP BY 1, 2, 3
+),
+ewma_stats AS (
+    SELECT {exact.sql_avg('total', 'centro')},
+           {exact.sql_std('total', 'sigma')}
+    FROM hourly
 )""",
 )
 

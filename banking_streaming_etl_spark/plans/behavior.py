@@ -878,9 +878,19 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a broadcast non-equi self-join of the checkpointed hour frame
     (bounded by time range); ranks ride the distributed ranking
     operator, no unpartitioned window."""
+    return ewma_from_hourly(_hourly_counts(spark, sf_dir))
+
+
+def ewma_from_hourly(hourly_in: DataFrame) -> DataFrame:
+    """The EWMA-chart closed form over an (hk bigint, total bigint)
+    frame — shared by the batch query above and the streaming monitor
+    (`streaming/windows.streaming_hourly_approvals` maintains the same
+    bounded hourly state; evaluating this on read makes the stream's
+    chart bit-identical to the batch query by construction, the
+    cusum_from_hourly convention)."""
     from banking_streaming_etl_spark.operators import ranking
 
-    hourly = _hourly_counts(spark, sf_dir).localCheckpoint(eager=True)
+    hourly = hourly_in.select("hk", "total").localCheckpoint(eager=True)
     idx = ranking.with_global_row_number(
         hourly, "hk", "hk", out="t"
     ).select("hk", "total", "t")

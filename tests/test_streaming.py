@@ -938,6 +938,37 @@ def test_streaming_cusum_matches_batch(spark, replay_dir):
     assert got == want and len(want) > 10
 
 
+def test_streaming_ewma_chart_matches_batch(spark, replay_dir):
+    """The streaming EWMA control chart (the SAME complete-mode hourly
+    state the CUSUM monitor keeps + the shared ewma_from_hourly closed
+    form on read) must reproduce the batch ewma_control_chart rows
+    BIT-EXACTLY over the same replayed transactions — one more consumer
+    of the one bounded hourly frame, zero extra streaming state."""
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark.plans import behavior
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    scored = spipe.approval_stream(
+        tx,
+        datamodel.users(spark, SF),
+        datamodel.regions(spark, SF),
+    )
+    hourly = swin.streaming_hourly_approvals(scored)
+    _run_to_memory(hourly, "ewma_hourly_out", mode="complete")
+
+    live = spark.table("ewma_hourly_out").select(
+        F.expr("unix_micros(hora) div 3600000000").alias("hk"),
+        F.col("n").alias("total"),
+    )
+    got = {tuple(r) for r in behavior.ewma_from_hourly(live).collect()}
+    want = {
+        tuple(r)
+        for r in behavior.ewma_control_chart(spark, SF).collect()
+    }
+    assert got == want and len(want) > 10
+
+
 def test_streaming_fano_matches_batch(spark, replay_dir):
     """The streaming Fano burstiness monitor (complete-mode
     (modality, hour) state + the shared evaluator on read) must

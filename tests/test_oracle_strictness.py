@@ -124,9 +124,7 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "q1_pricing_summary",
         "sessionize_events",
         "distance_bucket_pivot",
-        "quantize_embeddings",
         "dedup_minhash_lsh",
-        "near_dup_embeddings_lsh",
         "asof_balance_at_tx",
         "range_join_tx_in_alert_window",
         # round-3 rotation: the hardest TPC-H correlation shapes must be
@@ -147,7 +145,6 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # score_by_value_bucket and winnowing_fingerprints — re-proven by
         # in-window siblings and the local parity gate)
         "cms_heavy_hitters",
-        "hybrid_retrieval_rrf",
         # round-6 rotation: the distributed-ranking family must be
         # driver-proven (they displaced top3_tx_per_region,
         # unpivot_user_limits, json_envelope_roundtrip — all re-proven
@@ -175,14 +172,30 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # displaced q6_revenue_forecast and kmv_modality_overlap —
         # re-proven by in-window siblings and the local parity gate)
         "conformal_risk_thresholds",
-        "payer_hits",
         "scd2_user_history",
-        "tfidf_terms",
         "train_test_split_docs",
-        "coerced_casts",
-        "score_recombination",
         "minmax_normalize_window",
         "payer_pagerank",
+        # round-10 rotation (round-9 verdict #1 + #2): conformal_by_modality
+        # re-enters to driver-prove the signed-zero fix against the
+        # instrument that caught it, and nine never-driver-checked
+        # queries from zero-green families take redundant siblings'
+        # slots (displaced: payer_hits, near_dup_embeddings_lsh,
+        # quantize_embeddings, tfidf_terms, hybrid_retrieval_rrf,
+        # funnel_conversion, approval_overview, revenue_by_nation,
+        # score_recombination, coerced_casts — every family keeps an
+        # in-window representative; all ten re-register right after the
+        # window, parity-gated every run).
+        "conformal_by_modality",
+        "theil_sen_hourly_trend",
+        "ewma_control_chart",
+        "unigram_logprob_scores",
+        "gopher_repetition_signals",
+        "cohort_retention",
+        "dq_report_transactions",
+        "bloom_filter_screen",
+        "cusum_hourly_drift",
+        "decontaminate_train_docs",
     }
     missing = must_be_checked - set(window)
     assert missing == set(), f"family-critical queries outside the window: {missing}"

@@ -46,10 +46,16 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _SHARED: dict[tuple[str, str, str], DataFrame] = {}
-# RLock, not Lock: builders NEST (e.g. the cal_rank_asc build lambda
-# calls the memoized _cal_scored) — a non-reentrant lock self-deadlocks
-# on the same thread while still serializing cross-thread double-builds.
-_LOCK = threading.RLock()
+# Per-key RLocks (created under the global bookkeeping lock): builders
+# of DIFFERENT (sf_dir, kind) keys must not serialize behind one slow
+# eager build, while same-key callers still wait-and-reuse. RLock, not
+# Lock, per key: builders NEST (e.g. the cal_rank_asc build lambda
+# calls the memoized _cal_scored) — a non-reentrant lock would
+# self-deadlock on the same thread. Nesting across keys is acyclic
+# (a build only calls shared_frame for its own upstream), so per-key
+# locks cannot deadlock each other.
+_LOCKS: dict[tuple[str, str, str], threading.RLock] = {}
+_LOCK = threading.RLock()  # guards _SHARED/_LOCKS bookkeeping only
 
 
 def shared_frame(
@@ -62,11 +68,13 @@ def shared_frame(
     building + eagerly materializing it on first access.
 
     The key is path-normalized ('/x' and '/x/' share one entry) and the
-    build/insert is serialized under a lock so concurrent query threads
-    (foreachBatch workers, a parallel test runner) can't double-build —
-    a duplicate checkpoint would pin a second session-lifetime copy.
-    The lock is held across the eager build on purpose: the second
-    caller must WAIT for (and reuse) the first materialization."""
+    build/insert is serialized under a PER-KEY lock so concurrent query
+    threads (foreachBatch workers, a parallel test runner) can't
+    double-build — a duplicate checkpoint would pin a second
+    session-lifetime copy. The per-key lock is held across the eager
+    build on purpose: the second caller of the SAME key must WAIT for
+    (and reuse) the first materialization, while builders of different
+    keys proceed concurrently."""
     key = (
         spark.sparkContext.applicationId,
         os.path.normpath(sf_dir),
@@ -75,8 +83,18 @@ def shared_frame(
     with _LOCK:
         for k in [k for k in _SHARED if k[0] != key[0]]:
             _SHARED.pop(k)
+            _LOCKS.pop(k, None)
         df = _SHARED.get(key)
+        if df is not None:
+            return df
+        key_lock = _LOCKS.setdefault(key, threading.RLock())
+    with key_lock:
+        # re-check under the key lock: a concurrent same-key caller may
+        # have finished the build while this thread waited
+        with _LOCK:
+            df = _SHARED.get(key)
         if df is None:
             df = build().localCheckpoint(eager=True)
-            _SHARED[key] = df
+            with _LOCK:
+                _SHARED[key] = df
         return df

@@ -178,8 +178,19 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
         if bitbad:
             report["values_match"] = False
             report["float_bit_mismatch"] = bitbad
+            # Caveat (kept deliberately strict): this compare is
+            # order-sensitive WITHIN sort-tied rows — a -0.0 row and a
+            # +0.0 row otherwise identical can legitimately land in
+            # different stable-sort positions per engine even when the
+            # value multisets' bits agree. The driver's value hash is
+            # row-based after the same canonical sort, so it shares the
+            # sensitivity; a local false positive here is cheaper than
+            # a driver-only red row, so we flag rather than forgive.
             report["first_diff"] = [
-                f"float bit mismatch (likely -0.0 vs +0.0) in {bitbad}"
+                f"float bit mismatch (likely -0.0 vs +0.0) in {bitbad}; "
+                "note: can also fire on sign-mixed SORT-TIED rows whose "
+                "bit multisets agree — normalize the sign at the source "
+                "(+ 0.0 in both dialects) either way"
             ]
 
     report["match"] = (

@@ -712,9 +712,11 @@ def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("h2") - F.col("h1"), F.lit(1).cast("bigint")
             ).cast("double")
         ).alias("v"),
-        # unique pair id for the total-order tiebreak: epoch-hours are
-        # < ~1e6 for any realistic date, so h1*1e6+h2 never collides
-        (F.col("h1") * F.lit(1000000).cast("bigint") + F.col("h2"))
+        # unique pair id for the total-order tiebreak: epoch-hours fit
+        # 32 bits until year ~491k, so h1*2^32+h2 never collides and the
+        # product stays below 2^63 (h1 < 2^31); same expression in the
+        # oracle CTE, same (h1, h2)-lexicographic order either way
+        (F.col("h1") * F.lit(4294967296).cast("bigint") + F.col("h2"))
         .alias("pid"),
     )
     ranked = ranking.with_global_row_number(
@@ -820,7 +822,7 @@ rk AS (
     FROM (
         SELECT CAST(c2 - c1 AS DOUBLE)
                    / CAST(GREATEST(h2 - h1, 1) AS DOUBLE) AS v,
-               h1 * 1000000 + h2 AS pid
+               h1 * 4294967296 + h2 AS pid
         FROM pares
     )
 )""",

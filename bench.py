@@ -439,31 +439,6 @@ def bench_bpe_cadence(spark, sf_dir: str) -> str:
     return note
 
 
-#: standing adjudication notes, regenerated into BENCH_DETAIL.md on
-#: every run so they survive the file's per-run rewrite
-ROUND_NOTES = """
-## Round-9 adjudication of the round-8 noise-band watch items
-
-- `ann_cosine_topk` (r7 1.34s -> r8 1.78s -> r9 first solo run 2.32s,
-  raw samples [2.65, 2.32, 1.57] monotonically falling): REAL, not
-  drift — the query rebuilt `_with_norm(load_table(...))` privately, so
-  every repeat re-scanned parquet and recomputed norms on both legs of
-  the self-cross-join while every other ANN builder read the
-  session-shared cached frame. Fixed by switching it to
-  `shared_normed_embeddings` and warming that frame in `_warm` (the
-  shingle-scan precedent). Post-fix samples [1.85, 1.30, 1.24] on a
-  DIRTIER run (loadavg 2.0 vs 0.4) — steady state back under r7.
-- `top_k_recent` / `asof_balance_at_tx` (+30% in r8): DRIFT — r9 clean
-  solo run measured 0.78/0.32s medians (raw [1.00, 0.76, 0.78] /
-  [0.38, 0.32, 0.32]), at or below the r7 values, plan unchanged. No
-  action.
-- Run-level context: two back-to-back r9 solo runs differed ~15%
-  across the board (headline 14.35 vs 16.58s) with loadavg1m 0.4 vs
-  2.0 at session start — the cross-run sandbox drift the hygiene note
-  now quantifies; compare within-run samples, not across runs.
-"""
-
-
 def _write_detail(payload: dict, **detail) -> None:
     """Write the per-query detail the compact stdout line no longer
     carries (verdict task #1) to BENCH_DETAIL.md next to this script —
@@ -476,10 +451,49 @@ def _write_detail(payload: dict, **detail) -> None:
         f.write("```json\n")
         f.write(json.dumps({"summary": payload, **detail}, indent=1))
         f.write("\n```\n")
-        f.write(ROUND_NOTES)
+        # round adjudication notes live in BENCH_ADJUDICATIONS.md (a
+        # committed append-only doc) so this per-run rewrite can never
+        # serve a stale round's notes beside fresh numbers
+        f.write("\nStanding drift-vs-real adjudications: see "
+                "BENCH_ADJUDICATIONS.md (not regenerated by runs).\n")
+
+
+def _await_quiet_host() -> None:
+    """One startup check (round-9 verdict task #3): the committed r9
+    snapshot bench was captured at loadavg1m=2.3 when a same-day
+    loadavg-0.4 run existed — run selection must USE the hygiene data.
+    If the 1-min load is >= 1.0, wait for the host to go quiet (up to
+    SPARK_GRAFT_BENCH_LOAD_WAIT seconds, default 300, polling every
+    15s) before spawning the JVM or timing anything. Deliberately never
+    refuses outright — the driver must always get its one-line JSON
+    artifact — but a dirty start is warned loudly and the hygiene note
+    records the final loadavg either way."""
+    try:
+        load = os.getloadavg()[0]
+    except OSError:
+        return
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+    waited = 0.0
+    while load >= 1.0 and waited < budget:
+        print(
+            f"# host busy (loadavg1m={load:.1f} >= 1.0): waiting up to "
+            f"{budget:.0f}s for a quiet host ({waited:.0f}s elapsed)",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
+        waited += 15.0
+        load = os.getloadavg()[0]
+    if load >= 1.0:
+        print(
+            f"# WARNING: starting DIRTY (loadavg1m={load:.1f} >= 1.0 after "
+            f"{budget:.0f}s wait) — timings are not round-over-round "
+            "comparable; prefer a labeled-clean run",
+            file=sys.stderr,
+        )
 
 
 def main() -> None:
+    _await_quiet_host()
     # Belt-and-braces twin of session.get_spark's spark.pyspark.python pin:
     # under a scrubbed env, executor workers resolving python via $PATH land
     # on a pandas-less system interpreter and every mapInPandas query dies.

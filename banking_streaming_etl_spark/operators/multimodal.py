@@ -355,3 +355,119 @@ def media_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     media table (rows-only — the hash rides Python byte math that DuckDB
     can't mirror; recall/precision pinned by the planted-pair test)."""
     return near_dup_images(synthesize_media(spark, sf_dir))
+
+
+def media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset byte-level statistics over the binary media payloads —
+    the multimodal family's first oracle-checkable operator (round-9
+    verdict task #7): no decode, pure byte math the DuckDB twin can
+    re-derive on the same blob bytes.
+
+    Per asset: magic-byte format sniff (the container-format check a
+    media-ingest pipeline runs before ever decoding), octet length,
+    distinct-byte count, modal-byte count, and the byte-histogram
+    Shannon entropy (nats) — near ln(256) for compressed/encrypted
+    payloads, low for flat fakes; the classic cheap screen for
+    mislabeled or corrupt assets.
+
+    Engine parity: both dialects hex() the SAME payload bytes and split
+    the hex string into per-byte tokens (Spark `transform(sequence(..))`
+    / DuckDB `unnest(range(..))`), so the histogram is integer-exact;
+    the only float is the entropy, whose p*ln(p) terms are rounded to 6
+    and accumulated in DECIMAL (the lexical_diversity_scores template),
+    with the final negation applied AFTER the double cast plus a `+ 0.0`
+    sign normalization in both dialects. Scale: the explode is bounded
+    by corpus BYTE volume (the tokenization shape — partial aggregation
+    collapses it map-side); at real media sizes the histogram would move
+    into the existing Arrow-batched mapInPandas extractors, but the
+    query surface stays this one.
+    """
+    from banking_streaming_etl_spark.functions import exact
+
+    m = synthesize_media(spark, sf_dir)
+    hx = m.select("doc_id", "media_format", F.hex("payload").alias("h"))
+    meta = hx.select(
+        "doc_id",
+        "media_format",
+        F.when(F.expr("substring(h, 1, 8)") == "89504E47", "png")
+        .when(F.expr("substring(h, 1, 6)") == "FFD8FF", "jpeg")
+        .when(F.expr("substring(h, 1, 8)") == "47494638", "gif")
+        .when(F.expr("substring(h, 1, 8)") == "52494646", "riff")
+        .when(F.expr("substring(h, 1, 8)") == "46414B45", "fake-rgb")
+        .otherwise("desconhecido")
+        .alias("formato_detectado"),
+    )
+    bytes_ = hx.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(h) DIV 2), "
+                "i -> substring(h, (i - 1) * 2 + 1, 2))"
+            )
+        ).alias("b"),
+    )
+    cnt = bytes_.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    n = bytes_.groupBy("doc_id").agg(F.count("*").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    agg = (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_bytes"),
+            F.count("*").cast("bigint").alias("bytes_distintos"),
+            F.max("c").cast("bigint").alias("contagem_modal"),
+            ((-F.sum(F.round(p * F.log(p), 6).cast(exact.DEC))
+              .cast("double")) + F.lit(0.0)).alias("entropia_bytes"),
+        )
+    )
+    return meta.join(agg, "doc_id").select(
+        "doc_id", "media_format", "formato_detectado",
+        "n_bytes", "bytes_distintos", "contagem_modal", "entropia_bytes",
+    )
+
+
+#: DuckDB twin: rebuilds the synthetic payload from `documents` with the
+#: same derivation as synthesize_media (header 'FAKE' + zero-padded dims
+#: + utf-8 text — hex() of a VARCHAR concat hexes the identical bytes).
+MEDIA_BYTE_ENTROPY_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'webp' END AS media_format,
+           hex('FAKE'
+               || lpad(CAST(doc_id % 64 + 16 AS VARCHAR), 6, '0')
+               || lpad(CAST(doc_id % 48 + 16 AS VARCHAR), 6, '0')
+               || text) AS h
+    FROM documents
+),
+b AS (
+    SELECT doc_id, substring(h, (i - 1) * 2 + 1, 2) AS b
+    FROM (SELECT doc_id, h,
+                 unnest(range(1, length(h) // 2 + 1)) AS i
+          FROM m)
+),
+cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY 1, 2),
+n AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY 1),
+agg AS (
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS bytes_distintos,
+           CAST(MAX(c) AS BIGINT) AS contagem_modal,
+           (-CAST(SUM(CAST(ROUND(
+                CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+              AS DECIMAL(28,6))) AS DOUBLE)) + 0.0 AS entropia_bytes
+    FROM cnt JOIN n USING (doc_id)
+    GROUP BY doc_id
+)
+SELECT m.doc_id, m.media_format,
+       CASE WHEN substring(h, 1, 8) = '89504E47' THEN 'png'
+            WHEN substring(h, 1, 6) = 'FFD8FF' THEN 'jpeg'
+            WHEN substring(h, 1, 8) = '47494638' THEN 'gif'
+            WHEN substring(h, 1, 8) = '52494646' THEN 'riff'
+            WHEN substring(h, 1, 8) = '46414B45' THEN 'fake-rgb'
+            ELSE 'desconhecido' END AS formato_detectado,
+       n_bytes, bytes_distintos, contagem_modal, entropia_bytes
+FROM m JOIN agg USING (doc_id)
+"""

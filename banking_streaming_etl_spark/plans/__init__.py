@@ -426,6 +426,14 @@ def register_all() -> None:
              "per-score frames joined back (J4/J5)")
     register("coerced_casts", batchdev.coerced_casts,
              batchdev.COERCED_CASTS_SQL, "cast-with-null-on-error (F20/F21)")
+    # round-10 (round-9 verdict task #7): the multimodal family's first
+    # oracle-checkable row — deterministic byte math over the binary
+    # payloads, no decode, DuckDB twin on the same blob bytes
+    register("media_byte_entropy", multimodal.media_byte_entropy,
+             multimodal.MEDIA_BYTE_ENTROPY_SQL,
+             "per-asset magic-byte format sniff + byte-histogram "
+             "Shannon entropy / distinct-byte / modal-byte stats over "
+             "the binary media payloads (pure JVM byte math)")
     # round-9 rotation displacees: both driver-green in prior rounds,
     # both stay parity-gated every pytest run
     register("q3_shipping_priority", tpch.q3_shipping_priority,

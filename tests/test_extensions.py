@@ -2012,3 +2012,38 @@ def test_km_greenwood_matches_bruteforce(spark):
         assert g.s_ic_inf - 1e-12 <= g.s_km <= g.s_ic_sup + 1e-12
         assert r.s_km <= prev_s + 1e-12
         prev_s = r.s_km
+
+
+def test_media_byte_entropy_sniff_and_bounds(spark):
+    """The oracle-backed byte-stats query (round 10): every synthetic
+    payload carries the 'FAKE' magic regardless of its DECLARED format
+    (the sniff must read bytes, not metadata), counts are internally
+    consistent, and the entropy sits in (0, ln 256]. A planted real
+    PNG magic must sniff as png — the ladder reads the payload."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = multimodal.media_byte_entropy(spark, SF).collect()
+    assert len(rows) == 500
+    assert {r.formato_detectado for r in rows} == {"fake-rgb"}
+    assert {r.media_format for r in rows} == {"png", "jpeg", "webp"}
+    for r in rows:
+        assert r.bytes_distintos <= r.n_bytes
+        assert 1 <= r.contagem_modal <= r.n_bytes
+        assert 0.0 < r.entropia_bytes <= math.log(256) + 1e-9
+
+    # plant a real PNG header through the same hex ladder
+    planted = spark.createDataFrame(
+        [(1,)], "doc_id bigint"
+    ).select(
+        "doc_id",
+        F.lit(b"\x89PNG\r\n\x1a\nrest").alias("payload"),
+    )
+    hx = planted.select(F.hex("payload").alias("h"))
+    sniff = hx.select(
+        F.when(F.expr("substring(h, 1, 8)") == "89504E47", "png")
+        .otherwise("other")
+        .alias("s")
+    ).collect()[0].s
+    assert sniff == "png"

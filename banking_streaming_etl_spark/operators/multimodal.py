@@ -471,3 +471,75 @@ SELECT m.doc_id, m.media_format,
        n_bytes, bytes_distintos, contagem_modal, entropia_bytes
 FROM m JOIN agg USING (doc_id)
 """
+
+
+def media_body_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup of media payloads by BODY digest — the
+    content-addressed-storage step a media pipeline runs before any
+    decode: sha-256 over the payload with its container header
+    stripped, so the same asset re-encapsulated under different
+    metadata (here: differing width/height header fields) still
+    collapses to one cluster.
+
+    Per asset: body digest, cluster size, canonical doc (min doc_id in
+    the cluster — the keep-earliest policy of dedup_exact), a canonical
+    flag, and how many distinct DECLARED container formats share the
+    body (the re-encapsulation signal). All columns are integer /
+    string exact — no floats, no rounding hazards. Scale: one digest
+    shuffle (32-byte keys, the dedup_exact shape) + an equi-join of the
+    per-digest aggregate back onto the asset frame; payload bytes never
+    shuffle beyond the digest projection.
+    """
+    m = synthesize_media(spark, sf_dir)
+    body = m.select(
+        "doc_id",
+        "media_format",
+        F.sha2(
+            F.expr("substring(payload, 17, 2147483647)"), 256
+        ).alias("corpo_sha256"),
+    )
+    clusters = body.groupBy("corpo_sha256").agg(
+        F.count("*").cast("bigint").alias("n_copias"),
+        F.min("doc_id").alias("doc_canonico"),
+        F.count_distinct("media_format").alias("formatos_no_cluster"),
+    )
+    return body.join(clusters, "corpo_sha256").select(
+        "doc_id",
+        "media_format",
+        "corpo_sha256",
+        "n_copias",
+        "doc_canonico",
+        (F.col("doc_id") == F.col("doc_canonico")).alias("eh_canonico"),
+        "formatos_no_cluster",
+    )
+
+
+#: DuckDB twin on the same rebuilt payload bytes; the 16-char header is
+#: pure ASCII, so VARCHAR substring(17) strips exactly the 16 header
+#: BYTES and sha256 hashes the identical remaining utf-8 body bytes.
+MEDIA_BODY_DEDUP_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'webp' END AS media_format,
+           sha256(substring(
+               'FAKE'
+               || lpad(CAST(doc_id % 64 + 16 AS VARCHAR), 6, '0')
+               || lpad(CAST(doc_id % 48 + 16 AS VARCHAR), 6, '0')
+               || text, 17)) AS corpo_sha256
+    FROM documents
+),
+clusters AS (
+    SELECT corpo_sha256,
+           CAST(COUNT(*) AS BIGINT) AS n_copias,
+           MIN(doc_id) AS doc_canonico,
+           CAST(COUNT(DISTINCT media_format) AS BIGINT)
+               AS formatos_no_cluster
+    FROM m
+    GROUP BY corpo_sha256
+)
+SELECT doc_id, media_format, corpo_sha256, n_copias, doc_canonico,
+       doc_id = doc_canonico AS eh_canonico, formatos_no_cluster
+FROM m JOIN clusters USING (corpo_sha256)
+"""

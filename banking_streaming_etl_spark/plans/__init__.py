@@ -434,6 +434,11 @@ def register_all() -> None:
              "per-asset magic-byte format sniff + byte-histogram "
              "Shannon entropy / distinct-byte / modal-byte stats over "
              "the binary media payloads (pure JVM byte math)")
+    register("media_body_dedup", multimodal.media_body_dedup,
+             multimodal.MEDIA_BODY_DEDUP_SQL,
+             "content-addressed exact dedup of media payloads by "
+             "header-stripped body sha-256 (keep-earliest canonical + "
+             "re-encapsulation signal; all-integer/string exact)")
     # round-9 rotation displacees: both driver-green in prior rounds,
     # both stay parity-gated every pytest run
     register("q3_shipping_priority", tpch.q3_shipping_priority,

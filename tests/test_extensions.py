@@ -2047,3 +2047,36 @@ def test_media_byte_entropy_sniff_and_bounds(spark):
         .alias("s")
     ).collect()[0].s
     assert sniff == "png"
+
+
+def test_media_body_dedup_header_insensitive(spark):
+    """Two payloads with the SAME body under DIFFERENT container headers
+    must share a digest cluster; the canonical doc is the min doc_id."""
+    from pyspark.sql import functions as F
+
+    frame = spark.createDataFrame(
+        [
+            (1, "png", b"FAKE000017000018same-body"),
+            (2, "jpeg", b"FAKE000099000077same-body"),
+            (3, "webp", b"FAKE000017000018other-body"),
+        ],
+        "doc_id bigint, media_format string, payload binary",
+    )
+    body = frame.select(
+        "doc_id",
+        "media_format",
+        F.sha2(F.expr("substring(payload, 17, 2147483647)"), 256).alias(
+            "corpo_sha256"
+        ),
+    )
+    rows = {r.doc_id: r.corpo_sha256 for r in body.collect()}
+    assert rows[1] == rows[2]  # headers differ, body identical
+    assert rows[1] != rows[3]
+
+    # end-to-end over the synthetic corpus: every asset appears once,
+    # cluster bookkeeping is internally consistent
+    out = multimodal.media_body_dedup(spark, SF).collect()
+    assert len(out) == 500
+    assert all(r.doc_canonico <= r.doc_id for r in out)
+    assert all(r.eh_canonico == (r.doc_id == r.doc_canonico) for r in out)
+    assert all(1 <= r.formatos_no_cluster <= r.n_copias for r in out)

@@ -439,6 +439,13 @@ def register_all() -> None:
              "content-addressed exact dedup of media payloads by "
              "header-stripped body sha-256 (keep-earliest canonical + "
              "re-encapsulation signal; all-integer/string exact)")
+    # round-10: retrieval-eval companion of precision_recall_at_k —
+    # NDCG@{5,10,20} of the BM25 ranking against deterministic
+    # term-overlap relevance grades, on the SHARED bm25 scored frame
+    register("ndcg_at_k", text.ndcg_at_k, text.NDCG_AT_K_SQL,
+             "NDCG@K of the BM25 ranking vs term-overlap judgments "
+             "(graded gains, decimal-summed log2-discount terms, "
+             "guarded IDCG division)")
     # round-9 rotation displacees: both driver-green in prior rounds,
     # both stay parity-gated every pytest run
     register("q3_shipping_priority", tpch.q3_shipping_priority,

@@ -1080,22 +1080,11 @@ BM25_B = 0.75
 BM25_TOP_K = 20
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval (Robertson/Sparck Jones): rank documents for a fixed
-    query term set, return the top-K with per-doc scores.
-
-        score(d) = sum over query terms t of
-            idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len_d/avg_len))
-        idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
-
-    Retrieval is the read side of the chunk/pack pipeline (RAG over the
-    curated corpus). Scale shape: the posting list for the query terms is
-    a FILTERED doc-term aggregate (only query terms survive the first
-    shuffle — predicate pushed below the groupBy), document lengths ride
-    the token_counts aggregate, df/N/avg_len are tiny broadcasts, and the
-    final top-K is a TakeOrderedAndProject. Every float term is 6-rounded
-    and ordered identically in both dialects; ties break on doc_id.
-    """
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scored frame (doc_id, termos_casados, score_bm25) for
+    EVERY document matching >= 1 query term — the single derivation
+    behind bm25_topk and ndcg_at_k (CLAUDE.md: shared derivations live
+    once). See bm25_topk for the formula and the scale shape."""
     d = _docs(spark, sf_dir)
     terms = d.select("doc_id", F.explode("toks").alias("termo"))
     qterms = terms.filter(F.col("termo").isin(*BM25_QUERY))
@@ -1121,7 +1110,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("avg_len")
     )
     contrib = F.round(idf * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm), 6)
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "termo")
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -1132,16 +1121,36 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.exact_sum(F.col("contrib"), "score_bm25"),
         )
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck Jones): rank documents for a fixed
+    query term set, return the top-K with per-doc scores.
+
+        score(d) = sum over query terms t of
+            idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len_d/avg_len))
+        idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+    Retrieval is the read side of the chunk/pack pipeline (RAG over the
+    curated corpus). Scale shape: the posting list for the query terms is
+    a FILTERED doc-term aggregate (only query terms survive the first
+    shuffle — predicate pushed below the groupBy), document lengths ride
+    the token_counts aggregate, df/N/avg_len are tiny broadcasts, and the
+    final top-K is a TakeOrderedAndProject. Every float term is 6-rounded
+    and ordered identically in both dialects; ties break on doc_id.
+    """
     return (
-        scored.orderBy(
-            F.desc("score_bm25"), F.asc("doc_id")
-        )
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_bm25"), F.asc("doc_id"))
         .limit(BM25_TOP_K)
         .select("doc_id", "termos_casados", "score_bm25")
     )
 
 
-def _bm25_sql() -> str:
+def _bm25_scored_ctes() -> str:
+    """The shared DuckDB CTE chain producing `scored` (doc_id,
+    termos_casados, score_bm25) — the SQL twin of `_bm25_scored`, reused
+    by BM25_SQL and NDCG_AT_K_SQL so the derivation never forks."""
     qlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
     return f"""
 WITH terms AS (
@@ -1169,7 +1178,11 @@ scored AS (
                "score_bm25")}
     FROM tf JOIN df USING (termo) JOIN lens USING (doc_id), stats
     GROUP BY doc_id
-)
+)"""
+
+
+def _bm25_sql() -> str:
+    return f"""{_bm25_scored_ctes()}
 SELECT doc_id, termos_casados, score_bm25
 FROM scored
 ORDER BY score_bm25 DESC, doc_id ASC
@@ -1178,6 +1191,168 @@ LIMIT {BM25_TOP_K}
 
 
 BM25_SQL = _bm25_sql()
+
+
+#: NDCG evaluation cutoffs; max(K) bounds every ranked frame below.
+NDCG_KS = (5, 10, 20)
+
+#: held-out relevance term set for the NDCG judgments — deliberately
+#: DISJOINT from BM25_QUERY so the graded judgments are independent of
+#: the ranker's own signal (judgments derived from termos_casados made
+#: NDCG identically 1.0 — a degenerate eval).
+NDCG_REL_TERMS = ("filter", "merge", "sort")
+
+
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@K of the BM25 ranking (Järvelin & Kekäläinen) — the
+    retrieval-eval companion of precision_recall_at_k for the RAG read
+    stack. Relevance judgments are deterministic term-overlap grades
+    against the HELD-OUT NDCG_REL_TERMS set (disjoint from the query, so
+    the judgments are independent of the ranker's signal): rel(d) =
+    number of distinct relevance terms present (0..3), graded gain
+    2^rel - 1 via an exact integer CASE ladder (no pow()).
+
+        DCG@K  = sum_{r<=K} gain(d_r) / log2(r + 1)   (system order:
+                 score_bm25 DESC, doc_id ASC — the bm25_topk total order)
+        IDCG@K = same sum under the ideal order (rel DESC, doc_id ASC)
+        NDCG@K = DCG@K / IDCG@K
+
+    Engine parity: each DCG term is ROUND(.,6) and accumulated in
+    DECIMAL (log2 is a transcendental VALUE, never a key); the NDCG
+    ratio is a single IEEE division of two decimal-exact doubles,
+    deliberately NOT re-rounded (dcg/idcg are exact 1e-6 multiples, so
+    a ROUND would sit on the .5 boundary — the exact-rational hazard).
+    The division is guarded to NULL when IDCG is absent/zero (empty
+    candidate set: Spark ANSI throws on x/0 where DuckDB yields inf).
+    Scale: candidates collapse to one filtered aggregate (the shared
+    BM25 frame); both rankings are TakeOrdered top-max(K) (bounded), so
+    the row_number windows run over <= max(K) rows — whitelisted in
+    tests/test_plan_shapes.py with that boundedness argument.
+    """
+    from pyspark.sql import Window
+
+    max_k = max(NDCG_KS)
+    rel = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("termo"))
+        .filter(F.col("termo").isin(*NDCG_REL_TERMS))
+        .select("doc_id", "termo")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("rel"))
+    )
+    gain = (
+        F.when(F.col("rel") == 1, 1)
+        .when(F.col("rel") == 2, 3)
+        .when(F.col("rel") == 3, 7)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    cand = (
+        _bm25_scored(spark, sf_dir)
+        .join(rel, "doc_id", "left")
+        .select("doc_id", "score_bm25", gain.alias("ganho"))
+    )
+    sys_top = cand.orderBy(F.desc("score_bm25"), F.asc("doc_id")).limit(max_k)
+    sys_ranked = sys_top.select(
+        "ganho",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_bm25"), F.asc("doc_id")))
+        .alias("r"),
+    )
+    ideal_top = cand.orderBy(F.desc("ganho"), F.asc("doc_id")).limit(max_k)
+    ideal_ranked = ideal_top.select(
+        "ganho",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ganho"), F.asc("doc_id")))
+        .alias("r"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in NDCG_KS])).alias("k")
+    )
+    term = F.round(
+        F.col("ganho").cast("double")
+        / F.log2((F.col("r") + F.lit(1)).cast("double")),
+        6,
+    ).cast(exact.DEC)
+
+    def _dcg(ranked: DataFrame, alias: str) -> DataFrame:
+        return (
+            ks.join(ranked, F.col("r") <= F.col("k"), "left")
+            .groupBy("k")
+            .agg(
+                F.count("r").alias(f"n_{alias}"),
+                F.sum(term).cast("double").alias(alias),
+            )
+        )
+    d = _dcg(sys_ranked, "dcg")
+    i = _dcg(ideal_ranked, "idcg").withColumnRenamed("n_idcg", "n_ideal")
+    return (
+        d.join(i, "k")
+        .select(
+            "k",
+            F.col("n_dcg").alias("n_sistema"),
+            "dcg",
+            "idcg",
+            F.when(
+                F.col("idcg").isNotNull() & (F.col("idcg") > 0.0),
+                F.col("dcg") / F.col("idcg"),
+            ).alias("ndcg"),
+        )
+        .orderBy("k")
+    )
+
+
+def _ndcg_sql() -> str:
+    ks = ", ".join(str(k) for k in NDCG_KS)
+    rlist = ", ".join(f"'{t}'" for t in NDCG_REL_TERMS)
+    max_k = max(NDCG_KS)
+    term = (
+        "CAST(ROUND(CAST(ganho AS DOUBLE)"
+        " / LOG2(CAST(r + 1 AS DOUBLE)), 6) AS DECIMAL(28,6))"
+    )
+    return f"""{_bm25_scored_ctes()},
+rel AS (
+    SELECT doc_id, COUNT(*) AS rel
+    FROM (SELECT DISTINCT doc_id, termo FROM terms
+          WHERE termo IN ({rlist}))
+    GROUP BY doc_id
+),
+cand AS (
+    SELECT doc_id, score_bm25,
+           CAST(CASE COALESCE(rel, 0) WHEN 1 THEN 1 WHEN 2 THEN 3
+                WHEN 3 THEN 7 ELSE 0 END AS BIGINT) AS ganho
+    FROM scored LEFT JOIN rel USING (doc_id)
+),
+sys_ranked AS (
+    SELECT ganho, ROW_NUMBER() OVER (ORDER BY score_bm25 DESC,
+                                     doc_id ASC) AS r
+    FROM cand QUALIFY r <= {max_k}
+),
+ideal_ranked AS (
+    SELECT ganho, ROW_NUMBER() OVER (ORDER BY ganho DESC,
+                                     doc_id ASC) AS r
+    FROM cand QUALIFY r <= {max_k}
+),
+ks AS (SELECT unnest([{ks}]) AS k),
+d AS (
+    SELECT k, CAST(COUNT(r) AS BIGINT) AS n_sistema,
+           CAST(SUM({term}) AS DOUBLE) AS dcg
+    FROM ks LEFT JOIN sys_ranked ON r <= k GROUP BY k
+),
+i AS (
+    SELECT k, CAST(SUM({term}) AS DOUBLE) AS idcg
+    FROM ks LEFT JOIN ideal_ranked ON r <= k GROUP BY k
+)
+SELECT k, n_sistema, dcg, idcg,
+       CASE WHEN idcg IS NOT NULL AND idcg > 0.0
+            THEN dcg / idcg END AS ndcg
+FROM d JOIN i USING (k)
+ORDER BY k
+"""
+
+
+NDCG_AT_K_SQL = _ndcg_sql()
 
 
 # --- collocation mining: bigram PMI ------------------------------------------

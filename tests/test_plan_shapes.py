@@ -480,6 +480,8 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
     # bounded inputs (constant-size frames at any scale)
     "zipf_fit_tokens": "rank over the TakeOrdered top-ZIPF_TOP_N rows",
     "hybrid_retrieval_rrf": "rank over the two TakeOrdered <= K lists",
+    "ndcg_at_k": "ranks over the two TakeOrdered <= max(NDCG_KS) "
+                 "candidate frames (zipf class)",
     "ann_pq_topk": "codebook build: rank over K x PQ_K candidate rows",
     "ann_ivf_pq_topk": "same PQ codebook construction",
     "psi_value_drift": "totals window over the ~dozen bucket rows "

@@ -55,7 +55,13 @@ FEATURE_SCHEMA = T.StructType(
 def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a deterministic media table from `documents`: payload bytes =
     header + text bytes (stands in for real image data on disk)."""
-    docs = datamodel.load_table(spark, sf_dir, "documents")
+    return media_projection(datamodel.load_table(spark, sf_dir, "documents"))
+
+
+def media_projection(docs: DataFrame) -> DataFrame:
+    """The documents -> media projection as a pure stateless expression
+    set, shared by the batch synthesize_media and the streaming ingest
+    screen (works unchanged on a streaming frame — narrow, no shuffle)."""
     width = (F.col("doc_id") % 64 + 16).cast("int")
     height = (F.col("doc_id") % 48 + 16).cast("int")
     header = F.concat(
@@ -357,6 +363,39 @@ def media_near_dup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_images(synthesize_media(spark, sf_dir))
 
 
+def _sniff_case(hexcol: str):
+    """Magic-byte format sniff over a hex(payload) column — the CASE
+    ladder shared by media_byte_entropy, media_sniff, and the streaming
+    ingest screen (real container magics first, then the synthetic
+    'FAKE' header, else unknown)."""
+    return (
+        F.when(F.expr(f"substring({hexcol}, 1, 8)") == "89504E47", "png")
+        .when(F.expr(f"substring({hexcol}, 1, 6)") == "FFD8FF", "jpeg")
+        .when(F.expr(f"substring({hexcol}, 1, 8)") == "47494638", "gif")
+        .when(F.expr(f"substring({hexcol}, 1, 8)") == "52494646", "riff")
+        .when(F.expr(f"substring({hexcol}, 1, 8)") == "46414B45", "fake-rgb")
+        .otherwise("desconhecido")
+    )
+
+
+def media_sniff(media: DataFrame) -> DataFrame:
+    """Ingest-time media screen: declared vs sniffed format, octet
+    length, and the header-stripped body digest — the stateless front
+    door of a media pipeline (mismatched magic, truncated payloads, and
+    CAS identity established before any decode). Pure narrow JVM
+    projection, so it runs unchanged on batch AND streaming frames."""
+    hx = media.withColumn("h", F.hex("payload"))
+    return hx.select(
+        "doc_id",
+        "media_format",
+        _sniff_case("h").alias("formato_detectado"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.sha2(
+            F.expr("substring(payload, 17, 2147483647)"), 256
+        ).alias("corpo_sha256"),
+    )
+
+
 def media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-asset byte-level statistics over the binary media payloads —
     the multimodal family's first oracle-checkable operator (round-9
@@ -389,13 +428,7 @@ def media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = hx.select(
         "doc_id",
         "media_format",
-        F.when(F.expr("substring(h, 1, 8)") == "89504E47", "png")
-        .when(F.expr("substring(h, 1, 6)") == "FFD8FF", "jpeg")
-        .when(F.expr("substring(h, 1, 8)") == "47494638", "gif")
-        .when(F.expr("substring(h, 1, 8)") == "52494646", "riff")
-        .when(F.expr("substring(h, 1, 8)") == "46414B45", "fake-rgb")
-        .otherwise("desconhecido")
-        .alias("formato_detectado"),
+        _sniff_case("h").alias("formato_detectado"),
     )
     bytes_ = hx.select(
         "doc_id",

@@ -326,6 +326,21 @@ def streaming_near_dup_screen(
     )
 
 
+def streaming_media_sniff(doc_stream: DataFrame) -> DataFrame:
+    """Ingest-time multimodal screen (round 10): each arriving document
+    is projected to its binary media payload and screened — declared vs
+    magic-sniffed format, octet length, header-stripped body digest —
+    BEFORE any decode, the first gate of a live media pipeline (format
+    mismatches and CAS identity established at the ingestion boundary).
+    Entirely stateless narrow JVM expressions (operators/multimodal.
+    media_projection + media_sniff, literally the same bodies on batch
+    and stream), so append mode, no watermark, no shuffle, no state —
+    the screen's throughput is the source's throughput."""
+    from banking_streaming_etl_spark.operators import multimodal
+
+    return multimodal.media_sniff(multimodal.media_projection(doc_stream))
+
+
 def streaming_psi_bucket_counts(tx_stream: DataFrame) -> DataFrame:
     """Live side of the PSI drift monitor: complete-mode bucket counts of
     the CURRENT window (rows at/after PSI_SPLIT) — the aggregation state

@@ -1071,3 +1071,31 @@ def test_socket_stream_live_wire_matches_batch_parse(spark, replay_dir):
     ]
     assert sorted(got) == sorted(want)
     assert len(got) == 60
+
+
+def test_streaming_media_sniff_matches_batch(spark, tmp_path):
+    """Differential: the stateless ingest-time media screen over the
+    replayed documents stream must agree ROW-FOR-ROW with the batch
+    media_sniff of synthesize_media (same projection + sniff bodies) —
+    digest, sniffed format, and octet length per doc_id."""
+    from banking_streaming_etl_spark.operators import multimodal
+
+    d = str(tmp_path / "doc_chunks_media")
+    n = stream_src.write_document_chunks(spark, SF, d, n_chunks=5)
+    ds = stream_src.read_document_stream(spark, d, max_files_per_trigger=2)
+    _run_to_memory(swin.streaming_media_sniff(ds), "media_sniff_out")
+
+    got = {
+        r.doc_id: (r.media_format, r.formato_detectado, r.n_bytes,
+                   r.corpo_sha256)
+        for r in spark.sql("SELECT * FROM media_sniff_out").collect()
+    }
+    want = {
+        r.doc_id: (r.media_format, r.formato_detectado, r.n_bytes,
+                   r.corpo_sha256)
+        for r in multimodal.media_sniff(
+            multimodal.synthesize_media(spark, SF)
+        ).collect()
+    }
+    assert len(got) == n
+    assert got == want

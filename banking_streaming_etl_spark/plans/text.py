@@ -1248,10 +1248,15 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
     )
+    # eager barrier: BOTH rankings (system + ideal) read the candidate
+    # frame — without it each TakeOrdered branch re-derives the whole
+    # BM25 aggregate chain (the round-7 interarrival lesson: eager
+    # localCheckpoint, not lazy persist, ahead of a second ranking pass)
     cand = (
         _bm25_scored(spark, sf_dir)
         .join(rel, "doc_id", "left")
         .select("doc_id", "score_bm25", gain.alias("ganho"))
+        .localCheckpoint(eager=True)
     )
     sys_top = cand.orderBy(F.desc("score_bm25"), F.asc("doc_id")).limit(max_k)
     sys_ranked = sys_top.select(

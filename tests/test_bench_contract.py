@@ -81,3 +81,31 @@ def test_headline_list_is_stable():
         "text_quality_scores",
         "tfidf_terms",
     ]
+
+
+def test_quiet_host_gate_bounded_and_nonfatal(monkeypatch, capsys):
+    """The startup quiet-host gate (round-10): on a busy host it must
+    WAIT (bounded by SPARK_GRAFT_BENCH_LOAD_WAIT), never refuse — the
+    driver's one-line JSON artifact must always be produced — and it
+    must warn loudly when starting dirty."""
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (5.0, 5.0, 5.0))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LOAD_WAIT", "0")
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    bench._await_quiet_host()  # returns instead of raising/exiting
+    assert sleeps == []  # budget 0: no waiting at all
+    err = capsys.readouterr().err
+    assert "DIRTY" in err and "loadavg1m=5.0" in err
+
+    # quiet host: no wait, no warning
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.2, 0.2, 0.2))
+    bench._await_quiet_host()
+    assert capsys.readouterr().err == ""
+
+    # busy then quiet: waits in 15s polls until the load drops
+    loads = iter([(3.0,) * 3, (2.0,) * 3, (0.5,) * 3])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: next(loads))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LOAD_WAIT", "300")
+    bench._await_quiet_host()
+    assert sleeps == [15.0, 15.0]
+    assert "WARNING" not in capsys.readouterr().err

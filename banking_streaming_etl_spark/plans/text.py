@@ -1288,12 +1288,25 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count("r").alias(f"n_{alias}"),
                 F.sum(term).cast("double").alias(alias),
+                F.count(F.when(F.col("ganho") > 0, 1)).alias(
+                    f"n_rel_{alias}"
+                ),
+                F.min(F.when(F.col("ganho") > 0, F.col("r"))).alias(
+                    f"first_rel_{alias}"
+                ),
             )
         )
     d = _dcg(sys_ranked, "dcg")
-    i = _dcg(ideal_ranked, "idcg").withColumnRenamed("n_idcg", "n_ideal")
+    i = _dcg(ideal_ranked, "idcg").select("k", "idcg")
+    # total relevant docs in the candidate set (recall denominator) —
+    # one broadcast scalar; exact-rational ratios below stay un-rounded
+    # (IEEE division of exact integers is bit-identical cross-engine)
+    rel_total = cand.agg(
+        F.count(F.when(F.col("ganho") > 0, 1)).alias("rel_total")
+    )
     return (
         d.join(i, "k")
+        .crossJoin(F.broadcast(rel_total))
         .select(
             "k",
             F.col("n_dcg").alias("n_sistema"),
@@ -1303,6 +1316,16 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("idcg").isNotNull() & (F.col("idcg") > 0.0),
                 F.col("dcg") / F.col("idcg"),
             ).alias("ndcg"),
+            F.col("n_rel_dcg").alias("n_relevantes_topk"),
+            F.when(
+                F.col("rel_total") > 0,
+                F.col("n_rel_dcg").cast("double")
+                / F.col("rel_total").cast("double"),
+            ).alias("revocacao"),
+            F.when(
+                F.col("first_rel_dcg").isNotNull(),
+                F.lit(1.0) / F.col("first_rel_dcg").cast("double"),
+            ).alias("rr_primeiro_relevante"),
         )
         .orderBy("k")
     )
@@ -1342,17 +1365,32 @@ ideal_ranked AS (
 ks AS (SELECT unnest([{ks}]) AS k),
 d AS (
     SELECT k, CAST(COUNT(r) AS BIGINT) AS n_sistema,
-           CAST(SUM({term}) AS DOUBLE) AS dcg
+           CAST(SUM({term}) AS DOUBLE) AS dcg,
+           CAST(COUNT(CASE WHEN ganho > 0 THEN 1 END) AS BIGINT)
+               AS n_rel_topk,
+           MIN(CASE WHEN ganho > 0 THEN r END) AS first_rel
     FROM ks LEFT JOIN sys_ranked ON r <= k GROUP BY k
 ),
 i AS (
     SELECT k, CAST(SUM({term}) AS DOUBLE) AS idcg
     FROM ks LEFT JOIN ideal_ranked ON r <= k GROUP BY k
+),
+tot AS (
+    SELECT CAST(COUNT(CASE WHEN ganho > 0 THEN 1 END) AS BIGINT)
+        AS rel_total
+    FROM cand
 )
 SELECT k, n_sistema, dcg, idcg,
        CASE WHEN idcg IS NOT NULL AND idcg > 0.0
-            THEN dcg / idcg END AS ndcg
-FROM d JOIN i USING (k)
+            THEN dcg / idcg END AS ndcg,
+       n_rel_topk AS n_relevantes_topk,
+       CASE WHEN rel_total > 0
+            THEN CAST(n_rel_topk AS DOUBLE) / CAST(rel_total AS DOUBLE)
+            END AS revocacao,
+       CASE WHEN first_rel IS NOT NULL
+            THEN 1.0 / CAST(first_rel AS DOUBLE)
+            END AS rr_primeiro_relevante
+FROM d JOIN i USING (k), tot
 ORDER BY k
 """
 

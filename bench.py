@@ -145,6 +145,10 @@ EXTRA_ROTATING = [
     "cohens_d_value_by_approval",
     # round-8 registree (the dependency-free Avro wire codec)
     "avro_wire_roundtrip",
+    # round-10 registrees (oracle-backed media byte ops + retrieval eval)
+    "media_byte_entropy",
+    "media_body_dedup",
+    "ndcg_at_k",
 ]
 
 #: full inventory (registry-coverage checks and docs read this)

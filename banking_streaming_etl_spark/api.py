@@ -97,6 +97,8 @@ MEMOIZED_QUERIES = frozenset({
     "kaplan_meier_conversion",
     "kaplan_meier_greenwood",
     "interarrival_percentiles_by_modality",
+    # round-10: the BM25+judgments candidate frame behind the NDCG eval
+    "ndcg_at_k",
 })
 
 

@@ -1251,12 +1251,20 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager barrier: BOTH rankings (system + ideal) read the candidate
     # frame — without it each TakeOrdered branch re-derives the whole
     # BM25 aggregate chain (the round-7 interarrival lesson: eager
-    # localCheckpoint, not lazy persist, ahead of a second ranking pass)
-    cand = (
-        _bm25_scored(spark, sf_dir)
-        .join(rel, "doc_id", "left")
-        .select("doc_id", "score_bm25", gain.alias("ganho"))
-        .localCheckpoint(eager=True)
+    # localCheckpoint, not lazy persist, ahead of a second ranking
+    # pass). Session-memoized (api.MEMOIZED_QUERIES) so repeat builds
+    # are job-free, like the other rank-family shared frames.
+    from banking_streaming_etl_spark.operators import memo
+
+    cand = memo.shared_frame(
+        spark,
+        sf_dir,
+        "ndcg_candidates",
+        lambda: (
+            _bm25_scored(spark, sf_dir)
+            .join(rel, "doc_id", "left")
+            .select("doc_id", "score_bm25", gain.alias("ganho"))
+        ),
     )
     sys_top = cand.orderBy(F.desc("score_bm25"), F.asc("doc_id")).limit(max_k)
     sys_ranked = sys_top.select(

@@ -81,9 +81,16 @@ def shared_frame(
         kind,
     )
     with _LOCK:
+        # Evict only the _SHARED frames of stale applications; _LOCKS
+        # entries stay. A builder thread of the old app may still hold
+        # its per-key lock (captured via setdefault before this
+        # eviction) — popping the lock would hand a FRESH lock to the
+        # next same-key caller and let two builds run concurrently,
+        # pinning the duplicate session-lifetime checkpoint the lock
+        # exists to prevent. Lock objects are tiny; keys are bounded by
+        # (apps seen in-process) x (sf dirs) x (kinds).
         for k in [k for k in _SHARED if k[0] != key[0]]:
             _SHARED.pop(k)
-            _LOCKS.pop(k, None)
         df = _SHARED.get(key)
         if df is not None:
             return df

@@ -440,7 +440,11 @@ def media_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     )
     cnt = bytes_.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
-    n = bytes_.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # total bytes per asset from the BOUNDED histogram (<= 256 rows per
+    # doc), not a second scan of the per-byte explode — the explode is
+    # the expensive frame, and deriving n = SUM(c) off the counts keeps
+    # it single-scan (round-11 bench adjudication of this query's cost)
+    n = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
     p = F.col("c").cast("double") / F.col("n").cast("double")
     agg = (
         cnt.join(n, "doc_id")
@@ -481,7 +485,7 @@ b AS (
           FROM m)
 ),
 cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY 1, 2),
-n AS (SELECT doc_id, COUNT(*) AS n FROM b GROUP BY 1),
+n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
 agg AS (
     SELECT doc_id,
            CAST(MAX(n) AS BIGINT) AS n_bytes,

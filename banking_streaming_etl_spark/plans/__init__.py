@@ -89,9 +89,21 @@ def register_all() -> None:
     # report-shaped driver row) takes revenue_by_nation's slot
     # (driver-green since r1; the fact-fact join+agg shape stays
     # represented in-window by order_enrichment/q1/q2/q21).
-    register("dq_report_transactions", views.dq_report_transactions,
-             views.DQ_REPORT_SQL,
-             "data-quality constraint report (completeness/domain/uniqueness)")
+    # Round-11 rotation (round-10 verdict #1: rotate the pre-vetted
+    # shortlist — 132/228 oracle-backed queries had never faced the
+    # driver hash): eleven never-driver-checked queries take the slots
+    # of their most redundant driver-green in-window siblings. Every
+    # displacee is driver-green in a prior round (ten of them in r10),
+    # keeps an in-window family representative, and re-registers right
+    # after the window (parity-gated every pytest run). This slot: the
+    # k-anonymity re-identification audit (governance/privacy family's
+    # first driver row of that shape) takes dq_report_transactions'
+    # slot (driver-green r10; the one-scan conditional-aggregate report
+    # shape stays represented in-window by psi_value_drift).
+    register("k_anonymity_report", governance.k_anonymity_report,
+             governance.K_ANONYMITY_SQL,
+             "k-anonymity re-identification audit over the QI tuple "
+             "(region, modality, value bucket)")
     # Round-9 rotation: the prefix-sum survival family had zero
     # driver-green rows, so Kaplan-Meier takes the slot of
     # q3_shipping_priority (driver-green since r1; the filter-join-agg-
@@ -107,11 +119,16 @@ def register_all() -> None:
     # re-proven in-window by q1_pricing_summary's scan-agg and every
     # filtered aggregate) so the eval-calibration family gets its first
     # driver-green row. Displaced query re-registers after the window.
-    register("conformal_risk_thresholds", dashboard.conformal_risk_thresholds,
-             dashboard.CONFORMAL_SQL,
-             "split-conformal threshold calibration: exact order-"
-             "statistic thresholds per miscoverage level + observed "
-             "eval-split coverage (all-integer rank arithmetic)")
+    # Round-11 rotation: the one-pass Poisson bootstrap CI (resampling
+    # family, never driver-checked) takes conformal_risk_thresholds'
+    # slot (driver-green r7-r10; the conformal family stays represented
+    # in-window by conformal_by_modality, the strictly harder grouped
+    # form).
+    register("bootstrap_mean_ci", dashboard.bootstrap_mean_ci,
+             dashboard._bootstrap_sql(),
+             "Poisson-bootstrap 95% CI for the mean value: B=64 "
+             "resamples in ONE aggregate pass (integer-threshold "
+             "portable draws, decimal sums, order-statistic bounds)")
 
     # the two Postgres views (A1-A3)
     register("perf_stats_by_modality", views.perf_stats_by_modality,
@@ -124,10 +141,14 @@ def register_all() -> None:
     # beside in-window cms_heavy_hitters) takes approval_overview's slot
     # (driver-green since r1; the A8/A10 conditional-count shape stays
     # represented in-window by distance_bucket_pivot's fill path).
-    register("bloom_filter_screen", sketches.bloom_filter_screen,
-             sketches.BLOOM_SCREEN_SQL,
-             "engine-portable Bloom membership screen: runtime-filter "
-             "shape with exact semi-join witness + FP-rate report")
+    # Round-11 rotation: the KMV distinct sketch (the approximate-op
+    # family's base estimator, never driver-checked) takes
+    # bloom_filter_screen's slot (driver-green r10; the sketch family
+    # stays represented in-window by cms_heavy_hitters).
+    register("kmv_distinct_payers", relational.kmv_distinct_payers,
+             relational.KMV_DISTINCT_SQL,
+             "engine-portable KMV distinct sketch (oracle-checkable "
+             "approximate op) + exact witness")
     # Round-5 rotation (verdict task #6): the three strongest round-4
     # shapes not yet driver-verified take the slots of their most
     # redundant in-window siblings — value_histogram (P9 p99-trim
@@ -143,17 +164,33 @@ def register_all() -> None:
              "point-in-time-correct feature join against the SCD2 "
              "dimension (anti-leakage; as-of union trick, no inequality "
              "join)")
-    register("density_grid", dashboard.density_grid,
-             dashboard.DENSITY_GRID_SQL, "2-D histogram (A14)")
+    # Round-11 rotation: the multimodal family's first driver rows —
+    # the byte-exact entropy/format-sniff and the content-addressed
+    # body dedup (registered round 10, never driver-checked; the ONE
+    # family with zero ever-driver-green rows) take the slots of
+    # density_grid (driver-green r10; the A13/A14 binning shape stays
+    # represented in-window by distance_bucket_pivot's bucket ladder)
+    # and ewma_control_chart (see the time-series note below).
+    register("media_byte_entropy", multimodal.media_byte_entropy,
+             multimodal.MEDIA_BYTE_ENTROPY_SQL,
+             "per-asset magic-byte format sniff + byte-histogram "
+             "Shannon entropy / distinct-byte / modal-byte stats over "
+             "the binary media payloads (pure JVM byte math)")
     register("bm25_topk", text.bm25_topk, text.BM25_SQL,
              "BM25 retrieval top-K for a fixed query term set")
     # Round-10 rotation: first-activity cohort retention takes
     # funnel_conversion's slot (driver-green since r6; the behavioral
     # first-touch family stays represented in-window by
     # sessionize_events, channel_attribution and kaplan_meier).
-    register("cohort_retention", behavior.cohort_retention,
-             behavior.COHORT_SQL,
-             "first-activity-day cohorts with 1/3/7-day retention rates")
+    # Round-11 rotation: the first-order Markov transition matrix
+    # (sequence-model family, never driver-checked) takes
+    # cohort_retention's slot (driver-green r10; the first-touch
+    # behavioral family stays represented in-window by
+    # sessionize_events, channel_attribution and kaplan_meier).
+    register("event_transition_matrix", behavior.event_transition_matrix,
+             behavior.EVENT_TRANSITION_SQL,
+             "first-order Markov modality transition counts + conditional "
+             "probabilities per payer sequence")
     # Round-4 rotation: the LLM-pipeline capstones and the only
     # RANGE-frame shape take the slots of their most redundant in-window
     # siblings so the third-party gate proves the flagship extension
@@ -300,16 +337,20 @@ def register_all() -> None:
     # quantize_embeddings (driver-green since r4; the embedding family
     # stays represented in-window by ann_cosine_topk + semantic_dedup).
     # The time-series family had zero driver-green rows before this.
-    register("theil_sen_hourly_trend", behavior.theil_sen_hourly_trend,
-             behavior.THEIL_SEN_SQL,
-             "Theil-Sen robust slope (exact median of pairwise slopes "
-             "via the distributed rank) + tie-corrected Mann-Kendall "
-             "trend test of the hourly count series")
-    register("ewma_control_chart", behavior.ewma_control_chart,
-             behavior.EWMA_CHART_SQL,
-             "EWMA control chart of the hourly series: exact-decimal "
-             "weighted prefix sums + time-varying sigma limits + "
-             "out-of-control alarms (the small-shift CUSUM companion)")
+    # Round-11 rotation: the hourly-series autocorrelation (lagged-join
+    # time-series shape, never driver-checked) takes
+    # theil_sen_hourly_trend's slot, and media_body_dedup (above) takes
+    # ewma_control_chart's — both displacees driver-green r10; the
+    # time-series family stays represented in-window by
+    # seasonal_decompose_hourly + hourly_acf.
+    register("hourly_acf", behavior.hourly_acf, behavior.HOURLY_ACF_SQL,
+             "hourly-series autocorrelation at standard lags: lagged "
+             "equi-join + exact decimal-moment Pearson (no window)")
+    register("media_body_dedup", multimodal.media_body_dedup,
+             multimodal.MEDIA_BODY_DEDUP_SQL,
+             "content-addressed exact dedup of media payloads by "
+             "header-stripped body sha-256 (keep-earliest canonical + "
+             "re-encapsulation signal; all-integer/string exact)")
 
     # scale extensions: text analysis
     register("semantic_dedup", embeddings.semantic_dedup,
@@ -333,14 +374,19 @@ def register_all() -> None:
     # bm25_topk, the strictly harder sibling) and hybrid_retrieval_rrf
     # (driver-green r4-r9; its BM25 + rank-fusion constituents stay
     # represented in-window by bm25_topk and the ranking family).
-    register("unigram_logprob_scores", text.unigram_logprob_scores,
-             text.UNIGRAM_LOGPROB_SQL,
-             "unigram LM mean log-prob per doc (perplexity-proxy filter)")
-    register("gopher_repetition_signals",
-             text.gopher_repetition_signals,
-             text.GOPHER_REPETITION_SQL,
-             "Gopher repetition filters: duplicate-token / top-token / "
-             "2-gram duplicate fractions per doc + composite keep flag")
+    # Round-11 rotation: the PII scrubber (regex-redaction surface,
+    # never driver-checked) and the NDCG@K retrieval eval (round-10
+    # registree) take the slots of unigram_logprob_scores and
+    # gopher_repetition_signals (both driver-green r10; the LM-score /
+    # repetition text shapes stay represented in-window by bm25_topk,
+    # text_quality_scores and quality_classifier_scores).
+    register("scrub_pii_docs", text.scrub_pii_docs,
+             text.SCRUB_PII_SQL,
+             "PII redaction (emails/phones/IPs) + audit counts")
+    register("ndcg_at_k", text.ndcg_at_k, text.NDCG_AT_K_SQL,
+             "NDCG@K of the BM25 ranking vs term-overlap judgments "
+             "(graded gains, decimal-summed log2-discount terms, "
+             "guarded IDCG division)")
 
     # as-of join (union+window composition; DuckDB native ASOF as oracle)
     register("asof_balance_at_tx", asof.asof_balance_at_tx,
@@ -369,14 +415,23 @@ def register_all() -> None:
     # recombination, driver-green since r1, join shapes heavily
     # in-window) and coerced_casts (F20/F21 try_cast, driver-green
     # since r1) — both re-register right after the window.
-    register("cusum_hourly_drift", stats.cusum_hourly_drift,
-             stats.CUSUM_SQL,
-             "two-sided CUSUM drift monitor on the hourly approval "
-             "rate via the prefix-sum-minus-running-min closed form, "
-             "exact integer count units")
-    register("decontaminate_train_docs", curation.decontaminate_train_docs,
-             curation.DECONTAMINATE_SQL,
-             "train/test 8-gram overlap decontamination")
+    # Round-11 rotation: per-payer triangle counting (the graph
+    # family's second shape, never driver-checked) and the DSIR
+    # importance weights (curation's domain-matching scorer, never
+    # driver-checked) take the slots of cusum_hourly_drift (driver-
+    # green r10; the stats family stays represented in-window by
+    # mannwhitney_value_by_approval, and the control-chart shape by
+    # the parity gate on cusum/ewma every run) and
+    # decontaminate_train_docs (driver-green r10; curation stays
+    # represented in-window by corpus_clean_pipeline +
+    # training_manifest).
+    register("payer_triangles", graph.triangle_count, graph.TRIANGLE_SQL,
+             "per-payer triangle membership over the undirected pay graph")
+    register("dsir_importance_weights", curation.dsir_importance_weights,
+             curation.DSIR_IMPORTANCE_SQL,
+             "DSIR domain-matching importance weights: hashed-unigram "
+             "target-vs-raw log-ratio per doc (bucket-sized model, "
+             "portable md5_48 features)")
 
     # SCD2 merge emulation (MERGE INTO without a transactional format)
     register("scd2_user_history", scd.scd2_user_history,
@@ -390,6 +445,61 @@ def register_all() -> None:
              groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
 
     # --- end of the 50-slot driver window -------------------------------
+    # round-11 rotation displacees: all eleven driver-green in prior
+    # rounds (ten of them in r10), all stay parity-gated every pytest
+    # run.
+    register("dq_report_transactions", views.dq_report_transactions,
+             views.DQ_REPORT_SQL,
+             "data-quality constraint report (completeness/domain/uniqueness)")
+    register("conformal_risk_thresholds", dashboard.conformal_risk_thresholds,
+             dashboard.CONFORMAL_SQL,
+             "split-conformal threshold calibration: exact order-"
+             "statistic thresholds per miscoverage level + observed "
+             "eval-split coverage (all-integer rank arithmetic)")
+    register("bloom_filter_screen", sketches.bloom_filter_screen,
+             sketches.BLOOM_SCREEN_SQL,
+             "engine-portable Bloom membership screen: runtime-filter "
+             "shape with exact semi-join witness + FP-rate report")
+    register("cohort_retention", behavior.cohort_retention,
+             behavior.COHORT_SQL,
+             "first-activity-day cohorts with 1/3/7-day retention rates")
+    register("density_grid", dashboard.density_grid,
+             dashboard.DENSITY_GRID_SQL, "2-D histogram (A14)")
+    register("theil_sen_hourly_trend", behavior.theil_sen_hourly_trend,
+             behavior.THEIL_SEN_SQL,
+             "Theil-Sen robust slope (exact median of pairwise slopes "
+             "via the distributed rank) + tie-corrected Mann-Kendall "
+             "trend test of the hourly count series")
+    register("ewma_control_chart", behavior.ewma_control_chart,
+             behavior.EWMA_CHART_SQL,
+             "EWMA control chart of the hourly series: exact-decimal "
+             "weighted prefix sums + time-varying sigma limits + "
+             "out-of-control alarms (the small-shift CUSUM companion)")
+    register("unigram_logprob_scores", text.unigram_logprob_scores,
+             text.UNIGRAM_LOGPROB_SQL,
+             "unigram LM mean log-prob per doc (perplexity-proxy filter)")
+    register("gopher_repetition_signals",
+             text.gopher_repetition_signals,
+             text.GOPHER_REPETITION_SQL,
+             "Gopher repetition filters: duplicate-token / top-token / "
+             "2-gram duplicate fractions per doc + composite keep flag")
+    register("cusum_hourly_drift", stats.cusum_hourly_drift,
+             stats.CUSUM_SQL,
+             "two-sided CUSUM drift monitor on the hourly approval "
+             "rate via the prefix-sum-minus-running-min closed form, "
+             "exact integer count units")
+    register("decontaminate_train_docs", curation.decontaminate_train_docs,
+             curation.DECONTAMINATE_SQL,
+             "train/test 8-gram overlap decontamination")
+    # round-11 (round-10 verdict task #7): the retrieval-eval capstone —
+    # NDCG of the RRF fusion vs BM25-only over the SAME held-out
+    # grades, on the shared candidate/gains frames (quantifies what
+    # dense fusion buys; registered after the window per policy)
+    register("hybrid_ndcg_eval", text.hybrid_ndcg_eval,
+             text.HYBRID_NDCG_SQL,
+             "NDCG@K of hybrid RRF fusion vs BM25-only over the same "
+             "held-out judgments (shared corpus-wide IDCG, guarded "
+             "divisions, unrounded exact-rational deltas)")
     # round-10 rotation displacees: all ten driver-green in prior
     # rounds, all stay parity-gated every pytest run. (The LSH slot
     # note from round 5 still applies to near_dup_embeddings_lsh: its
@@ -426,26 +536,6 @@ def register_all() -> None:
              "per-score frames joined back (J4/J5)")
     register("coerced_casts", batchdev.coerced_casts,
              batchdev.COERCED_CASTS_SQL, "cast-with-null-on-error (F20/F21)")
-    # round-10 (round-9 verdict task #7): the multimodal family's first
-    # oracle-checkable row — deterministic byte math over the binary
-    # payloads, no decode, DuckDB twin on the same blob bytes
-    register("media_byte_entropy", multimodal.media_byte_entropy,
-             multimodal.MEDIA_BYTE_ENTROPY_SQL,
-             "per-asset magic-byte format sniff + byte-histogram "
-             "Shannon entropy / distinct-byte / modal-byte stats over "
-             "the binary media payloads (pure JVM byte math)")
-    register("media_body_dedup", multimodal.media_body_dedup,
-             multimodal.MEDIA_BODY_DEDUP_SQL,
-             "content-addressed exact dedup of media payloads by "
-             "header-stripped body sha-256 (keep-earliest canonical + "
-             "re-encapsulation signal; all-integer/string exact)")
-    # round-10: retrieval-eval companion of precision_recall_at_k —
-    # NDCG@{5,10,20} of the BM25 ranking against deterministic
-    # term-overlap relevance grades, on the SHARED bm25 scored frame
-    register("ndcg_at_k", text.ndcg_at_k, text.NDCG_AT_K_SQL,
-             "NDCG@K of the BM25 ranking vs term-overlap judgments "
-             "(graded gains, decimal-summed log2-discount terms, "
-             "guarded IDCG division)")
     # round-9 rotation displacees: both driver-green in prior rounds,
     # both stay parity-gated every pytest run
     register("q3_shipping_priority", tpch.q3_shipping_priority,
@@ -770,9 +860,6 @@ def register_all() -> None:
              dedup.DEDUP_CLUSTERS_SQL,
              "near-dup pairs -> connected components -> canonical doc per "
              "cluster (recursive-CTE oracle)")
-    register("scrub_pii_docs", text.scrub_pii_docs,
-             text.SCRUB_PII_SQL,
-             "PII redaction (emails/phones/IPs) + audit counts")
     register("lag_lead_per_payer", relational.lag_lead_per_payer,
              relational.LAG_LEAD_SQL, "lag/lead")
     register("value_quartiles", relational.value_quartiles,
@@ -830,8 +917,6 @@ def register_all() -> None:
     register("jl_project_embeddings", embeddings.jl_project_embeddings,
              embeddings.JL_PROJECT_SQL,
              "Johnson-Lindenstrauss sign-projection sketch (64 -> 16 dims)")
-    register("payer_triangles", graph.triangle_count, graph.TRIANGLE_SQL,
-             "per-payer triangle membership over the undirected pay graph")
     register("collocations_pmi", text.collocations_pmi,
              text.COLLOCATIONS_PMI_SQL,
              "top bigram collocations by pointwise mutual information")
@@ -877,9 +962,6 @@ def register_all() -> None:
              "Shannon entropy of each payer's modality mix via the "
              "H = ln n - (sum c ln c)/n aggregation identity "
              "(decimal-summed 6-rounded terms)")
-    register("hourly_acf", behavior.hourly_acf, behavior.HOURLY_ACF_SQL,
-             "hourly-series autocorrelation at standard lags: lagged "
-             "equi-join + exact decimal-moment Pearson (no window)")
     register("seasonal_naive_eval", behavior.seasonal_naive_eval,
              behavior.SEASONAL_NAIVE_EVAL_SQL,
              "MAE/RMSE/WAPE/MASE of the lag-24 seasonal-naive forecast "
@@ -911,11 +993,6 @@ def register_all() -> None:
              "top-K vocabulary coverage curve: exact cumulative token "
              "counts at each vocab budget (distributed prefix-sum over "
              "descending term frequency, portable md5_48 tiebreak)")
-    register("dsir_importance_weights", curation.dsir_importance_weights,
-             curation.DSIR_IMPORTANCE_SQL,
-             "DSIR domain-matching importance weights: hashed-unigram "
-             "target-vs-raw log-ratio per doc (bucket-sized model, "
-             "portable md5_48 features)")
     register("temperature_mix_weights", curation.temperature_mix_weights,
              curation.TEMPERATURE_MIX_SQL,
              "sqrt-temperature data-mixing weights per source")
@@ -923,10 +1000,6 @@ def register_all() -> None:
              curation.INTERLEAVE_SOURCES_SQL,
              "deterministic source-interleaved curriculum keys (equal-epoch "
              "stride, portable-hash shuffle within source)")
-    register("event_transition_matrix", behavior.event_transition_matrix,
-             behavior.EVENT_TRANSITION_SQL,
-             "first-order Markov modality transition counts + conditional "
-             "probabilities per payer sequence")
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")
@@ -954,10 +1027,6 @@ def register_all() -> None:
     register("modality_mode_per_region", relational.modality_mode_per_region,
              relational.MODALITY_MODE_SQL,
              "deterministic MODE per group (tie-broken most-frequent)")
-    register("kmv_distinct_payers", relational.kmv_distinct_payers,
-             relational.KMV_DISTINCT_SQL,
-             "engine-portable KMV distinct sketch (oracle-checkable "
-             "approximate op) + exact witness")
     register("kmv_merge_rollup", relational.kmv_merge_rollup,
              relational.KMV_MERGE_ROLLUP_SQL,
              "per-day KMV sketches merged upward (lossless min-wise "
@@ -979,10 +1048,6 @@ def register_all() -> None:
              curation.DATASET_CARD_SQL,
              "one-row dataset release card (docs/tokens/diversity/"
              "dup-rate) in a single scan-level aggregate")
-    register("k_anonymity_report", governance.k_anonymity_report,
-             governance.K_ANONYMITY_SQL,
-             "k-anonymity re-identification audit over the QI tuple "
-             "(region, modality, value bucket)")
     register("dp_region_counts", governance.dp_region_counts,
              governance.DP_REGION_COUNTS_SQL,
              "differentially-private count release with deterministic "
@@ -1017,11 +1082,6 @@ def register_all() -> None:
              "mutual-information contingency screen modality x approval "
              "(per-cell nats contributions; margins re-aggregated from "
              "the cells, one corpus scan)")
-    register("bootstrap_mean_ci", dashboard.bootstrap_mean_ci,
-             dashboard._bootstrap_sql(),
-             "Poisson-bootstrap 95% CI for the mean value: B=64 "
-             "resamples in ONE aggregate pass (integer-threshold "
-             "portable draws, decimal sums, order-statistic bounds)")
     register("length_bucketed_batches", curation.length_bucketed_batches,
              curation.LENGTH_BUCKETED_SQL,
              "length-grouped batch assignment (padding-efficiency "

@@ -145,10 +145,18 @@ EXTRA_ROTATING = [
     "cohens_d_value_by_approval",
     # round-8 registree (the dependency-free Avro wire codec)
     "avro_wire_roundtrip",
-    # round-10 registrees (oracle-backed media byte ops + retrieval eval)
+    # round-10 registrees (oracle-backed media byte ops + retrieval
+    # eval). Ordered so BOTH media rows sit on EVEN indices: the
+    # round-11 slice (rot = 10 BENCH files % 2 = 0) times even indices,
+    # and round-10 verdict task #2 requires both media queries timed in
+    # round 11 (media_byte_entropy was in the committed r10 detail's
+    # skipped half). ndcg_at_k lands on the odd slice and rotates in
+    # next round.
     "media_byte_entropy",
-    "media_body_dedup",
     "ndcg_at_k",
+    "media_body_dedup",
+    # round-11 registree (RRF-vs-BM25 retrieval eval)
+    "hybrid_ndcg_eval",
 ]
 
 #: full inventory (registry-coverage checks and docs read this)
@@ -295,11 +303,13 @@ def _warm_family_memos(spark, sf_dir: str) -> None:
     paying the shared build."""
     from banking_streaming_etl_spark.plans import behavior as _behavior
     from banking_streaming_etl_spark.plans import dashboard as _dashboard
+    from banking_streaming_etl_spark.plans import text as _text
 
     _dashboard._cal_rank_asc(spark, sf_dir)
     _dashboard._cal_rank_desc(spark, sf_dir)
     _dashboard._modality_value_ranked(spark, sf_dir)
     _behavior._km_risk_table(spark, sf_dir)
+    _text._ndcg_candidates(spark, sf_dir)
 
 
 def _hygiene_note(spark) -> str:

@@ -167,11 +167,6 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "mannwhitney_value_by_approval",
         "kaplan_meier_conversion",
         "quality_classifier_scores",
-        # round-7 rotation: the eval-calibration family and the
-        # iteration-unrolled HITS oracle must be driver-proven (they
-        # displaced q6_revenue_forecast and kmv_modality_overlap —
-        # re-proven by in-window siblings and the local parity gate)
-        "conformal_risk_thresholds",
         "scd2_user_history",
         "train_test_split_docs",
         "minmax_normalize_window",
@@ -187,15 +182,28 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # in-window representative; all ten re-register right after the
         # window, parity-gated every run).
         "conformal_by_modality",
-        "theil_sen_hourly_trend",
-        "ewma_control_chart",
-        "unigram_logprob_scores",
-        "gopher_repetition_signals",
-        "cohort_retention",
-        "dq_report_transactions",
-        "bloom_filter_screen",
-        "cusum_hourly_drift",
-        "decontaminate_train_docs",
+        # round-11 rotation (round-10 verdict #1): the full staged
+        # shortlist — eleven never-driver-checked queries, including
+        # the multimodal family's first-ever driver rows — takes the
+        # slots of redundant driver-green siblings (displaced:
+        # dq_report_transactions, conformal_risk_thresholds,
+        # bloom_filter_screen, cohort_retention, density_grid,
+        # theil_sen_hourly_trend, ewma_control_chart,
+        # unigram_logprob_scores, gopher_repetition_signals,
+        # cusum_hourly_drift, decontaminate_train_docs — every family
+        # keeps an in-window representative; all eleven re-register
+        # right after the window, parity-gated every run).
+        "media_byte_entropy",
+        "media_body_dedup",
+        "ndcg_at_k",
+        "kmv_distinct_payers",
+        "dsir_importance_weights",
+        "event_transition_matrix",
+        "k_anonymity_report",
+        "hourly_acf",
+        "scrub_pii_docs",
+        "payer_triangles",
+        "bootstrap_mean_ci",
     }
     missing = must_be_checked - set(window)
     assert missing == set(), f"family-critical queries outside the window: {missing}"

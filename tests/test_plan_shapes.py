@@ -482,6 +482,8 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
     "hybrid_retrieval_rrf": "rank over the two TakeOrdered <= K lists",
     "ndcg_at_k": "ranks over the two TakeOrdered <= max(NDCG_KS) "
                  "candidate frames (zipf class)",
+    "hybrid_ndcg_eval": "ranks over three TakeOrdered <= HYBRID_TOP_K "
+                        "frames (bm25/hybrid/ideal; ndcg_at_k class)",
     "ann_pq_topk": "codebook build: rank over K x PQ_K candidate rows",
     "ann_ivf_pq_topk": "same PQ codebook construction",
     "psi_value_drift": "totals window over the ~dozen bucket rows "

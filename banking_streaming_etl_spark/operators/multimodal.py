@@ -61,7 +61,11 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_projection(docs: DataFrame) -> DataFrame:
     """The documents -> media projection as a pure stateless expression
     set, shared by the batch synthesize_media and the streaming ingest
-    screen (works unchanged on a streaming frame — narrow, no shuffle)."""
+    screen (works unchanged on a streaming frame — narrow, no shuffle).
+    The wire envelope's `event_ts` column, when present, passes through
+    so stateful streaming consumers (the watermarked CAS dedup) keep
+    their event-time column; the batch documents table has no such
+    column and is unaffected."""
     width = (F.col("doc_id") % 64 + 16).cast("int")
     height = (F.col("doc_id") % 48 + 16).cast("int")
     header = F.concat(
@@ -69,6 +73,7 @@ def media_projection(docs: DataFrame) -> DataFrame:
         F.encode(F.lpad(width.cast("string"), 6, "0"), "utf-8"),
         F.encode(F.lpad(height.cast("string"), 6, "0"), "utf-8"),
     )
+    passthrough = [c for c in ("event_ts",) if c in docs.columns]
     return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "png")
@@ -78,6 +83,7 @@ def media_projection(docs: DataFrame) -> DataFrame:
         width.alias("width"),
         height.alias("height"),
         F.concat(header, F.encode(F.col("text"), "utf-8")).alias("payload"),
+        *passthrough,
     )
 
 

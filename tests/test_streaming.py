@@ -1099,3 +1099,37 @@ def test_streaming_media_sniff_matches_batch(spark, tmp_path):
     }
     assert len(got) == n
     assert got == want
+
+
+def test_streaming_media_body_dedup_matches_batch_clusters(spark, tmp_path):
+    """Differential for the watermarked CAS ingest dedup
+    (streaming_media_body_dedup): which cluster member arrives first
+    depends on replay chunk order, so the pinned invariants are
+    (1) exactly ONE surviving row per body digest, (2) the surviving
+    digest set equals the batch media_body_dedup cluster set, and
+    (3) every survivor is a true member of its cluster (its own batch
+    digest matches the one it survived under)."""
+    from banking_streaming_etl_spark.operators import multimodal
+
+    d = str(tmp_path / "doc_chunks_cas")
+    stream_src.write_document_chunks(spark, SF, d, n_chunks=5)
+    ds = stream_src.read_document_stream(spark, d, max_files_per_trigger=2)
+    _run_to_memory(
+        swin.streaming_media_body_dedup(ds), "media_cas_out"
+    )
+
+    kept = spark.sql(
+        "SELECT doc_id, corpo_sha256 FROM media_cas_out"
+    ).collect()
+    batch = {
+        r.doc_id: r.corpo_sha256
+        for r in multimodal.media_body_dedup(spark, SF).collect()
+    }
+    # one survivor per digest
+    digests = [r.corpo_sha256 for r in kept]
+    assert len(digests) == len(set(digests))
+    # survivors cover exactly the batch cluster set
+    assert set(digests) == set(batch.values())
+    # each survivor genuinely belongs to the cluster it survived under
+    for r in kept:
+        assert batch[r.doc_id] == r.corpo_sha256

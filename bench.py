@@ -143,20 +143,20 @@ EXTRA_ROTATING = [
     "classification_report_gate",
     "markov_entropy_rate",
     "cohens_d_value_by_approval",
-    # round-8 registree (the dependency-free Avro wire codec)
+    # round-8 registree (the dependency-free Avro wire codec) — index 44
     "avro_wire_roundtrip",
-    # round-10 registrees (oracle-backed media byte ops + retrieval
-    # eval). Ordered so BOTH media rows sit on EVEN indices: the
-    # round-11 slice (rot = 10 BENCH files % 2 = 0) times even indices,
-    # and round-10 verdict task #2 requires both media queries timed in
-    # round 11 (media_byte_entropy was in the committed r10 detail's
-    # skipped half). ndcg_at_k lands on the odd slice and rotates in
-    # next round.
-    "media_byte_entropy",
+    # round-10/11 registrees (oracle-backed media byte ops + retrieval
+    # evals). Ordered so BOTH media rows sit on EVEN indices (46, 48):
+    # the round-11 slice (rot = 10 BENCH files % 2 = 0) times even
+    # indices, and round-10 verdict task #2 requires both media queries
+    # timed in round 11. ndcg_at_k and hybrid_ndcg_eval take the odd
+    # slots and rotate in next round (both were timed in the round-11
+    # adjudication run regardless).
     "ndcg_at_k",
-    "media_body_dedup",
+    "media_byte_entropy",
     # round-11 registree (RRF-vs-BM25 retrieval eval)
     "hybrid_ndcg_eval",
+    "media_body_dedup",
 ]
 
 #: full inventory (registry-coverage checks and docs read this)

@@ -500,6 +500,19 @@ def register_all() -> None:
              "NDCG@K of hybrid RRF fusion vs BM25-only over the same "
              "held-out judgments (shared corpus-wide IDCG, guarded "
              "divisions, unrounded exact-rational deltas)")
+    # round-11 capability additions (registered after the window per
+    # policy; both pre-vetted bit-strict at sf0.001/0.01 + the 3-row
+    # degenerate corpus — round-12 rotation candidates)
+    register("t_closeness_report", governance.t_closeness_report,
+             governance.T_CLOSENESS_SQL,
+             "t-closeness skew-disclosure audit per QI class: exact "
+             "integer-numerator total-variation distance vs the global "
+             "sensitive-attribute mix (privacy-triad capstone)")
+    register("changepoint_hourly", behavior.changepoint_hourly,
+             behavior.CHANGEPOINT_SQL,
+             "single least-squares changepoint of the hourly series via "
+             "closed-form prefix-sum gain (CUSUM's offline companion; "
+             "IEEE-ladder argmax with hk tiebreak)")
     # round-10 rotation displacees: all ten driver-green in prior
     # rounds, all stay parity-gated every pytest run. (The LSH slot
     # note from round 5 still applies to near_dup_embeddings_lsh: its

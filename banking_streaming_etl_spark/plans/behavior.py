@@ -647,6 +647,116 @@ hourly AS (
 HOURLY_ACF_SQL = _hourly_acf_sql()
 
 
+def changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single least-squares changepoint of the hourly count series
+    (binary-segmentation step 1 / CUSUM's offline companion): the split
+    k that minimizes two-segment SSE, found in closed form from prefix
+    sums — SSE(k) = SS - S1^2/n1 - S2^2/n2, so argmin SSE = argmax
+    gain(k) = S1^2/k + S2^2/(H-k). One row: the cut hour, both segment
+    sizes/means, the pre/post-split SSE, and the variance-explained
+    fraction of the best split (the step-change analogue of R^2).
+
+    Engine parity: counts, prefix sums and totals are all BIGINT; the
+    gain is a term-identical IEEE multiply/divide ladder over exact
+    integers, so both engines score every k with bit-identical doubles
+    and the (gain DESC, hk ASC) argmax cannot tie-flip; the reduction
+    ratio is guarded to NULL for a constant series (sse_total == 0) in
+    both dialects. Scale: the fact table collapses to the hours-sized
+    series in one aggregate; the prefix-sum window runs over that
+    bounded series (seasonal_decompose class, whitelisted) and the
+    argmax is a TakeOrdered top-1 — nothing row-scale after the first
+    aggregate."""
+    from pyspark.sql import Window
+
+    h = _hourly_counts(spark, sf_dir)
+    tot = h.agg(
+        F.sum("total").cast("bigint").alias("t_sum"),
+        F.count("*").cast("bigint").alias("h_n"),
+        F.sum(F.col("total") * F.col("total")).cast("bigint").alias("ss"),
+    )
+    w = Window.orderBy("hk").rowsBetween(Window.unboundedPreceding, 0)
+    pre = h.select(
+        "hk",
+        F.sum("total").over(w).cast("bigint").alias("s1"),
+        F.row_number().over(Window.orderBy("hk")).cast("bigint").alias("k"),
+    )
+    cand = pre.crossJoin(F.broadcast(tot)).filter(F.col("k") < F.col("h_n"))
+    s1d = F.col("s1").cast("double")
+    s2d = (F.col("t_sum") - F.col("s1")).cast("double")
+    kd = F.col("k").cast("double")
+    n2d = (F.col("h_n") - F.col("k")).cast("double")
+    best = (
+        cand.select(
+            "hk", "k", "s1", "t_sum", "h_n", "ss",
+            (s1d * s1d / kd + s2d * s2d / n2d).alias("ganho"),
+        )
+        .orderBy(F.desc("ganho"), F.asc("hk"))
+        .limit(1)
+    )
+    grand = (
+        F.col("t_sum").cast("double")
+        * F.col("t_sum").cast("double")
+        / F.col("h_n").cast("double")
+    )
+    sse_total = F.col("ss").cast("double") - grand
+    return best.select(
+        F.col("hk").alias("hora_corte"),
+        F.col("k").alias("n1"),
+        (F.col("h_n") - F.col("k")).alias("n2"),
+        (s1d / kd).alias("media_seg1"),
+        (s2d / n2d).alias("media_seg2"),
+        sse_total.alias("sse_total"),
+        (F.col("ss").cast("double") - F.col("ganho")).alias("sse_apos"),
+        F.when(
+            sse_total > 0.0, (F.col("ganho") - grand) / sse_total
+        ).alias("fracao_explicada"),
+    )
+
+
+_CHANGEPOINT_BODY = """
+SELECT hk AS hora_corte,
+       k AS n1,
+       h_n - k AS n2,
+       CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS media_seg1,
+       CAST(t_sum - s1 AS DOUBLE) / CAST(h_n - k AS DOUBLE) AS media_seg2,
+       CAST(ss AS DOUBLE)
+           - CAST(t_sum AS DOUBLE) * CAST(t_sum AS DOUBLE)
+             / CAST(h_n AS DOUBLE) AS sse_total,
+       CAST(ss AS DOUBLE) - ganho AS sse_apos,
+       CASE WHEN CAST(ss AS DOUBLE)
+                 - CAST(t_sum AS DOUBLE) * CAST(t_sum AS DOUBLE)
+                   / CAST(h_n AS DOUBLE) > 0.0
+            THEN (ganho
+                  - CAST(t_sum AS DOUBLE) * CAST(t_sum AS DOUBLE)
+                    / CAST(h_n AS DOUBLE))
+                 / (CAST(ss AS DOUBLE)
+                    - CAST(t_sum AS DOUBLE) * CAST(t_sum AS DOUBLE)
+                      / CAST(h_n AS DOUBLE))
+       END AS fracao_explicada
+FROM (
+    SELECT hk, k, s1, t_sum, h_n, ss,
+           CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+           + CAST(t_sum - s1 AS DOUBLE) * CAST(t_sum - s1 AS DOUBLE)
+             / CAST(h_n - k AS DOUBLE) AS ganho
+    FROM (
+        SELECT hk,
+               CAST(SUM(total) OVER (ORDER BY hk ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+               CAST(ROW_NUMBER() OVER (ORDER BY hk) AS BIGINT) AS k
+        FROM hourly
+    )
+    CROSS JOIN (
+        SELECT CAST(SUM(total) AS BIGINT) AS t_sum,
+               CAST(COUNT(*) AS BIGINT) AS h_n,
+               CAST(SUM(total * total) AS BIGINT) AS ss
+        FROM hourly
+    )
+    WHERE k < h_n
+)
+ORDER BY ganho DESC, hk ASC
+LIMIT 1"""
+
+
 #: hourly-series CTE shared by the trend/forecast diagnostics (the same
 #: derivation hourly_acf inlines — integer counts keyed by the integer
 #: epoch-hour, floor in both dialects per the epoch-seconds invariant)
@@ -668,6 +778,11 @@ def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 3600000000"
         ).alias("hk")
     ).agg(F.count("*").cast("bigint").alias("total"))
+
+
+CHANGEPOINT_SQL = datamodel.with_ctes(
+    _CHANGEPOINT_BODY, extra_ctes=_HOURLY_CTE
+)
 
 
 def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -427,6 +427,167 @@ ld_classes AS (
 )
 
 
+#: t-closeness thresholds reported (classes whose sensitive-attribute
+#: distribution sits further than t from the global one, in total
+#: variation distance, are skew-disclosure risk).
+T_THRESHOLDS = (0.15, 0.25, 0.35)
+
+
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the skew/similarity-attack capstone of the
+    privacy triad (k-anonymity -> l-diversity -> t-closeness, Li et al.
+    2007): a class can be k-anonymous AND l-diverse yet still leak
+    because its sensitive-value MIX differs sharply from the corpus
+    (e.g. a class that is 90% one modality against a 20% global rate).
+    Per QI class (region x value bucket, the l-diversity classes), the
+    distance between the class's modality distribution and the global
+    one — total variation distance, the categorical-attribute EMD of
+    the paper: TV = (1/2) sum_m |p_class(m) - p_global(m)|. For each
+    threshold t: classes and rows further than t, plus the observed
+    maximum distance.
+
+    Engine parity: each |p - q| term has the integer numerator
+    |n_cm * N - N_m * n_c| (class-cell count, corpus total, global
+    modality count, class size — all BIGINT, products < 2^53 at any
+    tested SF), summed exactly; TV is ONE division of that exact
+    integer by 2*n_c*N built as a term-identical double ladder, so the
+    threshold compare and the MAX see bit-identical doubles. Absent
+    (class, modality) cells contribute |0 - q| via the M-row broadcast
+    cross join + COALESCE 0 in both dialects. Scale: one (QI,
+    sensitive) groupBy (map-side partials) -> class-sized frames; the
+    modality margin and corpus total are broadcast scalars; nothing
+    row-scale shuffles twice."""
+    t = datamodel.transactions(spark, sf_dir)
+    cells = t.groupBy(
+        "id_regiao",
+        F.floor(F.col("valor_transacao") / F.lit(QI_VALUE_BUCKET))
+        .cast("bigint")
+        .alias("faixa_valor"),
+        "modalidade_pagamento",
+    ).agg(F.count("*").cast("bigint").alias("n_cm"))
+    classes = cells.groupBy("id_regiao", "faixa_valor").agg(
+        F.sum("n_cm").cast("bigint").alias("n_c")
+    )
+    margins = cells.groupBy("modalidade_pagamento").agg(
+        F.sum("n_cm").cast("bigint").alias("n_m")
+    )
+    total = margins.agg(F.sum("n_m").cast("bigint").alias("n_total"))
+    pairs = (
+        classes.crossJoin(F.broadcast(margins))
+        .join(
+            cells,
+            ["id_regiao", "faixa_valor", "modalidade_pagamento"],
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id_regiao",
+            "faixa_valor",
+            "n_c",
+            "n_total",
+            F.abs(
+                F.coalesce(F.col("n_cm"), F.lit(0).cast("bigint"))
+                * F.col("n_total")
+                - F.col("n_m") * F.col("n_c")
+            ).alias("termo"),
+        )
+    )
+    tv = pairs.groupBy("id_regiao", "faixa_valor").agg(
+        (
+            F.sum("termo").cast("double")
+            / (
+                F.lit(2.0)
+                * F.max("n_c").cast("double")
+                * F.max("n_total").cast("double")
+            )
+        ).alias("tv"),
+        F.max("n_c").alias("tam"),
+    )
+    ts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in T_THRESHOLDS])).alias("t")
+    )
+    return (
+        tv.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("tv") > F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_em_risco"),
+            F.sum(
+                F.when(F.col("tv") > F.col("t"), F.col("tam")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("linhas_em_risco"),
+            (
+                F.sum(
+                    F.when(F.col("tv") > F.col("t"), F.col("tam"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum("tam").cast("double")
+            ).alias("fracao_em_risco"),
+            F.max("tv").alias("tv_maximo"),
+        )
+        .orderBy("t")
+    )
+
+
+T_CLOSENESS_SQL = datamodel.with_ctes(
+    f"""
+SELECT t, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN tv > t THEN 1 ELSE 0 END) AS BIGINT)
+           AS classes_em_risco,
+       CAST(SUM(CASE WHEN tv > t THEN tam ELSE 0 END) AS BIGINT)
+           AS linhas_em_risco,
+       CAST(SUM(CASE WHEN tv > t THEN tam ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(tam) AS DOUBLE) AS fracao_em_risco,
+       MAX(tv) AS tv_maximo
+FROM tc_tv
+CROSS JOIN (SELECT CAST(unnest(
+    [{", ".join(str(x) for x in T_THRESHOLDS)}]) AS DOUBLE) AS t)
+GROUP BY t
+ORDER BY t""",
+    extra_ctes=f"""
+tc_cells AS (
+    SELECT id_regiao,
+           CAST(FLOOR(valor_transacao / {QI_VALUE_BUCKET!r}) AS BIGINT)
+               AS faixa_valor,
+           modalidade_pagamento,
+           CAST(COUNT(*) AS BIGINT) AS n_cm
+    FROM transactions
+    GROUP BY 1, 2, 3
+),
+tc_classes AS (
+    SELECT id_regiao, faixa_valor, CAST(SUM(n_cm) AS BIGINT) AS n_c
+    FROM tc_cells GROUP BY 1, 2
+),
+tc_margins AS (
+    SELECT modalidade_pagamento, CAST(SUM(n_cm) AS BIGINT) AS n_m
+    FROM tc_cells GROUP BY 1
+),
+tc_total AS (SELECT CAST(SUM(n_m) AS BIGINT) AS n_total FROM tc_margins),
+tc_pairs AS (
+    SELECT c.id_regiao, c.faixa_valor, c.n_c, tt.n_total,
+           ABS(COALESCE(x.n_cm, 0) * tt.n_total - m.n_m * c.n_c) AS termo
+    FROM tc_classes c
+    CROSS JOIN tc_margins m
+    LEFT JOIN tc_cells x
+      ON x.id_regiao = c.id_regiao AND x.faixa_valor = c.faixa_valor
+     AND x.modalidade_pagamento = m.modalidade_pagamento
+    CROSS JOIN tc_total tt
+),
+tc_tv AS (
+    SELECT id_regiao, faixa_valor,
+           CAST(SUM(termo) AS DOUBLE)
+               / (2.0 * CAST(MAX(n_c) AS DOUBLE)
+                  * CAST(MAX(n_total) AS DOUBLE)) AS tv,
+           MAX(n_c) AS tam
+    FROM tc_pairs
+    GROUP BY 1, 2
+)""",
+)
+
+
 # --- data-contract audit -----------------------------------------------------
 
 

@@ -154,9 +154,12 @@ EXTRA_ROTATING = [
     # adjudication run regardless).
     "ndcg_at_k",
     "media_byte_entropy",
-    # round-11 registree (RRF-vs-BM25 retrieval eval)
+    # round-11 registrees (RRF-vs-BM25 retrieval eval, privacy-triad
+    # capstone, offline changepoint)
     "hybrid_ndcg_eval",
     "media_body_dedup",
+    "t_closeness_report",
+    "changepoint_hourly",
 ]
 
 #: full inventory (registry-coverage checks and docs read this)

@@ -494,6 +494,8 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
     "benford_digit_screen": "ratios over the 9 digit rows",
     "cusum_hourly_drift": "prefix sum + running min over the <= 720-hour "
                           "aggregated series (seasonal_decompose class)",
+    "changepoint_hourly": "prefix sum + row_number over the <= 720-hour "
+                          "aggregated series (seasonal_decompose class)",
     "neyman_allocation": "largest-remainder rank over the <= |modalities| "
                          "stratum rows (benford class)",
     # documented single-partition oracle baselines with scale twins

@@ -513,6 +513,12 @@ def register_all() -> None:
              "single least-squares changepoint of the hourly series via "
              "closed-form prefix-sum gain (CUSUM's offline companion; "
              "IEEE-ladder argmax with hk tiebreak)")
+    register("macro_ndcg_multi_query", text.macro_ndcg_multi_query,
+             text.MACRO_NDCG_SQL,
+             "macro-averaged NDCG@K over the 3-query benchmark: "
+             "per-query BM25 in one corpus pass, BOTH rankings on the "
+             "GROUPED distributed-ranking operator, explicit-fold "
+             "macro mean (never unordered float AVG)")
     # round-10 rotation displacees: all ten driver-green in prior
     # rounds, all stay parity-gated every pytest run. (The LSH slot
     # note from round 5 still applies to near_dup_embeddings_lsh: its

@@ -2070,6 +2070,283 @@ ORDER BY b.k
 HYBRID_NDCG_SQL = _hybrid_ndcg_sql()
 
 
+#: multi-query eval benchmark: (query_id, retrieval terms, held-out
+#: relevance terms). Each query's judgments are DISJOINT from its own
+#: retrieval terms (the ndcg_at_k independence rule) — queries 1/2 swap
+#: roles with the single-query eval's term sets, query 3 uses a third
+#: disjoint slice of the corpus vocabulary.
+MACRO_QUERIES = (
+    (1, ("scan", "window", "join"), ("filter", "merge", "sort")),
+    (2, ("hash", "stream", "batch"), ("table", "vector", "group")),
+    (3, ("key", "order", "column"), ("agg", "value", "line")),
+)
+MACRO_K = 10
+
+
+def macro_ndcg_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged NDCG@K over a multi-query benchmark — the real IR
+    eval-harness shape (per-query NDCG, then the unweighted mean across
+    queries), where ndcg_at_k / hybrid_ndcg_eval grade one query. All
+    three queries score in ONE corpus pass: the (qid, termo) query map
+    broadcasts onto the exploded term frame, BM25 runs with qid as an
+    extra grouping dimension (df/tf per query, shared corpus
+    length/stats), and BOTH rankings — per-query system order and
+    per-query ideal order — ride the GROUPED distributed-ranking
+    operator (few huge groups: |queries| candidate sets, each
+    corpus-scale; a qid-partitioned window would put each query's whole
+    candidate set in one task, and group cardinality is plan-enforced
+    by the operator's max_groups guard).
+
+    Engine parity: per-query DCG terms are the ndcg_at_k recipe
+    (6-rounded log2-discount terms, DECIMAL-summed, one unrounded IEEE
+    division per query, guarded to NULL on absent/zero IDCG); the macro
+    mean is an EXPLICIT fold over the compile-time query list —
+    ((q1 + q2) + q3) / |Q| in that parenthesization in both dialects —
+    never an unordered float AVG (3-double aggregation order is
+    nondeterministic across partitions, the 1-ulp class)."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode("toks").alias("termo"))
+
+    def _qid_map(pairs: list[tuple[int, str]]) -> DataFrame:
+        return (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(q).cast("bigint").alias("qid"),
+                                F.lit(t).alias("termo"),
+                            )
+                            for q, t in pairs
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select("s.*")
+        )
+
+    qmap = _qid_map([(q, t) for q, qt, _ in MACRO_QUERIES for t in qt])
+    rmap = _qid_map([(q, t) for q, _, rt in MACRO_QUERIES for t in rt])
+
+    qterms = terms.join(F.broadcast(qmap), "termo")
+    tf = qterms.groupBy("qid", "doc_id", "termo").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = (
+        qterms.select("qid", "doc_id", "termo")
+        .distinct()
+        .groupBy("qid", "termo")
+        .agg(F.count("*").alias("df"))
+    )
+    lens = terms.groupBy("doc_id").agg(F.count("*").alias("len_d"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("len_d").cast("double")).alias("avg_len"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B)
+        * F.col("len_d").cast("double")
+        / F.col("avg_len")
+    )
+    contrib = F.round(idf * tfd * F.lit(BM25_K1 + 1.0) / (tfd + norm), 6)
+    scored = (
+        tf.join(F.broadcast(df_), ["qid", "termo"])
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(exact.exact_sum(F.col("contrib"), "score_bm25"))
+    )
+    rel = (
+        terms.join(F.broadcast(rmap), "termo")
+        .select("qid", "doc_id", "termo")
+        .distinct()
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("rel"))
+    )
+    gain = (
+        F.when(F.col("rel") == 1, 1)
+        .when(F.col("rel") == 2, 3)
+        .when(F.col("rel") == 3, 7)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    gains = rel.select("qid", "doc_id", gain.alias("ganho"))
+    cand = scored.join(gains, ["qid", "doc_id"], "left").select(
+        "qid",
+        "doc_id",
+        "score_bm25",
+        F.coalesce(F.col("ganho"), F.lit(0).cast("bigint")).alias("ganho"),
+    )
+    sys_r = ranking.with_global_row_number(
+        cand, "score_bm25", "doc_id", out="r", value_desc=True,
+        group_cols=["qid"], nulls="reject",
+    ).filter(F.col("r") <= MACRO_K)
+    ideal_r = ranking.with_global_row_number(
+        gains, "ganho", "doc_id", out="r", value_desc=True,
+        group_cols=["qid"], nulls="reject",
+    ).filter(F.col("r") <= MACRO_K)
+    term = F.round(
+        F.col("ganho").cast("double")
+        / F.log2((F.col("r") + F.lit(1)).cast("double")),
+        6,
+    ).cast(exact.DEC)
+    d_ = sys_r.groupBy("qid").agg(
+        F.sum(term).cast("double").alias("dcg"),
+        F.count(F.when(F.col("ganho") > 0, 1))
+        .cast("bigint")
+        .alias("n_rel_topk"),
+    )
+    i_ = ideal_r.groupBy("qid").agg(
+        F.sum(term).cast("double").alias("idcg")
+    )
+    perq = d_.join(i_, "qid", "left").select(
+        "qid",
+        F.when(
+            F.col("idcg").isNotNull() & (F.col("idcg") > 0.0),
+            F.col("dcg") / F.col("idcg"),
+        ).alias("ndcg"),
+        "n_rel_topk",
+    )
+    agg = perq.agg(
+        *[
+            F.max(F.when(F.col("qid") == q, F.col("ndcg"))).alias(
+                f"ndcg_q{q}"
+            )
+            for q, _, _ in MACRO_QUERIES
+        ],
+        F.sum("n_rel_topk").cast("bigint").alias("rel_topk_total"),
+    )
+    macro = (
+        (F.col("ndcg_q1") + F.col("ndcg_q2")) + F.col("ndcg_q3")
+    ) / F.lit(float(len(MACRO_QUERIES)))
+    return agg.select(
+        "ndcg_q1",
+        "ndcg_q2",
+        "ndcg_q3",
+        macro.alias("macro_ndcg"),
+        "rel_topk_total",
+    )
+
+
+def _macro_ndcg_sql() -> str:
+    qvals = ", ".join(
+        f"({q}, '{t}')" for q, qt, _ in MACRO_QUERIES for t in qt
+    )
+    rvals = ", ".join(
+        f"({q}, '{t}')" for q, _, rt in MACRO_QUERIES for t in rt
+    )
+    term = (
+        "CAST(ROUND(CAST(ganho AS DOUBLE)"
+        " / LOG2(CAST(r + 1 AS DOUBLE)), 6) AS DECIMAL(28,6))"
+    )
+    bm25 = (
+        f"ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)"
+        f" + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+        f" * CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}"
+        f" / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}"
+        f" + {BM25_B} * CAST(len_d AS DOUBLE) / avg_len)), 6)"
+    )
+    return f"""
+WITH terms AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS termo FROM documents
+),
+qmap(qid, termo) AS (VALUES {qvals}),
+rmap(qid, termo) AS (VALUES {rvals}),
+qterms AS (
+    SELECT CAST(q.qid AS BIGINT) AS qid, t.doc_id, t.termo
+    FROM terms t JOIN qmap q USING (termo)
+),
+tf AS (
+    SELECT qid, doc_id, termo, COUNT(*) AS tf
+    FROM qterms GROUP BY 1, 2, 3
+),
+df AS (
+    SELECT qid, termo, COUNT(*) AS df
+    FROM (SELECT DISTINCT qid, doc_id, termo FROM qterms) GROUP BY 1, 2
+),
+lens AS (SELECT doc_id, COUNT(*) AS len_d FROM terms GROUP BY doc_id),
+stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(CAST(len_d AS DOUBLE)) AS avg_len
+    FROM lens
+),
+scored AS (
+    SELECT qid, doc_id, {exact.sql_sum(bm25, "score_bm25")}
+    FROM tf JOIN df USING (qid, termo) JOIN lens USING (doc_id), stats
+    GROUP BY qid, doc_id
+),
+rel AS (
+    SELECT qid, doc_id, COUNT(*) AS rel
+    FROM (SELECT DISTINCT CAST(rm.qid AS BIGINT) AS qid, t.doc_id,
+                 t.termo
+          FROM terms t JOIN rmap rm USING (termo))
+    GROUP BY 1, 2
+),
+gains AS (
+    SELECT qid, doc_id,
+           CAST(CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3
+                WHEN 3 THEN 7 ELSE 0 END AS BIGINT) AS ganho
+    FROM rel
+),
+cand AS (
+    SELECT s.qid, s.doc_id, s.score_bm25, COALESCE(g.ganho, 0) AS ganho
+    FROM scored s LEFT JOIN gains g USING (qid, doc_id)
+),
+sys_r AS (
+    SELECT qid, ganho,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY score_bm25 DESC, doc_id ASC) AS r
+    FROM cand QUALIFY r <= {MACRO_K}
+),
+ideal_r AS (
+    SELECT qid, ganho,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY ganho DESC, doc_id ASC) AS r
+    FROM gains QUALIFY r <= {MACRO_K}
+),
+dsum AS (
+    SELECT qid, CAST(SUM({term}) AS DOUBLE) AS dcg,
+           CAST(COUNT(CASE WHEN ganho > 0 THEN 1 END) AS BIGINT)
+               AS n_rel_topk
+    FROM sys_r GROUP BY qid
+),
+isum AS (
+    SELECT qid, CAST(SUM({term}) AS DOUBLE) AS idcg
+    FROM ideal_r GROUP BY qid
+),
+perq AS (
+    SELECT d.qid,
+           CASE WHEN idcg IS NOT NULL AND idcg > 0.0
+                THEN dcg / idcg END AS ndcg,
+           n_rel_topk
+    FROM dsum d LEFT JOIN isum i USING (qid)
+)
+SELECT ndcg_q1, ndcg_q2, ndcg_q3,
+       ((ndcg_q1 + ndcg_q2) + ndcg_q3) / 3.0 AS macro_ndcg,
+       rel_topk_total
+FROM (
+    SELECT MAX(CASE WHEN qid = 1 THEN ndcg END) AS ndcg_q1,
+           MAX(CASE WHEN qid = 2 THEN ndcg END) AS ndcg_q2,
+           MAX(CASE WHEN qid = 3 THEN ndcg END) AS ndcg_q3,
+           CAST(SUM(n_rel_topk) AS BIGINT) AS rel_topk_total
+    FROM perq
+)
+"""
+
+
+MACRO_NDCG_SQL = _macro_ndcg_sql()
+
+
 # --- MMR diversified rerank ---------------------------------------------------
 
 #: relevance-vs-diversity tradeoff (Carbonell & Goldstein 1998's lambda).

@@ -160,6 +160,7 @@ EXTRA_ROTATING = [
     "media_body_dedup",
     "t_closeness_report",
     "changepoint_hourly",
+    "macro_ndcg_multi_query",
 ]
 
 #: full inventory (registry-coverage checks and docs read this)

@@ -2091,11 +2091,12 @@ def macro_ndcg_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts onto the exploded term frame, BM25 runs with qid as an
     extra grouping dimension (df/tf per query, shared corpus
     length/stats), and BOTH rankings — per-query system order and
-    per-query ideal order — ride the GROUPED distributed-ranking
-    operator (few huge groups: |queries| candidate sets, each
-    corpus-scale; a qid-partitioned window would put each query's whole
-    candidate set in one task, and group cardinality is plan-enforced
-    by the operator's max_groups guard).
+    per-query ideal order — are per-query TakeOrdered top-Ks off
+    eager-checkpointed frames (distributed top-K: no task ever holds a
+    query's whole candidate set; the only windows run over the bounded
+    <= Q*K-row unions). The compile-time-Q union is deliberate — see
+    the inline note for the grouped-distributed-ranking swap that
+    serves a large or runtime query set.
 
     Engine parity: per-query DCG terms are the ndcg_at_k recipe
     (6-rounded log2-discount terms, DECIMAL-summed, one unrounded IEEE
@@ -2104,8 +2105,6 @@ def macro_ndcg_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((q1 + q2) + q3) / |Q| in that parenthesization in both dialects —
     never an unordered float AVG (3-double aggregation order is
     nondeterministic across partitions, the 1-ulp class)."""
-    from banking_streaming_etl_spark.operators import ranking
-
     d = _docs(spark, sf_dir)
     terms = d.select("doc_id", F.explode("toks").alias("termo"))
 
@@ -2181,21 +2180,65 @@ def macro_ndcg_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
     )
-    gains = rel.select("qid", "doc_id", gain.alias("ganho"))
-    cand = scored.join(gains, ["qid", "doc_id"], "left").select(
-        "qid",
-        "doc_id",
-        "score_bm25",
-        F.coalesce(F.col("ganho"), F.lit(0).cast("bigint")).alias("ganho"),
+    # EAGER barriers ahead of the ranking passes (the round-7
+    # interarrival lesson, and ranking.py's documented contract for
+    # expensive derived inputs): the grouped-ranking stages reference
+    # their input subtree ~4x, and without the barrier each stage
+    # re-derives the whole per-query BM25 join/aggregate chain (the
+    # un-barriered plan carried 235 exchanges; barriered, the chain
+    # runs once per frame).
+    gains = rel.select("qid", "doc_id", gain.alias("ganho")).localCheckpoint(
+        eager=True
     )
-    sys_r = ranking.with_global_row_number(
-        cand, "score_bm25", "doc_id", out="r", value_desc=True,
-        group_cols=["qid"], nulls="reject",
-    ).filter(F.col("r") <= MACRO_K)
-    ideal_r = ranking.with_global_row_number(
-        gains, "ganho", "doc_id", out="r", value_desc=True,
-        group_cols=["qid"], nulls="reject",
-    ).filter(F.col("r") <= MACRO_K)
+    cand = (
+        scored.join(gains, ["qid", "doc_id"], "left")
+        .select(
+            "qid",
+            "doc_id",
+            "score_bm25",
+            F.coalesce(F.col("ganho"), F.lit(0).cast("bigint")).alias(
+                "ganho"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Per-query top-K: one TakeOrderedAndProject per compile-time query
+    # (distributed top-K, no task ever holds a query's whole candidate
+    # set), unioned, then ranked by a PARTITIONED window over the
+    # <= Q*K-row union — bounded, so no whitelist needed. For a LARGE /
+    # runtime query set, swap this compile-time union for ONE pass of
+    # the grouped distributed-ranking operator
+    # (ranking.with_global_row_number(group_cols=["qid"]) — the
+    # few-huge-groups form, max_groups-guarded); at Q=3 the unioned
+    # TakeOrdereds are strictly cheaper (two grouped-ranking passes
+    # cost ~8 stages each, and they dominated this query's first plan).
+    def _topk(df: DataFrame, value_col: str) -> DataFrame:
+        per_q = [
+            df.filter(F.col("qid") == q)
+            .orderBy(F.desc(value_col), F.asc("doc_id"))
+            .limit(MACRO_K)
+            for q, _, _ in MACRO_QUERIES
+        ]
+        u = per_q[0]
+        for p in per_q[1:]:
+            u = u.unionByName(p)
+        from pyspark.sql import Window
+
+        return u.select(
+            "qid",
+            "ganho",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc(value_col), F.asc("doc_id")
+                )
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+
+    sys_r = _topk(cand, "score_bm25")
+    ideal_r = _topk(gains, "ganho")
     term = F.round(
         F.col("ganho").cast("double")
         / F.log2((F.col("r") + F.lit(1)).cast("double")),

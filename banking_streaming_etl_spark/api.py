@@ -74,6 +74,11 @@ EAGER_QUERIES = frozenset({
     # verdict task #5; the fit itself is session-memoized in
     # operators/embeddings.pca_fit)
     "pca_embeddings",
+    # eager localCheckpoint barriers on the per-query candidate/gains
+    # frames (NOT session-memoized — each build re-derives them) run
+    # the BM25 chain's jobs at plan-build time (round-11; the barrier
+    # is the ranking-input discipline, see the query docstring)
+    "macro_ndcg_multi_query",
 })
 
 #: Queries whose builder materializes a session-shared derivation on

@@ -104,6 +104,10 @@ MEMOIZED_QUERIES = frozenset({
     "interarrival_percentiles_by_modality",
     # round-10: the BM25+judgments candidate frame behind the NDCG eval
     "ndcg_at_k",
+    # round-11 (ADVICE): shares the same 'ndcg_candidates' memo frame as
+    # ndcg_at_k — listed in its own right so the builder-job guard warms
+    # it directly instead of relying on the sibling running first
+    "hybrid_ndcg_eval",
 })
 
 

@@ -364,7 +364,20 @@ def streaming_media_body_dedup(
     so the stream-vs-batch differential pins the INVARIANTS — one
     surviving row per digest, the surviving digest set equal to the
     batch cluster set, every survivor a true member of its cluster —
-    not a specific canonical id."""
+    not a specific canonical id.
+
+    PRECONDITION for the survivors-cover-all-digests invariant (ADVICE
+    round-11): rows whose event_time lies below the already-advanced
+    watermark are DROPPED OUTRIGHT by dropDuplicatesWithinWatermark —
+    that is correct ingest-screen semantics (a too-late asset misses the
+    horizon), but it means the survivor set only equals the batch
+    digest-cluster set when the replayed corpus's event-time span fits
+    inside one watermark horizon. The differential test sizes its
+    watermark from the replayed corpus's actual doc_id range (event_ts =
+    epoch + doc_id seconds in the testdata) rather than assuming the
+    default covers it, so the test cannot become scale-fragile; callers
+    replaying historical corpora should do the same or accept
+    below-horizon drops."""
     from banking_streaming_etl_spark.operators import multimodal
 
     m = multimodal.media_projection(doc_stream)

@@ -316,12 +316,8 @@ def _warm_family_memos(spark, sf_dir: str) -> None:
     _text._ndcg_candidates(spark, sf_dir)
 
 
-def _hygiene_note(spark) -> str:
-    """Self-labeling solo-run hygiene (round-7 verdict task #8): bench
-    timings are only comparable from a SOLO run with the pinned driver
-    heap, so record both conditions in the output instead of trusting
-    the operator to remember."""
-    mem = spark.sparkContext.getConf().get("spark.driver.memory", "(unset)")
+def _host_spark_jvms() -> int:
+    """Count Spark JVMs on the host (this process's own included)."""
     jvms = 0
     try:
         for pid in os.listdir("/proc"):
@@ -336,6 +332,18 @@ def _hygiene_note(spark) -> str:
                 jvms += 1
     except OSError:
         jvms = -1  # /proc unavailable (non-Linux); can't tell
+    return jvms
+
+
+def _hygiene_note(spark) -> tuple[str, int, float]:
+    """Self-labeling solo-run hygiene (round-7 verdict task #8): bench
+    timings are only comparable from a SOLO run with the pinned driver
+    heap, so record both conditions in the output instead of trusting
+    the operator to remember. Returns (note, spark_jvm_count, loadavg1m)
+    so the artifact-write gate can act on the same facts the label
+    records."""
+    mem = spark.sparkContext.getConf().get("spark.driver.memory", "(unset)")
+    jvms = _host_spark_jvms()
     # "no other Spark JVMs" is NOT "solo": a non-Spark CPU hog (pytest's
     # DuckDB pass, a compile job) still contaminates streaming throughput.
     # Record host load alongside so the label can't over-claim.
@@ -353,7 +361,31 @@ def _hygiene_note(spark) -> str:
         f"spark_jvms_on_host={jvms} ({label}), loadavg1m={load1}"
     )
     print(f"# {note}", file=sys.stderr)
-    return note
+    return note, jvms, load1
+
+
+#: the SF whose timings are the round-over-round comparables — the only
+#: SF whose runs may overwrite the committed BENCH_DETAIL.md.
+DEFAULT_SF = 0.1
+
+
+def _is_clean_run(
+    start_jvms: int, end_jvms: int, load1: float, sf: float
+) -> bool:
+    """The committed-artifact gate (round-11 verdict task #1): two
+    late-round sf0.001 dev runs — one alongside a live pytest JVM —
+    clobbered the round's clean BENCH_DETAIL.md because every invocation
+    rewrote it unconditionally. A run may write the committed artifact
+    ONLY when it is solo at start AND finish (a pytest launched mid-run
+    contaminates just as surely as one already running), the host was
+    quiet at start, and the SF is the comparable default. Everything
+    else diverts to the gitignored BENCH_SCRATCH.md."""
+    return (
+        start_jvms == 1
+        and end_jvms == 1
+        and 0.0 <= load1 < 1.0
+        and sf == DEFAULT_SF
+    )
 
 
 def _time_headline(
@@ -457,13 +489,29 @@ def bench_bpe_cadence(spark, sf_dir: str) -> str:
     return note
 
 
-def _write_detail(payload: dict, **detail) -> None:
+def _write_detail(payload: dict, clean: bool = True, out_dir: str | None = None,
+                  **detail) -> str:
     """Write the per-query detail the compact stdout line no longer
-    carries (verdict task #1) to BENCH_DETAIL.md next to this script —
-    committed by the round, so detail stays diffable round-over-round
-    without riding the driver's 2,000-char stdout tail."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_DETAIL.md")
+    carries (verdict task #1) next to this script — committed by the
+    round, so detail stays diffable round-over-round without riding the
+    driver's 2,000-char stdout tail.
+
+    Hygiene-gated (round-11 verdict task #1): only a clean run (see
+    `_is_clean_run`) may overwrite the committed BENCH_DETAIL.md;
+    contaminated or non-default-SF runs go to the gitignored
+    BENCH_SCRATCH.md so a post-snapshot dev run can never clobber the
+    round's adjudicated evidence. Returns the path written."""
+    if out_dir is None:
+        out_dir = os.path.dirname(os.path.abspath(__file__))
+    fname = "BENCH_DETAIL.md" if clean else "BENCH_SCRATCH.md"
+    if not clean:
+        print(
+            "# hygiene gate: run is not clean-solo-default-SF — detail "
+            "diverted to BENCH_SCRATCH.md (gitignored); the committed "
+            "BENCH_DETAIL.md is untouched",
+            file=sys.stderr,
+        )
+    path = os.path.join(out_dir, fname)
     with open(path, "w") as f:
         f.write("# Bench detail (full-precision; stdout line is compact)\n\n")
         f.write("```json\n")
@@ -474,6 +522,7 @@ def _write_detail(payload: dict, **detail) -> None:
         # serve a stale round's notes beside fresh numbers
         f.write("\nStanding drift-vs-real adjudications: see "
                 "BENCH_ADJUDICATIONS.md (not regenerated by runs).\n")
+    return path
 
 
 def _await_quiet_host() -> None:
@@ -523,7 +572,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0  # unconventional dir name; still emit the JSON line
     spark = get_spark(app_name="bench")
-    hygiene = _hygiene_note(spark)
+    hygiene, start_jvms, load1 = _hygiene_note(spark)
 
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
@@ -659,6 +708,7 @@ def main() -> None:
     }
     _write_detail(
         payload,
+        clean=_is_clean_run(start_jvms, _host_spark_jvms(), load1, sf),
         hygiene=hygiene,
         streaming_replay_samples=[
             {"sec": round(r[0], 3), "tx_per_s": round(r[1], 1)}

@@ -109,3 +109,46 @@ def test_quiet_host_gate_bounded_and_nonfatal(monkeypatch, capsys):
     bench._await_quiet_host()
     assert sleeps == [15.0, 15.0]
     assert "WARNING" not in capsys.readouterr().err
+
+
+def test_detail_write_is_hygiene_gated(tmp_path):
+    """Round-11 verdict task #1: two post-snapshot dev runs (sf0.001,
+    one beside a live pytest JVM) clobbered the committed clean
+    BENCH_DETAIL.md because every invocation rewrote it unconditionally.
+    Pin the gate: only a solo-at-start-AND-finish, quiet-host,
+    default-SF run writes BENCH_DETAIL.md; everything else diverts to
+    the gitignored BENCH_SCRATCH.md."""
+    # the predicate, case by case
+    assert bench._is_clean_run(1, 1, 0.5, 0.1)
+    assert not bench._is_clean_run(2, 2, 0.5, 0.1)      # concurrent Spark JVM
+    assert not bench._is_clean_run(1, 2, 0.5, 0.1)      # pytest launched mid-run
+    assert not bench._is_clean_run(1, 1, 1.2, 0.1)      # busy host at start
+    assert not bench._is_clean_run(1, 1, 0.5, 0.001)    # dev SF, not comparable
+    assert not bench._is_clean_run(1, 1, -1.0, 0.1)     # loadavg unknowable
+    assert not bench._is_clean_run(-1, 1, 0.5, 0.1)     # JVM count unknowable
+
+    payload = {"metric": "headline_queries_total", "value": 1.0}
+    clean_path = bench._write_detail(payload, clean=True, out_dir=str(tmp_path))
+    assert clean_path.endswith("BENCH_DETAIL.md")
+    dirty_path = bench._write_detail(payload, clean=False, out_dir=str(tmp_path))
+    assert dirty_path.endswith("BENCH_SCRATCH.md")
+    # the dirty write must not have touched the committed-artifact name
+    detail = (tmp_path / "BENCH_DETAIL.md").read_text()
+    scratch = (tmp_path / "BENCH_SCRATCH.md").read_text()
+    assert "headline_queries_total" in detail and "headline_queries_total" in scratch
+
+    # BENCH_SCRATCH.md must stay out of git (the whole point of the divert)
+    import os
+    gitignore = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                             ".gitignore")
+    with open(gitignore) as f:
+        assert "BENCH_SCRATCH.md" in f.read().split()
+
+
+def test_extra_rotating_media_rows_keep_even_parity():
+    """ADVICE round-11: the two media rows must sit on EVEN rotation
+    indices so the even slice (which alternates with the odd one per
+    round) times them together; an insertion above them would silently
+    flip the parity and the rows would be skipped with no failure."""
+    assert bench.EXTRA_ROTATING.index("media_byte_entropy") % 2 == 0
+    assert bench.EXTRA_ROTATING.index("media_body_dedup") % 2 == 0

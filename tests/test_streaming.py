@@ -1108,14 +1108,30 @@ def test_streaming_media_body_dedup_matches_batch_clusters(spark, tmp_path):
     (1) exactly ONE surviving row per body digest, (2) the surviving
     digest set equals the batch media_body_dedup cluster set, and
     (3) every survivor is a true member of its cluster (its own batch
-    digest matches the one it survived under)."""
+    digest matches the one it survived under).
+
+    The watermark is sized from the replayed corpus's actual doc_id
+    range (event_ts = epoch + doc_id seconds in the testdata), not the
+    operator's 1-hour default: rows below an already-advanced watermark
+    are dropped outright (correct ingest-screen semantics), so invariant
+    (2) only holds when the corpus event-time span fits in one horizon —
+    a default-watermark test would silently become scale-fragile at a
+    larger documents table (ADVICE round-11)."""
     from banking_streaming_etl_spark.operators import multimodal
 
     d = str(tmp_path / "doc_chunks_cas")
     stream_src.write_document_chunks(spark, SF, d, n_chunks=5)
+    span_s = (
+        datamodel.load_table(spark, SF, "documents")
+        .agg(
+            (F.max("doc_id") - F.min("doc_id") + F.lit(3600)).alias("s")
+        )
+        .collect()[0]["s"]
+    )
     ds = stream_src.read_document_stream(spark, d, max_files_per_trigger=2)
     _run_to_memory(
-        swin.streaming_media_body_dedup(ds), "media_cas_out"
+        swin.streaming_media_body_dedup(ds, watermark=f"{int(span_s)} seconds"),
+        "media_cas_out",
     )
 
     kept = spark.sql(

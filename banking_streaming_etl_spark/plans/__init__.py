@@ -100,10 +100,23 @@ def register_all() -> None:
     # first driver row of that shape) takes dq_report_transactions'
     # slot (driver-green r10; the one-scan conditional-aggregate report
     # shape stays represented in-window by psi_value_drift).
-    register("k_anonymity_report", governance.k_anonymity_report,
-             governance.K_ANONYMITY_SQL,
-             "k-anonymity re-identification audit over the QI tuple "
-             "(region, modality, value bucket)")
+    # Round-12 rotation (round-11 verdict #2: rotate the pre-vetted
+    # 13-name shortlist — all 13 verified green on a plain driver-mimic
+    # session end-of-round-11): thirteen never-driver-checked queries
+    # take the slots of their most redundant driver-green in-window
+    # siblings (every displacee driver-green in r11's 50/50, keeps an
+    # in-window family representative, and re-registers right after the
+    # window, parity-gated every pytest run). This slot: t-closeness
+    # (the privacy triad's skew-disclosure capstone, strictly extends
+    # the k-anonymity QI-class scan) takes k_anonymity_report's slot
+    # (driver-green r11; the QI-class report shape stays represented
+    # in-window by this very query, and the governance report family by
+    # psi_value_drift).
+    register("t_closeness_report", governance.t_closeness_report,
+             governance.T_CLOSENESS_SQL,
+             "t-closeness skew-disclosure audit per QI class: exact "
+             "integer-numerator total-variation distance vs the global "
+             "sensitive-attribute mix (privacy-triad capstone)")
     # Round-9 rotation: the prefix-sum survival family had zero
     # driver-green rows, so Kaplan-Meier takes the slot of
     # q3_shipping_priority (driver-green since r1; the filter-join-agg-
@@ -145,10 +158,15 @@ def register_all() -> None:
     # family's base estimator, never driver-checked) takes
     # bloom_filter_screen's slot (driver-green r10; the sketch family
     # stays represented in-window by cms_heavy_hitters).
-    register("kmv_distinct_payers", relational.kmv_distinct_payers,
-             relational.KMV_DISTINCT_SQL,
-             "engine-portable KMV distinct sketch (oracle-checkable "
-             "approximate op) + exact witness")
+    # Round-12 rotation: the partitioned-history KMV merge rollup (the
+    # mergeable-sketch face — per-day sketches min-wise merged upward)
+    # takes kmv_distinct_payers' slot (driver-green r11; the KMV point
+    # estimator is a sub-expression of the merge rollup, and the sketch
+    # family stays represented in-window by cms_heavy_hitters).
+    register("kmv_merge_rollup", relational.kmv_merge_rollup,
+             relational.KMV_MERGE_ROLLUP_SQL,
+             "per-day KMV sketches merged upward (lossless min-wise "
+             "merge == direct sketch; the partitioned-history rollup)")
     # Round-5 rotation (verdict task #6): the three strongest round-4
     # shapes not yet driver-verified take the slots of their most
     # redundant in-window siblings — value_histogram (P9 p99-trim
@@ -159,11 +177,15 @@ def register_all() -> None:
     # tx_velocity_1h's RANGE frame, the strictly harder sibling). The
     # displaced three re-register right after the window (still
     # parity-gated every pytest run).
-    register("pit_balance_feature_join", scd.pit_balance_feature_join,
-             scd._pit_oracle(),
-             "point-in-time-correct feature join against the SCD2 "
-             "dimension (anti-leakage; as-of union trick, no inequality "
-             "join)")
+    # Round-12 rotation: the CDC snapshot diff takes
+    # pit_balance_feature_join's slot (driver-green r11; the SCD2/PIT
+    # family stays represented in-window by scd2_user_history, and the
+    # as-of union shape by asof_balance_at_tx).
+    register("snapshot_table_diff", scd.snapshot_table_diff,
+             scd._snapshot_diff_oracle(),
+             "CDC snapshot diff: added/removed/changed keys between two "
+             "table versions in one full-outer equi-join (unchanged "
+             "majority never materialized)")
     # Round-11 rotation: the multimodal family's first driver rows —
     # the byte-exact entropy/format-sniff and the content-addressed
     # body dedup (registered round 10, never driver-checked; the ONE
@@ -187,10 +209,16 @@ def register_all() -> None:
     # cohort_retention's slot (driver-green r10; the first-touch
     # behavioral family stays represented in-window by
     # sessionize_events, channel_attribution and kaplan_meier).
-    register("event_transition_matrix", behavior.event_transition_matrix,
-             behavior.EVENT_TRANSITION_SQL,
-             "first-order Markov modality transition counts + conditional "
-             "probabilities per payer sequence")
+    # Round-12 rotation: the Markov entropy rate takes
+    # event_transition_matrix's slot (driver-green r11; the entropy rate
+    # consumes the SAME shared transition counts — the strictly harder
+    # downstream form — and the sequence family stays represented
+    # in-window by sessionize_events).
+    register("markov_entropy_rate", behavior.markov_entropy_rate,
+             behavior.MARKOV_ENTROPY_SQL,
+             "entropy rate of the modality Markov chain: per-state "
+             "conditional entropy + pi-weighted rate over the shared "
+             "transition counts (6-rounded p ln p, sorted folds)")
     # Round-4 rotation: the LLM-pipeline capstones and the only
     # RANGE-frame shape take the slots of their most redundant in-window
     # siblings so the third-party gate proves the flagship extension
@@ -274,10 +302,14 @@ def register_all() -> None:
              relational.ROLLUP_SQL, "rollup subtotals")
     register("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL,
              "TPC-H Q2 shape: correlated min-equality + 4-way dim join")
-    register("seasonal_decompose_hourly", behavior.seasonal_decompose_hourly,
-             behavior.SEASONAL_DECOMPOSE_SQL,
-             "classical additive seasonal decomposition of the hourly "
-             "series (trend / hour-of-day seasonal / residual)")
+    # Round-12 rotation: the seasonal-naive forecast eval takes
+    # seasonal_decompose_hourly's slot (driver-green r7-r11; the
+    # hourly-series shape stays represented in-window by
+    # changepoint_hourly + tx_velocity_1h).
+    register("seasonal_naive_eval", behavior.seasonal_naive_eval,
+             behavior.SEASONAL_NAIVE_EVAL_SQL,
+             "MAE/RMSE/WAPE/MASE of the lag-24 seasonal-naive forecast "
+             "on the hourly series (exact integer-sum metrics)")
     # Round-6 rotation (round-5 verdict task #2): the distributed-ranking
     # family — round 5's flagship operator — had zero driver-green rows;
     # its three strongest shapes take the slots of their most redundant
@@ -287,10 +319,16 @@ def register_all() -> None:
     # rollup_modality_region), and json_envelope_roundtrip (cast/roundtrip
     # surface re-proven by in-window coerced_casts). The displaced three
     # re-register right after the window (still parity-gated every run).
-    register("pareto_share_by_decile", dashboard.pareto_share_by_decile,
-             dashboard.PARETO_SHARE_SQL,
-             "payer-decile volume concentration (exact distributed NTILE "
-             "via operators/ranking — no single-partition window)")
+    # Round-12 rotation: the volume-weighted percentile selection takes
+    # pareto_share_by_decile's slot (driver-green r11; the distributed-
+    # NTILE/prefix-sum concentration shape stays represented in-window
+    # by kaplan_meier_conversion + risk_score_auc).
+    register("volume_weighted_percentiles",
+             dashboard.volume_weighted_percentiles,
+             dashboard.VOLUME_PCT_SQL,
+             "volume-weighted value percentiles: the crossing rows of "
+             "the exact cumulative-value curve (prefix-sum selection, "
+             "no interpolation)")
     register("sessionize_events", relational.sessionize_events,
              relational.SESSIONIZE_SQL, "sessionization (lag+cumsum)")
     # Round-8 rotation: the Mondrian grouped-conformal capstone takes
@@ -307,11 +345,14 @@ def register_all() -> None:
     # machinery; conformal_by_modality re-registers right after the
     # window (parity-gated every run + degenerate-corpus-pinned) while
     # the investigation continues off-window.
-    register("mannwhitney_value_by_approval",
-             stats.mannwhitney_value_by_approval,
-             stats.MANNWHITNEY_SQL,
-             "exact Mann-Whitney U / rank-sum test (approved vs denied "
-             "value): tie-corrected z from the distributed prefix sum")
+    # Round-12 rotation: exact isotonic (PAV) calibration takes
+    # mannwhitney_value_by_approval's slot (driver-green r8-r11; the
+    # grouped prefix-sum rank-test machinery stays represented in-window
+    # by risk_score_auc, the same Mann-Whitney rank-sum core).
+    register("isotonic_calibration_bins", stats.isotonic_calibration_bins,
+             stats.ISOTONIC_SQL,
+             "exact isotonic (PAV) score calibration via the minimax "
+             "identity — declarative, oracle-checkable, no iteration")
     register("risk_score_auc", dashboard.risk_score_auc,
              dashboard.RISK_SCORE_AUC_SQL,
              "exact distributed ROC-AUC of the risk score (Mann-Whitney "
@@ -343,9 +384,15 @@ def register_all() -> None:
     # ewma_control_chart's — both displacees driver-green r10; the
     # time-series family stays represented in-window by
     # seasonal_decompose_hourly + hourly_acf.
-    register("hourly_acf", behavior.hourly_acf, behavior.HOURLY_ACF_SQL,
-             "hourly-series autocorrelation at standard lags: lagged "
-             "equi-join + exact decimal-moment Pearson (no window)")
+    # Round-12 rotation: the offline least-squares changepoint takes
+    # hourly_acf's slot (driver-green r11; the lagged/hourly time-series
+    # shape stays represented in-window by seasonal_naive_eval's lag-24
+    # join and tx_velocity_1h's RANGE frame).
+    register("changepoint_hourly", behavior.changepoint_hourly,
+             behavior.CHANGEPOINT_SQL,
+             "single least-squares changepoint of the hourly series via "
+             "closed-form prefix-sum gain (CUSUM's offline companion; "
+             "IEEE-ladder argmax with hk tiebreak)")
     register("media_body_dedup", multimodal.media_body_dedup,
              multimodal.MEDIA_BODY_DEDUP_SQL,
              "content-addressed exact dedup of media payloads by "
@@ -364,10 +411,17 @@ def register_all() -> None:
     # (driver-green since r4; the lexicon-argmax shape stays represented
     # in-window by text_quality_scores, and lang_id re-registers right
     # after the window, parity-gated every run).
-    register("quality_classifier_scores", text.quality_classifier_scores,
-             text.QUALITY_CLASSIFIER_SQL,
-             "hashed-feature linear classifier (NB log-odds, "
-             "fastText-style) with an exact order-statistic keep cut")
+    # Round-12 rotation: the multi-query macro-NDCG harness takes
+    # quality_classifier_scores' slot (driver-green r8-r11; the
+    # hashed-feature scorer shape stays represented in-window by
+    # text_quality_scores, and the keep-cut order statistic by the
+    # ranking family).
+    register("macro_ndcg_multi_query", text.macro_ndcg_multi_query,
+             text.MACRO_NDCG_SQL,
+             "macro-averaged NDCG@K over the 3-query benchmark: "
+             "per-query BM25 in one corpus pass, BOTH rankings on the "
+             "GROUPED distributed-ranking operator, explicit-fold "
+             "macro mean (never unordered float AVG)")
     # Round-10 rotation: the LM-quality scorers (zero driver-green rows
     # in the family) take the slots of tfidf_terms (driver-green
     # r4-r9; the term-weight join shape stays represented in-window by
@@ -380,13 +434,22 @@ def register_all() -> None:
     # gopher_repetition_signals (both driver-green r10; the LM-score /
     # repetition text shapes stay represented in-window by bm25_topk,
     # text_quality_scores and quality_classifier_scores).
-    register("scrub_pii_docs", text.scrub_pii_docs,
-             text.SCRUB_PII_SQL,
-             "PII redaction (emails/phones/IPs) + audit counts")
-    register("ndcg_at_k", text.ndcg_at_k, text.NDCG_AT_K_SQL,
-             "NDCG@K of the BM25 ranking vs term-overlap judgments "
-             "(graded gains, decimal-summed log2-discount terms, "
-             "guarded IDCG division)")
+    # Round-12 rotation: Heaps'-law vocabulary growth takes
+    # scrub_pii_docs' slot (driver-green r11; the regex/text-signal
+    # surface stays represented in-window by text_quality_scores and
+    # corpus_clean_pipeline), and the RRF-vs-BM25 hybrid NDCG eval takes
+    # ndcg_at_k's slot (driver-green r11; it computes the SAME NDCG@K on
+    # the same shared candidate/gains memo frames, plus the fusion leg).
+    register("heaps_vocab_growth", text.heaps_vocab_growth,
+             text.HEAPS_GROWTH_SQL,
+             "Heaps'-law vocabulary growth checkpoints: cumulative tokens "
+             "+ cumulative distinct terms at corpus deciles (first-"
+             "occurrence trick + two exact prefix-sums, integer outputs)")
+    register("hybrid_ndcg_eval", text.hybrid_ndcg_eval,
+             text.HYBRID_NDCG_SQL,
+             "NDCG@K of hybrid RRF fusion vs BM25-only over the same "
+             "held-out judgments (shared corpus-wide IDCG, guarded "
+             "divisions, unrounded exact-rational deltas)")
 
     # as-of join (union+window composition; DuckDB native ASOF as oracle)
     register("asof_balance_at_tx", asof.asof_balance_at_tx,
@@ -425,13 +488,21 @@ def register_all() -> None:
     # decontaminate_train_docs (driver-green r10; curation stays
     # represented in-window by corpus_clean_pipeline +
     # training_manifest).
-    register("payer_triangles", graph.triangle_count, graph.TRIANGLE_SQL,
-             "per-payer triangle membership over the undirected pay graph")
-    register("dsir_importance_weights", curation.dsir_importance_weights,
-             curation.DSIR_IMPORTANCE_SQL,
-             "DSIR domain-matching importance weights: hashed-unigram "
-             "target-vs-raw log-ratio per doc (bucket-sized model, "
-             "portable md5_48 features)")
+    # Round-12 rotation: the degree-distribution histograms take
+    # payer_triangles' slot (driver-green r11; the graph family stays
+    # represented in-window by payer_pagerank), and the deterministic
+    # DP count release takes dsir_importance_weights' (driver-green
+    # r11; curation stays represented in-window by training_manifest +
+    # train_test_split_docs, governance's exact-witness shape by
+    # psi_value_drift).
+    register("payer_degree_distribution", graph.payer_degree_distribution,
+             graph.DEGREE_DIST_SQL,
+             "in/out degree histograms of the payment graph (integer "
+             "counts; node-keyed then degree-keyed aggregates)")
+    register("dp_region_counts", governance.dp_region_counts,
+             governance.DP_REGION_COUNTS_SQL,
+             "differentially-private count release with deterministic "
+             "portable-hash Laplace noise + exact witness")
 
     # SCD2 merge emulation (MERGE INTO without a transactional format)
     register("scd2_user_history", scd.scd2_user_history,
@@ -491,34 +562,36 @@ def register_all() -> None:
     register("decontaminate_train_docs", curation.decontaminate_train_docs,
              curation.DECONTAMINATE_SQL,
              "train/test 8-gram overlap decontamination")
-    # round-11 (round-10 verdict task #7): the retrieval-eval capstone —
-    # NDCG of the RRF fusion vs BM25-only over the SAME held-out
-    # grades, on the shared candidate/gains frames (quantifies what
-    # dense fusion buys; registered after the window per policy)
-    register("hybrid_ndcg_eval", text.hybrid_ndcg_eval,
-             text.HYBRID_NDCG_SQL,
-             "NDCG@K of hybrid RRF fusion vs BM25-only over the same "
-             "held-out judgments (shared corpus-wide IDCG, guarded "
-             "divisions, unrounded exact-rational deltas)")
-    # round-11 capability additions (registered after the window per
-    # policy; both pre-vetted bit-strict at sf0.001/0.01 + the 3-row
-    # degenerate corpus — round-12 rotation candidates)
-    register("t_closeness_report", governance.t_closeness_report,
-             governance.T_CLOSENESS_SQL,
-             "t-closeness skew-disclosure audit per QI class: exact "
-             "integer-numerator total-variation distance vs the global "
-             "sensitive-attribute mix (privacy-triad capstone)")
-    register("changepoint_hourly", behavior.changepoint_hourly,
-             behavior.CHANGEPOINT_SQL,
-             "single least-squares changepoint of the hourly series via "
-             "closed-form prefix-sum gain (CUSUM's offline companion; "
-             "IEEE-ladder argmax with hk tiebreak)")
-    register("macro_ndcg_multi_query", text.macro_ndcg_multi_query,
+    # round-12 rotation displacees (all driver-green in r11's 50/50,
+    # all stay parity-gated every pytest run; in-window family reps
+    # noted at each incoming slot above): the round-11 registrees'
+    # former post-window slots now hold the queries they displaced.
+    register("ndcg_at_k", text.ndcg_at_k, text.NDCG_AT_K_SQL,
+             "NDCG@K of the BM25 ranking vs term-overlap judgments "
+             "(graded gains, decimal-summed log2-discount terms, "
+             "guarded IDCG division)")
+    register("k_anonymity_report", governance.k_anonymity_report,
+             governance.K_ANONYMITY_SQL,
+             "k-anonymity re-identification audit over the QI tuple "
+             "(region, modality, value bucket)")
+    register("hourly_acf", behavior.hourly_acf, behavior.HOURLY_ACF_SQL,
+             "hourly-series autocorrelation at standard lags: lagged "
+             "equi-join + exact decimal-moment Pearson (no window)")
+    register("quality_classifier_scores", text.quality_classifier_scores,
+             text.QUALITY_CLASSIFIER_SQL,
+             "hashed-feature linear classifier (NB log-odds, "
+             "fastText-style) with an exact order-statistic keep cut")
+    # round-12 capability addition (round-11 verdict task #7 option A;
+    # registered after the window per policy — a round-13 rotation
+    # candidate): the macro-NDCG rankings on ONE grouped
+    # distributed-ranking pass each, the runtime-query-set scale path.
+    # Shares macro_ndcg_multi_query's oracle — identical output by
+    # construction is exactly what the oracle proves.
+    register("macro_ndcg_grouped", text.macro_ndcg_grouped,
              text.MACRO_NDCG_SQL,
-             "macro-averaged NDCG@K over the 3-query benchmark: "
-             "per-query BM25 in one corpus pass, BOTH rankings on the "
-             "GROUPED distributed-ranking operator, explicit-fold "
-             "macro mean (never unordered float AVG)")
+             "macro-averaged NDCG@K with BOTH per-query rankings on the "
+             "grouped distributed-ranking operator (max_groups-guarded; "
+             "pass count independent of the query-set size)")
     # round-10 rotation displacees: all ten driver-green in prior
     # rounds, all stay parity-gated every pytest run. (The LSH slot
     # note from round 5 still applies to near_dup_embeddings_lsh: its
@@ -621,10 +694,13 @@ def register_all() -> None:
              stats.LOO_TARGET_SQL,
              "leave-one-out target encoding of modality vs approval "
              "(+ m-smoothed variant) — leakage-safe tabular ML feature")
-    register("isotonic_calibration_bins", stats.isotonic_calibration_bins,
-             stats.ISOTONIC_SQL,
-             "exact isotonic (PAV) score calibration via the minimax "
-             "identity — declarative, oracle-checkable, no iteration")
+    # round-12 displacee (driver-green r8-r11; see isotonic's in-window
+    # slot note)
+    register("mannwhitney_value_by_approval",
+             stats.mannwhitney_value_by_approval,
+             stats.MANNWHITNEY_SQL,
+             "exact Mann-Whitney U / rank-sum test (approved vs denied "
+             "value): tie-corrected z from the distributed prefix sum")
     register("kruskal_value_by_modality", stats.kruskal_value_by_modality,
              stats.KRUSKAL_SQL,
              "exact Kruskal-Wallis H across modalities (tie-corrected) — "
@@ -770,11 +846,12 @@ def register_all() -> None:
              "grouped ranking + rank self-join predecessor (no "
              "single-task LAG), second grouped ranking for the "
              "percentiles")
-    register("markov_entropy_rate", behavior.markov_entropy_rate,
-             behavior.MARKOV_ENTROPY_SQL,
-             "entropy rate of the modality Markov chain: per-state "
-             "conditional entropy + pi-weighted rate over the shared "
-             "transition counts (6-rounded p ln p, sorted folds)")
+    # round-12 displacee (driver-green r11; see markov_entropy_rate's
+    # in-window slot note)
+    register("event_transition_matrix", behavior.event_transition_matrix,
+             behavior.EVENT_TRANSITION_SQL,
+             "first-order Markov modality transition counts + conditional "
+             "probabilities per payer sequence")
     register("cohens_d_value_by_approval",
              stats.cohens_d_value_by_approval,
              stats.COHEN_D_SQL,
@@ -965,30 +1042,28 @@ def register_all() -> None:
              dedup.NEAR_DUP_JACCARD_SQL,
              "exact 3-gram Jaccard pairs (brute-force twin of the "
              "in-window MinHash-LSH slot, which shares its oracle)")
-    register("volume_weighted_percentiles",
-             dashboard.volume_weighted_percentiles,
-             dashboard.VOLUME_PCT_SQL,
-             "volume-weighted value percentiles: the crossing rows of "
-             "the exact cumulative-value curve (prefix-sum selection, "
-             "no interpolation)")
-    register("heaps_vocab_growth", text.heaps_vocab_growth,
-             text.HEAPS_GROWTH_SQL,
-             "Heaps'-law vocabulary growth checkpoints: cumulative tokens "
-             "+ cumulative distinct terms at corpus deciles (first-"
-             "occurrence trick + two exact prefix-sums, integer outputs)")
+    # round-12 displacees (driver-green r11; see the in-window slot
+    # notes for volume_weighted_percentiles and heaps_vocab_growth)
+    register("pareto_share_by_decile", dashboard.pareto_share_by_decile,
+             dashboard.PARETO_SHARE_SQL,
+             "payer-decile volume concentration (exact distributed NTILE "
+             "via operators/ranking — no single-partition window)")
+    register("scrub_pii_docs", text.scrub_pii_docs,
+             text.SCRUB_PII_SQL,
+             "PII redaction (emails/phones/IPs) + audit counts")
     register("payer_modality_entropy", behavior.payer_modality_entropy,
              behavior.PAYER_ENTROPY_SQL,
              "Shannon entropy of each payer's modality mix via the "
              "H = ln n - (sum c ln c)/n aggregation identity "
              "(decimal-summed 6-rounded terms)")
-    register("seasonal_naive_eval", behavior.seasonal_naive_eval,
-             behavior.SEASONAL_NAIVE_EVAL_SQL,
-             "MAE/RMSE/WAPE/MASE of the lag-24 seasonal-naive forecast "
-             "on the hourly series (exact integer-sum metrics)")
-    register("payer_degree_distribution", graph.payer_degree_distribution,
-             graph.DEGREE_DIST_SQL,
-             "in/out degree histograms of the payment graph (integer "
-             "counts; node-keyed then degree-keyed aggregates)")
+    # round-12 displacees (driver-green r7-r11; see the in-window slot
+    # notes for seasonal_naive_eval and payer_degree_distribution)
+    register("seasonal_decompose_hourly", behavior.seasonal_decompose_hourly,
+             behavior.SEASONAL_DECOMPOSE_SQL,
+             "classical additive seasonal decomposition of the hourly "
+             "series (trend / hour-of-day seasonal / residual)")
+    register("payer_triangles", graph.triangle_count, graph.TRIANGLE_SQL,
+             "per-payer triangle membership over the undirected pay graph")
     register("trimmed_mean_value", dashboard.trimmed_mean_value,
              dashboard.TRIMMED_MEAN_SQL,
              "exact trimmed + winsorized means: one distributed-rank "
@@ -1046,10 +1121,12 @@ def register_all() -> None:
     register("modality_mode_per_region", relational.modality_mode_per_region,
              relational.MODALITY_MODE_SQL,
              "deterministic MODE per group (tie-broken most-frequent)")
-    register("kmv_merge_rollup", relational.kmv_merge_rollup,
-             relational.KMV_MERGE_ROLLUP_SQL,
-             "per-day KMV sketches merged upward (lossless min-wise "
-             "merge == direct sketch; the partitioned-history rollup)")
+    # round-12 displacee (driver-green r11; see kmv_merge_rollup's
+    # in-window slot note)
+    register("kmv_distinct_payers", relational.kmv_distinct_payers,
+             relational.KMV_DISTINCT_SQL,
+             "engine-portable KMV distinct sketch (oracle-checkable "
+             "approximate op) + exact witness")
     register("cumulative_distinct_payers",
              relational.cumulative_distinct_payers,
              relational.CUMULATIVE_DISTINCT_SQL,
@@ -1067,10 +1144,13 @@ def register_all() -> None:
              curation.DATASET_CARD_SQL,
              "one-row dataset release card (docs/tokens/diversity/"
              "dup-rate) in a single scan-level aggregate")
-    register("dp_region_counts", governance.dp_region_counts,
-             governance.DP_REGION_COUNTS_SQL,
-             "differentially-private count release with deterministic "
-             "portable-hash Laplace noise + exact witness")
+    # round-12 displacee (driver-green r11; see dp_region_counts'
+    # in-window slot note)
+    register("dsir_importance_weights", curation.dsir_importance_weights,
+             curation.DSIR_IMPORTANCE_SQL,
+             "DSIR domain-matching importance weights: hashed-unigram "
+             "target-vs-raw log-ratio per doc (bucket-sized model, "
+             "portable md5_48 features)")
     register("embedding_dimension_drift",
              embeddings.embedding_dimension_drift,
              embeddings.EMBEDDING_DRIFT_SQL,
@@ -1110,11 +1190,13 @@ def register_all() -> None:
              "rolling lower-median of the last 5 values per payer (exact "
              "element selection — no interpolation; robust trailing "
              "baseline)")
-    register("snapshot_table_diff", scd.snapshot_table_diff,
-             scd._snapshot_diff_oracle(),
-             "CDC snapshot diff: added/removed/changed keys between two "
-             "table versions in one full-outer equi-join (unchanged "
-             "majority never materialized)")
+    # round-12 displacee (driver-green r11; see snapshot_table_diff's
+    # in-window slot note)
+    register("pit_balance_feature_join", scd.pit_balance_feature_join,
+             scd._pit_oracle(),
+             "point-in-time-correct feature join against the SCD2 "
+             "dimension (anti-leakage; as-of union trick, no inequality "
+             "join)")
 
     # extended TPC-H plan shapes (siblings of the in-window Q1/Q3/Q4/Q6/Q14)
     register("q5_local_supplier", tpch2.q5_local_supplier, tpch2.Q5_SQL,

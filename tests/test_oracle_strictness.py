@@ -148,8 +148,10 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # round-6 rotation: the distributed-ranking family must be
         # driver-proven (they displaced top3_tx_per_region,
         # unpivot_user_limits, json_envelope_roundtrip — all re-proven
-        # by in-window siblings and the local parity gate)
-        "pareto_share_by_decile",
+        # by in-window siblings and the local parity gate; round 12
+        # hands pareto_share_by_decile's slot — driver-green r6-r11 —
+        # to volume_weighted_percentiles, the same prefix-sum-selection
+        # machinery)
         "risk_score_auc",
         # round-8 rotation: the broadcast Shapley coalition lattice must
         # be driver-proven (displaced q20_promotion_suppliers, re-proven
@@ -164,9 +166,11 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # order-statistic-cut fix. Displacees (q3_shipping_priority,
         # lang_id_heuristic, conformal_by_modality) re-register right
         # after the window, parity-gated every run.
-        "mannwhitney_value_by_approval",
+        # (round 12: mannwhitney and quality_classifier_scores — both
+        # multi-round driver-green — hand their slots to isotonic PAV
+        # and the macro-NDCG harness; their shapes stay in-window via
+        # risk_score_auc and text_quality_scores)
         "kaplan_meier_conversion",
-        "quality_classifier_scores",
         "scd2_user_history",
         "train_test_split_docs",
         "minmax_normalize_window",
@@ -195,15 +199,32 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # right after the window, parity-gated every run).
         "media_byte_entropy",
         "media_body_dedup",
-        "ndcg_at_k",
-        "kmv_distinct_payers",
-        "dsir_importance_weights",
-        "event_transition_matrix",
-        "k_anonymity_report",
-        "hourly_acf",
-        "scrub_pii_docs",
-        "payer_triangles",
         "bootstrap_mean_ci",
+        # round-12 rotation (round-11 verdict #2): the pre-vetted
+        # 13-name shortlist — all never driver-checked, 13/13 green on
+        # the end-of-round-11 plain driver-mimic — takes the slots of
+        # redundant driver-green r11 siblings (displaced:
+        # k_anonymity_report, kmv_distinct_payers,
+        # pit_balance_feature_join, event_transition_matrix, hourly_acf,
+        # ndcg_at_k, quality_classifier_scores, payer_triangles,
+        # mannwhitney_value_by_approval, pareto_share_by_decile,
+        # seasonal_decompose_hourly, scrub_pii_docs,
+        # dsir_importance_weights — every family keeps an in-window
+        # representative; all thirteen re-register after the window,
+        # parity-gated every run).
+        "hybrid_ndcg_eval",
+        "t_closeness_report",
+        "changepoint_hourly",
+        "macro_ndcg_multi_query",
+        "kmv_merge_rollup",
+        "dp_region_counts",
+        "seasonal_naive_eval",
+        "markov_entropy_rate",
+        "heaps_vocab_growth",
+        "payer_degree_distribution",
+        "isotonic_calibration_bins",
+        "volume_weighted_percentiles",
+        "snapshot_table_diff",
     }
     missing = must_be_checked - set(window)
     assert missing == set(), f"family-critical queries outside the window: {missing}"

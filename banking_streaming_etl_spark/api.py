@@ -74,11 +74,6 @@ EAGER_QUERIES = frozenset({
     # verdict task #5; the fit itself is session-memoized in
     # operators/embeddings.pca_fit)
     "pca_embeddings",
-    # eager localCheckpoint barriers on the per-query candidate/gains
-    # frames (NOT session-memoized — each build re-derives them) run
-    # the BM25 chain's jobs at plan-build time (round-11; the barrier
-    # is the ranking-input discipline, see the query docstring)
-    "macro_ndcg_multi_query",
 })
 
 #: Queries whose builder materializes a session-shared derivation on
@@ -108,6 +103,12 @@ MEMOIZED_QUERIES = frozenset({
     # ndcg_at_k — listed in its own right so the builder-job guard warms
     # it directly instead of relying on the sibling running first
     "hybrid_ndcg_eval",
+    # round-12: the per-build eager barriers on the macro-NDCG
+    # candidate/gains frames became the session-shared
+    # 'macro_ndcg_cand'/'macro_ndcg_gains' memos (both ranking variants
+    # read them), moving the pair from EAGER_QUERIES to this class
+    "macro_ndcg_multi_query",
+    "macro_ndcg_grouped",
 })
 
 

@@ -105,6 +105,58 @@ def cms_cells(tx: DataFrame) -> DataFrame:
     )
 
 
+#: K-register min-value distinct sketch — the mergeable / streaming face
+#: of the KMV family (plans/relational.kmv_distinct_payers holds the
+#: bottom-K order-statistic form; kmv_merge_rollup proves its batch
+#: merge law). A true bottom-K cannot ride a streaming aggregate (its
+#: state is the distinct-hash set until K survivors stabilize), but the
+#: stochastic-averaging layout can: register j = h mod K holds
+#: MIN(h div K), so the state is exactly G x K rows forever and the
+#: merge is elementwise MIN — the rare aggregation whose complete-mode
+#: output is bounded by construction (the CMS argument, for distincts).
+KMV_REG_K = 64
+#: register value range: h div K over the LCG's [0, 2^31) is uniform on
+#: [0, 2^25) — the estimator reads E[min of n uniforms on [0,R)] ~
+#: R/(n+1), so n_j ~ R/(m_j+1) - 1 summed over registers.
+KMV_REG_R = portable.M31 // KMV_REG_K
+
+
+def kmv_registers(tx: DataFrame) -> DataFrame:
+    """Per-(modality, register) MIN-hash table — works unchanged on a
+    bounded frame or an unbounded stream (complete-mode aggregation:
+    state is the G x KMV_REG_K register table at any stream length).
+    Deterministic and order-independent (MIN over the shared portable
+    LCG), so the streaming table is BIT-EQUAL to the batch build over
+    the same rows — pinned by the stream-vs-batch differential."""
+    h = portable.lcg_hash(F.col("id_usuario_pagador"))
+    return (
+        tx.select("modalidade_pagamento", h.alias("h"))
+        .select(
+            "modalidade_pagamento",
+            F.pmod(F.col("h"), F.lit(KMV_REG_K)).alias("reg"),
+            ((F.col("h") - F.pmod(F.col("h"), F.lit(KMV_REG_K)))
+             / F.lit(KMV_REG_K)).cast("bigint").alias("hv"),
+        )
+        .groupBy("modalidade_pagamento", "reg")
+        .agg(F.min("hv").alias("m"))
+    )
+
+
+def kmv_register_estimate(registers: DataFrame) -> DataFrame:
+    """Read-side distinct estimate off a register table (batch frame or
+    a complete-mode sink's contents): n_hat = sum_j (R/(m_j+1) - 1).
+    Arithmetic only — no stateful op, so the streaming pipeline stays
+    MIN-only and the estimator can be recomputed from any snapshot."""
+    contrib = (
+        F.lit(float(KMV_REG_R)) / (F.col("m").cast("double") + F.lit(1.0))
+        - F.lit(1.0)
+    )
+    return registers.groupBy("modalidade_pagamento").agg(
+        F.round(F.sum(contrib), 6).alias("pagadores_kmv_reg"),
+        F.count("*").alias("registers_hit"),
+    )
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimate per-payer transaction counts for the exact top-N payers
     from a D x W Count-Min sketch, with the exact count as witness

@@ -2081,30 +2081,29 @@ MACRO_QUERIES = (
     (3, ("key", "order", "column"), ("agg", "value", "line")),
 )
 MACRO_K = 10
+#: grouped-ranking group-cardinality guard for macro_ndcg_grouped: the
+#: operator's plan-level assert fails the job if the observed distinct
+#: qid count exceeds this (broadcast-sized side frames are the contract)
+MACRO_MAX_QIDS = 64
 
 
-def macro_ndcg_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Macro-averaged NDCG@K over a multi-query benchmark — the real IR
-    eval-harness shape (per-query NDCG, then the unweighted mean across
-    queries), where ndcg_at_k / hybrid_ndcg_eval grade one query. All
-    three queries score in ONE corpus pass: the (qid, termo) query map
-    broadcasts onto the exploded term frame, BM25 runs with qid as an
-    extra grouping dimension (df/tf per query, shared corpus
-    length/stats), and BOTH rankings — per-query system order and
-    per-query ideal order — are per-query TakeOrdered top-Ks off
-    eager-checkpointed frames (distributed top-K: no task ever holds a
-    query's whole candidate set; the only windows run over the bounded
-    <= Q*K-row unions). The compile-time-Q union is deliberate — see
-    the inline note for the grouped-distributed-ranking swap that
-    serves a large or runtime query set.
+def _macro_cand_gains(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Session-memoized (qid, doc_id, score_bm25, ganho) candidate frame
+    + (qid, doc_id, ganho) graded-gains frame that BOTH macro-NDCG
+    rankings (TakeOrdered union and grouped distributed ranking) read.
+    Eager barriers ahead of the ranking passes (the round-7 interarrival
+    lesson, and ranking.py's documented contract for expensive derived
+    inputs): the ranking stages reference their input subtree ~4x, and
+    without the barrier each stage re-derives the whole per-query BM25
+    join/aggregate chain (the un-barriered plan carried 235 exchanges;
+    barriered, the chain runs once per frame). memo.shared_frame (not a
+    per-build localCheckpoint): the two registered macro-NDCG variants
+    share one materialization per (session, sf_dir), and bench's
+    _warm_family_memos can pre-pay it like the other family memos."""
+    from banking_streaming_etl_spark.operators import memo
 
-    Engine parity: per-query DCG terms are the ndcg_at_k recipe
-    (6-rounded log2-discount terms, DECIMAL-summed, one unrounded IEEE
-    division per query, guarded to NULL on absent/zero IDCG); the macro
-    mean is an EXPLICIT fold over the compile-time query list —
-    ((q1 + q2) + q3) / |Q| in that parenthesization in both dialects —
-    never an unordered float AVG (3-double aggregation order is
-    nondeterministic across partitions, the 1-ulp class)."""
     d = _docs(spark, sf_dir)
     terms = d.select("doc_id", F.explode("toks").alias("termo"))
 
@@ -2180,38 +2179,58 @@ def macro_ndcg_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
     )
-    # EAGER barriers ahead of the ranking passes (the round-7
-    # interarrival lesson, and ranking.py's documented contract for
-    # expensive derived inputs): the grouped-ranking stages reference
-    # their input subtree ~4x, and without the barrier each stage
-    # re-derives the whole per-query BM25 join/aggregate chain (the
-    # un-barriered plan carried 235 exchanges; barriered, the chain
-    # runs once per frame).
-    gains = rel.select("qid", "doc_id", gain.alias("ganho")).localCheckpoint(
-        eager=True
+    gains = memo.shared_frame(
+        spark,
+        sf_dir,
+        "macro_ndcg_gains",
+        lambda: rel.select("qid", "doc_id", gain.alias("ganho")),
     )
-    cand = (
-        scored.join(gains, ["qid", "doc_id"], "left")
-        .select(
+    cand = memo.shared_frame(
+        spark,
+        sf_dir,
+        "macro_ndcg_cand",
+        lambda: scored.join(gains, ["qid", "doc_id"], "left").select(
             "qid",
             "doc_id",
             "score_bm25",
             F.coalesce(F.col("ganho"), F.lit(0).cast("bigint")).alias(
                 "ganho"
             ),
-        )
-        .localCheckpoint(eager=True)
+        ),
     )
-    # Per-query top-K: one TakeOrderedAndProject per compile-time query
-    # (distributed top-K, no task ever holds a query's whole candidate
-    # set), unioned, then ranked by a PARTITIONED window over the
-    # <= Q*K-row union — bounded, so no whitelist needed. For a LARGE /
-    # runtime query set, swap this compile-time union for ONE pass of
-    # the grouped distributed-ranking operator
-    # (ranking.with_global_row_number(group_cols=["qid"]) — the
-    # few-huge-groups form, max_groups-guarded); at Q=3 the unioned
-    # TakeOrdereds are strictly cheaper (two grouped-ranking passes
-    # cost ~8 stages each, and they dominated this query's first plan).
+    return cand, gains
+
+
+def macro_ndcg_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged NDCG@K over a multi-query benchmark — the real IR
+    eval-harness shape (per-query NDCG, then the unweighted mean across
+    queries), where ndcg_at_k / hybrid_ndcg_eval grade one query. All
+    three queries score in ONE corpus pass: the (qid, termo) query map
+    broadcasts onto the exploded term frame, BM25 runs with qid as an
+    extra grouping dimension (df/tf per query, shared corpus
+    length/stats), and BOTH rankings — per-query system order and
+    per-query ideal order — are per-query TakeOrdered top-Ks off the
+    memoized eager-checkpointed frames (distributed top-K: no task ever
+    holds a query's whole candidate set; the only windows run over the
+    bounded <= Q*K-row unions). The compile-time-Q union is deliberate:
+    at Q=3 the unioned TakeOrdereds are strictly cheaper than two
+    grouped-ranking passes (~8 stages each). For a LARGE / runtime
+    query set, `macro_ndcg_grouped` is the scale path — the SAME
+    candidate/gains memo through ONE pass of the grouped distributed-
+    ranking operator per ranking, oracle-checked identical.
+
+    Engine parity: per-query DCG terms are the ndcg_at_k recipe
+    (6-rounded log2-discount terms, DECIMAL-summed, one unrounded IEEE
+    division per query, guarded to NULL on absent/zero IDCG); the macro
+    mean is an EXPLICIT fold over the compile-time query list —
+    ((q1 + q2) + q3) / |Q| in that parenthesization in both dialects —
+    never an unordered float AVG (3-double aggregation order is
+    nondeterministic across partitions, the 1-ulp class)."""
+    cand, gains = _macro_cand_gains(spark, sf_dir)
+
+    # Per-query top-K: one TakeOrderedAndProject per compile-time query,
+    # unioned, then ranked by a PARTITIONED window over the <= Q*K-row
+    # union — bounded, so no whitelist needed.
     def _topk(df: DataFrame, value_col: str) -> DataFrame:
         per_q = [
             df.filter(F.col("qid") == q)
@@ -2237,8 +2256,59 @@ def macro_ndcg_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
 
-    sys_r = _topk(cand, "score_bm25")
-    ideal_r = _topk(gains, "ganho")
+    return _macro_ndcg_from_ranked(_topk(cand, "score_bm25"),
+                                   _topk(gains, "ganho"))
+
+
+def macro_ndcg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`macro_ndcg_multi_query` with the rankings swapped onto the
+    GROUPED distributed-ranking operator — the runtime-query-set scale
+    path its sibling's docstring stages. Both per-query rankings
+    (system order by BM25 score, ideal order by graded gain) are ONE
+    `ranking.with_global_row_number(group_cols=["qid"])` pass each over
+    the SAME memoized candidate/gains frames: per-qid sampled
+    boundaries, bucketed local ranks, exact per-group offsets — no task
+    ever holds a query's whole candidate set AND the pass count no
+    longer grows with Q, so a thousand-query benchmark plans exactly
+    like this three-query one (the TakeOrdered-union sibling plans Q
+    branches). Group cardinality is enforced by the operator's
+    plan-level max_groups assert (MACRO_MAX_QIDS; qid is compile-time
+    bounded here, runtime-bounded in the general case). nulls="last"
+    matches the siblings' ORDER BY value DESC total order; both value
+    columns are non-null by construction, so the policy is inert on
+    real data and keeps the query degenerate-corpus-safe. Output and
+    oracle are IDENTICAL to macro_ndcg_multi_query (same MACRO_NDCG_SQL
+    — the ranking machinery is the only thing that moves, which is
+    exactly what the oracle proves)."""
+    from banking_streaming_etl_spark.operators import ranking
+
+    cand, gains = _macro_cand_gains(spark, sf_dir)
+
+    def _ranked(df: DataFrame, value_col: str) -> DataFrame:
+        r = ranking.with_global_row_number(
+            df,
+            value_col,
+            "doc_id",
+            out="r",
+            value_desc=True,
+            group_cols=["qid"],
+            max_groups=MACRO_MAX_QIDS,
+            nulls="last",
+        )
+        return r.filter(F.col("r") <= MACRO_K).select(
+            "qid", "ganho", F.col("r").cast("bigint").alias("r")
+        )
+
+    return _macro_ndcg_from_ranked(_ranked(cand, "score_bm25"),
+                                   _ranked(gains, "ganho"))
+
+
+def _macro_ndcg_from_ranked(
+    sys_r: DataFrame, ideal_r: DataFrame
+) -> DataFrame:
+    """Shared DCG/IDCG/macro-mean tail over (qid, ganho, r) rankings —
+    the engine-parity recipe both macro-NDCG variants must share
+    term-for-term (see macro_ndcg_multi_query's docstring)."""
     term = F.round(
         F.col("ganho").cast("double")
         / F.log2((F.col("r") + F.lit(1)).cast("double")),

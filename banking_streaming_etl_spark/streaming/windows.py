@@ -260,6 +260,24 @@ def streaming_cms_cells(tx_stream: DataFrame) -> DataFrame:
     return sketches.cms_cells(tx_stream)
 
 
+def streaming_kmv_registers(tx_stream: DataFrame) -> DataFrame:
+    """Streaming twin of the KMV register sketch
+    (operators/sketches.kmv_registers — literally the same builder; see
+    its docstring for why the stochastic-averaging layout, not the
+    bottom-K order statistic, is the streaming-safe form). Complete
+    output mode: the aggregation state IS the sketch — G x KMV_REG_K
+    MIN cells no matter how long the stream runs — and the live table
+    answers "how many distinct payers per modality" via
+    kmv_register_estimate without a per-payer row (the exact streaming
+    distinct would hold every key; approx_count_distinct holds an HLL
+    whose registers no oracle or batch twin can re-derive — this
+    sketch's cells are BIT-EQUAL to the batch build, differential-
+    pinned)."""
+    from banking_streaming_etl_spark.operators import sketches
+
+    return sketches.kmv_registers(tx_stream)
+
+
 def streaming_value_quantiles(tx_stream: DataFrame) -> DataFrame:
     """Live p50/p95/p99 of transaction value per modality — the streaming
     sibling of vw_performance_stats' percentile columns, as a

@@ -314,6 +314,7 @@ def _warm_family_memos(spark, sf_dir: str) -> None:
     _dashboard._modality_value_ranked(spark, sf_dir)
     _behavior._km_risk_table(spark, sf_dir)
     _text._ndcg_candidates(spark, sf_dir)
+    _text._macro_cand_gains(spark, sf_dir)
 
 
 def _host_spark_jvms() -> int:

@@ -2080,3 +2080,42 @@ def test_media_body_dedup_header_insensitive(spark):
     assert all(r.doc_canonico <= r.doc_id for r in out)
     assert all(r.eh_canonico == (r.doc_id == r.doc_canonico) for r in out)
     assert all(1 <= r.formatos_no_cluster <= r.n_copias for r in out)
+
+
+def test_macro_ndcg_grouped_equals_takeordered_union(spark):
+    """The grouped-ranking macro-NDCG (runtime-query-set scale path) and
+    the compile-time TakeOrdered-union form must agree EXACTLY — same
+    memoized candidate/gains frames, same total order (value desc,
+    doc_id asc), same DCG tail — so the only degree of freedom is the
+    ranking machinery itself. Raw-value equality here; both variants
+    are also bit-checked against the shared DuckDB oracle by the parity
+    gate every run."""
+    from banking_streaming_etl_spark.plans import text as text_plans
+
+    a = text_plans.macro_ndcg_multi_query(spark, SF).collect()[0]
+    b = text_plans.macro_ndcg_grouped(spark, SF).collect()[0]
+    assert a.asDict() == b.asDict()
+    # sanity: the benchmark actually ranks something at this SF
+    assert a["rel_topk_total"] > 0
+
+
+def test_macro_ndcg_grouped_plan_has_no_per_query_branches(spark):
+    """The point of the grouped form: the physical plan must not grow
+    with the query-set size. The union sibling plans one TakeOrdered
+    branch per compile-time query; the grouped plan rides the bucketed
+    grouped-ranking operator — no TakeOrderedAndProject, no global
+    single-partition sort, and no unpartitioned window."""
+    from banking_streaming_etl_spark.plans import text as text_plans
+
+    plan = text_plans.macro_ndcg_grouped(
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan, plan
+    # the grouped-ranking operator partitions every window by
+    # (qid, bucket); a bare 'Window [' with an empty partition spec
+    # would print as 'Window [...], [...]' without a partitionBy list —
+    # pinned fleet-wide by test_plan_shapes, re-asserted here on the
+    # new query's own plan
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "partitionBy" not in line or "qid" in line

@@ -1149,3 +1149,40 @@ def test_streaming_media_body_dedup_matches_batch_clusters(spark, tmp_path):
     # each survivor genuinely belongs to the cluster it survived under
     for r in kept:
         assert batch[r.doc_id] == r.corpo_sha256
+
+
+def test_streaming_kmv_registers_match_batch(spark, replay_dir):
+    """The complete-mode streaming KMV register table must be BIT-EQUAL
+    to the batch sketch over the same replayed transactions (MIN over
+    the shared portable LCG is order-independent — the mergeability
+    that makes the sketch a streaming-safe aggregate), the state must
+    stay within the G x KMV_REG_K bound, and the read-side distinct
+    estimate recomputed from the streamed cells must equal the batch
+    estimate exactly."""
+    from banking_streaming_etl_spark.operators import sketches
+
+    tx = stream_src.read_transaction_stream(spark, replay_dir)
+    regs = swin.streaming_kmv_registers(tx)
+    _run_to_memory(regs, "kmv_regs_out", mode="complete")
+    got = {
+        (r.modalidade_pagamento, r.reg, r.m)
+        for r in spark.sql("SELECT * FROM kmv_regs_out").collect()
+    }
+    batch = sketches.kmv_registers(datamodel.transactions(spark, SF))
+    want = {(r.modalidade_pagamento, r.reg, r.m) for r in batch.collect()}
+    assert got == want
+    n_modalities = len({m for m, _, _ in want})
+    assert len(want) <= n_modalities * sketches.KMV_REG_K
+
+    est_stream = {
+        (r.modalidade_pagamento, r.pagadores_kmv_reg, r.registers_hit)
+        for r in sketches.kmv_register_estimate(
+            spark.sql("SELECT * FROM kmv_regs_out")
+        ).collect()
+    }
+    est_batch = {
+        (r.modalidade_pagamento, r.pagadores_kmv_reg, r.registers_hit)
+        for r in sketches.kmv_register_estimate(batch).collect()
+    }
+    assert est_stream == est_batch
+    assert all(e > 0 for _, e, _ in est_batch)

@@ -161,6 +161,10 @@ EXTRA_ROTATING = [
     "t_closeness_report",
     "changepoint_hourly",
     "macro_ndcg_multi_query",
+    # round-12 registree (grouped-ranking macro-NDCG). APPEND-ONLY here:
+    # insertions above index 48 would flip the media rows' pinned even
+    # parity (tests/test_bench_contract.py).
+    "macro_ndcg_grouped",
 ]
 
 #: full inventory (registry-coverage checks and docs read this)

@@ -116,8 +116,14 @@ def cms_cells(tx: DataFrame) -> DataFrame:
 #: output is bounded by construction (the CMS argument, for distincts).
 KMV_REG_K = 64
 #: register value range: h div K over the LCG's [0, 2^31) is uniform on
-#: [0, 2^25) — the estimator reads E[min of n uniforms on [0,R)] ~
-#: R/(n+1), so n_j ~ R/(m_j+1) - 1 summed over registers.
+#: [0, 2^25). E[min of n_j uniforms on [0,R)] ~ R/(n_j+1), i.e.
+#: m_j/R ~ 1/(n_j+1) — the estimator inverts the SUM of those
+#: (harmonic-mean style, the HLL insight): sum_j m_j/R ~ K^2/(n+K)
+#: with empty registers contributing m_j = R (min of zero draws), so
+#: n_hat = K^2*R / (sum m_j + (K - hit)*R) - K. Summing m_j (not
+#: 1/m_j per register) keeps the estimator tail-robust: a per-register
+#: R/(m_j+1) blows up when a register holds a single small draw — the
+#: sparse-modality case the first cut of this estimator failed on.
 KMV_REG_R = portable.M31 // KMV_REG_K
 
 
@@ -144,16 +150,33 @@ def kmv_registers(tx: DataFrame) -> DataFrame:
 
 def kmv_register_estimate(registers: DataFrame) -> DataFrame:
     """Read-side distinct estimate off a register table (batch frame or
-    a complete-mode sink's contents): n_hat = sum_j (R/(m_j+1) - 1).
-    Arithmetic only — no stateful op, so the streaming pipeline stays
-    MIN-only and the estimator can be recomputed from any snapshot."""
-    contrib = (
-        F.lit(float(KMV_REG_R)) / (F.col("m").cast("double") + F.lit(1.0))
-        - F.lit(1.0)
-    )
-    return registers.groupBy("modalidade_pagamento").agg(
-        F.round(F.sum(contrib), 6).alias("pagadores_kmv_reg"),
+    a complete-mode sink's contents): the harmonic-style
+    n_hat = K^2*R / (sum_hit m_j + (K - hit)*R) - K (see KMV_REG_R's
+    derivation — tail-robust in both the sparse- and dense-register
+    regimes). Arithmetic only — no stateful op, so the streaming
+    pipeline stays MIN-only and the estimator can be recomputed from
+    any snapshot."""
+    k = float(KMV_REG_K)
+    r = float(KMV_REG_R)
+    agg = registers.groupBy("modalidade_pagamento").agg(
+        F.sum(F.col("m").cast("double")).alias("_sum_m"),
         F.count("*").alias("registers_hit"),
+    )
+    denom = (
+        F.col("_sum_m")
+        + (F.lit(k) - F.col("registers_hit").cast("double")) * F.lit(r)
+    )
+    return agg.select(
+        "modalidade_pagamento",
+        # domain guard (the degenerate-corpus invariant): denom is 0
+        # only when every register is hit with min 0 — a saturated
+        # sketch has no finite estimate, and ANSI would throw on the
+        # division; NULL in that (astronomically unlikely) case.
+        F.when(
+            denom > 0.0,
+            F.round(F.lit(k * k * r) / denom - F.lit(k), 6),
+        ).alias("pagadores_kmv_reg"),
+        "registers_hit",
     )
 
 

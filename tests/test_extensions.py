@@ -2119,3 +2119,46 @@ def test_macro_ndcg_grouped_plan_has_no_per_query_branches(spark):
     for line in plan.splitlines():
         if "Window " in line:
             assert "partitionBy" not in line or "qid" in line
+
+
+def test_kmv_registers_merge_law_and_estimate(spark):
+    """The property that makes kmv_registers the KMV family's
+    mergeable/streaming face: building the register table on two
+    disjoint halves of the corpus and merging elementwise-MIN must
+    equal the single full build EXACTLY (so partitioned histories,
+    micro-batches, and shards all compose losslessly — the
+    kmv_merge_rollup law at the register level). The read-side
+    estimate must also land near the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.operators import sketches
+
+    tx = datamodel.transactions(spark, SF)
+    full = sketches.kmv_registers(tx)
+    h1 = sketches.kmv_registers(tx.filter(F.col("id_transacao") % 2 == 0))
+    h2 = sketches.kmv_registers(tx.filter(F.col("id_transacao") % 2 == 1))
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("modalidade_pagamento", "reg")
+        .agg(F.min("m").alias("m"))
+    )
+    key = lambda df: {(r.modalidade_pagamento, r.reg, r.m) for r in df.collect()}
+    assert key(merged) == key(full)
+
+    exact = {
+        r.modalidade_pagamento: r.n
+        for r in tx.groupBy("modalidade_pagamento")
+        .agg(F.countDistinct("id_usuario_pagador").alias("n"))
+        .collect()
+    }
+    est = {
+        r.modalidade_pagamento: r.pagadores_kmv_reg
+        for r in sketches.kmv_register_estimate(full).collect()
+    }
+    assert set(est) == set(exact)
+    for m, n in exact.items():
+        # K=64 registers -> ~1/sqrt(K) ~ 12.5% stderr; generous 2x-4x
+        # band so the pin never flakes while still catching a broken
+        # estimator (off-by-register-range bugs are order-of-magnitude)
+        assert 0.5 * n <= est[m] <= 2.0 * n, (m, n, est[m])

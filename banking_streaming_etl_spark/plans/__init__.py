@@ -122,11 +122,23 @@ def register_all() -> None:
     # q3_shipping_priority (driver-green since r1; the filter-join-agg-
     # topK shape stays represented in-window by q1/q2/q21, and Q3
     # re-registers right after the window, parity-gated every run).
-    register("kaplan_meier_conversion", behavior.kaplan_meier_conversion,
-             behavior.KAPLAN_MEIER_SQL,
-             "Kaplan-Meier product-limit survival of time-to-conversion "
-             "with right censoring — risk table via the distributed "
-             "prefix sum, log-space product with pinned rounding")
+    # Round-13 rotation (round-12 verdict #1: rotate the pre-vetted
+    # 13-name shortlist — all 13 verified green on a plain driver-mimic
+    # session end-of-round-12, 3 of them re-driven green by the judge):
+    # thirteen never-driver-checked queries take the slots of their most
+    # redundant driver-green in-window siblings (every displacee
+    # driver-green in r12's 50/50, keeps an in-window family
+    # representative, and re-registers right after the window,
+    # parity-gated every pytest run). This slot: the Greenwood
+    # variance/confidence-band curve takes kaplan_meier_conversion's
+    # slot (driver-green r9-r12; Greenwood strictly extends it — same
+    # shared risk table, same product-limit estimate, plus the variance
+    # prefix-sum branch).
+    register("kaplan_meier_greenwood", behavior.kaplan_meier_greenwood,
+             behavior.KM_GREENWOOD_SQL,
+             "KM survival curve with Greenwood variance/SE and a "
+             "clamped 95% band (own prefix-sum branch off the shared "
+             "risk table, 1e6-scaled decimal term accumulation)")
     # Round-7 rotation: split-conformal calibration takes the slot of
     # q6_revenue_forecast (its pure pushdown filter-agg shape is
     # re-proven in-window by q1_pricing_summary's scan-agg and every
@@ -163,10 +175,16 @@ def register_all() -> None:
     # takes kmv_distinct_payers' slot (driver-green r11; the KMV point
     # estimator is a sub-expression of the merge rollup, and the sketch
     # family stays represented in-window by cms_heavy_hitters).
-    register("kmv_merge_rollup", relational.kmv_merge_rollup,
-             relational.KMV_MERGE_ROLLUP_SQL,
-             "per-day KMV sketches merged upward (lossless min-wise "
-             "merge == direct sketch; the partitioned-history rollup)")
+    # Round-13 rotation: the HHI concentration index — the round-8
+    # 2^53 decimal->double + decimal-width fix, proven against the
+    # instrument that motivated it — takes kmv_merge_rollup's slot
+    # (driver-green r12; the mergeable-sketch family stays represented
+    # in-window by cms_heavy_hitters, and the KMV merge law is pinned
+    # by its own test + parity gate every run).
+    register("hhi_by_region", dashboard.hhi_by_region, dashboard.HHI_SQL,
+             "Herfindahl-Hirschman concentration per region via the "
+             "exact integer-micros identity sum(m^2)/M^2 (no per-term "
+             "rounding loss)")
     # Round-5 rotation (verdict task #6): the three strongest round-4
     # shapes not yet driver-verified take the slots of their most
     # redundant in-window siblings — value_histogram (P9 p99-trim
@@ -181,11 +199,15 @@ def register_all() -> None:
     # pit_balance_feature_join's slot (driver-green r11; the SCD2/PIT
     # family stays represented in-window by scd2_user_history, and the
     # as-of union shape by asof_balance_at_tx).
-    register("snapshot_table_diff", scd.snapshot_table_diff,
-             scd._snapshot_diff_oracle(),
-             "CDC snapshot diff: added/removed/changed keys between two "
-             "table versions in one full-outer equi-join (unchanged "
-             "majority never materialized)")
+    # Round-13 rotation: the feature-hashed doc->vector bridge (the
+    # oracle-checkable face of the embedding family) takes
+    # snapshot_table_diff's slot (driver-green r12; the CDC/SCD2 family
+    # stays represented in-window by scd2_user_history, and the as-of
+    # union shape by asof_balance_at_tx).
+    register("hash_embed_documents", text.hash_embed_documents,
+             text.HASH_EMBED_SQL,
+             "feature-hashed L2-normalized bag-of-words doc embedding "
+             "(documents -> vector bridge)")
     # Round-11 rotation: the multimodal family's first driver rows —
     # the byte-exact entropy/format-sniff and the content-addressed
     # body dedup (registered round 10, never driver-checked; the ONE
@@ -214,11 +236,16 @@ def register_all() -> None:
     # consumes the SAME shared transition counts — the strictly harder
     # downstream form — and the sequence family stays represented
     # in-window by sessionize_events).
-    register("markov_entropy_rate", behavior.markov_entropy_rate,
-             behavior.MARKOV_ENTROPY_SQL,
-             "entropy rate of the modality Markov chain: per-state "
-             "conditional entropy + pi-weighted rate over the shared "
-             "transition counts (6-rounded p ln p, sorted folds)")
+    # Round-13 rotation: the Benford forensics screen — the
+    # IEEE-ladder GROUP-BY-key template (first digit derived without
+    # log10/pow, so no transcendental can move a row between groups) —
+    # takes markov_entropy_rate's slot (driver-green r12; the
+    # sequence-model family stays represented in-window by
+    # sessionize_events + channel_attribution, and the entropy-rate
+    # fold stays parity-gated every run).
+    register("benford_digit_screen", dashboard.benford_digit_screen,
+             dashboard.BENFORD_SQL,
+             "Benford first-digit frequencies + chi-square contributions")
     # Round-4 rotation: the LLM-pipeline capstones and the only
     # RANGE-frame shape take the slots of their most redundant in-window
     # siblings so the third-party gate proves the flagship extension
@@ -231,8 +258,16 @@ def register_all() -> None:
              relational.TX_VELOCITY_SQL,
              "trailing-1h per-payer velocity via RANGE frame on epoch "
              "seconds")
-    register("distance_bucket_pivot", dashboard.distance_bucket_pivot,
-             dashboard.DISTANCE_BUCKET_PIVOT_SQL, "bucket x approval (A9+F15)")
+    # Round-13 rotation: the haversine distance stats (F18 proven
+    # head-on against the DuckDB trig twin — the judge spot-drove it
+    # green in r12) take distance_bucket_pivot's slot (driver-green
+    # r1-r12; the A9 pivot/Expand shape stays represented in-window by
+    # rollup_modality_region, and the F15 labeled-bucket ladder stays
+    # parity-gated every run).
+    register("geo_distance_by_region", dashboard.geo_distance_by_region,
+             dashboard.GEO_DISTANCE_SQL,
+             "haversine tx-to-payer distance stats per region (F18 with "
+             "a DuckDB oracle)")
     # Round-4 second rotation: the portable Count-Min sketch takes the
     # slot of score_by_value_bucket (its F15 bucket ladder is re-proven
     # by distance_bucket_pivot and its A2 per-group percentiles by
@@ -300,16 +335,27 @@ def register_all() -> None:
              "distributed-ranking form (max_groups guard plan-enforced)")
     register("rollup_modality_region", relational.rollup_modality_region,
              relational.ROLLUP_SQL, "rollup subtotals")
-    register("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL,
-             "TPC-H Q2 shape: correlated min-equality + 4-way dim join")
+    # Round-13 rotation: the returned-item customer report takes
+    # q2_min_cost_supplier's slot (driver-green r3-r12; the correlated
+    # min-equality + multi-dim-join TPC-H shape stays represented
+    # in-window by q21's double correlation and order_enrichment's star
+    # join, and Q2 re-registers right after the window).
+    register("q10_returned_items", tpch2.q10_returned_items, tpch2.Q10_SQL,
+             "TPC-H Q10 shape: returned-item top-20 customer report")
     # Round-12 rotation: the seasonal-naive forecast eval takes
     # seasonal_decompose_hourly's slot (driver-green r7-r11; the
     # hourly-series shape stays represented in-window by
     # changepoint_hourly + tx_velocity_1h).
-    register("seasonal_naive_eval", behavior.seasonal_naive_eval,
-             behavior.SEASONAL_NAIVE_EVAL_SQL,
-             "MAE/RMSE/WAPE/MASE of the lag-24 seasonal-naive forecast "
-             "on the hourly series (exact integer-sum metrics)")
+    # Round-13 rotation: the Avro binary wire-cycle proof (the codec
+    # family's only oracle-backed row) takes seasonal_naive_eval's slot
+    # (driver-green r12; the hourly-series eval shape stays represented
+    # in-window by changepoint_hourly + tx_velocity_1h).
+    register("avro_wire_roundtrip", batchdev.avro_wire_roundtrip,
+             batchdev.AVRO_WIRE_SQL,
+             "full Avro binary wire cycle (encode + decode via the "
+             "public-spec avro_lite codec, Arrow-batched at the "
+             "ingestion boundary) proven lossless against a plain "
+             "SELECT oracle")
     # Round-6 rotation (round-5 verdict task #2): the distributed-ranking
     # family — round 5's flagship operator — had zero driver-green rows;
     # its three strongest shapes take the slots of their most redundant
@@ -323,12 +369,14 @@ def register_all() -> None:
     # pareto_share_by_decile's slot (driver-green r11; the distributed-
     # NTILE/prefix-sum concentration shape stays represented in-window
     # by kaplan_meier_conversion + risk_score_auc).
-    register("volume_weighted_percentiles",
-             dashboard.volume_weighted_percentiles,
-             dashboard.VOLUME_PCT_SQL,
-             "volume-weighted value percentiles: the crossing rows of "
-             "the exact cumulative-value curve (prefix-sum selection, "
-             "no interpolation)")
+    # Round-13 rotation: the exact equi-depth histogram (A13's exact
+    # NTILE face on the distributed-ranking operator) takes
+    # volume_weighted_percentiles' slot (driver-green r12; the
+    # prefix-sum crossing-row selection stays represented in-window by
+    # risk_score_auc + kaplan_meier_greenwood's cumulative branches).
+    register("equidepth_histogram_valor", dashboard.equidepth_histogram_valor,
+             dashboard.EQUIDEPTH_SQL,
+             "equi-depth (equal-count) value histogram via total-order ntile")
     register("sessionize_events", relational.sessionize_events,
              relational.SESSIONIZE_SQL, "sessionization (lag+cumsum)")
     # Round-8 rotation: the Mondrian grouped-conformal capstone takes
@@ -349,10 +397,16 @@ def register_all() -> None:
     # mannwhitney_value_by_approval's slot (driver-green r8-r11; the
     # grouped prefix-sum rank-test machinery stays represented in-window
     # by risk_score_auc, the same Mann-Whitney rank-sum core).
-    register("isotonic_calibration_bins", stats.isotonic_calibration_bins,
-             stats.ISOTONIC_SQL,
-             "exact isotonic (PAV) score calibration via the minimax "
-             "identity — declarative, oracle-checkable, no iteration")
+    # Round-13 rotation: the ECE/MCE/Brier calibration-error report
+    # takes isotonic_calibration_bins' slot (driver-green r12; the
+    # calibration family stays represented in-window by
+    # conformal_by_modality, and the PAV minimax identity stays
+    # parity-gated every run).
+    register("calibration_error_metrics", stats.calibration_error_metrics,
+             stats.CALIBRATION_ERROR_SQL,
+             "ECE / MCE / Brier of the min-max-normalized risk score "
+             "over exact NTILE(10) bins (decimal-summed squared error, "
+             "deterministic 10-term ECE fold)")
     register("risk_score_auc", dashboard.risk_score_auc,
              dashboard.RISK_SCORE_AUC_SQL,
              "exact distributed ROC-AUC of the risk score (Mann-Whitney "
@@ -364,10 +418,16 @@ def register_all() -> None:
     register("payer_pagerank", graph.payer_pagerank, graph.PAGERANK_SQL,
              "6-round PageRank over payer->recipient edges "
              "(iteration-unrolled SQL oracle)")
-    register("dedup_minhash_lsh", dedup.dedup_minhash_lsh,
-             dedup.NEAR_DUP_JACCARD_SQL,
-             "MinHash-LSH + verify; shares the exact-Jaccard oracle "
-             "(recall ~1 at J>=0.8, see operators/dedup.py)")
+    # Round-13 rotation: the connected-components cluster canonicalizer
+    # (recursive-CTE oracle — the judge spot-drove it green in r12)
+    # takes dedup_minhash_lsh's slot (driver-green r1-r12; dedup_clusters
+    # consumes the SAME MinHash-LSH candidate pairs — the strictly
+    # downstream form — and the banded-LSH verify stays represented by
+    # the shared shingle scan + parity gate every run).
+    register("dedup_clusters", dedup.dedup_clusters,
+             dedup.DEDUP_CLUSTERS_SQL,
+             "near-dup pairs -> connected components -> canonical doc per "
+             "cluster (recursive-CTE oracle)")
 
     # scale extensions: similarity search
     register("ann_cosine_topk", similarity.ann_cosine_topk,
@@ -416,12 +476,17 @@ def register_all() -> None:
     # hashed-feature scorer shape stays represented in-window by
     # text_quality_scores, and the keep-cut order statistic by the
     # ranking family).
-    register("macro_ndcg_multi_query", text.macro_ndcg_multi_query,
+    # Round-13 rotation: the grouped-ranking macro-NDCG scale path (the
+    # round-12 registree — pass count independent of the query-set
+    # size) takes macro_ndcg_multi_query's slot (driver-green r12; it
+    # shares the SAME oracle — identical output by construction is
+    # exactly what the driver hash proves — and the union form stays
+    # parity-gated plus equality-pinned against the grouped form).
+    register("macro_ndcg_grouped", text.macro_ndcg_grouped,
              text.MACRO_NDCG_SQL,
-             "macro-averaged NDCG@K over the 3-query benchmark: "
-             "per-query BM25 in one corpus pass, BOTH rankings on the "
-             "GROUPED distributed-ranking operator, explicit-fold "
-             "macro mean (never unordered float AVG)")
+             "macro-averaged NDCG@K with BOTH per-query rankings on the "
+             "grouped distributed-ranking operator (max_groups-guarded; "
+             "pass count independent of the query-set size)")
     # Round-10 rotation: the LM-quality scorers (zero driver-green rows
     # in the family) take the slots of tfidf_terms (driver-green
     # r4-r9; the term-weight join shape stays represented in-window by
@@ -440,11 +505,13 @@ def register_all() -> None:
     # corpus_clean_pipeline), and the RRF-vs-BM25 hybrid NDCG eval takes
     # ndcg_at_k's slot (driver-green r11; it computes the SAME NDCG@K on
     # the same shared candidate/gains memo frames, plus the fusion leg).
-    register("heaps_vocab_growth", text.heaps_vocab_growth,
-             text.HEAPS_GROWTH_SQL,
-             "Heaps'-law vocabulary growth checkpoints: cumulative tokens "
-             "+ cumulative distinct terms at corpus deciles (first-"
-             "occurrence trick + two exact prefix-sums, integer outputs)")
+    # Round-13 rotation: the Zipf rank-frequency fit takes
+    # heaps_vocab_growth's slot (driver-green r12; the first-occurrence
+    # + prefix-sum corpus-growth shape stays represented in-window by
+    # the ranking family, and Heaps re-registers right after the
+    # window, parity-gated every run).
+    register("zipf_fit_tokens", text.zipf_fit_tokens, text.ZIPF_FIT_SQL,
+             "Zipf-law slope/intercept fit over top-N token frequencies")
     register("hybrid_ndcg_eval", text.hybrid_ndcg_eval,
              text.HYBRID_NDCG_SQL,
              "NDCG@K of hybrid RRF fusion vs BM25-only over the same "
@@ -509,9 +576,14 @@ def register_all() -> None:
              scd._scd2_oracle(), "SCD2 history after one update batch")
 
     # dataset splitting + grouped-map JVM twin
-    register("train_test_split_docs", sampling.train_test_split_docs,
-             sampling.TRAIN_TEST_SPLIT_SQL,
-             "deterministic hash-based 80/20 split")
+    # Round-13 rotation: the deterministic per-group reservoir sample
+    # takes train_test_split_docs' slot (driver-green r9-r12; the
+    # portable-hash split surface stays represented by the SAME
+    # bottom-K-by-hash draw inside this query, and curation splits by
+    # training_manifest + corpus_clean_pipeline in-window).
+    register("reservoir_sample_per_modality",
+             sampling.reservoir_sample_per_modality, sampling.RESERVOIR_SQL,
+             "deterministic K-per-group bottom-K-by-hash uniform sample")
     register("minmax_normalize_window", groupedmap.minmax_normalize_window,
              groupedmap.MINMAX_WINDOW_SQL, "per-group min-max (JVM windows)")
 
@@ -581,17 +653,16 @@ def register_all() -> None:
              text.QUALITY_CLASSIFIER_SQL,
              "hashed-feature linear classifier (NB log-odds, "
              "fastText-style) with an exact order-statistic keep cut")
-    # round-12 capability addition (round-11 verdict task #7 option A;
-    # registered after the window per policy — a round-13 rotation
-    # candidate): the macro-NDCG rankings on ONE grouped
-    # distributed-ranking pass each, the runtime-query-set scale path.
-    # Shares macro_ndcg_multi_query's oracle — identical output by
-    # construction is exactly what the oracle proves.
-    register("macro_ndcg_grouped", text.macro_ndcg_grouped,
+    # round-13 rotation displacee: the union-form macro-NDCG harness
+    # (driver-green r12; the grouped scale path now holds the window
+    # slot and shares this oracle — the two are equality-pinned by
+    # test_macro_ndcg_grouped_matches_union every run)
+    register("macro_ndcg_multi_query", text.macro_ndcg_multi_query,
              text.MACRO_NDCG_SQL,
-             "macro-averaged NDCG@K with BOTH per-query rankings on the "
-             "grouped distributed-ranking operator (max_groups-guarded; "
-             "pass count independent of the query-set size)")
+             "macro-averaged NDCG@K over the 3-query benchmark: "
+             "per-query BM25 in one corpus pass, BOTH rankings on the "
+             "GROUPED distributed-ranking operator, explicit-fold "
+             "macro mean (never unordered float AVG)")
     # round-10 rotation displacees: all ten driver-green in prior
     # rounds, all stay parity-gated every pytest run. (The LSH slot
     # note from round 5 still applies to near_dup_embeddings_lsh: its
@@ -650,15 +721,10 @@ def register_all() -> None:
     register("q20_promotion_suppliers", tpch2.q20_promotion_suppliers,
              tpch2.Q20_SQL,
              "TPC-H Q20 shape: nested IN chain over derived supply aggs")
-    # round-8: the dependency-free Avro binary codec, driver-verified
-    # lossless over the whole corpus (oracle = plain SELECT of the same
-    # projection; spark-avro is absent from the environment)
-    register("avro_wire_roundtrip", batchdev.avro_wire_roundtrip,
-             batchdev.AVRO_WIRE_SQL,
-             "full Avro binary wire cycle (encode + decode via the "
-             "public-spec avro_lite codec, Arrow-batched at the "
-             "ingestion boundary) proven lossless against a plain "
-             "SELECT oracle")
+    register("seasonal_naive_eval", behavior.seasonal_naive_eval,
+             behavior.SEASONAL_NAIVE_EVAL_SQL,
+             "MAE/RMSE/WAPE/MASE of the lag-24 seasonal-naive forecast "
+             "on the hourly series (exact integer-sum metrics)")
 
     # round-7 statistical-tests family (plans/stats.py): exact classical
     # two-sample / association statistics, all oracle-backed; KS holds
@@ -779,11 +845,10 @@ def register_all() -> None:
              governance.DATA_CONTRACT_SQL,
              "expectation-suite audit: NOT-NULL / range / FK-orphan "
              "counts per (table, check) with exact violation shares")
-    register("calibration_error_metrics", stats.calibration_error_metrics,
-             stats.CALIBRATION_ERROR_SQL,
-             "ECE / MCE / Brier of the min-max-normalized risk score "
-             "over exact NTILE(10) bins (decimal-summed squared error, "
-             "deterministic 10-term ECE fold)")
+    register("isotonic_calibration_bins", stats.isotonic_calibration_bins,
+             stats.ISOTONIC_SQL,
+             "exact isotonic (PAV) score calibration via the minimax "
+             "identity — declarative, oracle-checkable, no iteration")
     register("neyman_allocation", stats.neyman_allocation,
              stats.NEYMAN_SQL,
              "Neyman optimal stratified-sampling allocation across "
@@ -811,10 +876,10 @@ def register_all() -> None:
              "vocabulary Jaccard + containment for every source pair "
              "(term-keyed pair join, |sources|^2-bounded fanout, exact "
              "integer ratios)")
-    register("hhi_by_region", dashboard.hhi_by_region, dashboard.HHI_SQL,
-             "Herfindahl-Hirschman concentration per region via the "
-             "exact integer-micros identity sum(m^2)/M^2 (no per-term "
-             "rounding loss)")
+    register("kmv_merge_rollup", relational.kmv_merge_rollup,
+             relational.KMV_MERGE_ROLLUP_SQL,
+             "per-day KMV sketches merged upward (lossless min-wise "
+             "merge == direct sketch; the partitioned-history rollup)")
     register("dsir_effective_sample_size",
              curation.dsir_effective_sample_size,
              curation.DSIR_ESS_SQL,
@@ -857,11 +922,11 @@ def register_all() -> None:
              stats.COHEN_D_SQL,
              "Cohen's d + Hedges' g effect size of approval on value "
              "(exact decimal moments, one conditional aggregate)")
-    register("kaplan_meier_greenwood", behavior.kaplan_meier_greenwood,
-             behavior.KM_GREENWOOD_SQL,
-             "KM survival curve with Greenwood variance/SE and a "
-             "clamped 95% band (own prefix-sum branch off the shared "
-             "risk table, 1e6-scaled decimal term accumulation)")
+    register("kaplan_meier_conversion", behavior.kaplan_meier_conversion,
+             behavior.KAPLAN_MEIER_SQL,
+             "Kaplan-Meier product-limit survival of time-to-conversion "
+             "with right censoring — risk table via the distributed "
+             "prefix sum, log-space product with pinned rounding")
 
     # displaced second-representatives (A6/A7/token counting, plus the
     # round-3/4/5/6/7 rotations' displacees) — still in the local
@@ -952,10 +1017,10 @@ def register_all() -> None:
     register("perf_temporal_gapfill", views.perf_temporal_gapfill,
              views.PERF_TEMPORAL_GAPFILL_SQL,
              "gap-filled hourly series (time_bucket_gapfill pattern)")
-    register("dedup_clusters", dedup.dedup_clusters,
-             dedup.DEDUP_CLUSTERS_SQL,
-             "near-dup pairs -> connected components -> canonical doc per "
-             "cluster (recursive-CTE oracle)")
+    register("dedup_minhash_lsh", dedup.dedup_minhash_lsh,
+             dedup.NEAR_DUP_JACCARD_SQL,
+             "MinHash-LSH + verify; shares the exact-Jaccard oracle "
+             "(recall ~1 at J>=0.8, see operators/dedup.py)")
     register("lag_lead_per_payer", relational.lag_lead_per_payer,
              relational.LAG_LEAD_SQL, "lag/lead")
     register("value_quartiles", relational.value_quartiles,
@@ -1019,21 +1084,29 @@ def register_all() -> None:
     register("perf_temporal_gapfill_locf", views.perf_temporal_gapfill_locf,
              views.PERF_TEMPORAL_LOCF_SQL,
              "gap-filled hourly series with last-observation carry-forward")
-    register("reservoir_sample_per_modality",
-             sampling.reservoir_sample_per_modality, sampling.RESERVOIR_SQL,
-             "deterministic K-per-group bottom-K-by-hash uniform sample")
-    register("equidepth_histogram_valor", dashboard.equidepth_histogram_valor,
-             dashboard.EQUIDEPTH_SQL,
-             "equi-depth (equal-count) value histogram via total-order ntile")
+    register("train_test_split_docs", sampling.train_test_split_docs,
+             sampling.TRAIN_TEST_SPLIT_SQL,
+             "deterministic hash-based 80/20 split")
+    register("volume_weighted_percentiles",
+             dashboard.volume_weighted_percentiles,
+             dashboard.VOLUME_PCT_SQL,
+             "volume-weighted value percentiles: the crossing rows of "
+             "the exact cumulative-value curve (prefix-sum selection, "
+             "no interpolation)")
     register("equidepth_histogram_approx", dashboard.equidepth_histogram_approx,
              dashboard.EQUIDEPTH_APPROX_SQL,
              "scale-safe equi-depth twin: sampled boundaries + broadcast "
              "cut join (no global sort; still oracle-exact)")
-    register("zipf_fit_tokens", text.zipf_fit_tokens, text.ZIPF_FIT_SQL,
-             "Zipf-law slope/intercept fit over top-N token frequencies")
-    register("benford_digit_screen", dashboard.benford_digit_screen,
-             dashboard.BENFORD_SQL,
-             "Benford first-digit frequencies + chi-square contributions")
+    register("heaps_vocab_growth", text.heaps_vocab_growth,
+             text.HEAPS_GROWTH_SQL,
+             "Heaps'-law vocabulary growth checkpoints: cumulative tokens "
+             "+ cumulative distinct terms at corpus deciles (first-"
+             "occurrence trick + two exact prefix-sums, integer outputs)")
+    register("markov_entropy_rate", behavior.markov_entropy_rate,
+             behavior.MARKOV_ENTROPY_SQL,
+             "entropy rate of the modality Markov chain: per-state "
+             "conditional entropy + pi-weighted rate over the shared "
+             "transition counts (6-rounded p ln p, sorted folds)")
     register("q4_order_priority", tpch.q4_order_priority, tpch.Q4_SQL,
              "TPC-H Q4 shape: correlated EXISTS as semi join w/ residual")
     register("q14_promo_revenue", tpch.q14_promo_revenue, tpch.Q14_SQL,
@@ -1097,10 +1170,8 @@ def register_all() -> None:
     register("payer_totals_salted", relational.payer_totals_salted,
              relational.PAYER_TOTALS_SALTED_SQL,
              "two-stage salted aggregation vs plain GROUP BY oracle")
-    register("geo_distance_by_region", dashboard.geo_distance_by_region,
-             dashboard.GEO_DISTANCE_SQL,
-             "haversine tx-to-payer distance stats per region (F18 with "
-             "a DuckDB oracle)")
+    register("distance_bucket_pivot", dashboard.distance_bucket_pivot,
+             dashboard.DISTANCE_BUCKET_PIVOT_SQL, "bucket x approval (A9+F15)")
     register("doc_novelty", dedup.doc_novelty, dedup.DOC_NOVELTY_SQL,
              "per-doc shingle novelty vs earlier docs (substring-level "
              "dedup signal, shares the session shingle scan)")
@@ -1111,10 +1182,11 @@ def register_all() -> None:
              dedup.DEDUP_INCREMENTAL_SQL,
              "incremental new-batch-vs-index dedup: digest screen + best "
              "Jaccard match with deterministic argmax")
-    register("hash_embed_documents", text.hash_embed_documents,
-             text.HASH_EMBED_SQL,
-             "feature-hashed L2-normalized bag-of-words doc embedding "
-             "(documents -> vector bridge)")
+    register("snapshot_table_diff", scd.snapshot_table_diff,
+             scd._snapshot_diff_oracle(),
+             "CDC snapshot diff: added/removed/changed keys between two "
+             "table versions in one full-outer equi-join (unchanged "
+             "majority never materialized)")
     register("region_modalities_listagg", relational.region_modalities_listagg,
              relational.REGION_MODALITIES_LISTAGG_SQL,
              "ordered string aggregation (LISTAGG) with total-order sort")
@@ -1203,8 +1275,8 @@ def register_all() -> None:
              "TPC-H Q5 proper: two-dim equality constraint join")
     register("q7_volume_shipping", tpch2.q7_volume_shipping, tpch2.Q7_SQL,
              "TPC-H Q7 shape: nation dim joined twice under two roles")
-    register("q10_returned_items", tpch2.q10_returned_items, tpch2.Q10_SQL,
-             "TPC-H Q10 shape: returned-item top-20 customer report")
+    register("q2_min_cost_supplier", tpch2.q2_min_cost_supplier, tpch2.Q2_SQL,
+             "TPC-H Q2 shape: correlated min-equality + 4-way dim join")
     register("q13_customer_distribution", tpch2.q13_customer_distribution,
              tpch2.Q13_SQL,
              "TPC-H Q13 shape: outer join w/ residual + double aggregation")

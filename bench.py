@@ -516,9 +516,20 @@ def _write_detail(payload: dict, clean: bool = True, out_dir: str | None = None,
             "BENCH_DETAIL.md is untouched",
             file=sys.stderr,
         )
+    # round-12 verdict task #3: the external driver's own post-snapshot
+    # bench run can legitimately pass the hygiene gate and regenerate
+    # this file — label every write with its origin so builder-gated
+    # and external artifacts are distinguishable in the diff. The
+    # builder exports SPARK_GRAFT_BENCH_ORIGIN=builder-gated for its
+    # adjudicated runs; anything else (the driver, a dev shell) is
+    # self-labeled external/unlabeled.
+    origin = os.environ.get(
+        "SPARK_GRAFT_BENCH_ORIGIN", "external/unlabeled"
+    )
     path = os.path.join(out_dir, fname)
     with open(path, "w") as f:
-        f.write("# Bench detail (full-precision; stdout line is compact)\n\n")
+        f.write("# Bench detail (full-precision; stdout line is compact)\n")
+        f.write(f"# run_origin: {origin}\n\n")
         f.write("```json\n")
         f.write(json.dumps({"summary": payload, **detail}, indent=1))
         f.write("\n```\n")

@@ -144,6 +144,18 @@ def test_detail_write_is_hygiene_gated(tmp_path):
     with open(gitignore) as f:
         assert "BENCH_SCRATCH.md" in f.read().split()
 
+    # round-12 verdict task #3: every detail write self-labels its
+    # origin so a driver-regenerated BENCH_DETAIL.md is distinguishable
+    # from the builder's adjudicated run in the working-tree diff
+    assert "# run_origin: external/unlabeled" in detail
+    os.environ["SPARK_GRAFT_BENCH_ORIGIN"] = "builder-gated"
+    try:
+        bench._write_detail(payload, clean=True, out_dir=str(tmp_path))
+        labeled = (tmp_path / "BENCH_DETAIL.md").read_text()
+        assert "# run_origin: builder-gated" in labeled
+    finally:
+        del os.environ["SPARK_GRAFT_BENCH_ORIGIN"]
+
 
 def test_extra_rotating_media_rows_keep_even_parity():
     """ADVICE round-11: the two media rows must sit on EVEN rotation

@@ -2107,18 +2107,30 @@ def test_macro_ndcg_grouped_plan_has_no_per_query_branches(spark):
     single-partition sort, and no unpartitioned window."""
     from banking_streaming_etl_spark.plans import text as text_plans
 
-    plan = text_plans.macro_ndcg_grouped(
-        spark, SF
-    )._jdf.queryExecution().executedPlan().toString()
+    qe = text_plans.macro_ndcg_grouped(spark, SF)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan, plan
     # the grouped-ranking operator partitions every window by
-    # (qid, bucket); a bare 'Window [' with an empty partition spec
-    # would print as 'Window [...], [...]' without a partitionBy list —
-    # pinned fleet-wide by test_plan_shapes, re-asserted here on the
-    # new query's own plan
-    for line in plan.splitlines():
-        if "Window " in line:
-            assert "partitionBy" not in line or "qid" in line
+    # (qid, bucket): walk the optimized logical plan (the same
+    # detection as test_plan_shapes' fleet invariant — plan TEXT never
+    # prints the literal 'partitionBy', so a string scan is vacuous)
+    # and require every Window node to carry a NON-empty partitionSpec
+    # that rides the qid key.
+    windows = []
+    stack = [qe.optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            windows.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    assert windows, "grouped form must plan at least one Window"
+    for w in windows:
+        spec = w.partitionSpec()
+        assert not spec.isEmpty(), w.toString()
+        spec_txt = spec.mkString(",")
+        assert "qid" in spec_txt, spec_txt
 
 
 def test_kmv_registers_merge_law_and_estimate(spark):

@@ -123,15 +123,12 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "approval_pipeline",
         "q1_pricing_summary",
         "sessionize_events",
-        "distance_bucket_pivot",
-        "dedup_minhash_lsh",
         "asof_balance_at_tx",
         "range_join_tx_in_alert_window",
         # round-3 rotation: the hardest TPC-H correlation shapes must be
         # driver-proven (they displaced pivot_returnflag_linestatus,
         # customers_without_tx, payer_chains_batch — all re-proven by
         # in-window siblings and the local parity gate)
-        "q2_min_cost_supplier",
         "q21_suppliers_kept_waiting",
         # round-4 rotation: the LLM-pipeline capstones and the RANGE-frame
         # shape must be driver-proven (they displaced denial_reasons,
@@ -170,9 +167,7 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # multi-round driver-green — hand their slots to isotonic PAV
         # and the macro-NDCG harness; their shapes stay in-window via
         # risk_score_auc and text_quality_scores)
-        "kaplan_meier_conversion",
         "scd2_user_history",
-        "train_test_split_docs",
         "minmax_normalize_window",
         "payer_pagerank",
         # round-10 rotation (round-9 verdict #1 + #2): conformal_by_modality
@@ -215,16 +210,34 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "hybrid_ndcg_eval",
         "t_closeness_report",
         "changepoint_hourly",
-        "macro_ndcg_multi_query",
-        "kmv_merge_rollup",
         "dp_region_counts",
-        "seasonal_naive_eval",
-        "markov_entropy_rate",
-        "heaps_vocab_growth",
         "payer_degree_distribution",
-        "isotonic_calibration_bins",
-        "volume_weighted_percentiles",
-        "snapshot_table_diff",
+        # round-13 rotation (round-12 verdict #1): the pre-vetted
+        # 13-name shortlist — all never driver-checked, 13/13 green on
+        # the end-of-round-12 plain driver-mimic (3 re-driven green by
+        # the r12 judge) — takes the slots of redundant driver-green
+        # r12 siblings (displaced: macro_ndcg_multi_query,
+        # seasonal_naive_eval, kmv_merge_rollup,
+        # kaplan_meier_conversion, isotonic_calibration_bins,
+        # q2_min_cost_supplier, dedup_minhash_lsh, snapshot_table_diff,
+        # markov_entropy_rate, heaps_vocab_growth,
+        # volume_weighted_percentiles, train_test_split_docs,
+        # distance_bucket_pivot — every family keeps an in-window
+        # representative; all thirteen re-register after the window,
+        # parity-gated every run).
+        "macro_ndcg_grouped",
+        "avro_wire_roundtrip",
+        "hhi_by_region",
+        "kaplan_meier_greenwood",
+        "calibration_error_metrics",
+        "q10_returned_items",
+        "dedup_clusters",
+        "hash_embed_documents",
+        "benford_digit_screen",
+        "zipf_fit_tokens",
+        "equidepth_histogram_valor",
+        "reservoir_sample_per_modality",
+        "geo_distance_by_region",
     }
     missing = must_be_checked - set(window)
     assert missing == set(), f"family-critical queries outside the window: {missing}"

@@ -880,6 +880,17 @@ def register_all() -> None:
              relational.KMV_MERGE_ROLLUP_SQL,
              "per-day KMV sketches merged upward (lossless min-wise "
              "merge == direct sketch; the partitioned-history rollup)")
+    # round-13 capability addition (round-12 verdict task #7 option A;
+    # registered after the window per policy — a round-14+ rotation
+    # candidate): the sketch family's mergeable RANK face — per-day
+    # bottom-Q value samples under the portable-hash total order,
+    # min-wise merged upward, integer-index order statistics.
+    register("quantile_sketch_rollup", relational.quantile_sketch_rollup,
+             relational.QUANTILE_SKETCH_SQL,
+             "mergeable quantile sketch: per-day bottom-Q value samples "
+             "(portable LCG hash) merged losslessly upward; percentile "
+             "grid answered as integer-index order statistics of the "
+             "merged sample (kmv_merge_rollup's rank-query sibling)")
     register("dsir_effective_sample_size",
              curation.dsir_effective_sample_size,
              curation.DSIR_ESS_SQL,

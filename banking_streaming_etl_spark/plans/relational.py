@@ -1206,3 +1206,194 @@ LEFT JOIN (
     WHERE rk = {KMV_K}
 ) k ON e.modalidade_pagamento = k.modalidade_pagamento"""
 )
+
+
+# --- mergeable quantile sketch: time-partitioned value samples ---------------
+
+#: quantile-sketch sample size per group: the merged sample answers any
+#: quantile with standard error ~ sqrt(p(1-p)/Q) (~3% at the median).
+#: When a group has <= Q rows the "sketch" degenerates to the exact
+#: order statistic (pinned in tests).
+QSK_Q = 256
+#: the percentile grid, integer percents with their output labels —
+#: integer index arithmetic end-to-end (no float p, no rounding hazard).
+QSK_PCTS = ((25, "p25"), (50, "p50"), (75, "p75"), (90, "p90"), (99, "p99"))
+
+
+def _qsk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch's input projection: (modality, day, tid, v, h) with a
+    NULL-value guard (Spark sorts NULLs first / DuckDB last — excluded
+    in BOTH dialects) and the `+ 0.0` signed-zero normalization on the
+    ORDER key (a -0.0 vs +0.0 row could otherwise rank differently per
+    engine and move the sampled order statistic)."""
+    t = datamodel.transactions(spark, sf_dir)
+    return t.filter(F.col("valor_transacao").isNotNull()).select(
+        "modalidade_pagamento",
+        F.to_date("data_horario").alias("dia"),
+        F.col("id_transacao").alias("tid"),
+        (F.col("valor_transacao") + F.lit(0.0)).alias("v"),
+        portable.lcg_hash(F.col("id_transacao")).alias("h"),
+    )
+
+
+def _qsk_day_sketches(rows: DataFrame) -> DataFrame:
+    """Per-(modality, day) bottom-Q value sample under the portable LCG
+    hash total order (h asc, tid asc) — the quantile analogue of the
+    per-day KMV sketch. Two-stage like `_kmv_bottom_k`: stage 1 ranks
+    (modality, day, salt) slices so no task ever sorts a full day."""
+    pre_w = W.partitionBy("modalidade_pagamento", "dia", "qsk_salt").orderBy(
+        F.asc("h"), F.asc("tid")
+    )
+    pre = (
+        rows.withColumn("qsk_salt", F.col("h") % F.lit(KMV_SALTS))
+        .withColumn("rk1", F.row_number().over(pre_w))
+        .filter(F.col("rk1") <= QSK_Q)
+    )
+    day_w = W.partitionBy("modalidade_pagamento", "dia").orderBy(
+        F.asc("h"), F.asc("tid")
+    )
+    return (
+        pre.withColumn("rk2", F.row_number().over(day_w))
+        .filter(F.col("rk2") <= QSK_Q)
+        .select("modalidade_pagamento", "dia", "tid", "v", "h")
+    )
+
+
+def _qsk_merge(day_sketches: DataFrame) -> DataFrame:
+    """Merge day sketches upward: re-truncate the union to the global
+    bottom-Q per modality under the same (h, tid) total order. Min-wise
+    stability makes the merge LOSSLESS (every member of the global
+    bottom-Q is in its own day's bottom-Q), so the merged sample EQUALS
+    the direct whole-history bottom-Q — pinned in tests."""
+    merge_w = W.partitionBy("modalidade_pagamento").orderBy(
+        F.asc("h"), F.asc("tid")
+    )
+    return (
+        day_sketches.withColumn("rk", F.row_number().over(merge_w))
+        .filter(F.col("rk") <= QSK_Q)
+        .select("modalidade_pagamento", "tid", "v")
+    )
+
+
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value quantiles per modality from MERGED per-day quantile
+    sketches — `kmv_merge_rollup`'s rank-query sibling (round-12
+    verdict task #7 option A): each (modality, day) partition keeps the
+    Q rows with the smallest portable-LCG hash (a uniform row sample,
+    since the hash rides the unique transaction id), partitions merge
+    upward by re-truncating the union under the same total order, and
+    the merged sample answers the whole percentile grid as exact order
+    statistics — idx = ceil(n * pct / 100) computed with INTEGER
+    arithmetic ((n * pct + 99) DIV 100) in both dialects. Min-wise
+    stability makes the merge lossless, so a 100 TB partitioned history
+    can keep per-day sketches and answer any time-range quantile query
+    without rescanning rows; the oracle re-derives the DIRECT
+    whole-history sample (== merged, the same stability argument the
+    KMV oracle uses).
+
+    Exactness: the sampled values are raw parquet doubles passed through
+    untouched (no arithmetic), so the emitted order statistics are
+    bit-identical across engines; sample membership and ranks are pure
+    integer/hash logic. When a modality has <= Q rows the sketch
+    degenerates to the exact quantile (test-pinned).
+
+    Scale shape: ONE narrow shuffle of (h, v, tid) triples keyed
+    (modality, day, salt) with immediate per-slice truncation to Q;
+    every later stage ranks <= days x Q (merge) or <= Q (value ranks)
+    rows per modality — bounded partitions regardless of corpus size.
+    No unpartitioned window, no full-fact global sort, no UDF."""
+    rows = _qsk_rows(spark, sf_dir)
+    day_sketches = _qsk_day_sketches(rows)
+    merged = _qsk_merge(day_sketches)
+
+    val_w = W.partitionBy("mod_s").orderBy(F.asc("v"), F.asc("tid"))
+    sample = merged.select(
+        F.col("modalidade_pagamento").alias("mod_s"), "tid", "v"
+    ).withColumn("vrk", F.row_number().over(val_w))
+    ns = merged.groupBy("modalidade_pagamento").agg(
+        F.count("*").alias("amostra_n")
+    )
+    days = (
+        day_sketches.select("modalidade_pagamento", "dia")
+        .distinct()
+        .groupBy("modalidade_pagamento")
+        .agg(F.count("*").alias("dias_mesclados"))
+    )
+    pct_grid = F.array(
+        *[
+            F.struct(F.lit(p).alias("pct"), F.lit(lbl).alias("quantil"))
+            for p, lbl in QSK_PCTS
+        ]
+    )
+    targets = (
+        ns.join(days, "modalidade_pagamento")
+        .withColumn("pq", F.explode(pct_grid))
+        .select(
+            "modalidade_pagamento",
+            "amostra_n",
+            "dias_mesclados",
+            F.col("pq.pct").alias("pct"),
+            F.col("pq.quantil").alias("quantil"),
+        )
+        .withColumn("idx", F.expr("(amostra_n * pct + 99) DIV 100"))
+    )
+    return (
+        targets.join(
+            sample,
+            (F.col("modalidade_pagamento") == F.col("mod_s"))
+            & (F.col("vrk") == F.col("idx")),
+        )
+        .select(
+            "modalidade_pagamento",
+            "quantil",
+            F.col("v").alias("valor_quantil"),
+            F.col("amostra_n").cast("bigint").alias("amostra_n"),
+            F.col("dias_mesclados").cast("bigint").alias("dias_mesclados"),
+        )
+    )
+
+
+_QSK_SAMPLE_CTE = f"""
+qsk_sample AS (
+    -- min-wise stability: the DIRECT whole-history bottom-Q equals the
+    -- per-day-merged sample, so the oracle skips the day partition
+    SELECT modalidade_pagamento, tid, v
+    FROM (
+        SELECT modalidade_pagamento, id_transacao AS tid,
+               valor_transacao + 0.0 AS v,
+               {portable.lcg_hash_sql('id_transacao')} AS h
+        FROM transactions
+        WHERE valor_transacao IS NOT NULL
+    )
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY modalidade_pagamento ORDER BY h ASC, tid ASC
+    ) <= {QSK_Q}
+)"""
+
+QUANTILE_SKETCH_SQL = datamodel.with_ctes(
+    f"""
+SELECT s.modalidade_pagamento, p.quantil,
+       r.v AS valor_quantil,
+       CAST(s.amostra_n AS BIGINT) AS amostra_n,
+       CAST(d.dias_mesclados AS BIGINT) AS dias_mesclados
+FROM (
+    SELECT modalidade_pagamento, COUNT(*) AS amostra_n
+    FROM qsk_sample GROUP BY 1
+) s
+JOIN (
+    SELECT modalidade_pagamento,
+           COUNT(DISTINCT CAST(data_horario AS DATE)) AS dias_mesclados
+    FROM transactions WHERE valor_transacao IS NOT NULL GROUP BY 1
+) d ON s.modalidade_pagamento = d.modalidade_pagamento
+CROSS JOIN (VALUES {', '.join(f"({p}, '{lbl}')" for p, lbl in QSK_PCTS)})
+        AS p(pct, quantil)
+JOIN (
+    SELECT modalidade_pagamento, v,
+           ROW_NUMBER() OVER (
+               PARTITION BY modalidade_pagamento ORDER BY v ASC, tid ASC
+           ) AS vrk
+    FROM qsk_sample
+) r ON r.modalidade_pagamento = s.modalidade_pagamento
+   AND r.vrk = (s.amostra_n * p.pct + 99) // 100""",
+    extra_ctes=_QSK_SAMPLE_CTE,
+)

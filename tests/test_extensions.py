@@ -2174,3 +2174,114 @@ def test_kmv_registers_merge_law_and_estimate(spark):
         # band so the pin never flakes while still catching a broken
         # estimator (off-by-register-range bugs are order-of-magnitude)
         assert 0.5 * n <= est[m] <= 2.0 * n, (m, n, est[m])
+
+
+def test_quantile_sketch_merge_law(spark):
+    """The property that makes quantile_sketch_rollup the sketch
+    family's mergeable RANK face: merging per-day bottom-Q samples by
+    re-truncating the union must equal the DIRECT whole-history
+    bottom-Q EXACTLY (min-wise stability under the (h, tid) total
+    order — the kmv_merge_rollup law carried to value samples), so
+    per-day sketches answer any time-range quantile without rescans."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from banking_streaming_etl_spark.plans import relational
+
+    rows = relational._qsk_rows(spark, SF)
+    merged = relational._qsk_merge(relational._qsk_day_sketches(rows))
+    direct_w = W.partitionBy("modalidade_pagamento").orderBy(
+        F.asc("h"), F.asc("tid")
+    )
+    direct = (
+        rows.withColumn("rk", F.row_number().over(direct_w))
+        .filter(F.col("rk") <= relational.QSK_Q)
+        .select("modalidade_pagamento", "tid", "v")
+    )
+    a = {tuple(r) for r in merged.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a and a == b
+
+
+def test_quantile_sketch_exact_when_group_fits(spark):
+    """At sf0.001 every modality has fewer than QSK_Q rows, so the
+    sample IS the whole group and the sketch output must equal the
+    exact per-modality order statistics under the same integer index
+    rule — the degenerate-exactness contract in the docstring."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from banking_streaming_etl_spark.plans import relational
+
+    rows = relational._qsk_rows(spark, SF)
+    sizes = [
+        r.n
+        for r in rows.groupBy("modalidade_pagamento")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert sizes and max(sizes) <= relational.QSK_Q, sizes
+
+    sk = {
+        (r.modalidade_pagamento, r.quantil): r.valor_quantil
+        for r in relational.quantile_sketch_rollup(spark, SF).collect()
+    }
+    w = W.partitionBy("modalidade_pagamento").orderBy(
+        F.asc("v"), F.asc("tid")
+    )
+    ranked = rows.withColumn("vrk", F.row_number().over(w)).join(
+        rows.groupBy("modalidade_pagamento").agg(F.count("*").alias("n")),
+        "modalidade_pagamento",
+    )
+    for pct, lbl in relational.QSK_PCTS:
+        exact = {
+            r.modalidade_pagamento: r.v
+            for r in ranked.filter(
+                F.col("vrk") == F.expr(f"(n * {pct} + 99) DIV 100")
+            ).collect()
+        }
+        for m, v in exact.items():
+            assert sk[(m, lbl)] == v, (m, lbl, sk[(m, lbl)], v)
+
+
+def test_quantile_sketch_error_bound_when_sampling(spark):
+    """At sf0.01 every modality exceeds QSK_Q rows, so the sketch
+    genuinely samples; pin the estimator quality against the exact
+    order statistics (measured max relative error 0.19 — the 0.35
+    band catches an off-by-index or broken-merge bug without flaking;
+    the sketch is fully deterministic, so drift means testdata moved)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from banking_streaming_etl_spark.plans import relational
+
+    d = "/root/testdata/sf0.01"
+    rows = relational._qsk_rows(spark, d)
+    min_n = min(
+        r.n
+        for r in rows.groupBy("modalidade_pagamento")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert min_n > relational.QSK_Q, min_n
+
+    sk = {
+        (r.modalidade_pagamento, r.quantil): r.valor_quantil
+        for r in relational.quantile_sketch_rollup(spark, d).collect()
+    }
+    w = W.partitionBy("modalidade_pagamento").orderBy(
+        F.asc("v"), F.asc("tid")
+    )
+    ranked = rows.withColumn("vrk", F.row_number().over(w)).join(
+        rows.groupBy("modalidade_pagamento").agg(F.count("*").alias("n")),
+        "modalidade_pagamento",
+    )
+    for pct, lbl in relational.QSK_PCTS:
+        exact = {
+            r.modalidade_pagamento: r.v
+            for r in ranked.filter(
+                F.col("vrk") == F.expr(f"(n * {pct} + 99) DIV 100")
+            ).collect()
+        }
+        for m, v in exact.items():
+            assert abs(sk[(m, lbl)] - v) / v <= 0.35, (m, lbl, sk[(m, lbl)], v)

@@ -1198,6 +1198,15 @@ def register_all() -> None:
              "CDC snapshot diff: added/removed/changed keys between two "
              "table versions in one full-outer equi-join (unchanged "
              "majority never materialized)")
+    # round-13 capability addition (round-12 verdict task #7 option B;
+    # registered after the window per policy — a round-14+ rotation
+    # candidate): the time-travel read over the epoch-keyed CDC
+    # history — VERSION AS OF without a transactional format.
+    register("snapshot_as_of", scd.snapshot_as_of,
+             scd._snapshot_as_of_oracle(),
+             "time-travel read: reconstruct the table AS OF two fixture "
+             "epochs from the epoch-keyed CDC log (per-key max_by "
+             "replay; deletes hide keys, later upserts resurrect them)")
     register("region_modalities_listagg", relational.region_modalities_listagg,
              relational.REGION_MODALITIES_LISTAGG_SQL,
              "ordered string aggregation (LISTAGG) with total-order sort")

@@ -111,3 +111,43 @@ def test_cdc_upsert_stream_matches_batch_last_value(spark, tmp_path):
         .collect()
     }
     assert snap == want
+
+
+def test_snapshot_as_of_replay_semantics(spark):
+    """The time-travel contract, case by case: AS OF 1 hides every
+    deleted key and ignores ALL epoch-2 records; AS OF 2 resurrects
+    exactly the re-upserted subset (at its new balance) and adds the
+    offset keys; base rows carry their true effective epoch."""
+    base = {
+        r.id_usuario: r.saldo
+        for r in datamodel.users(spark, SF)
+        .select("id_usuario", F.col("saldo").cast("double").alias("saldo"))
+        .collect()
+    }
+    out = scd.snapshot_as_of(spark, SF).collect()
+    s1 = {r.id_usuario: r for r in out if r.as_of == 1}
+    s2 = {r.id_usuario: r for r in out if r.as_of == 2}
+
+    deleted = {i for i in base if i % scd.TT_DELETE_MOD == 3}
+    resurrected = {i for i in base if i % scd.TT_RESURRECT_MOD == 3}
+    assert deleted and resurrected < deleted
+
+    # AS OF 1: deletions applied, no epoch-2 content
+    assert set(s1) == set(base) - deleted
+    assert all(r.epoch_efetiva <= 1 for r in s1.values())
+    for i, r in s1.items():
+        if i % scd.TT_UPSERT_MOD == 0:
+            assert (r.saldo, r.epoch_efetiva) == (base[i] + 500.0, 1)
+        else:
+            assert (r.saldo, r.epoch_efetiva) == (base[i], 0)
+
+    # AS OF 2: resurrection + new offset keys, still-deleted rest
+    new_keys = {
+        i + scd.DIFF_ADD_OFFSET for i in base if i % scd.DIFF_ADD_MOD == 0
+    }
+    assert set(s2) == (set(base) - (deleted - resurrected)) | new_keys
+    for i in resurrected:
+        assert (s2[i].saldo, s2[i].epoch_efetiva) == (base[i] * 2.0, 2)
+    for i in new_keys:
+        orig = i - scd.DIFF_ADD_OFFSET
+        assert (s2[i].saldo, s2[i].epoch_efetiva) == (base[orig] * 0.5, 2)

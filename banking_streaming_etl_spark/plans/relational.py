@@ -1305,19 +1305,34 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _qsk_rows(spark, sf_dir)
     day_sketches = _qsk_day_sketches(rows)
     merged = _qsk_merge(day_sketches)
-
-    val_w = W.partitionBy("mod_s").orderBy(F.asc("v"), F.asc("tid"))
-    sample = merged.select(
-        F.col("modalidade_pagamento").alias("mod_s"), "tid", "v"
-    ).withColumn("vrk", F.row_number().over(val_w))
-    ns = merged.groupBy("modalidade_pagamento").agg(
-        F.count("*").alias("amostra_n")
-    )
     days = (
         day_sketches.select("modalidade_pagamento", "dia")
         .distinct()
         .groupBy("modalidade_pagamento")
-        .agg(F.count("*").alias("dias_mesclados"))
+        .agg(F.count("*").cast("bigint").alias("dias_mesclados"))
+    )
+    return qsk_grid_answers(merged).join(days, "modalidade_pagamento").select(
+        "modalidade_pagamento",
+        "quantil",
+        "valor_quantil",
+        "amostra_n",
+        "dias_mesclados",
+    )
+
+
+def qsk_grid_answers(sample: DataFrame) -> DataFrame:
+    """Answer the percentile grid from a bottom-Q sample frame
+    (modalidade_pagamento, tid, v): rank the sample by the (v, tid)
+    total order and select idx = (n * pct + 99) DIV 100 per grid point.
+    The ONE shared read-side derivation — the batch rollup query and
+    the streaming sketch store both call it, so their answers can never
+    fork. Every window here is partitioned and <= QSK_Q rows."""
+    val_w = W.partitionBy("mod_s").orderBy(F.asc("v"), F.asc("tid"))
+    ranked = sample.select(
+        F.col("modalidade_pagamento").alias("mod_s"), "tid", "v"
+    ).withColumn("vrk", F.row_number().over(val_w))
+    ns = sample.groupBy("modalidade_pagamento").agg(
+        F.count("*").alias("amostra_n")
     )
     pct_grid = F.array(
         *[
@@ -1326,12 +1341,10 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     targets = (
-        ns.join(days, "modalidade_pagamento")
-        .withColumn("pq", F.explode(pct_grid))
+        ns.withColumn("pq", F.explode(pct_grid))
         .select(
             "modalidade_pagamento",
             "amostra_n",
-            "dias_mesclados",
             F.col("pq.pct").alias("pct"),
             F.col("pq.quantil").alias("quantil"),
         )
@@ -1339,7 +1352,7 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         targets.join(
-            sample,
+            ranked,
             (F.col("modalidade_pagamento") == F.col("mod_s"))
             & (F.col("vrk") == F.col("idx")),
         )
@@ -1348,7 +1361,6 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quantil",
             F.col("v").alias("valor_quantil"),
             F.col("amostra_n").cast("bigint").alias("amostra_n"),
-            F.col("dias_mesclados").cast("bigint").alias("dias_mesclados"),
         )
     )
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -245,6 +246,110 @@ def start_materialized_view(
     writer = (
         tx_stream.writeStream.outputMode("append")
         .foreachBatch(view.write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+class QuantileSketchStore:
+    """Exactly-once streaming mergeable quantile-sketch store — the
+    streaming face of `plans.relational.quantile_sketch_rollup`'s merge
+    law. Each micro-batch's per-modality bottom-Q value sample (under
+    the portable-LCG (h, tid) total order) lands as a DELTA in its own
+    `batch_id=N` partition (the MaterializedAggregateView epoch-keyed
+    layout); the read side re-truncates the union of all deltas — and
+    because a bottom-Q merge is IDEMPOTENT, commutative and associative
+    (min-wise: duplicate members cannot change a bottom-Q once deduped
+    on (h, tid)), the folded store is BIT-EQUAL to the direct batch
+    sketch over every row ever streamed, for ANY micro-batch
+    partitioning and even for replayed epochs. State: <= Q rows per
+    modality per epoch on disk, <= Q per modality after read-side
+    truncation — bounded forever. A true bottom-K cannot ride a
+    streaming aggregate (its state is the sample set, not a MIN cell);
+    the foreachBatch delta + lossless merge is the streaming-safe
+    form, exactly the per-day rollup law applied to trigger slices."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    @staticmethod
+    def _bottom_q(rows: DataFrame) -> DataFrame:
+        """Per-modality bottom-Q of (modalidade_pagamento, tid, v, h)
+        rows — the same two-stage salted truncation as the batch
+        builder (no task sorts a full slice)."""
+        from banking_streaming_etl_spark.plans.relational import (
+            KMV_SALTS,
+            QSK_Q,
+        )
+
+        pre_w = W.partitionBy("modalidade_pagamento", "qsk_salt").orderBy(
+            F.asc("h"), F.asc("tid")
+        )
+        pre = (
+            rows.withColumn("qsk_salt", F.col("h") % F.lit(KMV_SALTS))
+            .withColumn("rk1", F.row_number().over(pre_w))
+            .filter(F.col("rk1") <= QSK_Q)
+        )
+        w = W.partitionBy("modalidade_pagamento").orderBy(
+            F.asc("h"), F.asc("tid")
+        )
+        return (
+            pre.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= QSK_Q)
+            .select("modalidade_pagamento", "tid", "v", "h")
+        )
+
+    def write_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """batch_df: parsed transactions (id_transacao,
+        valor_transacao, modalidade_pagamento)."""
+        from banking_streaming_etl_spark.functions import portable
+
+        rows = batch_df.filter(F.col("valor_transacao").isNotNull()).select(
+            "modalidade_pagamento",
+            F.col("id_transacao").alias("tid"),
+            (F.col("valor_transacao") + F.lit(0.0)).alias("v"),
+            portable.lcg_hash(F.col("id_transacao")).alias("h"),
+        )
+        (
+            self._bottom_q(rows)
+            .withColumn("batch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.out_dir)
+        )
+
+    def read_sample(self, spark: SparkSession) -> DataFrame:
+        """The live merged sample: re-truncate the union of all epoch
+        deltas (dedup on (h, tid) first — a replayed epoch landing in a
+        fresh partition is harmless by idempotence)."""
+        deltas = spark.read.parquet(self.out_dir).select(
+            "modalidade_pagamento", "tid", "v", "h"
+        ).distinct()
+        return self._bottom_q(deltas)
+
+    def read_quantiles(self, spark: SparkSession) -> DataFrame:
+        """The live percentile-grid answer — literally the batch
+        query's shared read-side derivation over the live sample."""
+        from banking_streaming_etl_spark.plans.relational import (
+            qsk_grid_answers,
+        )
+
+        return qsk_grid_answers(self.read_sample(spark))
+
+
+def start_quantile_sketch_store(
+    tx_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    store = QuantileSketchStore(out_dir)
+    writer = (
+        tx_stream.writeStream.outputMode("append")
+        .foreachBatch(store.write_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger:

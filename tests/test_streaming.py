@@ -1186,3 +1186,60 @@ def test_streaming_kmv_registers_match_batch(spark, replay_dir):
     }
     assert est_stream == est_batch
     assert all(e > 0 for _, e, _ in est_batch)
+
+
+def test_streaming_quantile_sketch_store_matches_batch(
+    spark, replay_dir, tmp_path
+):
+    """The foreachBatch mergeable quantile-sketch store must fold to a
+    sample BIT-EQUAL to the direct batch bottom-Q over the same
+    replayed transactions for ANY micro-batch partitioning (the
+    min-wise merge law applied at trigger granularity — the same
+    stability argument the per-day rollup pins), and its live grid
+    answers must equal the batch derivation exactly (shared
+    qsk_grid_answers — the answers cannot fork by construction)."""
+    from banking_streaming_etl_spark.plans import relational
+    from banking_streaming_etl_spark.streaming import sinks as ssinks
+
+    tx = stream_src.read_transaction_stream(
+        spark, replay_dir, max_files_per_trigger=1
+    )
+    store = ssinks.QuantileSketchStore(str(tmp_path / "qsk_store"))
+    q = (
+        tx.writeStream.outputMode("append")
+        .foreachBatch(store.write_batch)
+        .option("checkpointLocation", str(tmp_path / "qsk_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # >1 delta epoch landed (otherwise the merge law is vacuous here)
+    import os
+
+    epochs = [
+        p
+        for p in os.listdir(str(tmp_path / "qsk_store"))
+        if p.startswith("batch_id=")
+    ]
+    assert len(epochs) > 1, epochs
+
+    rows = relational._qsk_rows(spark, SF)
+    direct = ssinks.QuantileSketchStore._bottom_q(rows)
+    got = {
+        (r.modalidade_pagamento, r.tid, r.v, r.h)
+        for r in store.read_sample(spark).collect()
+    }
+    want = {
+        (r.modalidade_pagamento, r.tid, r.v, r.h)
+        for r in direct.collect()
+    }
+    assert got and got == want
+
+    grid_stream = {
+        tuple(r) for r in store.read_quantiles(spark).collect()
+    }
+    grid_batch = {
+        tuple(r) for r in relational.qsk_grid_answers(direct).collect()
+    }
+    assert grid_stream == grid_batch

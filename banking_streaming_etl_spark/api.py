@@ -109,6 +109,10 @@ MEMOIZED_QUERIES = frozenset({
     # read them), moving the pair from EAGER_QUERIES to this class
     "macro_ndcg_multi_query",
     "macro_ndcg_grouped",
+    # round-13: the merged bottom-Q sample + day-count frames behind the
+    # mergeable quantile sketch (<= G x Q and G rows respectively) —
+    # three read-side branches share one materialization
+    "quantile_sketch_rollup",
 })
 
 

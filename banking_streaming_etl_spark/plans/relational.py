@@ -1302,14 +1302,29 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every later stage ranks <= days x Q (merge) or <= Q (value ranks)
     rows per modality — bounded partitions regardless of corpus size.
     No unpartitioned window, no full-fact global sort, no UDF."""
-    rows = _qsk_rows(spark, sf_dir)
-    day_sketches = _qsk_day_sketches(rows)
-    merged = _qsk_merge(day_sketches)
-    days = (
-        day_sketches.select("modalidade_pagamento", "dia")
-        .distinct()
+    from banking_streaming_etl_spark.operators import memo
+
+    # session-memoized (api.MEMOIZED_QUERIES): the merged sample
+    # (<= G x Q rows) and the day-count frame (G rows) are eager
+    # localCheckpoints, so the three read-side consumers (value ranks,
+    # sample counts, the join) share ONE materialization instead of
+    # re-deriving the window cascade per branch.
+    merged = memo.shared_frame(
+        spark,
+        sf_dir,
+        "qsk_merged",
+        lambda: _qsk_merge(_qsk_day_sketches(_qsk_rows(spark, sf_dir))),
+    )
+    # every non-empty (modality, day) slice yields a sketch, so the
+    # merged-day count is a plain distinct-day aggregate over the
+    # guarded rows — no second window cascade
+    days = memo.shared_frame(
+        spark,
+        sf_dir,
+        "qsk_days",
+        lambda: _qsk_rows(spark, sf_dir)
         .groupBy("modalidade_pagamento")
-        .agg(F.count("*").cast("bigint").alias("dias_mesclados"))
+        .agg(F.countDistinct("dia").cast("bigint").alias("dias_mesclados")),
     )
     return qsk_grid_answers(merged).join(days, "modalidade_pagamento").select(
         "modalidade_pagamento",

@@ -151,3 +151,53 @@ def test_snapshot_as_of_replay_semantics(spark):
     for i in new_keys:
         orig = i - scd.DIFF_ADD_OFFSET
         assert (s2[i].saldo, s2[i].epoch_efetiva) == (base[orig] * 0.5, 2)
+
+
+def test_snapshot_as_of_over_streamed_cdc_history(spark, tmp_path):
+    """Composition proof: stream the epoch-keyed CDC log through the
+    epoch-retaining idempotent parquet sink (one micro-batch per CDC
+    epoch file), then run the time-travel read over the RETAINED
+    history — every as-of reconstruction must equal the batch replay
+    exactly. This is the production shape: the history accretes via
+    streaming ingestion, and VERSION-AS-OF reads never touch the
+    source."""
+    import os
+
+    from banking_streaming_etl_spark.streaming import sinks as ssinks
+
+    log = scd._tt_cdc_log(spark, SF)
+    src_dir = str(tmp_path / "cdc_src")
+    os.makedirs(src_dir)
+    # one PARQUET chunk per CDC epoch -> one micro-batch each (binary
+    # serialization: a JSON text round-trip would re-round the doubles)
+    import glob
+    import shutil
+
+    for e in (0, 1, 2):
+        stage = str(tmp_path / f"cdc_stage_{e}")
+        log.filter(F.col("epoch") == e).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src_dir, f"epoch_{e}.parquet"))
+
+    cdc_stream = (
+        spark.readStream.format("parquet")
+        .schema("id_usuario long, saldo double, epoch int, op string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    q = ssinks.start_idempotent_sink(
+        cdc_stream,
+        str(tmp_path / "cdc_history"),
+        str(tmp_path / "cdc_ck"),
+        columns=["id_usuario", "saldo", "epoch", "op"],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    sink = ssinks.IdempotentParquetSink(str(tmp_path / "cdc_history"))
+    history = sink.read(spark).drop("batch_id")
+    assert history.count() == log.count()
+    for e in scd.TT_AS_OFS:
+        got = {tuple(r) for r in scd.as_of_snapshot(history, e).collect()}
+        want = {tuple(r) for r in scd.as_of_snapshot(log, e).collect()}
+        assert got and got == want, e

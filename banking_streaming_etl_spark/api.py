@@ -109,10 +109,12 @@ MEMOIZED_QUERIES = frozenset({
     # read them), moving the pair from EAGER_QUERIES to this class
     "macro_ndcg_multi_query",
     "macro_ndcg_grouped",
-    # round-13: the merged bottom-Q sample + day-count frames behind the
-    # mergeable quantile sketch (<= G x Q and G rows respectively) —
-    # three read-side branches share one materialization
+    # round-13: the per-day sketch table behind the mergeable quantile
+    # sketch (<= days x G x Q rows) — the whole-history rollup, the
+    # time-range query, and every read-side branch share ONE
+    # materialization (the raw fact is scanned once per session/sf)
     "quantile_sketch_rollup",
+    "quantile_sketch_range",
 })
 
 

@@ -891,6 +891,12 @@ def register_all() -> None:
              "(portable LCG hash) merged losslessly upward; percentile "
              "grid answered as integer-index order statistics of the "
              "merged sample (kmv_merge_rollup's rank-query sibling)")
+    register("quantile_sketch_range", relational.quantile_sketch_range,
+             relational.QUANTILE_SKETCH_RANGE_SQL,
+             "time-range quantiles from the per-day sketch history "
+             "alone: merge only the range's day sketches (min-wise "
+             "stability == direct bottom-Q over the range's raw rows; "
+             "no raw rescan at read time)")
     register("dsir_effective_sample_size",
              curation.dsir_effective_sample_size,
              curation.DSIR_ESS_SQL,

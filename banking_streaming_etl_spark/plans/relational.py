@@ -1302,29 +1302,13 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every later stage ranks <= days x Q (merge) or <= Q (value ranks)
     rows per modality — bounded partitions regardless of corpus size.
     No unpartitioned window, no full-fact global sort, no UDF."""
-    from banking_streaming_etl_spark.operators import memo
-
-    # session-memoized (api.MEMOIZED_QUERIES): the merged sample
-    # (<= G x Q rows) and the day-count frame (G rows) are eager
-    # localCheckpoints, so the three read-side consumers (value ranks,
-    # sample counts, the join) share ONE materialization instead of
-    # re-deriving the window cascade per branch.
-    merged = memo.shared_frame(
-        spark,
-        sf_dir,
-        "qsk_merged",
-        lambda: _qsk_merge(_qsk_day_sketches(_qsk_rows(spark, sf_dir))),
-    )
-    # every non-empty (modality, day) slice yields a sketch, so the
-    # merged-day count is a plain distinct-day aggregate over the
-    # guarded rows — no second window cascade
-    days = memo.shared_frame(
-        spark,
-        sf_dir,
-        "qsk_days",
-        lambda: _qsk_rows(spark, sf_dir)
+    day_sketches = _qsk_day_sketch_memo(spark, sf_dir)
+    merged = _qsk_merge(day_sketches)
+    days = (
+        day_sketches.select("modalidade_pagamento", "dia")
+        .distinct()
         .groupBy("modalidade_pagamento")
-        .agg(F.countDistinct("dia").cast("bigint").alias("dias_mesclados")),
+        .agg(F.count("*").cast("bigint").alias("dias_mesclados"))
     )
     return qsk_grid_answers(merged).join(days, "modalidade_pagamento").select(
         "modalidade_pagamento",
@@ -1332,6 +1316,23 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valor_quantil",
         "amostra_n",
         "dias_mesclados",
+    )
+
+
+def _qsk_day_sketch_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized per-day sketch table (api.MEMOIZED_QUERIES via
+    its consumers): <= days x G x Q rows, eager localCheckpoint. This
+    IS the partitioned sketch history — the whole-history rollup, the
+    time-range query, and every read-side branch (value ranks, counts,
+    day joins) derive from this ONE materialization; the raw fact is
+    scanned exactly once per (session, sf_dir)."""
+    from banking_streaming_etl_spark.operators import memo
+
+    return memo.shared_frame(
+        spark,
+        sf_dir,
+        "qsk_day_sketches",
+        lambda: _qsk_day_sketches(_qsk_rows(spark, sf_dir)),
     )
 
 
@@ -1423,4 +1424,109 @@ JOIN (
 ) r ON r.modalidade_pagamento = s.modalidade_pagamento
    AND r.vrk = (s.amostra_n * p.pct + 99) // 100""",
     extra_ctes=_QSK_SAMPLE_CTE,
+)
+
+
+#: time-range query bounds, as day offsets from the corpus' first day:
+#: the middle two weeks [d0+7, d0+20] — data-derived identically in
+#: both dialects (no literal dates to drift when testdata regenerates).
+QSK_RANGE_OFFSETS = (7, 20)
+
+
+def quantile_sketch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range quantile query answered PURELY from the per-day sketch
+    history — the read pattern `quantile_sketch_rollup`'s merge law
+    exists to serve: value quantiles per modality over the middle two
+    weeks [d0+7, d0+20] by merging ONLY that range's day sketches. At
+    100 TB this is the difference between rescanning a fortnight of raw
+    rows and re-truncating 14 x Q pre-built sample rows per modality;
+    min-wise stability guarantees the range merge equals the direct
+    bottom-Q over the range's raw rows — which is exactly how the
+    oracle re-derives it (the same stability argument as the rollup).
+
+    Scale shape: the day-sketch table is the session-shared
+    materialization (<= days x G x Q rows); the range filter prunes it
+    before the merge rank, the bounds row broadcasts, and no stage
+    touches the raw fact at read time."""
+    day_sketches = _qsk_day_sketch_memo(spark, sf_dir)
+    lo, hi = QSK_RANGE_OFFSETS
+    bounds = day_sketches.agg(F.min("dia").alias("d0"))
+    in_range = (
+        day_sketches.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("dia") >= F.date_add(F.col("d0"), lo))
+            & (F.col("dia") <= F.date_add(F.col("d0"), hi))
+        )
+        .select("modalidade_pagamento", "dia", "tid", "v", "h")
+    )
+    days = (
+        in_range.select("modalidade_pagamento", "dia")
+        .distinct()
+        .groupBy("modalidade_pagamento")
+        .agg(F.count("*").cast("bigint").alias("dias_no_intervalo"))
+    )
+    return (
+        qsk_grid_answers(_qsk_merge(in_range))
+        .join(days, "modalidade_pagamento")
+        .select(
+            "modalidade_pagamento",
+            "quantil",
+            "valor_quantil",
+            "amostra_n",
+            "dias_no_intervalo",
+        )
+    )
+
+
+QUANTILE_SKETCH_RANGE_SQL = datamodel.with_ctes(
+    f"""
+SELECT s.modalidade_pagamento, p.quantil,
+       r.v AS valor_quantil,
+       CAST(s.amostra_n AS BIGINT) AS amostra_n,
+       CAST(d.dias_no_intervalo AS BIGINT) AS dias_no_intervalo
+FROM (
+    SELECT modalidade_pagamento, COUNT(*) AS amostra_n
+    FROM qsk_range_sample GROUP BY 1
+) s
+JOIN (
+    SELECT modalidade_pagamento,
+           COUNT(DISTINCT CAST(data_horario AS DATE)) AS dias_no_intervalo
+    FROM transactions, qsk_range_bounds
+    WHERE valor_transacao IS NOT NULL
+      AND CAST(data_horario AS DATE) >= d0 + {QSK_RANGE_OFFSETS[0]}
+      AND CAST(data_horario AS DATE) <= d0 + {QSK_RANGE_OFFSETS[1]}
+    GROUP BY 1
+) d ON s.modalidade_pagamento = d.modalidade_pagamento
+CROSS JOIN (VALUES {', '.join(f"({p}, '{lbl}')" for p, lbl in QSK_PCTS)})
+        AS p(pct, quantil)
+JOIN (
+    SELECT modalidade_pagamento, v,
+           ROW_NUMBER() OVER (
+               PARTITION BY modalidade_pagamento ORDER BY v ASC, tid ASC
+           ) AS vrk
+    FROM qsk_range_sample
+) r ON r.modalidade_pagamento = s.modalidade_pagamento
+   AND r.vrk = (s.amostra_n * p.pct + 99) // 100""",
+    extra_ctes=f"""
+qsk_range_bounds AS (
+    SELECT MIN(CAST(data_horario AS DATE)) AS d0
+    FROM transactions WHERE valor_transacao IS NOT NULL
+),
+qsk_range_sample AS (
+    -- min-wise stability: merging the range's per-day sketches equals
+    -- the DIRECT bottom-Q over the range's raw rows
+    SELECT modalidade_pagamento, tid, v
+    FROM (
+        SELECT modalidade_pagamento, id_transacao AS tid,
+               valor_transacao + 0.0 AS v,
+               {portable.lcg_hash_sql('id_transacao')} AS h
+        FROM transactions, qsk_range_bounds
+        WHERE valor_transacao IS NOT NULL
+          AND CAST(data_horario AS DATE) >= d0 + {QSK_RANGE_OFFSETS[0]}
+          AND CAST(data_horario AS DATE) <= d0 + {QSK_RANGE_OFFSETS[1]}
+    )
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY modalidade_pagamento ORDER BY h ASC, tid ASC
+    ) <= {QSK_Q}
+)"""
 )

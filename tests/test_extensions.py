@@ -2285,3 +2285,40 @@ def test_quantile_sketch_error_bound_when_sampling(spark):
         }
         for m, v in exact.items():
             assert abs(sk[(m, lbl)] - v) / v <= 0.35, (m, lbl, sk[(m, lbl)], v)
+
+
+def test_quantile_sketch_range_merge_equals_direct(spark):
+    """Min-wise stability on a DAY SUBSET: merging only the range's
+    per-day sketches must equal the direct bottom-Q over the range's
+    raw rows — the property that lets a partitioned sketch history
+    answer time-range quantiles without rescanning (the oracle derives
+    the range query this way; this pins it Spark-side too)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from banking_streaming_etl_spark.plans import relational
+
+    rows = relational._qsk_rows(spark, SF)
+    d0 = rows.agg(F.min("dia").alias("d0")).collect()[0].d0
+    lo, hi = relational.QSK_RANGE_OFFSETS
+    lo_d = d0 + datetime.timedelta(days=lo)
+    hi_d = d0 + datetime.timedelta(days=hi)
+    in_range = (F.col("dia") >= F.lit(lo_d)) & (F.col("dia") <= F.lit(hi_d))
+
+    merged = relational._qsk_merge(
+        relational._qsk_day_sketches(rows).filter(in_range)
+    )
+    direct_w = W.partitionBy("modalidade_pagamento").orderBy(
+        F.asc("h"), F.asc("tid")
+    )
+    direct = (
+        rows.filter(in_range)
+        .withColumn("rk", F.row_number().over(direct_w))
+        .filter(F.col("rk") <= relational.QSK_Q)
+        .select("modalidade_pagamento", "tid", "v")
+    )
+    a = {tuple(r) for r in merged.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a and a == b

@@ -537,3 +537,70 @@ def test_idempotent_sink_survives_midstream_kill_and_restart(
         assert df.select("id_transacao").distinct().count() == 1000
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_quantile_sketch_store_survives_kill_and_restart(
+    spark, tmp_path, module_replay_dir
+):
+    """The mergeable sketch store under failure: kill after the first
+    committed micro-batch, restart from the same checkpoint (Spark
+    replays the in-flight epoch — its delta OVERWRITES its own
+    batch_id partition AND the fold is min-wise idempotent, a double
+    safety), then an idle restart. The folded sample must equal the
+    direct batch bottom-Q over all replayed rows exactly."""
+    import shutil
+    import tempfile
+    import time
+
+    from banking_streaming_etl_spark.plans import relational
+
+    d = tempfile.mkdtemp(prefix="replay_qsk_kill_")
+    try:
+        shutil.copytree(module_replay_dir, d, dirs_exist_ok=True)
+        store = sinks.QuantileSketchStore(str(tmp_path / "qsk_store"))
+        ckpt = str(tmp_path / "qsk_ckpt")
+
+        def start():
+            tx = stream_src.read_transaction_stream(
+                spark, d, max_files_per_trigger=1
+            )
+            return (
+                tx.writeStream.outputMode("append")
+                .foreachBatch(store.write_batch)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(
+                int(p.get("numInputRows", 0) or 0) > 0
+                for p in q.recentProgress
+            ):
+                break
+            time.sleep(0.2)
+        q.stop()
+
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+
+        q3 = start()  # idle restart: nothing new to process
+        q3.processAllAvailable()
+        q3.stop()
+
+        got = {
+            (r.modalidade_pagamento, r.tid, r.v, r.h)
+            for r in store.read_sample(spark).collect()
+        }
+        direct = sinks.QuantileSketchStore._bottom_q(
+            relational._qsk_rows(spark, SF)
+        )
+        want = {
+            (r.modalidade_pagamento, r.tid, r.v, r.h)
+            for r in direct.collect()
+        }
+        assert got and got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

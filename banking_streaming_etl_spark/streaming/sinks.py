@@ -324,7 +324,21 @@ class QuantileSketchStore:
     def read_sample(self, spark: SparkSession) -> DataFrame:
         """The live merged sample: re-truncate the union of all epoch
         deltas (dedup on (h, tid) first — a replayed epoch landing in a
-        fresh partition is harmless by idempotence)."""
+        fresh partition is harmless by idempotence). Before the first
+        non-empty micro-batch commits a part file the store is legally
+        empty — return an explicitly-schemed empty sample instead of
+        letting spark.read fail schema inference on a bare directory
+        (round-13 advice: this store gets polled mid-stream)."""
+        import glob
+        import os
+
+        if not glob.glob(os.path.join(self.out_dir, "batch_id=*",
+                                      "part-*.parquet")):
+            return spark.createDataFrame(
+                [],
+                "modalidade_pagamento string, tid bigint, "
+                "v double, h bigint",
+            )
         deltas = spark.read.parquet(self.out_dir).select(
             "modalidade_pagamento", "tid", "v", "h"
         ).distinct()

@@ -111,7 +111,7 @@ def test_quiet_host_gate_bounded_and_nonfatal(monkeypatch, capsys):
     assert "WARNING" not in capsys.readouterr().err
 
 
-def test_detail_write_is_hygiene_gated(tmp_path):
+def test_detail_write_is_hygiene_gated(tmp_path, monkeypatch):
     """Round-11 verdict task #1: two post-snapshot dev runs (sf0.001,
     one beside a live pytest JVM) clobbered the committed clean
     BENCH_DETAIL.md because every invocation rewrote it unconditionally.
@@ -148,13 +148,12 @@ def test_detail_write_is_hygiene_gated(tmp_path):
     # origin so a driver-regenerated BENCH_DETAIL.md is distinguishable
     # from the builder's adjudicated run in the working-tree diff
     assert "# run_origin: external/unlabeled" in detail
-    os.environ["SPARK_GRAFT_BENCH_ORIGIN"] = "builder-gated"
-    try:
-        bench._write_detail(payload, clean=True, out_dir=str(tmp_path))
-        labeled = (tmp_path / "BENCH_DETAIL.md").read_text()
-        assert "# run_origin: builder-gated" in labeled
-    finally:
-        del os.environ["SPARK_GRAFT_BENCH_ORIGIN"]
+    # monkeypatch.setenv restores any pre-set shell value on teardown
+    # (round-13 advice: a bare os.environ set/del clobbered it)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ORIGIN", "builder-gated")
+    bench._write_detail(payload, clean=True, out_dir=str(tmp_path))
+    labeled = (tmp_path / "BENCH_DETAIL.md").read_text()
+    assert "# run_origin: builder-gated" in labeled
 
 
 def test_extra_rotating_media_rows_keep_even_parity():

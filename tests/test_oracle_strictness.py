@@ -136,12 +136,10 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # in-window siblings and the local parity gate)
         "corpus_clean_pipeline",
         "training_manifest",
-        "tx_velocity_1h",
         # round-4 second rotation: the portable-CMS sketch and the hybrid
         # RRF retrieval capstone must be driver-proven (they displaced
         # score_by_value_bucket and winnowing_fingerprints — re-proven by
         # in-window siblings and the local parity gate)
-        "cms_heavy_hitters",
         # round-6 rotation: the distributed-ranking family must be
         # driver-proven (they displaced top3_tx_per_region,
         # unpivot_user_limits, json_envelope_roundtrip — all re-proven
@@ -149,11 +147,9 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # hands pareto_share_by_decile's slot — driver-green r6-r11 —
         # to volume_weighted_percentiles, the same prefix-sum-selection
         # machinery)
-        "risk_score_auc",
         # round-8 rotation: the broadcast Shapley coalition lattice must
         # be driver-proven (displaced q20_promotion_suppliers, re-proven
         # in-window by q2 + q21)
-        "channel_attribution",
         # round-9 rotation: conformal_by_modality (round-8's one red
         # driver row, hash miss unreproducible locally) is de-risked out
         # for mannwhitney_value_by_approval — the SAME grouped
@@ -167,7 +163,6 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # multi-round driver-green — hand their slots to isotonic PAV
         # and the macro-NDCG harness; their shapes stay in-window via
         # risk_score_auc and text_quality_scores)
-        "scd2_user_history",
         "minmax_normalize_window",
         "payer_pagerank",
         # round-10 rotation (round-9 verdict #1 + #2): conformal_by_modality
@@ -180,7 +175,6 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # score_recombination, coerced_casts — every family keeps an
         # in-window representative; all ten re-register right after the
         # window, parity-gated every run).
-        "conformal_by_modality",
         # round-11 rotation (round-10 verdict #1): the full staged
         # shortlist — eleven never-driver-checked queries, including
         # the multimodal family's first-ever driver rows — takes the
@@ -208,7 +202,6 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # representative; all thirteen re-register after the window,
         # parity-gated every run).
         "hybrid_ndcg_eval",
-        "t_closeness_report",
         "changepoint_hourly",
         "dp_region_counts",
         "payer_degree_distribution",
@@ -228,16 +221,45 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         "macro_ndcg_grouped",
         "avro_wire_roundtrip",
         "hhi_by_region",
-        "kaplan_meier_greenwood",
-        "calibration_error_metrics",
-        "q10_returned_items",
         "dedup_clusters",
-        "hash_embed_documents",
         "benford_digit_screen",
         "zipf_fit_tokens",
-        "equidepth_histogram_valor",
         "reservoir_sample_per_modality",
         "geo_distance_by_region",
+        # round-14 rotation (round-13 verdict #1+#2): the pre-vetted
+        # 16-name shortlist — all never driver-checked, 16/16 green on
+        # the end-of-round-13 plain driver-mimic (4 re-driven green by
+        # the r13 judge) — PLUS the three round-13 capability queries
+        # take the slots of redundant driver-green r13 siblings
+        # (displaced: t_closeness_report, kaplan_meier_greenwood,
+        # perf_temporal_hourly, hash_embed_documents, bm25_topk,
+        # tx_velocity_1h, cms_heavy_hitters, psi_value_drift,
+        # zscore_per_payer, payer_set_ops, conformal_by_modality,
+        # rollup_modality_region, q10_returned_items,
+        # equidepth_histogram_valor, calibration_error_metrics,
+        # risk_score_auc, dedup_exact_documents, channel_attribution,
+        # scd2_user_history — every family keeps an in-window
+        # representative; all nineteen re-register after the window,
+        # parity-gated every run).
+        "q9_product_profit",
+        "dup_span_stats",
+        "collocations_pmi",
+        "ltv_cohort_curve",
+        "source_mix_report",
+        "jl_project_embeddings",
+        "cumulative_distinct_payers",
+        "rolling_median_value",
+        "roc_curve_deciles",
+        "payer_totals_salted",
+        "mad_outliers_per_modality",
+        "grouping_sets_modality_hour",
+        "pack_sequences_global",
+        "spearman_value_score",
+        "perf_temporal_gapfill",
+        "l_diversity_report",
+        "quantile_sketch_rollup",
+        "quantile_sketch_range",
+        "snapshot_as_of",
     }
     missing = must_be_checked - set(window)
     assert missing == set(), f"family-critical queries outside the window: {missing}"

@@ -792,6 +792,20 @@ def register_all() -> None:
              "bitmask journey sets")
     register("scd2_user_history", scd.scd2_user_history,
              scd._scd2_oracle(), "SCD2 history after one update batch")
+    # round-14 capability addition (round-13 verdict task #7 option B;
+    # registered after the window per policy — a round-15+ rotation
+    # candidate): the oracle-checkable face of the delta-join
+    # incremental view maintenance law (streaming twin:
+    # streaming/sinks.MaterializedJoinView, stream-vs-batch
+    # differential + replay-idempotence pinned in
+    # tests/test_stateful_sinks.py).
+    register("ivm_join_view_deltas", relational.ivm_join_view_deltas,
+             relational.IVM_JOIN_VIEW_SQL,
+             "per-epoch deltas of the incrementally-maintained join "
+             "view (tx x same-payer high-value alerts): closed-form "
+             "epoch attribution max(day_tx, day_alert) — the "
+             "declarative twin of dV = dA JOIN BUpToN UNION AltN JOIN "
+             "dB; deltas partition the full join")
     # round-11 rotation displacees: all eleven driver-green in prior
     # rounds (ten of them in r10), all stay parity-gated every pytest
     # run.

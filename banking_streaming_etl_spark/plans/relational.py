@@ -1530,3 +1530,66 @@ qsk_range_sample AS (
     ) <= {QSK_Q}
 )"""
 )
+
+
+# --- delta-join IVM: the oracle-checkable face -------------------------------
+
+IVM_ALERT_VALUE = 220.0  # ~p99 of valor at every SF; matches the sink default
+
+
+def ivm_join_view_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch view deltas of the delta-join materialized view
+    (streaming/sinks.MaterializedJoinView), derived declaratively: with
+    DAYS as epochs, every joined pair (tx, alert-of-same-payer) belongs
+    to exactly one view delta — epoch max(day_tx, day_alert), the closed
+    form of dV_N = dA_N JOIN B_{<=N} UNION A_{<N} JOIN dB_N. Grouping
+    the full join by that attribution epoch yields every delta in ONE
+    pass; summed over epochs the deltas partition the full join (pinned
+    by tests/test_stateful_sinks.py against the streaming store).
+
+    Epoch keys are integer-exact day truncations (no transcendental can
+    move a pair between groups); the value sum rides the exact decimal
+    accumulator."""
+    t = datamodel.transactions(spark, sf_dir)
+    tx = t.select(
+        "id_usuario_pagador",
+        F.col("id_transacao").alias("id_tx"),
+        F.col("valor_transacao").alias("valor_tx"),
+        F.date_trunc("day", F.col("data_horario")).alias("dia_tx"),
+    )
+    alerts = t.filter(
+        F.col("valor_transacao") >= F.lit(IVM_ALERT_VALUE)
+    ).select(
+        "id_usuario_pagador",
+        F.col("id_transacao").alias("id_alerta"),
+        F.date_trunc("day", F.col("data_horario")).alias("dia_alerta"),
+    )
+    pairs = tx.join(alerts, "id_usuario_pagador").withColumn(
+        "epoch_dia", F.greatest(F.col("dia_tx"), F.col("dia_alerta"))
+    )
+    return (
+        pairs.groupBy("epoch_dia")
+        .agg(
+            F.count("*").alias("pares"),
+            F.countDistinct("id_usuario_pagador").alias("pagadores"),
+            exact.exact_sum("valor_tx", "soma_valor_tx"),
+        )
+        .orderBy("epoch_dia")
+    )
+
+
+IVM_JOIN_VIEW_SQL = datamodel.with_ctes(
+    f"""
+SELECT
+    GREATEST(DATE_TRUNC('day', t.data_horario),
+             DATE_TRUNC('day', a.data_horario)) AS epoch_dia,
+    COUNT(*) AS pares,
+    COUNT(DISTINCT t.id_usuario_pagador) AS pagadores,
+    {exact.sql_sum('t.valor_transacao', 'soma_valor_tx')}
+FROM transactions t
+JOIN transactions a
+  ON a.id_usuario_pagador = t.id_usuario_pagador
+ AND a.valor_transacao >= {IVM_ALERT_VALUE}
+GROUP BY 1
+ORDER BY epoch_dia"""
+)

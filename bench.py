@@ -690,6 +690,7 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
+    is_clean = _is_clean_run(start_jvms, _host_spark_jvms(), load1, sf)
     # ONE compact stdout line for the driver (JSON_LINE_BUDGET contract);
     # everything per-query-detailed goes to stderr `#` lines above and to
     # BENCH_DETAIL.md below. `timing` records the methodology so the
@@ -701,6 +702,10 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "timing": "median_of_3",
+        # round-13 verdict #5: the hygiene verdict rides the PARSED
+        # artifact (not just the stderr tail) so a contaminated driver
+        # capture is machine-readably self-flagged in BENCH_r{N}.json
+        "clean": is_clean,
         "queries": {k: round(v, 2) for k, v in timings.items()},
         # the BASELINE.md comparison numbers: the reference's
         # published ceiling is ~1,000 tx/s micro-batched
@@ -724,7 +729,7 @@ def main() -> None:
     }
     _write_detail(
         payload,
-        clean=_is_clean_run(start_jvms, _host_spark_jvms(), load1, sf),
+        clean=is_clean,
         hygiene=hygiene,
         streaming_replay_samples=[
             {"sec": round(r[0], 3), "tx_per_s": round(r[1], 1)}

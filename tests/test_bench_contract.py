@@ -26,6 +26,7 @@ def _worst_case_payload() -> dict:
         "unit": "sec",
         "sf": 0.1,
         "timing": "median_of_3",
+        "clean": False,
         "queries": queries,
         "streaming_tx_per_s": 999999.9,
         "streaming_batch_ms_p50": 99999,
@@ -43,6 +44,9 @@ def test_json_line_fits_driver_tail_capture():
     assert len(line) < bench.JSON_LINE_BUDGET, (len(line), line)
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total"
+    # round-13 verdict #5: the hygiene verdict must survive into the
+    # driver-parsed artifact
+    assert parsed["clean"] is False
     assert "queries" in parsed  # compact form keeps the per-query map
 
 

@@ -604,3 +604,107 @@ def test_quantile_sketch_store_survives_kill_and_restart(
         assert got and got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- delta-join incremental view maintenance (round 14) ---------------------
+
+
+def _ivm_batch_pairs(spark):
+    """The full join the IVM view must equal: every (tx, same-payer
+    high-value alert) pair."""
+    from banking_streaming_etl_spark.plans.relational import IVM_ALERT_VALUE
+
+    t = datamodel.transactions(spark, SF)
+    left = t.select("id_usuario_pagador", "id_transacao", "valor_transacao")
+    right = t.filter(F.col("valor_transacao") >= IVM_ALERT_VALUE).select(
+        "id_usuario_pagador",
+        F.col("id_transacao").alias("id_alerta"),
+        F.col("valor_transacao").alias("valor_alerta"),
+    )
+    return left.join(right, "id_usuario_pagador")
+
+
+def test_materialized_join_view_replay_fold_and_attribution(spark, tmp_path):
+    """Delta-join IVM law: for an arbitrary 3-epoch chunking (plus a
+    replayed epoch), the folded view equals the batch join bit-for-bit,
+    AND each pair sits in exactly the partition max(epoch_left,
+    epoch_right) — the closed form the oracle-backed
+    ivm_join_view_deltas query groups by."""
+    from banking_streaming_etl_spark.plans.relational import IVM_ALERT_VALUE
+
+    view = sinks.MaterializedJoinView(str(tmp_path / "jv"), "id_usuario_pagador")
+    t = datamodel.transactions(spark, SF)
+
+    def _split(df, epoch):
+        chunk = df.filter(F.col("id_transacao") % 3 == epoch)
+        left = chunk.select(
+            "id_usuario_pagador", "id_transacao", "valor_transacao"
+        )
+        right = chunk.filter(
+            F.col("valor_transacao") >= IVM_ALERT_VALUE
+        ).select(
+            "id_usuario_pagador",
+            F.col("id_transacao").alias("id_alerta"),
+            F.col("valor_transacao").alias("valor_alerta"),
+        )
+        return left, right
+
+    for epoch in (0, 1, 2):
+        view.write_batch(*_split(t, epoch), epoch_id=epoch)
+        if epoch == 1:  # post-failure replay must overwrite, not append
+            view.write_batch(*_split(t, epoch), epoch_id=epoch)
+
+    got = {
+        (r.id_usuario_pagador, r.id_transacao, r.valor_transacao,
+         r.id_alerta, r.valor_alerta)
+        for r in view.read(spark).collect()
+    }
+    want = {
+        (r.id_usuario_pagador, r.id_transacao, r.valor_transacao,
+         r.id_alerta, r.valor_alerta)
+        for r in _ivm_batch_pairs(spark).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # epoch-attribution: the partition each pair landed in is exactly
+    # max(epoch(tx), epoch(alert)) = max(id%3, id_alerta%3)
+    attributed = spark.read.parquet(str(tmp_path / "jv" / "view")).select(
+        "batch_id",
+        (F.greatest(F.col("id_transacao") % 3, F.col("id_alerta") % 3))
+        .alias("want_epoch"),
+    )
+    assert attributed.filter(
+        F.col("batch_id") != F.col("want_epoch")
+    ).count() == 0
+
+
+def test_materialized_join_view_streaming_end_to_end(
+    spark, tmp_path, module_replay_dir
+):
+    """The streaming delta-join view over the replayed transaction
+    stream equals the batch join of the same data, for whatever
+    micro-batch partitioning the file source chose; per-epoch deltas sum
+    to the whole with no duplicates (exactly-once)."""
+    tx = stream_src.read_transaction_stream(spark, module_replay_dir)
+    q = sinks.start_materialized_join_view(
+        tx,
+        out_dir=str(tmp_path / "jv"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    view = sinks.MaterializedJoinView(str(tmp_path / "jv"), "id_usuario_pagador")
+    got = {
+        (r.id_usuario_pagador, r.id_transacao, r.id_alerta)
+        for r in view.read(spark).collect()
+    }
+    want = {
+        (r.id_usuario_pagador, r.id_transacao, r.id_alerta)
+        for r in _ivm_batch_pairs(spark).collect()
+    }
+    assert got == want and len(got) > 0
+    # no duplicate pairs across epoch partitions (the deltas PARTITION
+    # the join — each pair materializes exactly once)
+    n_rows = view.read(spark).count()
+    assert n_rows == len(got)

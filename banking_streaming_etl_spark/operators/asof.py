@@ -248,3 +248,143 @@ ASOF LEFT JOIN snapshots s
    AND s.ts_snapshot <= t.data_horario""",
     extra_ctes=SNAPSHOTS_SQL,
 )
+
+
+# --- interval-overlap theta join (two unbounded sides), round 14 ------------
+
+BURST_PAD_US = 3_600_000_000  # 1 h of slack either side of a burst
+BURST_ALERT_VALUE = 100.0  # ~p90 of valor at every SF: dense enough that
+# overlapping same-region bursts exist even at sf0.001 (3 / 221 / ~23k
+# pairs at sf0.001/0.01/0.1), sparse enough that the pair set stays far
+# below the fact size
+BURST_BUCKET_US = 3_600_000_000  # time-axis bucket width for the equi-join
+
+
+def _alert_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(payer, day) high-value activity intervals: [first alert - 1h,
+    last alert + 1h] over transactions with valor >= BURST_ALERT_VALUE,
+    tagged with the payer's home region — a FACT-sized interval table
+    (grows with the data; nothing broadcastable about it)."""
+    t = datamodel.transactions(spark, sf_dir)
+    u = datamodel.users(spark, sf_dir).select("id_usuario", "id_regiao_u")
+    bursts = (
+        t.filter(F.col("valor_transacao") >= F.lit(BURST_ALERT_VALUE))
+        .groupBy(
+            "id_usuario_pagador",
+            F.date_trunc("day", F.col("data_horario")).alias("dia"),
+        )
+        .agg(
+            (F.min(F.unix_micros(F.col("data_horario")))
+             - F.lit(BURST_PAD_US)).alias("ini_us"),
+            (F.max(F.unix_micros(F.col("data_horario")))
+             + F.lit(BURST_PAD_US)).alias("fim_us"),
+            F.count("*").alias("alertas"),
+        )
+    )
+    return bursts.join(
+        F.broadcast(u),
+        bursts.id_usuario_pagador == u.id_usuario,
+    ).drop("id_usuario")
+
+
+def interval_overlap_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap THETA join between two genuinely UNBOUNDED sides
+    — the shape range_join_tx_in_alert_window (point-in-interval vs a
+    broadcastable dim) does not cover. Pairs of DISTINCT same-region
+    payers whose high-value burst intervals overlap (the fraud-ring
+    co-activity screen).
+
+    Scalable form (bucketize BOTH sides): explode each interval to the
+    hour buckets it covers, equi-join on (region, bucket), filter the
+    exact overlap predicate — and keep each qualifying pair ONLY in the
+    bucket containing the overlap's start (greatest of the two interval
+    starts), which every overlapping pair covers exactly once — so no
+    DISTINCT is ever planned over the match set. Shuffles on (region,
+    bucket) only; per-interval fanout is bounded by its duration /
+    bucket width; no nested loop, no broadcast requirement on either
+    side."""
+    bursts = _alert_bursts(spark, sf_dir)
+
+    def _exploded(side: str) -> DataFrame:
+        return bursts.select(
+            F.col("id_regiao_u"),
+            F.col("id_usuario_pagador").alias(f"id_pagador_{side}"),
+            F.col("dia").alias(f"dia_{side}"),
+            F.col("ini_us").alias(f"ini_{side}"),
+            F.col("fim_us").alias(f"fim_{side}"),
+            F.col("alertas").alias(f"alertas_{side}"),
+        ).withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"ini_{side}") / F.lit(BURST_BUCKET_US)),
+                    F.floor(F.col(f"fim_{side}") / F.lit(BURST_BUCKET_US)),
+                )
+            ),
+        )
+
+    a, b = _exploded("a"), _exploded("b")
+    pairs = (
+        a.join(b, ["id_regiao_u", "bucket"])
+        .filter(
+            (F.col("id_pagador_a") < F.col("id_pagador_b"))
+            & (F.col("ini_a") <= F.col("fim_b"))
+            & (F.col("ini_b") <= F.col("fim_a"))
+            # dedupe without DISTINCT: exactly the overlap-start bucket
+            & (
+                F.col("bucket")
+                == F.floor(
+                    F.greatest(F.col("ini_a"), F.col("ini_b"))
+                    / F.lit(BURST_BUCKET_US)
+                )
+            )
+        )
+    )
+    return pairs.select(
+        "id_regiao_u",
+        "id_pagador_a", "dia_a", "alertas_a",
+        "id_pagador_b", "dia_b", "alertas_b",
+        F.greatest(F.col("ini_a"), F.col("ini_b")).alias("inicio_overlap_us"),
+        F.least(F.col("fim_a"), F.col("fim_b")).alias("fim_overlap_us"),
+        (
+            F.least(F.col("fim_a"), F.col("fim_b"))
+            - F.greatest(F.col("ini_a"), F.col("ini_b"))
+        ).alias("sobreposicao_us"),
+    )
+
+
+_BURSTS_CTE = f"""
+bursts AS (
+    SELECT t.id_usuario_pagador,
+           DATE_TRUNC('day', t.data_horario) AS dia,
+           MIN(EPOCH_US(t.data_horario)) - 3600000000 AS ini_us,
+           MAX(EPOCH_US(t.data_horario)) + 3600000000 AS fim_us,
+           COUNT(*) AS alertas,
+           ANY_VALUE(u.id_regiao_u) AS id_regiao_u
+    FROM transactions t
+    JOIN users u ON u.id_usuario = t.id_usuario_pagador
+    WHERE t.valor_transacao >= {BURST_ALERT_VALUE}
+    GROUP BY 1, 2
+)
+"""
+
+
+INTERVAL_OVERLAP_SQL = datamodel.with_ctes(
+    """
+SELECT a.id_regiao_u,
+       a.id_usuario_pagador AS id_pagador_a, a.dia AS dia_a,
+       a.alertas AS alertas_a,
+       b.id_usuario_pagador AS id_pagador_b, b.dia AS dia_b,
+       b.alertas AS alertas_b,
+       GREATEST(a.ini_us, b.ini_us) AS inicio_overlap_us,
+       LEAST(a.fim_us, b.fim_us) AS fim_overlap_us,
+       LEAST(a.fim_us, b.fim_us) - GREATEST(a.ini_us, b.ini_us)
+           AS sobreposicao_us
+FROM bursts a
+JOIN bursts b
+  ON a.id_regiao_u = b.id_regiao_u
+ AND a.id_usuario_pagador < b.id_usuario_pagador
+ AND a.ini_us <= b.fim_us
+ AND b.ini_us <= a.fim_us""",
+    extra_ctes=_BURSTS_CTE,
+)

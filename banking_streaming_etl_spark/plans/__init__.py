@@ -806,6 +806,18 @@ def register_all() -> None:
              "epoch attribution max(day_tx, day_alert) — the "
              "declarative twin of dV = dA JOIN BUpToN UNION AltN JOIN "
              "dB; deltas partition the full join")
+    # round-14 capability addition (round-13 verdict task #7 option A;
+    # registered after the window per policy — a round-15+ rotation
+    # candidate): the interval-overlap THETA join between two
+    # genuinely unbounded sides, bucketize-both-sides — the shape
+    # range_join_tx_in_alert_window (point vs broadcast dim) lacks.
+    register("interval_overlap_bursts", asof.interval_overlap_bursts,
+             asof.INTERVAL_OVERLAP_SQL,
+             "interval-overlap join of two fact-sized sides: same-"
+             "region payer pairs with overlapping high-value burst "
+             "windows (explode to hour buckets, equi-join on (region, "
+             "bucket), exact predicate, overlap-start-bucket dedupe — "
+             "no DISTINCT, no nested loop, neither side broadcast)")
     # round-11 rotation displacees: all eleven driver-green in prior
     # rounds (ten of them in r10), all stay parity-gated every pytest
     # run.

@@ -2326,3 +2326,26 @@ def test_quantile_sketch_range_merge_equals_direct(spark):
     a = {tuple(r) for r in merged.collect()}
     b = {tuple(r) for r in direct.collect()}
     assert a and a == b
+
+
+def test_interval_overlap_bursts_unique_and_sound(spark):
+    """Bucketize-both-sides interval-overlap join (round 14): every
+    emitted pair must be emitted exactly ONCE (the overlap-start-bucket
+    rule replaces DISTINCT) and must genuinely overlap with positive
+    slack accounting (fim >= inicio). Value-level parity vs DuckDB's
+    native inequality join is the oracle gate; this pins the structural
+    dedupe the bucketized plan relies on, at a SF where pairs exist."""
+    from banking_streaming_etl_spark.operators import asof
+
+    out = asof.interval_overlap_bursts(spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    assert len(rows) > 0
+    keys = [
+        (r.id_regiao_u, r.id_pagador_a, r.dia_a, r.id_pagador_b, r.dia_b)
+        for r in rows
+    ]
+    assert len(keys) == len(set(keys))  # no bucket-duplicate pairs
+    for r in rows:
+        assert r.id_pagador_a < r.id_pagador_b
+        assert r.sobreposicao_us >= 0
+        assert r.fim_overlap_us - r.inicio_overlap_us == r.sobreposicao_us

@@ -165,6 +165,14 @@ EXTRA_ROTATING = [
     # insertions above index 48 would flip the media rows' pinned even
     # parity (tests/test_bench_contract.py).
     "macro_ndcg_grouped",
+    # round-13/14 capability registrees (mergeable quantile sketch pair,
+    # time-travel read, delta-join IVM face, interval-overlap theta
+    # join) — appended per the append-only rule
+    "quantile_sketch_rollup",
+    "quantile_sketch_range",
+    "snapshot_as_of",
+    "ivm_join_view_deltas",
+    "interval_overlap_bursts",
 ]
 
 #: full inventory (registry-coverage checks and docs read this)

@@ -100,3 +100,48 @@ def test_aqe_splits_planted_skew_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bucketed_ivm_history_joins_with_delta_sized_shuffle_only(spark):
+    """Round 14: the SCALING.md layout upgrade for the delta-join IVM
+    (streaming/sinks.MaterializedJoinView), demonstrated: with the
+    HISTORY side of dA JOIN B_{<=N} persisted as a catalog table
+    bucketed on the join key, the per-epoch maintenance join plans
+    exactly ONE hash exchange — on the DELTA side, sized by the delta —
+    while the history scan stays in place. That makes per-epoch IVM
+    cost O(|delta| shuffle + history scan), never a history reshuffle."""
+    from pyspark.sql import functions as F
+
+    from banking_streaming_etl_spark.operators.asof import BURST_ALERT_VALUE
+
+    t = datamodel.transactions(spark, SF)
+    history = t.filter(F.col("valor_transacao") >= BURST_ALERT_VALUE).select(
+        "id_usuario_pagador",
+        F.col("id_transacao").alias("id_alerta"),
+        F.col("valor_transacao").alias("valor_alerta"),
+    )
+    bucketing.write_bucketed(
+        history, "ivm_alert_history", "id_usuario_pagador", n_buckets=4
+    )
+    delta = t.filter(F.col("id_transacao") % 7 == 0).select(
+        "id_usuario_pagador", "id_transacao", "valor_transacao"
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = delta.join(
+            spark.table("ivm_alert_history"), "id_usuario_pagador"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(True)
+        plan = buf.getvalue()
+        physical = plan[plan.index("== Physical Plan ==") :]
+        # exactly one exchange — the delta side entering the bucket layout
+        assert physical.count("Exchange hashpartitioning") == 1, physical
+        assert "SortMergeJoin" in physical, physical
+        plain = delta.join(history, "id_usuario_pagador").count()
+        assert joined.count() == plain and plain > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS ivm_alert_history")

@@ -449,6 +449,7 @@ class MaterializedJoinView:
         Column contract: the two sides share ONLY the join key."""
         spark = left_delta.sparkSession
         n = int(epoch_id)
+        self._recover_interrupted_compact()
         self._epoch_keyed_write(left_delta, self.left_dir, n)
         self._epoch_keyed_write(right_delta, self.right_dir, n)
         right_upto = self._history(
@@ -463,6 +464,7 @@ class MaterializedJoinView:
     def read(self, spark: SparkSession) -> DataFrame:
         """The current view: a plain scan (deltas are disjoint rows).
         Legally empty before the first committed epoch."""
+        self._recover_interrupted_compact()
         if not self._committed(self.view_dir):
             raise ValueError(
                 "MaterializedJoinView.read before any committed epoch — "
@@ -470,6 +472,58 @@ class MaterializedJoinView:
                 "the first write_batch commits"
             )
         return spark.read.parquet(self.view_dir).drop("batch_id")
+
+    def _recover_interrupted_compact(self) -> None:
+        """Roll back a compact() that crashed mid-swap on any of the
+        three directories (same recovery law as
+        MaterializedAggregateView: live dir gone + `__old` backup
+        present means the crash hit between rename-aside and promote —
+        restore the backup, drop any stray temp)."""
+        import os
+        import shutil
+
+        for path in (self.left_dir, self.right_dir, self.view_dir):
+            backup = path + "__old"
+            if not os.path.exists(path) and os.path.exists(backup):
+                os.rename(backup, path)
+                tmp = path + "__compact"
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold every epoch partition of the input stores AND the view
+        into a single batch_id=-1 partition each — the maintenance pass
+        that bounds partition count for a long-running stream. Join
+        deltas are disjoint rows, so the fold is a plain rewrite (no
+        re-aggregation); -1 sorts before every real epoch, so compacted
+        history still counts as `< N` / `<= N` for every future epoch's
+        delta-join recompute.
+
+        OPERATIONAL CONSTRAINT (same as MaterializedAggregateView): run
+        only while the stream is STOPPED at a committed checkpoint — a
+        written-but-uncommitted epoch folded here and then replayed
+        would recompute its view delta against history that already
+        contains it."""
+        import os
+        import shutil
+
+        self._recover_interrupted_compact()
+        for path in (self.left_dir, self.right_dir, self.view_dir):
+            if not self._committed(path):
+                continue
+            folded = (
+                spark.read.parquet(path)
+                .drop("batch_id")
+                .withColumn("batch_id", F.lit(-1))
+            )
+            tmp = path + "__compact"
+            folded.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+            backup = path + "__old"
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+            os.rename(path, backup)
+            shutil.move(tmp, path)
+            shutil.rmtree(backup)
 
 
 def start_materialized_join_view(

@@ -677,6 +677,46 @@ def test_materialized_join_view_replay_fold_and_attribution(spark, tmp_path):
         F.col("batch_id") != F.col("want_epoch")
     ).count() == 0
 
+    # compact() must preserve the view exactly (single folded partition)
+    # and compacted history must still serve future epochs' delta joins:
+    # re-ingesting epoch 0's rows as a NEW epoch 3 pairs them against
+    # the full compacted alert history plus themselves, exactly as the
+    # law dictates (left_3 x alerts_all  UNION  left_{<3} x alerts_3).
+    view.compact(spark)
+    after = {
+        (r.id_usuario_pagador, r.id_transacao, r.valor_transacao,
+         r.id_alerta, r.valor_alerta)
+        for r in view.read(spark).collect()
+    }
+    assert after == want
+    for d in ("left", "right", "view"):
+        parts = (
+            spark.read.parquet(str(tmp_path / "jv" / d))
+            .select("batch_id").distinct().collect()
+        )
+        assert [p.batch_id for p in parts] == [-1], (d, parts)
+
+    left3, right3 = _split(t, 0)
+    view.write_batch(left3, right3, epoch_id=3)
+    grown = view.read(spark).count()
+    alerts_all = t.filter(F.col("valor_transacao") >= IVM_ALERT_VALUE)
+    # expected growth: epoch-3 lefts x (all prior alerts + epoch-3
+    # alerts) + prior lefts x epoch-3 alerts
+    l3 = left3.select("id_usuario_pagador", "id_transacao")
+    extra_a = l3.join(
+        alerts_all.select("id_usuario_pagador",
+                          F.col("id_transacao").alias("id_alerta"))
+        .unionByName(right3.select("id_usuario_pagador", "id_alerta")),
+        "id_usuario_pagador",
+    ).count()
+    extra_b = (
+        t.select("id_usuario_pagador", "id_transacao")
+        .join(right3.select("id_usuario_pagador", "id_alerta"),
+              "id_usuario_pagador")
+        .count()
+    )
+    assert grown == len(want) + extra_a + extra_b
+
 
 def test_materialized_join_view_streaming_end_to_end(
     spark, tmp_path, module_replay_dir

@@ -1952,19 +1952,46 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = datamodel.transactions(spark, sf_dir)
     x = exact._d(F.col("valor_transacao"))
+    # Stage the resample weights through two narrow projections (hash
+    # once per resample, weight once) instead of inlining the LCG
+    # ladder ~12x per resample inside one 2B+2-column aggregate: the
+    # values are term-identical (same arithmetic, same order), but the
+    # analyzed/optimized tree shrinks ~6x. The old single-Aggregate
+    # form spent ~5 s of driver time in Catalyst analysis+codegen on a
+    # ~12k-node expression tree before the (0.1 s) execution even
+    # started (guide §1.2: fix the plan, not the config). CollapseProject
+    # keeps the stages separate because h_b / w_b are non-cheap and
+    # referenced more than once.
+    hashed = t.select(
+        x.alias("x"),
+        *[
+            portable.lcg_hash(
+                F.col("id_transacao"), *_boot_consts(b)
+            ).alias(f"h_{b}")
+            for b in range(BOOT_B)
+        ],
+    )
+    weighted = hashed.select(
+        "x",
+        *[
+            sum(
+                (F.col(f"h_{b}") >= F.lit(tk)).cast("int")
+                for tk in BOOT_THRESHOLDS
+            )
+            .cast("bigint")
+            .alias(f"w_{b}")
+            for b in range(BOOT_B)
+        ],
+    )
     aggs = [
         F.count("*").alias("n"),
-        F.sum(x).alias("s_all"),
+        F.sum("x").alias("s_all"),
     ]
     for b in range(BOOT_B):
-        a_c, b_c = _boot_consts(b)
-        h = portable.lcg_hash(F.col("id_transacao"), a_c, b_c)
-        w = sum(
-            (h >= F.lit(tk)).cast("int") for tk in BOOT_THRESHOLDS
-        ).cast("bigint")
-        aggs.append(F.sum(w * x).alias(f"bs_{b}"))
+        w = F.col(f"w_{b}")
+        aggs.append(F.sum(w * F.col("x")).alias(f"bs_{b}"))
         aggs.append(F.sum(w).alias(f"bc_{b}"))
-    agg = t.agg(*aggs)
+    agg = weighted.agg(*aggs)
     # a tiny corpus can hand a resample ZERO Poisson weight — its mean
     # is undefined and the engines disagree on NULL placement inside a
     # sorted list, so the CI is emitted only when EVERY resample drew

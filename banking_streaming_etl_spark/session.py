@@ -62,6 +62,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for the pandas-UDF slow path (similarity / multimodal ops).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DataFrame debugging (Spark 4) captures the Python call site on
+        # EVERY DSL Column/DataFrame call via ~4 extra py4j roundtrips
+        # (getActiveSession + conf.get + PySparkCurrentOrigin.set/clear)
+        # plus a Python stack walk; its only effect is enriching error
+        # messages with the user call site. Profiled on this engine's
+        # wide expression builders (bootstrap_mean_ci: 36,766 roundtrips,
+        # ~25 s of a ~30 s plan build) — driver-side overhead at ANY
+        # cluster scale, so it is off here and in production alike.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Kryo: reference keeps it for its RDD sink path (streaming_etl.py:14).
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.showConsoleProgress", "false")

@@ -35,6 +35,13 @@ def main() -> None:
     queries = registry.all_queries()
     # one trivial job to absorb JVM/codegen cold start
     spark.range(1000000).selectExpr("sum(id)").collect()
+    # warm the session-shared family memos exactly like bench does
+    # before its EXTRA sweep, so numbers line up with queries_extra
+    import bench as _bench
+
+    t0 = time.perf_counter()
+    _bench._warm_family_memos(spark, sf_dir)
+    print(f"# family memo warm: {time.perf_counter()-t0:.3f}s")
     t0 = time.perf_counter()
     spark.range(1000000).selectExpr("id % 32 AS k").groupBy("k").count().count()
     print(f"# baseline tiny shuffle job: {time.perf_counter()-t0:.3f}s")

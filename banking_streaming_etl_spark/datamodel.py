@@ -29,6 +29,9 @@ Reference contracts mirrored here:
 
 from __future__ import annotations
 
+import os
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,20 +87,49 @@ _TS_COLUMNS = {
 }
 
 
+#: per-application memo of loaded-table DataFrames. `spark.read.parquet`
+#: pays file listing + footer schema inference on EVERY call (~0.2-0.3 s
+#: of driver time per table), and a typical query build loads 2-4
+#: tables — so a 50-query sweep re-paid seconds of pure metadata work
+#: per query. The memo returns the SAME (immutable) DataFrame object per
+#: (application, sf_dir, table): identical logical plan, zero semantic
+#: change, and downstream cache-manager lookups dedup faster because the
+#: scan subtrees are reference-equal. Keyed + evicted exactly like
+#: operators/memo.shared_frame (stale applications dropped on access).
+_LOADED: dict[tuple[str, str, str], DataFrame] = {}
+_LOADED_LOCK = threading.RLock()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # hour()/date_trunc() must agree with DuckDB's UTC-naive timestamps even
-    # when the caller (e.g. the verify driver) built its own session.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    dtypes = dict(df.dtypes)
-    for c in _TS_COLUMNS.get(name, ()):
-        if dtypes.get(c) == "bigint":  # TIMESTAMP(NANOS) read as raw longs
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-        elif dtypes.get(c) == "timestamp_ntz":
-            # naive micros; session tz is UTC so this cast is value-preserving
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.normpath(sf_dir),
+        name,
+    )
+    with _LOADED_LOCK:
+        for k in [k for k in _LOADED if k[0] != key[0]]:
+            _LOADED.pop(k)
+        cached = _LOADED.get(key)
+        if cached is not None:
+            return cached
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # hour()/date_trunc() must agree with DuckDB's UTC-naive timestamps
+        # even when the caller (e.g. the verify driver) built its own
+        # session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        dtypes = dict(df.dtypes)
+        for c in _TS_COLUMNS.get(name, ()):
+            if dtypes.get(c) == "bigint":  # TIMESTAMP(NANOS) as raw longs
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+                )
+            elif dtypes.get(c) == "timestamp_ntz":
+                # naive micros; session tz is UTC so this cast is
+                # value-preserving
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+        _LOADED[key] = df
+        return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1783,8 +1783,6 @@ def class_rebalance_downsample(
     )
     h = portable.lcg_hash(F.col("id_transacao")).alias("_h")
     keyed = ap.withColumn("_h", h)
-    m = ap.groupBy("classe").agg(F.count("*").cast("bigint").alias("_nc"))
-    m_min = m.agg(F.min("_nc").alias("_m"))
     ranked = ranking.with_global_row_number(
         keyed,
         "_h",
@@ -1793,6 +1791,16 @@ def class_rebalance_downsample(
         group_cols=["classe"],
         nulls="reject",
     )
+    # class sizes come from the ranking pass itself: the grouped form's
+    # _rank_n_total IS the exact per-class count, so deriving m from
+    # `ranked` (bit-identical bigints) saves a second full _approved
+    # derivation + aggregate that the old shape paid just to count
+    # classes (round-14; guide §2.4 — don't recompute what a pass
+    # already produced).
+    m = ranked.groupBy("classe").agg(
+        F.max("_rank_n_total").alias("_nc")
+    )
+    m_min = m.agg(F.min("_nc").alias("_m"))
     kept = ranked.crossJoin(F.broadcast(m_min)).filter(
         F.col("_rk") <= F.col("_m")
     )

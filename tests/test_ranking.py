@@ -383,3 +383,25 @@ def test_global_cumsum_grouped_and_totals(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_input_lineage_modes_identical(spark, monkeypatch):
+    """The $SPARK_GRAFT_RANK_INPUT lineage-handling knob (round-14
+    optimization: ckpt | persist | plain) must not move a single value —
+    rank, n_total, cumsum and totals are bit-identical across modes."""
+    df = _tx_values(spark)
+    results = {}
+    for mode in ("ckpt", "persist", "plain"):
+        monkeypatch.setenv("SPARK_GRAFT_RANK_INPUT", mode)
+        ranked = ranking.with_global_row_number(
+            df, "v", "i", out="r", rows_per_bucket=7
+        ).select("i", "r", "_rank_n_total")
+        cum = ranking.with_global_cumsum(
+            df, "v", "i", "v", out="c", rows_per_bucket=7
+        ).select("i", "c", "_cumsum_total")
+        results[mode] = (
+            sorted(tuple(r) for r in ranked.collect()),
+            sorted(tuple(r) for r in cum.collect()),
+        )
+    assert results["ckpt"] == results["plain"]
+    assert results["persist"] == results["plain"]

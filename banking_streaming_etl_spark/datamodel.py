@@ -100,6 +100,31 @@ _LOADED: dict[tuple[str, str, str], DataFrame] = {}
 _LOADED_LOCK = threading.RLock()
 
 
+def frame_memo(spark, sf_dir, kind, build):
+    """Session-lifetime memo of a derived DataFrame OBJECT — no
+    materialization, no checkpoint, just reuse of the (immutable)
+    lazy plan. Re-building a shared derivation per query costs py4j
+    roundtrips plus eager re-ANALYSIS of the whole subtree on every
+    intermediate Dataset (~0.5-2 s of driver time per query build for
+    the enrich+score graph); returning the same object makes repeat
+    builds free and lets the cache manager dedup by reference. Values
+    are untouched: callers get the identical logical plan they would
+    have built. Keyed + evicted like operators/memo.shared_frame."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.normpath(sf_dir),
+        kind,
+    )
+    with _LOADED_LOCK:
+        for k in [k for k in _LOADED if k[0] != key[0]]:
+            _LOADED.pop(k)
+        cached = _LOADED.get(key)
+        if cached is None:
+            cached = build()
+            _LOADED[key] = cached
+        return cached
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (
         spark.sparkContext.applicationId,
@@ -151,18 +176,21 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
       the 25 nation keys, like the producer's uniform UF choice,
       producer.py:110).
     """
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        F.col("event_id").alias("id_transacao"),
-        F.col("user_id").alias("id_usuario_pagador"),
-        F.get_json_object(F.col("props"), "$.k")
-        .cast("long")
-        .alias("id_usuario_recebedor"),
-        (F.col("event_id") % N_REGIONS).alias("id_regiao"),
-        F.col("event_type").alias("modalidade_pagamento"),
-        F.col("ts").alias("data_horario"),
-        F.col("value").alias("valor_transacao"),
-    )
+    def _build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return ev.select(
+            F.col("event_id").alias("id_transacao"),
+            F.col("user_id").alias("id_usuario_pagador"),
+            F.get_json_object(F.col("props"), "$.k")
+            .cast("long")
+            .alias("id_usuario_recebedor"),
+            (F.col("event_id") % N_REGIONS).alias("id_regiao"),
+            F.col("event_type").alias("modalidade_pagamento"),
+            F.col("ts").alias("data_horario"),
+            F.col("value").alias("valor_transacao"),
+        )
+
+    return frame_memo(spark, sf_dir, "derived:transactions", _build)
 
 
 def users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,10 +278,15 @@ def enrich(tx: DataFrame, u: DataFrame, reg: DataFrame) -> DataFrame:
 
 def enriched_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch flavor of `enrich` over the canonical entities."""
-    return enrich(
-        transactions(spark, sf_dir),
-        users(spark, sf_dir),
-        regions(spark, sf_dir),
+    return frame_memo(
+        spark,
+        sf_dir,
+        "derived:enriched",
+        lambda: enrich(
+            transactions(spark, sf_dir),
+            users(spark, sf_dir),
+            regions(spark, sf_dir),
+        ),
     )
 
 

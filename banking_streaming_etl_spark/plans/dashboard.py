@@ -25,8 +25,17 @@ from banking_streaming_etl_spark.plans.approval import (
 
 
 def _approved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    enriched = datamodel.enriched_transactions(spark, sf_dir)
-    return with_approval_flags(with_scores(enriched))
+    # object-level memo (datamodel.frame_memo): ~30 queries build this
+    # same enrich+score+flags graph; constructing and eagerly analyzing
+    # it per query cost ~1-2 s of driver time each (round-14)
+    return datamodel.frame_memo(
+        spark,
+        sf_dir,
+        "derived:approved",
+        lambda: with_approval_flags(
+            with_scores(datamodel.enriched_transactions(spark, sf_dir))
+        ),
+    )
 
 
 def _oracle(body: str) -> str:
@@ -1531,6 +1540,30 @@ CONF_ALPHAS_PERMILLE = (100, 50, 10)
 CONF_SPLIT_MOD = 5
 
 
+def _conf_scored_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like `_conf_scored` but carrying the modality column — the shared
+    split base of the Mondrian conformal pair (`conformal_by_modality`
+    + its diagnostic twin)."""
+    return datamodel.frame_memo(
+        spark,
+        sf_dir,
+        "derived:conf_scored_mod",
+        lambda: _approved(spark, sf_dir)
+        .select("id_transacao", "modalidade_pagamento", "score_medio")
+        .localCheckpoint(eager=False),
+    )
+
+
+def _conf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (id_transacao, score_medio) base of the marginal conformal
+    pair — a projection of the session-shared `_cal_scored` checkpoint,
+    so the calibration split (rank pass) and the evaluation split
+    (coverage count) read ONE materialized frame instead of re-deriving
+    the enrich+score graph per split (round-14; guide §2.4 — one
+    derivation, two filters)."""
+    return _cal_scored(spark, sf_dir).select("id_transacao", "score_medio")
+
+
 def conformal_thresholds_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frozen conformal threshold table (alpha_permille, n_cal,
     limiar): exact order statistics of the calibration split, one rank
@@ -1540,15 +1573,13 @@ def conformal_thresholds_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     never drift."""
     from banking_streaming_etl_spark.operators import ranking
 
-    ap = _approved(spark, sf_dir).select("id_transacao", "score_medio")
+    ap = _conf_scored(spark, sf_dir)
     is_cal = F.col("id_transacao") % CONF_SPLIT_MOD == 0
-    # the rank pipeline's count/sample/bucket stages scan their input
-    # ~3x (the documented exactness trade) — cache the NARROW filtered
-    # calibration split so those scans hit an InMemoryRelation instead
-    # of re-deriving the enrich+score graph each time (lazy: no job at
-    # build; the cache()-as-barrier pattern)
+    # the rank pipeline truncates its own input lineage (round-14
+    # ranking-internal checkpoint), and `ap` is the shared checkpointed
+    # split base — no extra barrier needed here
     ranked = ranking.with_global_row_number(
-        ap.filter(is_cal).persist(), "score_medio", "id_transacao", out="r"
+        ap.filter(is_cal), "score_medio", "id_transacao", out="r"
     )
     alphas = F.explode(
         F.array(*[F.lit(a).cast("int") for a in CONF_ALPHAS_PERMILLE])
@@ -1592,7 +1623,7 @@ def conformal_risk_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     float in any key or count. Scale shape: one rank pass over the
     calibration split; the <= |alphas| threshold rows broadcast onto
     one conditional-count aggregate of the evaluation split."""
-    ap = _approved(spark, sf_dir).select("id_transacao", "score_medio")
+    ap = _conf_scored(spark, sf_dir)
     thresholds = conformal_thresholds_frame(spark, sf_dir)
     ev = ap.filter(~(F.col("id_transacao") % CONF_SPLIT_MOD == 0))
     return (
@@ -1635,16 +1666,14 @@ def conformal_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the evaluation split."""
     from banking_streaming_etl_spark.operators import ranking
 
-    ap = _approved(spark, sf_dir).select(
-        "id_transacao", "modalidade_pagamento", "score_medio"
-    )
+    ap = _conf_scored_mod(spark, sf_dir)
     is_cal = F.col("id_transacao") % CONF_SPLIT_MOD == 0
-    # EAGER barrier for the narrow calibration split: the grouped rank
-    # stages scan it ~3x, and a lazy persist re-derives the enrich+score
-    # graph in the count/sample stages before the cache materializes
-    # (the round-7 interarrival lesson).
+    # `ap` is the session-shared lazily-checkpointed split base (one
+    # derivation serves calibration AND evaluation splits), and the
+    # grouped rank pass truncates its own input lineage internally
+    # (round-14) — the old eager per-query barrier is gone.
     ranked = ranking.with_global_row_number(
-        ap.filter(is_cal).localCheckpoint(eager=True),
+        ap.filter(is_cal),
         "score_medio", "id_transacao",
         out="r", group_cols=["modalidade_pagamento"],
     )
@@ -1707,12 +1736,8 @@ def conformal_modality_diagnostic(
     (limiar), or tie handling at the cut (n_empate)."""
     from banking_streaming_etl_spark.operators import ranking
 
-    ap = _approved(spark, sf_dir).select(
-        "id_transacao", "modalidade_pagamento", "score_medio"
-    )
-    cal = ap.filter(
-        F.col("id_transacao") % CONF_SPLIT_MOD == 0
-    ).localCheckpoint(eager=True)
+    ap = _conf_scored_mod(spark, sf_dir)
+    cal = ap.filter(F.col("id_transacao") % CONF_SPLIT_MOD == 0)
     ranked = ranking.with_global_row_number(
         cal, "score_medio", "id_transacao",
         out="r", group_cols=["modalidade_pagamento"],

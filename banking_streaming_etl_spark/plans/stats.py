@@ -1067,9 +1067,20 @@ def kruskal_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modalidade_pagamento",
         "transacao_aprovada",
     )
-    pooled = t.groupBy("valor_transacao").agg(
-        F.count("*").cast("bigint").alias("cnt"),
-        F.min("id_transacao").alias("_vid"),
+    # ONE pass over the fact derivation: the (modality, value) aggregate
+    # is computed first and the pooled per-value counts fold from it
+    # (SUM of per-group counts / MIN of per-group min-ids — identical
+    # bigints), instead of the old shape's two independent _approved
+    # derivations + aggregates (round-14; guide §2.3 "aggregate before
+    # you shuffle" — the second fact pass collapses to a |pairs|-row
+    # re-aggregate).
+    gv2 = t.groupBy("modalidade_pagamento", "valor_transacao").agg(
+        F.count("*").cast("bigint").alias("n_gv"),
+        F.min("id_transacao").alias("_vid_g"),
+    ).persist()
+    pooled = gv2.groupBy("valor_transacao").agg(
+        F.sum("n_gv").cast("bigint").alias("cnt"),
+        F.min("_vid_g").alias("_vid"),
     )
     cum = ranking.with_global_cumsum(
         pooled, "valor_transacao", "_vid", "cnt", out="_cumc",
@@ -1094,9 +1105,7 @@ def kruskal_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("cnt")
         ).alias("_tt"),
     )
-    gv = t.groupBy("modalidade_pagamento", "valor_transacao").agg(
-        F.count("*").cast("bigint").alias("n_gv")
-    )
+    gv = gv2.drop("_vid_g")
     grp = (
         gv.join(rank_tbl.drop("cnt"), "valor_transacao")
         .groupBy("modalidade_pagamento")

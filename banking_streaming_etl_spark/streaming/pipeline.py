@@ -185,10 +185,29 @@ def start_multi_sink(
         )
         batch_df.persist()
         try:
-            batch_df.write.mode("append").parquet(history_dir)
-            batch_df.select(
-                "id_transacao", "t5_score", "t6_score", "t7_score"
-            ).write.mode("append").parquet(scores_dir)
+            # The two sink writes are independent jobs over the SAME
+            # persisted batch — submit them concurrently so the scores
+            # write's commit overlaps the history write's tail instead
+            # of queueing behind it (guide §2.6 "overlap independent
+            # jobs"; cache block locks make the concurrent first
+            # materialization safe — one task computes a block, the
+            # other waits on it). Exactly-once is unchanged: both
+            # writes complete (or raise) before foreachBatch returns,
+            # so the epoch only commits after both sinks did.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _hist() -> None:
+                batch_df.write.mode("append").parquet(history_dir)
+
+            def _scores() -> None:
+                batch_df.select(
+                    "id_transacao", "t5_score", "t6_score", "t7_score"
+                ).write.mode("append").parquet(scores_dir)
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [pool.submit(_hist), pool.submit(_scores)]
+                for f in futs:
+                    f.result()
             if recent_view is not None:
                 top = (
                     batch_df.orderBy(

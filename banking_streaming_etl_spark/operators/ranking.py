@@ -629,6 +629,45 @@ def with_global_cumsum(
     )
 
 
+def overlap_checkpoint(frames: list) -> list:
+    """Materialize several INDEPENDENT derived frames CONCURRENTLY
+    (guide §2.6 "overlap independent jobs"): each frame becomes an eager
+    localCheckpoint whose job is submitted from a small driver thread
+    pool, so the serial barrier chains of independent ranking passes
+    (count -> sample -> boundary -> offsets, each a blocking stage wave)
+    back-fill one another's idle capacity instead of running end to end.
+    Values are unchanged — the checkpoint pins exactly the rows the lazy
+    plan would produce; only the materialization ORDER moves. Callers
+    pass the narrow per-pass OUTPUTS (a (key, rank) projection, not the
+    wide join), so the pinned blocks stay small.
+
+    Spark's scheduler runs concurrent driver-submitted jobs FIFO with
+    back-fill (the guide's recommended shape); job descriptions are
+    thread-local so the UI stays readable. Parameterized via
+    $SPARK_GRAFT_RANK_OVERLAP (default on; "0" restores the sequential
+    lazy build for A/B) — like SPARK_GRAFT_RANK_INPUT above.
+
+    Inputs shared by the frames should be materialized (cache/checkpoint)
+    by the caller FIRST so the concurrent jobs reuse one copy instead of
+    racing to compute it."""
+    if os.environ.get("SPARK_GRAFT_RANK_OVERLAP", "1") == "0":
+        return list(frames)
+    if len(frames) < 2:
+        return [f.localCheckpoint(eager=True) for f in frames]
+    from concurrent.futures import ThreadPoolExecutor
+
+    # plain driver threads (the guide's §2.6 example shape): job
+    # descriptions are thread-local, the scheduler back-fills FIFO.
+    # pyspark.inheritable_thread_target is only needed for job-group /
+    # tag inheritance (and warns when no session is passed) — nothing
+    # here relies on those thread-locals.
+    def _ck(f):
+        return f.localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=min(4, len(frames))) as pool:
+        return list(pool.map(_ck, frames))
+
+
 def _floordiv(a: Column, b: Column) -> Column:
     """Exact bigint floor division for NON-NEGATIVE operands (no double
     round-trip — ranks reach 10^12 at 100 TB, past where float ceil of

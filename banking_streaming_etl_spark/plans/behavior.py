@@ -1915,16 +1915,20 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are unrounded exact-integer/decimal ratios (term-identical
     ladders in both dialects).
 
-    Scale: one corpus hash aggregate onto |payers| rows (persisted),
-    three INDEPENDENT distributed NTILE passes over that cached frame
-    joined back on the payer key, one 125-row aggregate. The passes
-    must not CHAIN (pass 2 ranking the output of pass 1): nesting one
-    ranking DAG inside another explodes the analyzed-plan size
-    multiplicatively — measured 47 s at sf0.001 for the chained form vs
-    ~3 s for the joined form — the same lineage-depth class as the
-    iterative-loop localCheckpoint rule, solved here with independent
-    branches off one cache barrier instead of a checkpoint (the query
-    stays plan-only at build time)."""
+    Scale: one corpus hash aggregate onto |payers| rows (checkpointed),
+    three INDEPENDENT distributed NTILE passes over that frame joined
+    back on the payer key, one 125-row aggregate. The passes must not
+    CHAIN (pass 2 ranking the output of pass 1): nesting one ranking
+    DAG inside another explodes the analyzed-plan size multiplicatively
+    — measured 47 s at sf0.001 for the chained form vs ~3 s for the
+    joined form — the same lineage-depth class as the iterative-loop
+    localCheckpoint rule, solved here with independent branches off one
+    materialized barrier. Round-14: the three passes materialize
+    CONCURRENTLY (ranking.overlap_checkpoint, guide §2.6) — each pass
+    is a serial wave of blocking stages over a tiny frame, so running
+    them back to back left the cluster idle ~2/3 of the time; the base
+    frame is checkpointed EAGERLY first so the concurrent jobs share
+    one computed copy instead of racing the lazy cache."""
     from banking_streaming_etl_spark.functions import exact
     from banking_streaming_etl_spark.operators import ranking
 
@@ -1942,7 +1946,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(_now_us - _last_us) div 3600000000").cast("bigint"),
         )
         .drop("_last_us", "_now_us")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def quintile(metric: str, out: str) -> DataFrame:
@@ -1951,10 +1955,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             metric, "id_usuario_pagador", 5, out=out, nulls="reject",
         ).select("id_usuario_pagador", out)
 
+    r_q, f_q, m_q = ranking.overlap_checkpoint(
+        [
+            quintile("recencia_h", "r_q"),
+            quintile("freq", "f_q"),
+            quintile("total_dec", "m_q"),
+        ]
+    )
     rfm = (
-        base.join(quintile("recencia_h", "r_q"), "id_usuario_pagador")
-        .join(quintile("freq", "f_q"), "id_usuario_pagador")
-        .join(quintile("total_dec", "m_q"), "id_usuario_pagador")
+        base.join(r_q, "id_usuario_pagador")
+        .join(f_q, "id_usuario_pagador")
+        .join(m_q, "id_usuario_pagador")
     )
     return (
         rfm.groupBy("r_q", "f_q", "m_q")

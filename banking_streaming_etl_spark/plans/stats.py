@@ -193,14 +193,21 @@ def spearman_value_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     six exact aggregates, term-identical in the DuckDB twin — doubling
     both rank vectors leaves the correlation invariant. Scale: two
     value-keyed groupBys + prefix sums, two shuffle joins back to the
-    fact, one final aggregate."""
+    fact, one final aggregate. Round-14: the two INDEPENDENT rank-table
+    passes materialize concurrently (ranking.overlap_checkpoint, guide
+    §2.6) off an eagerly checkpointed base, halving the serial
+    stage-wave depth; values unchanged."""
     ap = (
         _approved(spark, sf_dir)
         .select("id_transacao", "valor_transacao", "score_medio")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    rx = _avg2_rank_table(ap, "valor_transacao", "ax")
-    ry = _avg2_rank_table(ap, "score_medio", "ay")
+    rx, ry = ranking.overlap_checkpoint(
+        [
+            _avg2_rank_table(ap, "valor_transacao", "ax"),
+            _avg2_rank_table(ap, "score_medio", "ay"),
+        ]
+    )
     j = ap.join(rx, "valor_transacao").join(ry, "score_medio")
     dec0 = "decimal(38,0)"
     agg = j.agg(

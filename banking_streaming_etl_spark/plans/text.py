@@ -2299,8 +2299,16 @@ def macro_ndcg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "ganho", F.col("r").cast("bigint").alias("r")
         )
 
-    return _macro_ndcg_from_ranked(_ranked(cand, "score_bm25"),
-                                   _ranked(gains, "ganho"))
+    # round-14: the two independent grouped passes (system + ideal)
+    # materialize concurrently off the eager cand/gains memos — each is
+    # a serial wave of blocking stages, so overlapping them (guide §2.6)
+    # halves the wall-clock depth; the checkpointed outputs are <= Q*K
+    # rows. Values unchanged (same frames, same order-independent DCG
+    # aggregates).
+    sys_r, ideal_r = ranking.overlap_checkpoint(
+        [_ranked(cand, "score_bm25"), _ranked(gains, "ganho")]
+    )
+    return _macro_ndcg_from_ranked(sys_r, ideal_r)
 
 
 def _macro_ndcg_from_ranked(

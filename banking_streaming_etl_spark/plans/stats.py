@@ -83,9 +83,18 @@ def ks_test_value_by_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranking.DEC38
         ),
     )
-    cum = ranking.with_global_cumsum(
-        w, "valor_transacao", "_vid", "w_dif", out="c", nulls="reject"
-    ).persist()
+    # narrow + PIN the cum frame (lazy localCheckpoint, round-14): the
+    # `mx` branch and the final aggregate both reference it, and the
+    # old lazy persist still re-analyzed (and on exchange-reuse misses
+    # re-executed) the whole counts+prefix-sum DAG per branch — the
+    # checkpoint truncates both to one LogicalRDD (guide §2.4/§3.3).
+    cum = (
+        ranking.with_global_cumsum(
+            w, "valor_transacao", "_vid", "w_dif", out="c", nulls="reject"
+        )
+        .select("valor_transacao", "na", "nd", "c")
+        .localCheckpoint(eager=False)
+    )
     mx = cum.agg(F.max(F.abs(F.col("c"))).alias("m"))
     agg = (
         cum.crossJoin(F.broadcast(mx))
@@ -1807,6 +1816,15 @@ def class_rebalance_downsample(
         group_cols=["classe"],
         nulls="reject",
     )
+    # Narrow to the consumed columns and pin the ranked rows ONCE (lazy
+    # localCheckpoint): the `m` branch and the `kept` branch below both
+    # reference `ranked`, and Catalyst's exchange reuse misses because
+    # each branch pushes a different projection into the window subtree
+    # — un-pinned, the bucket window executed twice (round-14; guide
+    # §2.4 / §3.3 "materialising an intermediate truncates the plan").
+    ranked = ranked.select(
+        "classe", "modalidade_pagamento", "_rk", "_rank_n_total"
+    ).localCheckpoint(eager=False)
     # class sizes come from the ranking pass itself: the grouped form's
     # _rank_n_total IS the exact per-class count, so deriving m from
     # `ranked` (bit-identical bigints) saves a second full _approved

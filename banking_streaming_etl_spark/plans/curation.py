@@ -710,11 +710,18 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = datamodel.load_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
+    # pin the distinct (source, h) projection ONCE (lazy localCheckpoint,
+    # round-14): three consumers reference it (both self-join sides and
+    # the per-source sizes), and when the session-memoized shingle scan
+    # has been cache-evicted each consumer re-paid the full shingle
+    # explode+hash+distinct (guide §2.4 — one computed copy, fixed-width
+    # rows, bounded by the distinct-shingle count).
     sh = (
         dedup.shared_shingle_hashes(spark, sf_dir)
         .join(d, "doc_id")
         .select("source", F.col("hm").alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -1036,7 +1043,16 @@ def dsir_effective_sample_size(
 
     Scale: rides the DSIR pipeline (bucket-sized model), then one
     per-source aggregate over the per-doc weight frame."""
-    w = dsir_importance_weights(spark, sf_dir).persist()
+    # narrow + pin the per-doc weight frame (lazy localCheckpoint,
+    # round-14): the max-shift scalar and the per-source aggregate both
+    # reference the whole DSIR n-gram pipeline; the old lazy persist
+    # dedup'd execution but still re-analyzed the full subtree per
+    # branch (guide §2.4/§3.3).
+    w = (
+        dsir_importance_weights(spark, sf_dir)
+        .select("source", "dsir_logratio")
+        .localCheckpoint(eager=False)
+    )
     mx = w.agg(F.max("dsir_logratio").alias("_mx"))
     shifted = w.crossJoin(F.broadcast(mx)).withColumn(
         "_w6", F.round(F.exp(F.col("dsir_logratio") - F.col("_mx")), 6)

@@ -1324,6 +1324,13 @@ def channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_transacao",
         "valor_transacao",
     )
+    # round-14: pin conv (2 consumers: the touches join and the full
+    # journey join) and touches (3 consumers: universe, the journey
+    # bitmask aggregate, the per-(payer, channel) position aggregate)
+    # with one lazy localCheckpoint each — unpinned, each branch
+    # re-derived the scan+filter+join subtree (the before-plan's 53
+    # parquet scans / 73 Exchange; guide §2.4). touches is the same
+    # corpus-sized MEMORY_AND_DISK pin class as the ranking inputs.
     conv = (
         t.filter(
             (F.col("modalidade_pagamento") == CONVERSION_CHANNEL)
@@ -1333,6 +1340,7 @@ def channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(F.struct("data_horario", "id_transacao")).alias("_conv")
         )
+        .localCheckpoint(eager=False)
     )
     touches = (
         t.filter(F.col("modalidade_pagamento") != CONVERSION_CHANNEL)
@@ -1341,6 +1349,7 @@ def channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_conv").isNull()
             | (F.struct("data_horario", "id_transacao") < F.col("_conv"))
         )
+        .localCheckpoint(eager=False)
     )
     universe = touches.agg(
         F.array_sort(F.collect_set("modalidade_pagamento")).alias("chs")

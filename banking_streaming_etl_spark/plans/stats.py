@@ -1090,10 +1090,14 @@ def kruskal_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivations + aggregates (round-14; guide §2.3 "aggregate before
     # you shuffle" — the second fact pass collapses to a |pairs|-row
     # re-aggregate).
+    # lazy localCheckpoints instead of lazy persists (round-14): gv2,
+    # rank_tbl and grp each feed 2+ branches; persist dedup'd execution
+    # but every branch still re-analyzed the full upstream DAG — the
+    # checkpoint truncates it to one LogicalRDD (guide §2.4/§3.3).
     gv2 = t.groupBy("modalidade_pagamento", "valor_transacao").agg(
         F.count("*").cast("bigint").alias("n_gv"),
         F.min("id_transacao").alias("_vid_g"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     pooled = gv2.groupBy("valor_transacao").agg(
         F.sum("n_gv").cast("bigint").alias("cnt"),
         F.min("_vid_g").alias("_vid"),
@@ -1113,7 +1117,7 @@ def kruskal_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("a2"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     tot = rank_tbl.agg(
         F.sum("cnt").cast("bigint").alias("_n_tot"),
         F.sum(
@@ -1130,7 +1134,7 @@ def kruskal_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_gv").cast(dec0) * F.col("a2").cast(dec0))
             .alias("_r2g"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # per-group H term: R_g^2/n_g = (2R_g)^2 / (4 n_g), exact operands
     term = (F.col("_r2g").cast("double") * F.col("_r2g").cast("double")) / (

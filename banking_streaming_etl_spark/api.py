@@ -115,6 +115,17 @@ MEMOIZED_QUERIES = frozenset({
     # materialization (the raw fact is scanned once per session/sf)
     "quantile_sketch_rollup",
     "quantile_sketch_range",
+    # round-14 (optimization): the per-build eager checkpoint pins added
+    # for lineage truncation / pass overlap became session memos
+    # (memo.shared_frame/shared_frames) — without the memo every plan
+    # build re-ran 13-60 materialization jobs AND pinned a fresh
+    # session-lifetime checkpoint copy (caught by the builder-job guard)
+    "spearman_value_score",
+    "ks_test_value_by_approval",
+    "kruskal_value_by_modality",
+    "class_rebalance_downsample",
+    "rfm_segments",
+    "dsir_effective_sample_size",
 })
 
 

@@ -45,7 +45,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+_SHARED: dict[tuple[str, str, str], DataFrame | list[DataFrame]] = {}
 # Per-key RLocks (created under the global bookkeeping lock): builders
 # of DIFFERENT (sf_dir, kind) keys must not serialize behind one slow
 # eager build, while same-key callers still wait-and-reuse. RLock, not
@@ -105,3 +105,41 @@ def shared_frame(
             with _LOCK:
                 _SHARED[key] = df
         return df
+
+
+def shared_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build: Callable[[], list[DataFrame]],
+) -> list[DataFrame]:
+    """Plural variant of :func:`shared_frame` for builders whose
+    expensive derivation is a LIST of frames materialized together
+    (typically via ``ranking.overlap_checkpoint`` so the independent
+    passes back-fill one another — guide §2.6). Unlike the scalar form,
+    ``build`` is responsible for materialization (it usually already
+    returns eager localCheckpoints); the list is stored verbatim under
+    ``kind`` and the SAME list is returned on every later call, making
+    every rebuild of the owning query job-free (round-14: per-build
+    eager pins re-ran 13-60 jobs per plan build AND pinned a fresh
+    session-lifetime checkpoint copy each time)."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.normpath(sf_dir),
+        kind,
+    )
+    with _LOCK:
+        for k in [k for k in _SHARED if k[0] != key[0]]:
+            _SHARED.pop(k)
+        dfs = _SHARED.get(key)
+        if dfs is not None:
+            return list(dfs)
+        key_lock = _LOCKS.setdefault(key, threading.RLock())
+    with key_lock:
+        with _LOCK:
+            dfs = _SHARED.get(key)
+        if dfs is None:
+            dfs = build()
+            with _LOCK:
+                _SHARED[key] = dfs
+        return list(dfs)

@@ -1937,39 +1937,46 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a serial wave of blocking stages over a tiny frame, so running
     them back to back left the cluster idle ~2/3 of the time; the base
     frame is checkpointed EAGERLY first so the concurrent jobs share
-    one computed copy instead of racing the lazy cache."""
+    one computed copy instead of racing the lazy cache. The
+    (base, r, f, m) quadruple is session-memoized (api.MEMOIZED_QUERIES)
+    so rebuilds are job-free."""
     from banking_streaming_etl_spark.functions import exact
-    from banking_streaming_etl_spark.operators import ranking
+    from banking_streaming_etl_spark.operators import memo, ranking
 
-    t = datamodel.transactions(spark, sf_dir)
-    pay = t.groupBy("id_usuario_pagador").agg(
-        F.max(F.expr("unix_micros(data_horario)")).alias("_last_us"),
-        F.count("*").cast("bigint").alias("freq"),
-        F.sum(exact._d(F.col("valor_transacao"))).alias("total_dec"),
-    )
-    now = pay.agg(F.max("_last_us").alias("_now_us"))
-    base = (
-        pay.crossJoin(F.broadcast(now))
-        .withColumn(
-            "recencia_h",
-            F.expr("(_now_us - _last_us) div 3600000000").cast("bigint"),
+    def _build_rfm() -> list[DataFrame]:
+        t = datamodel.transactions(spark, sf_dir)
+        pay = t.groupBy("id_usuario_pagador").agg(
+            F.max(F.expr("unix_micros(data_horario)")).alias("_last_us"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(exact._d(F.col("valor_transacao"))).alias("total_dec"),
         )
-        .drop("_last_us", "_now_us")
-        .localCheckpoint(eager=True)
-    )
+        now = pay.agg(F.max("_last_us").alias("_now_us"))
+        base = (
+            pay.crossJoin(F.broadcast(now))
+            .withColumn(
+                "recencia_h",
+                F.expr("(_now_us - _last_us) div 3600000000").cast("bigint"),
+            )
+            .drop("_last_us", "_now_us")
+            .localCheckpoint(eager=True)
+        )
 
-    def quintile(metric: str, out: str) -> DataFrame:
-        return ranking.with_global_ntile(
-            base.select("id_usuario_pagador", metric),
-            metric, "id_usuario_pagador", 5, out=out, nulls="reject",
-        ).select("id_usuario_pagador", out)
+        def quintile(metric: str, out: str) -> DataFrame:
+            return ranking.with_global_ntile(
+                base.select("id_usuario_pagador", metric),
+                metric, "id_usuario_pagador", 5, out=out, nulls="reject",
+            ).select("id_usuario_pagador", out)
 
-    r_q, f_q, m_q = ranking.overlap_checkpoint(
-        [
-            quintile("recencia_h", "r_q"),
-            quintile("freq", "f_q"),
-            quintile("total_dec", "m_q"),
-        ]
+        return [base] + ranking.overlap_checkpoint(
+            [
+                quintile("recencia_h", "r_q"),
+                quintile("freq", "f_q"),
+                quintile("total_dec", "m_q"),
+            ]
+        )
+
+    base, r_q, f_q, m_q = memo.shared_frames(
+        spark, sf_dir, "rfm_quintiles", _build_rfm
     )
     rfm = (
         base.join(r_q, "id_usuario_pagador")

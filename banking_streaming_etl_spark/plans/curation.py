@@ -1043,15 +1043,19 @@ def dsir_effective_sample_size(
 
     Scale: rides the DSIR pipeline (bucket-sized model), then one
     per-source aggregate over the per-doc weight frame."""
-    # narrow + pin the per-doc weight frame (lazy localCheckpoint,
-    # round-14): the max-shift scalar and the per-source aggregate both
-    # reference the whole DSIR n-gram pipeline; the old lazy persist
-    # dedup'd execution but still re-analyzed the full subtree per
-    # branch (guide §2.4/§3.3).
-    w = (
-        dsir_importance_weights(spark, sf_dir)
-        .select("source", "dsir_logratio")
-        .localCheckpoint(eager=False)
+    # narrow + pin the per-doc weight frame (round-14): the max-shift
+    # scalar and the per-source aggregate both reference the whole DSIR
+    # n-gram pipeline; the old lazy persist dedup'd execution but still
+    # re-analyzed the full subtree per branch (guide §2.4/§3.3).
+    # Session-memoized (api.MEMOIZED_QUERIES): the DSIR pipeline's
+    # build-time jobs run once per (session, sf), not per plan build.
+    from banking_streaming_etl_spark.operators import memo
+
+    w = memo.shared_frame(
+        spark, sf_dir, "dsir_ess_weights",
+        lambda: dsir_importance_weights(spark, sf_dir).select(
+            "source", "dsir_logratio"
+        ),
     )
     mx = w.agg(F.max("dsir_logratio").alias("_mx"))
     shifted = w.crossJoin(F.broadcast(mx)).withColumn(

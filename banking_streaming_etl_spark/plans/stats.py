@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
 from banking_streaming_etl_spark.functions import exact, portable, scores
-from banking_streaming_etl_spark.operators import ranking
+from banking_streaming_etl_spark.operators import memo, ranking
 from banking_streaming_etl_spark.plans.dashboard import _approved
 
 
@@ -55,46 +55,47 @@ def ks_test_value_by_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window), then two broadcast-scalar passes over the
     cached cum frame. The classic sort-then-scan KS recipe with no
     single-task sort anywhere."""
-    t = _approved(spark, sf_dir).select(
-        "id_transacao", "valor_transacao", "transacao_aprovada"
-    )
-    # cache the |distinct values|-sized grouped frame: the totals scalar
-    # and the prefix-sum stages all re-scan it (lazy persist barrier)
-    counts = (
-        t.groupBy("valor_transacao")
-        .agg(
-            F.sum(F.when(F.col("transacao_aprovada"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_ap"),
-            F.sum(F.when(F.col("transacao_aprovada"), 0).otherwise(1))
-            .cast("bigint")
-            .alias("n_den"),
-            F.min("id_transacao").alias("_vid"),
+    # narrow + PIN the cum frame (round-14): the `mx` branch and the
+    # final aggregate both reference it, and the old lazy persist still
+    # re-analyzed (and on exchange-reuse misses re-executed) the whole
+    # counts+prefix-sum DAG per branch — the checkpoint truncates both
+    # to one LogicalRDD (guide §2.4/§3.3). Session-memoized
+    # (api.MEMOIZED_QUERIES): the cumsum's build-time boundary jobs run
+    # once per (session, sf), not per plan build.
+    def _build_cum() -> DataFrame:
+        t = _approved(spark, sf_dir).select(
+            "id_transacao", "valor_transacao", "transacao_aprovada"
         )
-        .persist()
-    )
-    tot = counts.agg(
-        F.sum("n_ap").cast("bigint").alias("na"),
-        F.sum("n_den").cast("bigint").alias("nd"),
-    )
-    w = counts.crossJoin(F.broadcast(tot)).withColumn(
-        "w_dif",
-        (F.col("n_ap") * F.col("nd") - F.col("n_den") * F.col("na")).cast(
-            ranking.DEC38
-        ),
-    )
-    # narrow + PIN the cum frame (lazy localCheckpoint, round-14): the
-    # `mx` branch and the final aggregate both reference it, and the
-    # old lazy persist still re-analyzed (and on exchange-reuse misses
-    # re-executed) the whole counts+prefix-sum DAG per branch — the
-    # checkpoint truncates both to one LogicalRDD (guide §2.4/§3.3).
-    cum = (
-        ranking.with_global_cumsum(
+        # cache the |distinct values|-sized grouped frame: the totals
+        # scalar and the prefix-sum stages all re-scan it
+        counts = (
+            t.groupBy("valor_transacao")
+            .agg(
+                F.sum(F.when(F.col("transacao_aprovada"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_ap"),
+                F.sum(F.when(F.col("transacao_aprovada"), 0).otherwise(1))
+                .cast("bigint")
+                .alias("n_den"),
+                F.min("id_transacao").alias("_vid"),
+            )
+            .persist()
+        )
+        tot = counts.agg(
+            F.sum("n_ap").cast("bigint").alias("na"),
+            F.sum("n_den").cast("bigint").alias("nd"),
+        )
+        w = counts.crossJoin(F.broadcast(tot)).withColumn(
+            "w_dif",
+            (F.col("n_ap") * F.col("nd") - F.col("n_den") * F.col("na")).cast(
+                ranking.DEC38
+            ),
+        )
+        return ranking.with_global_cumsum(
             w, "valor_transacao", "_vid", "w_dif", out="c", nulls="reject"
-        )
-        .select("valor_transacao", "na", "nd", "c")
-        .localCheckpoint(eager=False)
-    )
+        ).select("valor_transacao", "na", "nd", "c")
+
+    cum = memo.shared_frame(spark, sf_dir, "ks_cum", _build_cum)
     mx = cum.agg(F.max(F.abs(F.col("c"))).alias("m"))
     agg = (
         cum.crossJoin(F.broadcast(mx))
@@ -205,18 +206,25 @@ def spearman_value_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact, one final aggregate. Round-14: the two INDEPENDENT rank-table
     passes materialize concurrently (ranking.overlap_checkpoint, guide
     §2.6) off an eagerly checkpointed base, halving the serial
-    stage-wave depth; values unchanged."""
-    ap = (
-        _approved(spark, sf_dir)
-        .select("id_transacao", "valor_transacao", "score_medio")
-        .localCheckpoint(eager=True)
-    )
-    rx, ry = ranking.overlap_checkpoint(
-        [
-            _avg2_rank_table(ap, "valor_transacao", "ax"),
-            _avg2_rank_table(ap, "score_medio", "ay"),
-        ]
-    )
+    stage-wave depth; the (base, rank, rank) triple is session-memoized
+    (api.MEMOIZED_QUERIES) so rebuilds are job-free. Values
+    unchanged."""
+
+    def _build() -> list[DataFrame]:
+        ap = (
+            _approved(spark, sf_dir)
+            .select("id_transacao", "valor_transacao", "score_medio")
+            .localCheckpoint(eager=True)
+        )
+        rx, ry = ranking.overlap_checkpoint(
+            [
+                _avg2_rank_table(ap, "valor_transacao", "ax"),
+                _avg2_rank_table(ap, "score_medio", "ay"),
+            ]
+        )
+        return [ap, rx, ry]
+
+    ap, rx, ry = memo.shared_frames(spark, sf_dir, "spearman_ranks", _build)
     j = ap.join(rx, "valor_transacao").join(ry, "score_medio")
     dec0 = "decimal(38,0)"
     agg = j.agg(
@@ -1077,12 +1085,6 @@ def kruskal_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: value-keyed groupBy + ONE distributed prefix sum for the rank
     table, a (modality, value) groupBy joined against it (shuffle ~
     |distinct pairs|), then k-row folds and broadcasts."""
-    t = _approved(spark, sf_dir).select(
-        "id_transacao",
-        "valor_transacao",
-        "modalidade_pagamento",
-        "transacao_aprovada",
-    )
     # ONE pass over the fact derivation: the (modality, value) aggregate
     # is computed first and the pooled per-value counts fold from it
     # (SUM of per-group counts / MIN of per-group min-ids — identical
@@ -1090,51 +1092,64 @@ def kruskal_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivations + aggregates (round-14; guide §2.3 "aggregate before
     # you shuffle" — the second fact pass collapses to a |pairs|-row
     # re-aggregate).
-    # lazy localCheckpoints instead of lazy persists (round-14): gv2,
-    # rank_tbl and grp each feed 2+ branches; persist dedup'd execution
-    # but every branch still re-analyzed the full upstream DAG — the
-    # checkpoint truncates it to one LogicalRDD (guide §2.4/§3.3).
-    gv2 = t.groupBy("modalidade_pagamento", "valor_transacao").agg(
-        F.count("*").cast("bigint").alias("n_gv"),
-        F.min("id_transacao").alias("_vid_g"),
-    ).localCheckpoint(eager=False)
-    pooled = gv2.groupBy("valor_transacao").agg(
-        F.sum("n_gv").cast("bigint").alias("cnt"),
-        F.min("_vid_g").alias("_vid"),
-    )
-    cum = ranking.with_global_cumsum(
-        pooled, "valor_transacao", "_vid", "cnt", out="_cumc",
-        nulls="reject",
-    )
+    # checkpointed intermediates instead of lazy persists (round-14):
+    # gv2, rank_tbl and grp each feed 2+ branches; persist dedup'd
+    # execution but every branch still re-analyzed the full upstream DAG
+    # — the checkpoint truncates it to one LogicalRDD (guide §2.4/§3.3).
+    # The (rank_tbl, grp) pair is session-memoized (api.MEMOIZED_QUERIES)
+    # so the cumsum's build-time boundary jobs run once per session/sf.
     dec0 = "decimal(38,0)"
-    rank_tbl = cum.select(
-        "valor_transacao",
-        "cnt",
-        (
-            F.lit(2).cast(ranking.DEC38) * F.col("_cumc")
-            - F.col("cnt")
-            + F.lit(1)
+
+    def _build_kw() -> list[DataFrame]:
+        t = _approved(spark, sf_dir).select(
+            "id_transacao",
+            "valor_transacao",
+            "modalidade_pagamento",
+            "transacao_aprovada",
         )
-        .cast("bigint")
-        .alias("a2"),
-    ).localCheckpoint(eager=False)
+        gv2 = t.groupBy("modalidade_pagamento", "valor_transacao").agg(
+            F.count("*").cast("bigint").alias("n_gv"),
+            F.min("id_transacao").alias("_vid_g"),
+        ).localCheckpoint(eager=False)
+        pooled = gv2.groupBy("valor_transacao").agg(
+            F.sum("n_gv").cast("bigint").alias("cnt"),
+            F.min("_vid_g").alias("_vid"),
+        )
+        cum = ranking.with_global_cumsum(
+            pooled, "valor_transacao", "_vid", "cnt", out="_cumc",
+            nulls="reject",
+        )
+        rank_tbl = cum.select(
+            "valor_transacao",
+            "cnt",
+            (
+                F.lit(2).cast(ranking.DEC38) * F.col("_cumc")
+                - F.col("cnt")
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias("a2"),
+        ).localCheckpoint(eager=True)
+        gv = gv2.drop("_vid_g")
+        grp = (
+            gv.join(rank_tbl.drop("cnt"), "valor_transacao")
+            .groupBy("modalidade_pagamento")
+            .agg(
+                F.sum("n_gv").cast("bigint").alias("n"),
+                F.sum(F.col("n_gv").cast(dec0) * F.col("a2").cast(dec0))
+                .alias("_r2g"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return [rank_tbl, grp]
+
+    rank_tbl, grp = memo.shared_frames(spark, sf_dir, "kruskal_rg", _build_kw)
     tot = rank_tbl.agg(
         F.sum("cnt").cast("bigint").alias("_n_tot"),
         F.sum(
             F.col("cnt").cast(dec0) * F.col("cnt") * F.col("cnt")
             - F.col("cnt")
         ).alias("_tt"),
-    )
-    gv = gv2.drop("_vid_g")
-    grp = (
-        gv.join(rank_tbl.drop("cnt"), "valor_transacao")
-        .groupBy("modalidade_pagamento")
-        .agg(
-            F.sum("n_gv").cast("bigint").alias("n"),
-            F.sum(F.col("n_gv").cast(dec0) * F.col("a2").cast(dec0))
-            .alias("_r2g"),
-        )
-        .localCheckpoint(eager=False)
     )
     # per-group H term: R_g^2/n_g = (2R_g)^2 / (4 n_g), exact operands
     term = (F.col("_r2g").cast("double") * F.col("_r2g").cast("double")) / (
@@ -1805,30 +1820,33 @@ def class_rebalance_downsample(
     no task ever sorts a whole class. Output: the kept-set composition
     per (class, modality) plus the before/after class sizes — the audit
     a training job logs before fitting."""
-    ap = _approved(spark, sf_dir).select(
-        "id_transacao",
-        "modalidade_pagamento",
-        F.col("transacao_aprovada").alias("classe"),
-    )
-    h = portable.lcg_hash(F.col("id_transacao")).alias("_h")
-    keyed = ap.withColumn("_h", h)
-    ranked = ranking.with_global_row_number(
-        keyed,
-        "_h",
-        "id_transacao",
-        out="_rk",
-        group_cols=["classe"],
-        nulls="reject",
-    )
-    # Narrow to the consumed columns and pin the ranked rows ONCE (lazy
-    # localCheckpoint): the `m` branch and the `kept` branch below both
-    # reference `ranked`, and Catalyst's exchange reuse misses because
-    # each branch pushes a different projection into the window subtree
-    # — un-pinned, the bucket window executed twice (round-14; guide
-    # §2.4 / §3.3 "materialising an intermediate truncates the plan").
-    ranked = ranked.select(
-        "classe", "modalidade_pagamento", "_rk", "_rank_n_total"
-    ).localCheckpoint(eager=False)
+    # Narrow to the consumed columns and pin the ranked rows ONCE: the
+    # `m` branch and the `kept` branch below both reference `ranked`,
+    # and Catalyst's exchange reuse misses because each branch pushes a
+    # different projection into the window subtree — un-pinned, the
+    # bucket window executed twice (round-14; guide §2.4 / §3.3
+    # "materialising an intermediate truncates the plan").
+    # Session-memoized (api.MEMOIZED_QUERIES): the grouped ranking
+    # pass's build-time budget jobs run once per (session, sf).
+    def _build_ranked() -> DataFrame:
+        ap = _approved(spark, sf_dir).select(
+            "id_transacao",
+            "modalidade_pagamento",
+            F.col("transacao_aprovada").alias("classe"),
+        )
+        h = portable.lcg_hash(F.col("id_transacao")).alias("_h")
+        keyed = ap.withColumn("_h", h)
+        return ranking.with_global_row_number(
+            keyed,
+            "_h",
+            "id_transacao",
+            out="_rk",
+            group_cols=["classe"],
+            nulls="reject",
+        ).select("classe", "modalidade_pagamento", "_rk", "_rank_n_total")
+
+    ranked = memo.shared_frame(spark, sf_dir, "rebalance_ranked",
+                               _build_ranked)
     # class sizes come from the ranking pass itself: the grouped form's
     # _rank_n_total IS the exact per-class count, so deriving m from
     # `ranked` (bit-identical bigints) saves a second full _approved

@@ -2280,33 +2280,39 @@ def macro_ndcg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle are IDENTICAL to macro_ndcg_multi_query (same MACRO_NDCG_SQL
     — the ranking machinery is the only thing that moves, which is
     exactly what the oracle proves)."""
-    from banking_streaming_etl_spark.operators import ranking
+    from banking_streaming_etl_spark.operators import memo, ranking
 
-    cand, gains = _macro_cand_gains(spark, sf_dir)
+    def _build_ranked_pair() -> list[DataFrame]:
+        cand, gains = _macro_cand_gains(spark, sf_dir)
 
-    def _ranked(df: DataFrame, value_col: str) -> DataFrame:
-        r = ranking.with_global_row_number(
-            df,
-            value_col,
-            "doc_id",
-            out="r",
-            value_desc=True,
-            group_cols=["qid"],
-            max_groups=MACRO_MAX_QIDS,
-            nulls="last",
-        )
-        return r.filter(F.col("r") <= MACRO_K).select(
-            "qid", "ganho", F.col("r").cast("bigint").alias("r")
+        def _ranked(df: DataFrame, value_col: str) -> DataFrame:
+            r = ranking.with_global_row_number(
+                df,
+                value_col,
+                "doc_id",
+                out="r",
+                value_desc=True,
+                group_cols=["qid"],
+                max_groups=MACRO_MAX_QIDS,
+                nulls="last",
+            )
+            return r.filter(F.col("r") <= MACRO_K).select(
+                "qid", "ganho", F.col("r").cast("bigint").alias("r")
+            )
+
+        return ranking.overlap_checkpoint(
+            [_ranked(cand, "score_bm25"), _ranked(gains, "ganho")]
         )
 
     # round-14: the two independent grouped passes (system + ideal)
     # materialize concurrently off the eager cand/gains memos — each is
     # a serial wave of blocking stages, so overlapping them (guide §2.6)
     # halves the wall-clock depth; the checkpointed outputs are <= Q*K
-    # rows. Values unchanged (same frames, same order-independent DCG
-    # aggregates).
-    sys_r, ideal_r = ranking.overlap_checkpoint(
-        [_ranked(cand, "score_bm25"), _ranked(gains, "ganho")]
+    # rows, session-memoized (api.MEMOIZED_QUERIES) so rebuilds are
+    # job-free. Values unchanged (same frames, same order-independent
+    # DCG aggregates).
+    sys_r, ideal_r = memo.shared_frames(
+        spark, sf_dir, "macro_ndcg_grouped_ranks", _build_ranked_pair
     )
     return _macro_ndcg_from_ranked(sys_r, ideal_r)
 

@@ -2104,7 +2104,14 @@ def test_macro_ndcg_grouped_plan_has_no_per_query_branches(spark):
     with the query-set size. The union sibling plans one TakeOrdered
     branch per compile-time query; the grouped plan rides the bucketed
     grouped-ranking operator — no TakeOrderedAndProject, no global
-    single-partition sort, and no unpartitioned window."""
+    single-partition sort, and no unpartitioned window.
+
+    Round-14: the registered query materializes the two ranking passes
+    through a session memo (the checkpoint hides their windows behind
+    an ExistingRDD in the query's own plan), so the window-shape checks
+    walk the UNmaterialized pair the memo build executes
+    (text._macro_grouped_ranked_lazy) — same machinery, inspectable
+    plan."""
     from banking_streaming_etl_spark.plans import text as text_plans
 
     qe = text_plans.macro_ndcg_grouped(spark, SF)._jdf.queryExecution()
@@ -2117,14 +2124,17 @@ def test_macro_ndcg_grouped_plan_has_no_per_query_branches(spark):
     # and require every Window node to carry a NON-empty partitionSpec
     # that rides the qid key.
     windows = []
-    stack = [qe.optimizedPlan()]
-    while stack:
-        node = stack.pop()
-        if node.getClass().getSimpleName() == "Window":
-            windows.append(node)
-        ch = node.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
+    for lazy in text_plans._macro_grouped_ranked_lazy(spark, SF):
+        lqe = lazy._jdf.queryExecution()
+        assert "TakeOrderedAndProject" not in lqe.executedPlan().toString()
+        stack = [lqe.optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "Window":
+                windows.append(node)
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
     assert windows, "grouped form must plan at least one Window"
     for w in windows:
         spec = w.partitionSpec()

@@ -239,7 +239,11 @@ def pit_balance_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_usuario",
         PIT_T1,
         compare_cols=["saldo"],
-    )
+        # pinned (round-14): scd2_apply's change-split branches re-scan
+        # the users dim per branch (24 scans in this query's plan before;
+        # guide §2.4/§3.3). The history is dim-sized — bounded at any
+        # corpus scale.
+    ).localCheckpoint(eager=False)
     tx = datamodel.transactions(spark, sf_dir).select(
         "id_transacao",
         F.col("id_usuario_pagador").alias("id_usuario"),

@@ -1480,6 +1480,9 @@ def mi_modality_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _approved(spark, sf_dir)
         .groupBy("modalidade_pagamento", "transacao_aprovada")
         .agg(F.count("*").cast("bigint").alias("n_celula"))
+        # pinned (round-14): 4 consumers re-derived _approved (48 scans
+        # before; guide §2.4/§3.3 — after: one subtree, one pass)
+        .localCheckpoint(eager=False)
     )
     rows = cells.groupBy("modalidade_pagamento").agg(
         F.sum("n_celula").cast("bigint").alias("n_modalidade")

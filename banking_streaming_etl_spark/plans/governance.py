@@ -615,7 +615,11 @@ def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias(nome)
             )
-        one = df.agg(*aggs)
+        # pinned (round-14): every per-check union branch re-selects
+        # from this 1-row aggregate — un-pinned, each branch re-derived
+        # the table scan (+ FK join), 22 scans across the audit (guide
+        # §2.4/§3.3 — after: each table's aggregate subtree appears once)
+        one = df.agg(*aggs).localCheckpoint(eager=False)
         outs = []
         for nome, _ in pairs:
             outs.append(

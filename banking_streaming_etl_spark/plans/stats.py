@@ -309,11 +309,17 @@ def chi2_cells_modality_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated from the cells, never a second corpus scan); expected
     / contribution / residual are unrounded doubles from term-identical
     expressions (exact rationals — ROUND would risk the .5 boundary).
-    The contingency table is model-sized at any corpus size."""
+    The contingency table is model-sized at any corpus size. The cells
+    frame is PINNED (lazy localCheckpoint, round-14): its four
+    consumers (rows/cols/total margins + the wide output) each pushed a
+    different projection into the `_approved` subtree, so exchange
+    reuse missed and the plan re-derived the scored fact 4x (48 scans;
+    guide §2.4/§3.3 — after: one subtree, one pass)."""
     cells = (
         _approved(spark, sf_dir)
         .groupBy("modalidade_pagamento", "transacao_aprovada")
         .agg(F.count("*").cast("bigint").alias("n_celula"))
+        .localCheckpoint(eager=False)
     )
     rows = cells.groupBy("modalidade_pagamento").agg(
         F.sum("n_celula").cast("bigint").alias("n_modalidade")
@@ -596,6 +602,9 @@ def cv_fold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_aprovadas"),
             F.sum(exact._d(F.col("valor_transacao"))).alias("_soma_dec"),
         )
+        # pinned (round-14): the tot branch + the final join re-derived
+        # the _approved subtree (24 scans before; guide §2.4/§3.3)
+        .localCheckpoint(eager=False)
     )
     tot = folds.agg(
         F.sum("n_linhas").cast("bigint").alias("_n_tot"),
@@ -667,9 +676,17 @@ def loo_target_encode_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("aprovada"),
     )
-    g = t.groupBy("modalidade_pagamento").agg(
-        F.count("*").cast("bigint").alias("_n_g"),
-        F.sum("aprovada").cast("bigint").alias("_n_ap_g"),
+    g = (
+        t.groupBy("modalidade_pagamento")
+        .agg(
+            F.count("*").cast("bigint").alias("_n_g"),
+            F.sum("aprovada").cast("bigint").alias("_n_ap_g"),
+        )
+        # pinned (round-14): the tot branch + the broadcast join side
+        # re-derived the _approved subtree (36 scans before; after: the
+        # fact is scanned once for the group table and once for the
+        # row-level encode join — the feature-attach floor)
+        .localCheckpoint(eager=False)
     )
     tot = g.agg(
         F.sum("_n_g").cast("bigint").alias("_n_tot"),
@@ -1280,7 +1297,11 @@ def anova_value_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("_q"),
         )
-        .persist()
+        # pinned (round-14): persist dedup'd execution but the tot/gt
+        # branches still re-analyzed (and on exchange-reuse misses
+        # re-executed) the _approved subtree (36 scans before; guide
+        # §2.4/§3.3 — after: one subtree, one pass)
+        .localCheckpoint(eager=False)
     )
     tot = grp.agg(
         F.sum("n").cast("bigint").alias("_n_tot"),
@@ -1462,7 +1483,11 @@ def stratified_ate_balance_gate(
         )
         .withColumn("_chave", F.concat_ws("|", "modalidade_pagamento",
                                           "faixa_valor"))
-        .persist()
+        # pinned (round-14): persist dedup'd execution but the tot +
+        # fold branches still re-analyzed (and on exchange-reuse misses
+        # re-executed) the _approved subtree (36 scans before; guide
+        # §2.4/§3.3 — after: one subtree, one pass)
+        .localCheckpoint(eager=False)
     )
     tot = grp.agg(
         F.sum("n").cast("bigint").alias("_n_tot"),
@@ -1926,6 +1951,9 @@ def cramers_v_modality_approval(
         _approved(spark, sf_dir)
         .groupBy("modalidade_pagamento", "transacao_aprovada")
         .agg(F.count("*").cast("bigint").alias("n_celula"))
+        # pinned (round-14): 5 consumers re-derived _approved (60 scans
+        # before; guide §2.4/§3.3 — after: one subtree, one pass)
+        .localCheckpoint(eager=False)
     )
     rows = cells.groupBy("modalidade_pagamento").agg(
         F.sum("n_celula").cast("bigint").alias("n_modalidade")
@@ -2288,6 +2316,10 @@ def cusum_hourly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("aprovadas"),
         )
+        # pinned (round-14): cusum_from_hourly's tot branch + windowed
+        # join re-derived the _approved subtree (24 scans before; guide
+        # §2.4/§3.3 — after: one subtree, one pass)
+        .localCheckpoint(eager=False)
     )
     return cusum_from_hourly(hourly)
 
@@ -2945,7 +2977,11 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.exact_std("valor_transacao", "desvio"),
         )
         .withColumn("_w", F.col("n_h").cast("double") * F.col("desvio"))
-        .persist()
+        # pinned (round-14): persist dedup'd execution but the fold +
+        # alloc + leftover branches still re-analyzed (and on
+        # exchange-reuse misses re-executed) the _approved subtree
+        # (30 scans before; guide §2.4/§3.3 — one subtree, one pass)
+        .localCheckpoint(eager=False)
     )
     tw = _fold_terms(grp, "modalidade_pagamento", F.col("_w")) \
         .withColumnRenamed("_fold", "_tw")
@@ -3139,6 +3175,9 @@ def g_test_modality_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _approved(spark, sf_dir)
         .groupBy("modalidade_pagamento", "transacao_aprovada")
         .agg(F.count("*").cast("bigint").alias("n_celula"))
+        # pinned (round-14): 4 consumers re-derived _approved (72 scans
+        # before; guide §2.4/§3.3 — after: one subtree, one pass)
+        .localCheckpoint(eager=False)
     )
     rows = cells.groupBy("modalidade_pagamento").agg(
         F.sum("n_celula").cast("bigint").alias("_nr")
@@ -3382,7 +3421,11 @@ def naive_bayes_approval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.sum("y").cast("bigint").alias("n_y"),
         )
-        .persist()
+        # pinned (round-14): persist dedup'd execution but the 4
+        # consumers still re-analyzed (and on exchange-reuse misses
+        # re-executed) the _approved subtree (54 scans before; guide
+        # §2.4/§3.3 — after: one subtree, one pass)
+        .localCheckpoint(eager=False)
     )
     mod = cells.groupBy("modalidade_pagamento").agg(
         F.sum("n_y").cast("bigint").alias("_my"),

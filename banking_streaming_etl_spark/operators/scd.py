@@ -102,8 +102,14 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance +500) at T1, return the merged history."""
     from banking_streaming_etl_spark import datamodel
 
-    users = datamodel.users(spark, sf_dir).select(
-        "id_usuario", "id_regiao_u", "saldo"
+    users = (
+        datamodel.users(spark, sf_dir)
+        .select("id_usuario", "id_regiao_u", "saldo")
+        # pinned (round-14): scd2_apply's change-split branches (changed
+        # anti-join, unchanged semi-join, new-keys anti-join) each
+        # re-scanned the dim (22 scans in this plan before; §2.4/§3.3 —
+        # after: one dim scan feeding every branch)
+        .localCheckpoint(eager=False)
     )
     history = scd2_init(users, SCD2_T0)
     updates = users.withColumn(

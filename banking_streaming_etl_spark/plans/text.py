@@ -1330,8 +1330,11 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"first_rel_{alias}"
                 ),
             ]
+        # ranked is a <= top-K-row list — explicitly broadcast so the
+        # theta join is a BroadcastNestedLoopJoin by construction,
+        # never a planner-estimated shuffle (round-15, guide §3.1)
         return (
-            ks.join(ranked, F.col("r") <= F.col("k"), "left")
+            ks.join(F.broadcast(ranked), F.col("r") <= F.col("k"), "left")
             .groupBy("k")
             .agg(*aggs)
         )
@@ -1829,9 +1832,32 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    # FULL OUTER equi-join on a key unique in both lists == union +
+    # per-key MAX (each doc contributes at most one row per side,
+    # non-null exactly in its own rank column) — Spark can't broadcast a
+    # full-outer hash join, so the join form planned as SortMergeJoin
+    # with two Exchanges + Sorts of the <= K-row lists; the union
+    # aggregate is ONE exchange and no sort (round-15, guide §2.4). The
+    # oracle keeps its FULL OUTER JOIN text — values are identical.
+    fused = (
+        lex_ranked.select(
+            "doc_id", "r_lex", F.lit(None).cast("bigint").alias("r_dense")
+        )
+        .unionAll(
+            dense_ranked.select(
+                "doc_id",
+                F.lit(None).cast("bigint").alias("r_lex"),
+                "r_dense",
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("r_lex").alias("r_lex"),
+            F.max("r_dense").alias("r_dense"),
+        )
+    )
     return (
-        lex_ranked.join(dense_ranked, "doc_id", "full_outer")
-        .select("doc_id", "r_lex", "r_dense", rrf.alias("rrf"))
+        fused.select("doc_id", "r_lex", "r_dense", rrf.alias("rrf"))
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(HYBRID_TOP_K)
     )
@@ -1960,8 +1986,11 @@ def hybrid_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"n_rel_{alias}"
                 )
             )
+        # ranked is a <= top-K-row list — explicitly broadcast so the
+        # theta join is a BroadcastNestedLoopJoin by construction,
+        # never a planner-estimated shuffle (round-15, guide §3.1)
         return (
-            ks.join(ranked, F.col("r") <= F.col("k"), "left")
+            ks.join(F.broadcast(ranked), F.col("r") <= F.col("k"), "left")
             .groupBy("k")
             .agg(*aggs)
         )
@@ -1973,9 +2002,12 @@ def hybrid_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("idcg").isNotNull() & (F.col("idcg") > 0.0),
         F.col(c) / F.col("idcg"),
     )
+    # h/i are len(HYBRID_EVAL_KS)-row aggregates — broadcast both so the
+    # final assembly is two BroadcastHashJoins, not SortMergeJoins with
+    # exchange+sort pairs over 2-row frames (round-15, guide §3.1)
     return (
-        b.join(h, "k")
-        .join(i, "k")
+        b.join(F.broadcast(h), "k")
+        .join(F.broadcast(i), "k")
         .select(
             "k",
             "dcg_bm25",

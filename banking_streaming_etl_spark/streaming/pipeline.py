@@ -163,6 +163,15 @@ def start_multi_sink(
     - per-batch top-K into the KV view = the Redis zset+hash (K3/K4); the
       collect is bounded by recent_k — never the whole batch.
     """
+    # ONE long-lived pool for the whole query (round-15; round-14 built a
+    # fresh 2-thread pool per micro-batch — negligible at ~750 ms batches
+    # but pure overhead). 3 workers: history + scores + the bounded
+    # recent-view top-K all fan out over the same persisted batch. Idle
+    # daemon-joined threads; the executor is reclaimed with the closure
+    # when the query object goes away.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=3)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # re-stamp the output mark with SINK-side wall clock: inside the
@@ -185,17 +194,20 @@ def start_multi_sink(
         )
         batch_df.persist()
         try:
-            # The two sink writes are independent jobs over the SAME
-            # persisted batch — submit them concurrently so the scores
-            # write's commit overlaps the history write's tail instead
-            # of queueing behind it (guide §2.6 "overlap independent
-            # jobs"; cache block locks make the concurrent first
-            # materialization safe — one task computes a block, the
-            # other waits on it). Exactly-once is unchanged: both
-            # writes complete (or raise) before foreachBatch returns,
-            # so the epoch only commits after both sinks did.
-            from concurrent.futures import ThreadPoolExecutor
-
+            # The two sink writes AND the bounded top-K collect are
+            # independent jobs over the SAME persisted batch — submit
+            # all three concurrently so each job's commit/collect tail
+            # overlaps the others instead of queueing behind them
+            # (guide §2.6 "overlap independent jobs"; round-15 extends
+            # the round-14 two-write overlap to the recent-view job and
+            # hoists the pool out of the batch closure). Cache block
+            # locks make the concurrent first materialization safe —
+            # one task computes a block, the others wait on it.
+            # Exactly-once is unchanged: every future completes (or
+            # raises) before foreachBatch returns, so the epoch only
+            # commits after both sinks did; the KV view is a bounded
+            # side effect (the reference's Redis zset), same per-batch
+            # semantics as before.
             def _hist() -> None:
                 batch_df.write.mode("append").parquet(history_dir)
 
@@ -204,14 +216,11 @@ def start_multi_sink(
                     "id_transacao", "t5_score", "t6_score", "t7_score"
                 ).write.mode("append").parquet(scores_dir)
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                futs = [pool.submit(_hist), pool.submit(_scores)]
-                for f in futs:
-                    f.result()
-            if recent_view is not None:
+            def _recent() -> None:
                 top = (
                     batch_df.orderBy(
-                        F.desc("tempo_saida_resultado"), F.desc("id_transacao")
+                        F.desc("tempo_saida_resultado"),
+                        F.desc("id_transacao"),
                     )
                     .limit(recent_k)
                     .select(
@@ -224,6 +233,18 @@ def start_multi_sink(
                     .collect()
                 )
                 recent_view.update([r.asDict() for r in top])
+
+            futs = [pool.submit(_hist), pool.submit(_scores)]
+            if recent_view is not None:
+                futs.append(pool.submit(_recent))
+            errs = []
+            for f in futs:
+                try:
+                    f.result()
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
+            if errs:
+                raise errs[0]
         finally:
             batch_df.unpersist()
 

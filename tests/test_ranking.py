@@ -434,3 +434,109 @@ def test_overlap_checkpoint_modes_identical(spark, monkeypatch):
     assert [sorted(tuple(r) for r in f.collect()) for f in got3] == want
     got1 = ranking.overlap_checkpoint(passes[:1])
     assert sorted(tuple(r) for r in got1[0].collect()) == want[0]
+
+
+def test_multi_weight_cumsum_matches_single_passes(spark):
+    """The round-15 multi-weight form (weight_col/out as lists) computes
+    every listed running total in ONE bucketize/window/offsets pass —
+    each output must be bit-identical to its own single-weight call."""
+    from banking_streaming_etl_spark import datamodel
+
+    df = datamodel.transactions(spark, SF).select(
+        F.col("id_transacao").alias("i"),
+        F.col("valor_transacao").alias("v"),
+        (F.col("valor_transacao") * F.lit(2.0)).alias("w2"),
+    )
+    fused = ranking.with_global_cumsum(
+        df, "v", "i", ["v", "w2"], out=["c1", "c2"], rows_per_bucket=7
+    ).select("i", "c1", "c2")
+    s1 = ranking.with_global_cumsum(
+        df, "v", "i", "v", out="c1", rows_per_bucket=7
+    ).select("i", "c1")
+    s2 = ranking.with_global_cumsum(
+        df, "v", "i", "w2", out="c2", rows_per_bucket=7
+    ).select("i", "c2")
+    want = s1.join(s2, "i")
+    assert fused.exceptAll(want).count() == 0
+    assert want.exceptAll(fused).count() == 0
+    with pytest.raises(ValueError, match="length mismatch"):
+        ranking.with_global_cumsum(df, "v", "i", ["v", "w2"], out="c1")
+
+
+def test_rank_input_pin_lru_cap(spark, monkeypatch):
+    """The $SPARK_GRAFT_RANK_PIN_CAP LRU (round-15): ckpt-mode ranking
+    builds beyond the cap unpersist the OLDEST pinned input's blocks —
+    the registry stays bounded, the newest pins keep their storage, and
+    the evicted RDD's storage level drops to non-cached."""
+    monkeypatch.setenv("SPARK_GRAFT_RANK_INPUT", "ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_RANK_PIN_CAP", "2")
+    ranking._PIN_LRU.clear()
+    df = _tx_values(spark)
+    frames = []
+    for j in range(3):
+        f = ranking.with_global_row_number(
+            df.withColumn("j", F.lit(j)), "v", "i", out="r",
+            rows_per_bucket=7,
+        )
+        f.count()  # materialize so the pin's blocks actually exist
+        frames.append(f)
+    assert len(ranking._PIN_LRU) == 2
+    rdds = list(ranking._PIN_LRU.values())
+    # the two survivors keep their MEMORY_AND_DISK pin
+    for rdd in rdds:
+        assert rdd.getStorageLevel().useMemory()
+    # the newest two frames stay fully usable after the eviction
+    for f in frames[1:]:
+        assert f.count() > 0
+    # cap 0 = uncapped (the round-14 behavior): no eviction bookkeeping
+    monkeypatch.setenv("SPARK_GRAFT_RANK_PIN_CAP", "0")
+    before = len(ranking._PIN_LRU)
+    ranking.with_global_row_number(
+        df.withColumn("j", F.lit(9)), "v", "i", out="r", rows_per_bucket=7
+    ).count()
+    assert len(ranking._PIN_LRU) == before
+
+
+@pytest.mark.parametrize("rows_per_bucket", [2, 7, 10**6])
+def test_global_lag_matches_window_lag(spark, rows_per_bucket):
+    """with_global_lag (round-15) == LAG over the unpartitioned window,
+    at forced multi-bucket granularities (bucket-boundary patch rows
+    included) and the degenerate single-bucket path."""
+    df = _tx_values(spark)
+    got = ranking.with_global_lag(
+        df, "v", "i", out="p", rows_per_bucket=rows_per_bucket
+    ).select("i", "p")
+    want = df.select(
+        "i",
+        F.lag("v").over(W.orderBy(F.asc("v"), F.asc("i"))).alias("p"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_global_lag_grouped_of_col_with_nulls(spark):
+    """Grouped form + a DIFFERENT of_col carrying NULLs: a NULL
+    predecessor VALUE must stay NULL (the boundary patch keys on bucket
+    position, never on NULL-ness), matching the partitioned LAG."""
+    from banking_streaming_etl_spark import datamodel
+
+    df = datamodel.transactions(spark, SF).select(
+        F.col("id_transacao").alias("i"),
+        F.col("modalidade_pagamento").alias("g"),
+        F.col("valor_transacao").alias("v"),
+        # NULL for every third row: predecessors with NULL payloads
+        F.when(F.col("id_transacao") % 3 != 0, F.col("id_usuario_pagador"))
+        .alias("payload"),
+    )
+    got = ranking.with_global_lag(
+        df, "v", "i", out="p", of_col="payload", group_cols=["g"],
+        rows_per_bucket=5,
+    ).select("i", "p")
+    want = df.select(
+        "i",
+        F.lag("payload")
+        .over(W.partitionBy("g").orderBy(F.asc("v"), F.asc("i")))
+        .alias("p"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

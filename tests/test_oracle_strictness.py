@@ -241,25 +241,75 @@ def test_driver_window_holds_all_oracle_backed_priority_queries():
         # scd2_user_history — every family keeps an in-window
         # representative; all nineteen re-register after the window,
         # parity-gated every run).
-        "q9_product_profit",
-        "dup_span_stats",
-        "collocations_pmi",
-        "ltv_cohort_curve",
-        "source_mix_report",
-        "jl_project_embeddings",
-        "cumulative_distinct_payers",
-        "rolling_median_value",
         "roc_curve_deciles",
-        "payer_totals_salted",
-        "mad_outliers_per_modality",
         "grouping_sets_modality_hour",
-        "pack_sequences_global",
-        "spearman_value_score",
         "perf_temporal_gapfill",
         "l_diversity_report",
         "quantile_sketch_rollup",
-        "quantile_sketch_range",
-        "snapshot_as_of",
+        # round-15 rotation (round-14 verdict #8 / standing cadence):
+        # the pre-vetted 16-name shortlist — all never driver-checked,
+        # 16/16 green on the end-of-round-14 plain driver-mimic — PLUS
+        # the two round-14 capability queries take the slots of
+        # redundant driver-green r14 siblings. Per-slot displacements
+        # (every displacee keeps an in-window family representative and
+        # re-registers right after the window, parity-gated every run):
+        # q13_customer_distribution <- order_enrichment (star-join shape
+        #   stays via approval_pipeline's enrich + q21);
+        # naive_bayes_approval <- perf_stats_by_modality (views family
+        #   stays via perf_temporal_gapfill);
+        # interval_overlap_bursts <- jl_project_embeddings (embeddings
+        #   family stays via ann_cosine_topk);
+        # token_counts_bpe <- collocations_pmi (text stats stays via
+        #   zipf_fit_tokens);
+        # interarrival_percentiles_by_modality <- rolling_median_value
+        #   (grouped-ranking machinery stays via the entrant itself +
+        #   exact_percentiles_by_modality);
+        # gini_value_concentration <- cumulative_distinct_payers
+        #   (prefix-sum family stays via the entrant + vocab_coverage);
+        # association_rules_modality <- source_mix_report (report shape
+        #   stays via dp_region_counts + l_diversity_report);
+        # exact_percentiles_by_modality <- payer_totals_salted
+        #   (payer-keyed aggregate shape stays via ewma_value_per_payer;
+        #   salting machinery remains fleet-tested in plan shapes);
+        # vocab_coverage_topk <- pack_sequences_global (packing/prefix
+        #   family stays via the entrant + gini);
+        # mi_modality_approval <- mad_outliers_per_modality (grouped
+        #   robust/contingency stats stays via exact_percentiles +
+        #   naive_bayes);
+        # q8_market_share <- q9_product_profit (TPC-H multi-join stays
+        #   via q8 itself + q1 + q21);
+        # ivm_join_view_deltas <- quantile_sketch_range (mergeable
+        #   sketch family stays via quantile_sketch_rollup);
+        # hill_tail_index <- spearman_value_score (rank-stat machinery
+        #   stays via roc_curve_deciles + exact_percentiles);
+        # doc_novelty <- dup_span_stats (shingle family stays via the
+        #   entrant + media_body_dedup + dedup_clusters);
+        # fuzzy_dedup_levenshtein <- semantic_dedup (dedup family stays
+        #   via dedup_clusters + media_body_dedup + the entrant);
+        # rfm_segments <- ltv_cohort_curve (behavioral cohort family
+        #   stays via the entrant);
+        # ewma_value_per_payer <- top_k_recent (payer window/top-K shape
+        #   stays via minmax_normalize_window + the entrant);
+        # dedup_incremental <- snapshot_as_of (incremental/CDC family
+        #   stays via ivm_join_view_deltas).
+        "q13_customer_distribution",
+        "naive_bayes_approval",
+        "interval_overlap_bursts",
+        "token_counts_bpe",
+        "interarrival_percentiles_by_modality",
+        "gini_value_concentration",
+        "association_rules_modality",
+        "exact_percentiles_by_modality",
+        "vocab_coverage_topk",
+        "mi_modality_approval",
+        "q8_market_share",
+        "ivm_join_view_deltas",
+        "hill_tail_index",
+        "doc_novelty",
+        "fuzzy_dedup_levenshtein",
+        "rfm_segments",
+        "ewma_value_per_payer",
+        "dedup_incremental",
     }
     missing = must_be_checked - set(window)
     assert missing == set(), f"family-critical queries outside the window: {missing}"

